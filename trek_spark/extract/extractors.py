@@ -1,0 +1,38 @@
+"""Site-specific extractor registry.
+
+Mirrors the reference's ``ExtractorRegistry`` (`src/extractor.rs:619-646`,
+registry order `src/extractors/mod.rs:46-96`): first matching extractor in
+priority order wins; an extractor failure falls through to the generic path.
+
+Extractors are ported incrementally — the conversation-shaped ones
+(ChatGPT/Claude-style transcripts) matter most for the transcript graft.
+Returns ``None`` when no extractor claims the document.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+# Each extractor: (name, can_extract(url, html) -> bool,
+#                  extract(html, url, collected, metadata)
+#                  -> (content_html, overrides) or None)
+_REGISTRY: list[tuple[str, Callable, Callable]] = []
+
+
+def register(name: str, can_extract: Callable, extract: Callable) -> None:
+    _REGISTRY.append((name, can_extract, extract))
+
+
+def try_extractors(html: str, url: Optional[str], collected, metadata):
+    for name, can_extract, extract in _REGISTRY:
+        try:
+            if not can_extract(url or "", html):
+                continue
+            result = extract(html, url, collected, metadata)
+            if result is not None:
+                content_html, overrides = result
+                return content_html, name, overrides
+        except Exception:
+            # extractor failure ⇒ generic fallback (`src/lib.rs:183-193`)
+            continue
+    return None

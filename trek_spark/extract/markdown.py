@@ -1,0 +1,1192 @@
+"""Phase 5 — HTML DOM → Markdown serialization.
+
+Defuddle/Turndown-parity renderer matching the reference's markdown layer
+(``src/markdown/`` in officialunofficial/trek): heading demotion, fenced code
+with language detection, GFM tables with header reordering, callouts,
+footnote collection + appendix, srcset best-image selection, markdown
+escaping (inter-word underscore rule), and the post-process cleanup (leading
+title strip, empty-link removal, newline collapse).
+
+Operates directly on the trek_spark DOM (no re-parse between the cleanup
+passes and rendering — one tree serves both).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional
+from urllib.parse import urljoin
+
+from ..dom.node import COMMENT, ELEMENT, TEXT, Node, serialize
+from .utils import decode_html_entities
+
+_HEADINGS = frozenset(("h1", "h2", "h3", "h4", "h5", "h6"))
+
+_INLINE_TAGS = frozenset(
+    "a abbr b bdi bdo br cite code data dfn em i kbd label mark q rp rt ruby "
+    "s samp small span strong sub sup time u var wbr del ins strike tt img".split()
+)
+
+_EMPTY_LINK_RE = re.compile(r"(?m)(?:^|[^!])\[\]\([^)]*\)")
+_BANG_BANG_RE = re.compile(r"!(!\[|\[!\[)")
+_MULTI_NL_RE = re.compile(r"\n{3,}")
+_BACKREF_RE = re.compile(r"\s*↩(?:︎)?\s*$")
+_LANG_CLASS_RE = re.compile(r"(?:^|\s)(?:lang|language)-([A-Za-z0-9_+\-]+)")
+
+_CODE_CHROME_CLASS = (
+    "code__header", "code-header", "codeheader", "copy-button",
+    "copy_button", "code-copy", "language-label",
+)
+_LINE_NO_CLASSES = frozenset((
+    "lineno", "linenos", "line-number", "linenumber",
+    "react-syntax-highlighter-line-number", "ln", "lnt", "gutter",
+))
+
+
+def _tag(node: Node) -> str:
+    return node.tag if node.type == ELEMENT else ""
+
+
+def _has_class(node: Node, cls: str) -> bool:
+    return node.type == ELEMENT and cls in node.classes()
+
+
+def _has_any_class(node: Node, classes) -> bool:
+    if node.type != ELEMENT:
+        return False
+    toks = node.classes()
+    return any(c in toks for c in classes)
+
+
+class _Out:
+    """Output accumulator with efficient ends-with-newlines queries."""
+
+    __slots__ = ("parts", "_tail")
+
+    def __init__(self):
+        self.parts: list[str] = []
+        self._tail = ""  # last ≤8 chars of output
+
+    def push(self, s: str) -> None:
+        if not s:
+            return
+        self.parts.append(s)
+        self._tail = (self._tail + s)[-8:]
+
+    def trailing_newlines(self) -> int:
+        n = 0
+        for ch in reversed(self._tail):
+            if ch == "\n":
+                n += 1
+            else:
+                return n
+        if n == len(self._tail) and len(self._tail) == 8:
+            # all-tail newlines: count precisely
+            full = "".join(self.parts)
+            n = 0
+            for ch in reversed(full):
+                if ch == "\n":
+                    n += 1
+                else:
+                    break
+        return n
+
+    def ensure_nl(self, n: int) -> None:
+        # Matches the reference's ensure_trailing_newlines: pads even an
+        # empty buffer (leading newlines are trimmed in post_process).
+        have = self.trailing_newlines()
+        if have < n:
+            self.push("\n" * (n - have))
+
+    def is_empty(self) -> bool:
+        return not self.parts
+
+    def last_char(self) -> str:
+        return self._tail[-1] if self._tail else ""
+
+    def value(self) -> str:
+        return "".join(self.parts)
+
+
+def escape_md_text(s: str) -> str:
+    out = []
+    n = len(s)
+    for i, c in enumerate(s):
+        if c == "\\":
+            out.append("\\\\")
+        elif c == "`":
+            out.append("\\`")
+        elif c == "[":
+            out.append("\\[")
+        elif c == "]":
+            out.append("\\]")
+        elif c == "_":
+            prev_word = i > 0 and s[i - 1].isalnum()
+            next_word = i + 1 < n and s[i + 1].isalnum()
+            out.append("\\_" if prev_word and next_word else "_")
+        else:
+            out.append(c)
+    return "".join(out)
+
+
+def escape_table_cell(s: str) -> str:
+    s = s.replace("|", "\\|").replace("\n", " ").replace("\r", " ")
+    return re.sub(r" {2,}", " ", s).strip()
+
+
+# ---------------------------------------------------------------- links
+
+def link_href(node: Node) -> Optional[str]:
+    href = node.get("href")
+    if not href:
+        return None
+    trimmed = href.strip()
+    if trimmed.lower().startswith("javascript:"):
+        return None
+    return _normalize_url(trimmed)
+
+
+def _normalize_url(href: str) -> str:
+    lower = href.lower()
+    if not (lower.startswith("http://") or lower.startswith("https://")):
+        return href
+    idx = href.find("://")
+    after = href[idx + 3:]
+    if "/" in after or "?" in after or "#" in after:
+        return href
+    return href + "/"
+
+
+def is_backref(node: Node) -> bool:
+    href = node.get("href") or ""
+    if "#fnref" in href or "#cite_ref" in href:
+        return True
+    cls = node.get("class") or ""
+    if "footnote-backref" in cls or "backref" in cls:
+        return True
+    rel = node.get("rel") or ""
+    return "footnote-back" in rel.split()
+
+
+def _normalize_fn_id(raw: str) -> str:
+    return raw.split("-", 1)[0] if raw else raw
+
+
+def footnote_ref_id(node: Node) -> Optional[str]:
+    href = node.get("href")
+    if not href or not href.startswith("#"):
+        return None
+    ident = href[1:]
+    for prefix in ("fn:", "fn-"):
+        if ident.startswith(prefix):
+            return _normalize_fn_id(ident[len(prefix):])
+    if ident.startswith("fn") and len(ident) > 2 and ident[2].isdigit():
+        return _normalize_fn_id(ident[2:])
+    for prefix in ("footnote-", "cite_note-"):
+        if ident.startswith(prefix):
+            return _normalize_fn_id(ident[len(prefix):])
+    if ident.isdigit():
+        text = node.text_content().strip()
+        if text == ident:
+            return ident
+    return None
+
+
+# ---------------------------------------------------------------- figures
+
+def _pick_from_srcset(srcset: str) -> Optional[str]:
+    """Highest-`Nw` candidate; whitespace-tokenized so comma-bearing CDN
+    URLs survive (ref `src/markdown/figures.rs:55-108`)."""
+    tokens = srcset.split()
+    best_w = None
+    best_url = None
+    i = 0
+
+    def is_desc(tok: str) -> bool:
+        t = tok.rstrip(",")
+        return (t.endswith("w") or t.endswith("x")) and \
+            all(c.isdigit() or c == "." for c in t[:-1]) and len(t) > 1
+
+    while i < len(tokens):
+        tok = tokens[i]
+        if is_desc(tok):
+            i += 1
+            continue
+        url = tok.rstrip(",")
+        width = None
+        if i + 1 < len(tokens):
+            nxt = tokens[i + 1].rstrip(",")
+            if nxt.endswith("w") and nxt[:-1].isdigit():
+                width = int(nxt[:-1])
+        if width is not None:
+            if best_w is None or width > best_w:
+                best_w = width
+                best_url = url
+        elif best_url is None:
+            best_url = url
+        if i + 1 < len(tokens) and is_desc(tokens[i + 1]):
+            i += 2
+            continue
+        i += 1
+    return best_url
+
+
+def best_img_src(img: Node) -> Optional[str]:
+    parent = img.parent
+    if parent is not None and _tag(parent) == "picture":
+        for src_node in parent.children:
+            if _tag(src_node) == "source":
+                s = src_node.get("srcset") or src_node.get("srcSet")
+                if s:
+                    best = _pick_from_srcset(s)
+                    if best:
+                        return best
+    srcset = img.get("srcset") or img.get("srcSet")
+    if srcset:
+        best = _pick_from_srcset(srcset)
+        if best and not best.startswith("data:"):
+            return best
+    for a in ("src", "data-src", "data-original", "data-lazy-src"):
+        s = img.get(a)
+        if s and not s.startswith("data:"):
+            return s
+    s = img.get("src")
+    return s if s else None
+
+
+def figure_is_content_wrapper(figure: Node) -> bool:
+    has_img = False
+    has_p_outside_caption = False
+    for child in figure.iter_elements():
+        if child.tag == "img":
+            has_img = True
+        elif child.tag == "p":
+            in_caption = False
+            cur = child.parent
+            while cur is not None and cur is not figure:
+                if _tag(cur) == "figcaption":
+                    in_caption = True
+                    break
+                cur = cur.parent
+            if not in_caption:
+                has_p_outside_caption = True
+    return (not has_img) or has_p_outside_caption
+
+
+# ---------------------------------------------------------------- code
+
+def detect_language(pre: Node, code: Optional[Node]) -> Optional[str]:
+    if code is not None:
+        for a in ("data-language", "data-lang"):
+            v = code.get(a)
+            if v:
+                return v
+        cls = code.get("class")
+        if cls:
+            m = _LANG_CLASS_RE.search(cls)
+            if m:
+                return m.group(1)
+    for a in ("data-language", "data-lang"):
+        v = pre.get(a)
+        if v:
+            return v
+    cls = pre.get("class")
+    if cls:
+        m = _LANG_CLASS_RE.search(cls)
+        if m:
+            return m.group(1)
+    return None
+
+
+def _is_line_number_span(node: Node) -> bool:
+    text = node.text_content().strip()
+    if not text or len(text) > 4 or not text.isdigit():
+        return False
+    prev = node.prev_sibling()
+    while prev is not None:
+        if prev.type == TEXT and prev.text.strip() == "":
+            prev = prev.prev_sibling()
+            continue
+        return False
+    nxt = node.next_sibling()
+    while nxt is not None:
+        if nxt.type == TEXT:
+            if nxt.text.strip() == "":
+                nxt = nxt.next_sibling()
+                continue
+            return True
+        if nxt.type == ELEMENT:
+            return True
+        nxt = nxt.next_sibling()
+    return False
+
+
+def _walk_code(node: Node, out: list[str]) -> None:
+    if node.type == TEXT:
+        out.append(node.text)
+        return
+    if node.type != ELEMENT:
+        return
+    t = node.tag
+    if t == "br":
+        out.append("\n")
+        return
+    if t == "button":
+        return
+    cls_lower = (node.get("class") or "").lower()
+    if t == "span":
+        if node.get("data-lineno") is not None or \
+                _has_any_class(node, _LINE_NO_CLASSES) or _is_line_number_span(node):
+            return
+        for child in node.children:
+            _walk_code(child, out)
+        return
+    if t == "div":
+        if any(k in cls_lower for k in _CODE_CHROME_CLASS):
+            return
+        before = len("".join(out))
+        for child in node.children:
+            _walk_code(child, out)
+        produced = len("".join(out)) > before
+        if produced and (not out or not out[-1].endswith("\n")):
+            out.append("\n")
+        return
+    if t not in ("code", "pre"):
+        if any(k in cls_lower for k in _CODE_CHROME_CLASS) or "__lang" in cls_lower:
+            return
+        if _has_any_class(node, ("lineno", "linenos", "line-number", "ln", "gutter")):
+            return
+    for child in node.children:
+        _walk_code(child, out)
+
+
+def extract_code_text(pre: Node) -> str:
+    inner = pre.find_first("code") or pre
+    buf: list[str] = []
+    _walk_code(inner, buf)
+    lines = "".join(buf).split("\n")
+    start, end = 0, len(lines)
+    while start < end and not lines[start].strip():
+        start += 1
+    while end > start and not lines[end - 1].strip():
+        end -= 1
+    return "\n".join(lines[start:end])
+
+
+# ---------------------------------------------------------------- tables
+
+TABLE_EMPTY, TABLE_LAYOUT, TABLE_COMPLEX, TABLE_SIMPLE = range(4)
+
+
+def classify_table(table: Node) -> int:
+    rows = [n for n in table.iter_elements() if n.tag == "tr"]
+    if not rows:
+        return TABLE_EMPTY
+    has_complex = False
+    max_cells = 0
+    nested = False
+    for row in rows:
+        cells = [c for c in row.children if _tag(c) in ("td", "th")]
+        max_cells = max(max_cells, len(cells))
+        for cell in cells:
+            cs = cell.get("colspan")
+            if cs and cs.isdigit() and int(cs) > 1:
+                has_complex = True
+            rs = cell.get("rowspan")
+            if rs and rs.isdigit() and int(rs) > 1:
+                has_complex = True
+            if cell.find_first("table") is not None:
+                nested = True
+    if has_complex:
+        return TABLE_COMPLEX
+    if not nested and max_cells <= 1:
+        return TABLE_LAYOUT
+    all_empty = all(
+        all(c.text_content().strip() == "" for c in row.children
+            if _tag(c) in ("td", "th"))
+        for row in rows
+    )
+    if all_empty:
+        return TABLE_EMPTY
+    return TABLE_SIMPLE
+
+
+# ---------------------------------------------------------------- math
+
+def mathml_latex(node: Node) -> Optional[str]:
+    v = node.get("data-latex")
+    if v is not None:
+        return v
+    v = node.get("alttext")
+    if v is not None:
+        return v
+    for d in node.iter_elements():
+        if d.tag == "annotation" and d.get("encoding") == "application/x-tex":
+            txt = d.text_content().strip()
+            if txt:
+                return txt
+    txt = node.text_content().strip()
+    return txt or None
+
+
+def katex_latex(node: Node) -> Optional[str]:
+    v = node.get("data-latex")
+    if v is not None:
+        return v
+    for d in node.iter_elements():
+        if d.tag == "annotation" and d.get("encoding") == "application/x-tex":
+            txt = d.text_content().strip()
+            if txt:
+                return txt
+    return None
+
+
+# ---------------------------------------------------------------- misc
+
+def _task_list_marker(li: Node) -> Optional[str]:
+    inp = None
+    for d in li.iter_elements():
+        if d.tag == "input" and (d.get("type") or "").lower() == "checkbox":
+            inp = d
+            break
+    if inp is None:
+        return None
+    checked = inp.get("checked") is not None or \
+        (inp.get("data-checked") or "false") != "false"
+    return "[x]" if checked else "[ ]"
+
+
+def _is_ordered_marker(line: str) -> bool:
+    trimmed = line.lstrip("\t")
+    saw_digit = False
+    for i, c in enumerate(trimmed):
+        if c.isdigit():
+            saw_digit = True
+        elif c == "." and saw_digit:
+            return i + 1 < len(trimmed) and trimmed[i + 1] == " "
+        else:
+            break
+    return False
+
+
+def _is_callout(node: Node) -> bool:
+    t = _tag(node)
+    if t not in ("div", "blockquote"):
+        return False
+    if node.get("data-callout") is not None:
+        return True
+    return "callout" in node.classes()
+
+
+def _is_footnote_list(ol: Node) -> bool:
+    if _has_class(ol, "footnotes-list"):
+        return True
+    cur = ol.parent
+    while cur is not None:
+        if cur.type == ELEMENT:
+            ident = cur.get("id")
+            if ident and ident.lower() == "footnotes":
+                return True
+            if _has_class(cur, "footnotes") or _has_class(cur, "footnote"):
+                return True
+            if cur.tag == "aside":
+                return True
+        cur = cur.parent
+    return False
+
+
+def _footnote_id_from_sup(sup: Node) -> Optional[str]:
+    ident = sup.get("id")
+    if not ident:
+        return None
+    for prefix in ("fnref:", "fnref", "footnote-ref-", "cite_ref-"):
+        if ident.startswith(prefix):
+            return _normalize_fn_id(ident[len(prefix):])
+    return None
+
+
+def _strip_footnote_backrefs(s: str) -> str:
+    return _BACKREF_RE.sub("", s)
+
+
+# ---------------------------------------------------------------- renderer
+
+class Renderer:
+    def __init__(self, base_url: Optional[str] = None):
+        self.list_stack: list[list] = []  # [ordered: bool, next: int]
+        self.footnotes: list[tuple[str, str]] = []
+        self.in_table = False
+        self.in_pre = False
+        self.base_url = base_url
+
+    # -- inline ----------------------------------------------------------
+    def render_inline_text(self, raw: str) -> str:
+        if self.in_pre:
+            return raw
+        buf = []
+        prev_space = False
+        for c in raw:
+            if c == "\ufeff":
+                continue
+            if c.isspace():
+                if not prev_space:
+                    buf.append(" ")
+                prev_space = True
+            else:
+                buf.append(c)
+                prev_space = False
+        return escape_md_text("".join(buf))
+
+    def render_inline(self, node: Node) -> str:
+        out = _Out()
+        for child in node.children:
+            self.render_inline_node(child, out)
+        return out.value()
+
+    def render_inline_node(self, node: Node, out: _Out) -> None:
+        if node.type == TEXT:
+            out.push(self.render_inline_text(node.text))
+            return
+        if node.type != ELEMENT:
+            return
+        t = node.tag
+        if t == "br":
+            out.push("  \n")
+        elif t in ("strong", "b"):
+            inner = self.render_inline(node)
+            if inner.strip():
+                out.push("**" + inner.strip() + "**")
+        elif t in ("em", "i"):
+            inner = self.render_inline(node)
+            if inner.strip():
+                out.push("*" + inner.strip() + "*")
+        elif t in ("del", "s", "strike"):
+            inner = self.render_inline(node)
+            if inner.strip():
+                out.push("~~" + inner.strip() + "~~")
+        elif t == "mark":
+            inner = self.render_inline(node)
+            if inner.strip():
+                out.push("==" + inner.strip() + "==")
+        elif t == "code":
+            self.render_inline_code(node, out)
+        elif t == "a":
+            self.render_anchor(node, out)
+        elif t == "img":
+            out.push(self.render_image(node))
+        elif t == "sup":
+            self.render_sup(node, out)
+        elif t == "sub":
+            inner = self.render_inline(node)
+            if inner.strip():
+                out.push("<sub>" + inner.strip() + "</sub>")
+        elif t == "math":
+            latex = mathml_latex(node)
+            if latex:
+                if self.in_table:
+                    out.push("$" + latex + "$")
+                elif node.get("display") == "block":
+                    out.push("\n\n$$\n" + latex + "\n$$\n\n")
+                else:
+                    out.push("$" + latex + "$")
+        elif t in ("span", "u", "small", "abbr", "cite", "dfn", "kbd", "samp",
+                   "var", "time", "data", "label", "ruby", "rp", "rt", "tt",
+                   "ins", "q", "bdi", "bdo"):
+            if _has_any_class(node, ("math", "katex", "katex-display")):
+                latex = katex_latex(node)
+                if latex is not None:
+                    is_display = _has_class(node, "katex-display") or \
+                        _has_class(node, "math-display")
+                    if is_display and not self.in_table:
+                        out.push("\n\n$$\n" + latex + "\n$$\n\n")
+                    else:
+                        out.push("$" + latex + "$")
+                    return
+            out.push(self.render_inline(node))
+        elif t == "iframe":
+            out.push(serialize(node))
+        elif t in ("script", "style", "noscript", "template"):
+            pass
+        else:
+            out.push(self.render_inline(node))
+
+    def render_inline_code(self, node: Node, out: _Out) -> None:
+        content = node.text_content().strip()
+        if not content:
+            return
+        max_ticks = 0
+        run = 0
+        for c in content:
+            if c == "`":
+                run += 1
+                max_ticks = max(max_ticks, run)
+            else:
+                run = 0
+        ticks = "`" * (max_ticks + 1)
+        pad_start = content.startswith("`")
+        pad_end = content.endswith("`")
+        out.push(ticks + (" " if pad_start else "") + content +
+                 (" " if pad_end else "") + ticks)
+
+    def render_anchor(self, node: Node, out: _Out) -> None:
+        fid = footnote_ref_id(node)
+        if fid is not None:
+            text = node.text_content().strip()
+            wraps_sup = node.find_first("sup") is not None
+            numeric_like = (not is_backref(node)) and \
+                all(c.isdigit() or c == "↩" for c in text)
+            if (wraps_sup or numeric_like) and fid:
+                out.push("[^" + fid + "]")
+                return
+        if is_backref(node):
+            return
+        inner = self.render_inline(node).strip()
+        href = link_href(node)
+        if href is None:
+            out.push(inner)
+            return
+        if not inner:
+            return
+        title = node.get("title")
+        resolved = self.resolve_url(href)
+        s = "[" + inner + "](" + decode_html_entities(resolved)
+        if title:
+            s += ' "' + title.replace('"', '\\"') + '"'
+        out.push(s + ")")
+
+    def render_sup(self, node: Node, out: _Out) -> None:
+        fid = _footnote_id_from_sup(node)
+        if fid is not None:
+            self._emit_footnote_ref(out, fid)
+            return
+        anchor = node.find_first("a")
+        if anchor is not None:
+            fid = footnote_ref_id(anchor)
+            if fid is not None:
+                self._emit_footnote_ref(out, fid)
+                return
+        text = node.text_content().strip()
+        if text and len(text) <= 4 and text.isdigit():
+            self._emit_footnote_ref(out, text)
+            return
+        inner = self.render_inline(node)
+        if inner.strip():
+            out.push("<sup>" + inner.strip() + "</sup>")
+
+    def _emit_footnote_ref(self, out: _Out, fid: str) -> None:
+        c = out.last_char()
+        if c and (c.isalnum() or c in "`)]*"):
+            out.push(" ")
+        out.push("[^" + fid + "]")
+
+    def resolve_url(self, href: str) -> str:
+        trimmed = href.strip()
+        if trimmed.startswith(("http://", "https://", "mailto:", "tel:",
+                               "data:", "#")):
+            return trimmed
+        if not self.base_url:
+            return trimmed
+        try:
+            return urljoin(self.base_url, trimmed)
+        except ValueError:
+            return trimmed
+
+    def render_image(self, node: Node) -> str:
+        src = best_img_src(node)
+        if not src or src.startswith("data:"):
+            return ""
+        resolved = self.resolve_url(src)
+        alt = node.get("alt") or ""
+        title = node.get("title") or ""
+        s = "![" + alt + "](" + decode_html_entities(resolved)
+        if title:
+            s += ' "' + title.replace('"', '\\"') + '"'
+        return s + ")"
+
+    # -- blocks ----------------------------------------------------------
+    def render_children(self, node: Node) -> str:
+        out = _Out()
+        for child in node.children:
+            self.render_block(child, out)
+        return out.value()
+
+    def render_block(self, node: Node, out: _Out) -> None:
+        if node.type == TEXT:
+            raw = node.text
+            if not raw.strip():
+                return
+            if not out.is_empty():
+                out.ensure_nl(2)
+            out.push(self.render_inline_text(raw))
+            return
+        if node.type != ELEMENT:
+            return
+        t = node.tag
+        if t in ("script", "style", "noscript", "template"):
+            return
+        if t in _HEADINGS:
+            self.render_heading(node, t, out)
+        elif t == "p":
+            self.render_paragraph(node, out)
+        elif t == "br":
+            out.ensure_nl(2)
+        elif t == "hr":
+            out.ensure_nl(2)
+            out.push("---")
+            out.ensure_nl(2)
+        elif t == "blockquote":
+            self.render_blockquote(node, out)
+        elif t in ("ul", "ol"):
+            self.render_list(node, out)
+        elif t == "li":
+            self.render_paragraph(node, out)
+        elif t == "pre":
+            self.render_pre(node, out)
+        elif t == "table":
+            self.render_table(node, out)
+        elif t == "figure":
+            self.render_figure(node, out)
+        elif t == "figcaption":
+            self.render_paragraph(node, out)
+        elif t == "dl":
+            self.render_dl(node, out)
+        elif t == "details":
+            self.render_paragraph(node, out)
+        elif t in ("div", "section", "article", "main", "aside", "header",
+                   "footer", "nav"):
+            self.render_div_like(node, out)
+        elif t == "code":
+            if node.find_first("pre") is not None:
+                for child in node.children:
+                    self.render_block(child, out)
+            else:
+                inline = self.render_inline(node)
+                if inline.strip():
+                    if not out.is_empty():
+                        out.ensure_nl(2)
+                    out.push(inline)
+                    out.ensure_nl(2)
+        elif t in ("span", "a", "em", "i", "strong", "b", "mark", "sub", "sup"):
+            buf = _Out()
+            self.render_inline_node(node, buf)
+            val = buf.value()
+            if val.strip():
+                if not out.is_empty():
+                    out.ensure_nl(2)
+                out.push(val)
+                out.ensure_nl(2)
+        elif t == "img":
+            img = self.render_image(node)
+            if img:
+                out.ensure_nl(2)
+                out.push(img)
+                out.ensure_nl(2)
+        elif t in ("iframe", "video", "audio"):
+            raw = serialize(node).strip()
+            if raw:
+                out.ensure_nl(2)
+                out.push(raw)
+                out.ensure_nl(2)
+        elif t in ("math", "svg"):
+            latex = mathml_latex(node)
+            if latex:
+                out.ensure_nl(2)
+                out.push("$$\n" + latex + "\n$$")
+                out.ensure_nl(2)
+        else:
+            self.render_div_like(node, out)
+
+    def render_div_like(self, node: Node, out: _Out) -> None:
+        if _is_callout(node):
+            self.render_callout(node, out)
+            return
+        if _has_class(node, "footnote-definition"):
+            ident = node.get("id") or ""
+            ident = ident.split("-", 1)[0]
+            buf = _Out()
+            for child in node.children:
+                if _has_class(child, "footnote-definition-label"):
+                    continue
+                self.render_block(child, buf)
+            cleaned = _strip_footnote_backrefs(buf.value().strip())
+            if ident:
+                self.footnotes.append((ident, cleaned))
+            return
+        for child in node.children:
+            self.render_block(child, out)
+
+    def render_heading(self, node: Node, tag: str, out: _Out) -> None:
+        level = max(1, min(6, int(tag[1])))
+        if level == 1:
+            level = 2
+        text = self.render_inline(node).strip()
+        if not text:
+            return
+        out.ensure_nl(2)
+        out.push("#" * level + " " + text)
+        out.ensure_nl(2)
+
+    def render_paragraph(self, node: Node, out: _Out) -> None:
+        text = self.render_inline(node).strip()
+        if not text:
+            return
+        out.ensure_nl(2)
+        out.push(text)
+        out.ensure_nl(2)
+
+    def render_blockquote(self, node: Node, out: _Out) -> None:
+        inner_out = _Out()
+        for child in node.children:
+            self.render_block(child, inner_out)
+        inner = inner_out.value().strip()
+        if not inner:
+            return
+        out.ensure_nl(2)
+        for line in inner.split("\n"):
+            out.push(">\n" if not line else "> " + line + "\n")
+        out.ensure_nl(2)
+
+    def render_callout(self, node: Node, out: _Out) -> None:
+        kind = node.get("data-callout")
+        if kind is None:
+            for c in node.classes():
+                if c.startswith("callout-"):
+                    kind = c[len("callout-"):]
+                    break
+        kind = kind or ""
+        fold = node.get("data-callout-fold") or ""
+        fold_marker = fold if fold in ("+", "-") else ""
+
+        title = ""
+        content_node = None
+        for child in node.iter_elements():
+            if child is node:
+                continue
+            if not title and _has_class(child, "callout-title-inner"):
+                title = self.render_inline(child).strip()
+            if content_node is None and _has_class(child, "callout-content"):
+                content_node = child
+        if not title:
+            title = kind[:1].upper() + kind[1:] if kind else ""
+
+        out.ensure_nl(2)
+        header = "> [!" + kind + "]" + fold_marker
+        if title:
+            header += " " + title
+        out.push(header + "\n")
+
+        body_out = _Out()
+        if content_node is not None:
+            for child in content_node.children:
+                self.render_block(child, body_out)
+        body = body_out.value().strip()
+        if body:
+            for line in body.split("\n"):
+                out.push(">\n" if not line else "> " + line + "\n")
+        out.ensure_nl(2)
+
+    def render_list(self, node: Node, out: _Out) -> None:
+        ordered = node.tag == "ol"
+        start_attr = node.get("start")
+        start = int(start_attr) if start_attr and start_attr.isdigit() else 1
+        self.list_stack.append([ordered, start])
+        if ordered and _is_footnote_list(node):
+            self.list_stack.pop()
+            self.collect_footnote_list(node)
+            return
+        buf = _Out()
+        for child in node.children:
+            if _tag(child) != "li":
+                continue
+            self.render_list_item(child, buf)
+        self.list_stack.pop()
+        val = buf.value()
+        if not val.strip():
+            return
+        if not self.list_stack:
+            out.ensure_nl(2)
+            out.push(val.rstrip("\n"))
+            out.ensure_nl(2)
+        else:
+            out.push(val)
+
+    def render_list_item(self, node: Node, out: _Out) -> None:
+        depth = max(0, len(self.list_stack) - 1)
+        indent = "\t" * depth
+        frame = self.list_stack[-1] if self.list_stack else None
+        if frame and frame[0]:
+            marker = f"{frame[1]}. "
+            frame[1] += 1
+        else:
+            marker = "- "
+
+        checkbox = _task_list_marker(node)
+
+        inline_parts: list[str] = []
+        nested_parts: list[str] = []
+        for child in node.children:
+            if child.type == TEXT:
+                inline_parts.append(self.render_inline_text(child.text))
+                continue
+            if child.type != ELEMENT:
+                continue
+            tg = child.tag
+            if tg in ("ul", "ol"):
+                nb = _Out()
+                self.render_list(child, nb)
+                nested_parts.append(nb.value().rstrip("\n") + "\n")
+            elif tg == "p":
+                inner = self.render_inline(child)
+                if not "".join(inline_parts).strip():
+                    inline_parts = [inner.strip()]
+                else:
+                    nested_parts.append("\n" + inner.strip() + "\n")
+            elif tg == "br":
+                inline_parts.append("  \n")
+            elif tg in _INLINE_TAGS:
+                buf = _Out()
+                self.render_inline_node(child, buf)
+                inline_parts.append(buf.value())
+            else:
+                nb = _Out()
+                self.render_block(child, nb)
+                nested_parts.append(nb.value().rstrip("\n") + "\n")
+
+        body_first = "".join(inline_parts).strip()
+        nested_buf = "".join(nested_parts)
+        if not body_first and not nested_buf.strip():
+            return
+
+        out.push(indent + marker)
+        if checkbox:
+            out.push(checkbox + " ")
+        out.push(body_first + "\n")
+
+        if nested_buf:
+            cont_indent = indent + "\t"
+            lines = nested_buf.split("\n")
+            if lines and lines[-1] == "":
+                lines.pop()
+            for line in lines:
+                if not line:
+                    out.push("\n")
+                else:
+                    out.push(cont_indent + line + "\n")
+
+    def render_pre(self, node: Node, out: _Out) -> None:
+        inner_code = node.find_first("code")
+        lang = detect_language(node, inner_code) or ""
+        body = extract_code_text(node)
+        if not body.strip() and not lang:
+            return
+        out.ensure_nl(2)
+        out.push("```" + lang + "\n" + body)
+        if not body.endswith("\n"):
+            out.push("\n")
+        out.push("```")
+        out.ensure_nl(2)
+
+    def render_table(self, node: Node, out: _Out) -> None:
+        kind = classify_table(node)
+        if kind == TABLE_EMPTY:
+            return
+        if kind == TABLE_LAYOUT:
+            for row in (n for n in node.iter_elements() if n.tag == "tr"):
+                for cell in row.children:
+                    if _tag(cell) in ("td", "th"):
+                        for child in cell.children:
+                            self.render_block(child, out)
+            return
+        if kind == TABLE_COMPLEX:
+            out.ensure_nl(2)
+            out.push(serialize(node).strip())
+            out.ensure_nl(2)
+            return
+        prev = self.in_table
+        self.in_table = True
+        table_md = self._render_simple_table(node)
+        self.in_table = prev
+        if table_md.strip():
+            out.ensure_nl(2)
+            out.push(table_md.rstrip("\n"))
+            out.ensure_nl(2)
+
+    def _render_simple_table(self, table: Node) -> str:
+        rows = [n for n in table.iter_elements() if n.tag == "tr"]
+        if not rows:
+            return ""
+        header_idx = 0
+        for i, r in enumerate(rows):
+            if any(_tag(c) == "th" for c in r.children):
+                header_idx = i
+                break
+        data: list[list[str]] = []
+        for row in rows:
+            cells = []
+            for c in row.children:
+                if _tag(c) in ("td", "th"):
+                    sub = Renderer(self.base_url)
+                    sub.in_table = True
+                    cells.append(escape_table_cell(sub.render_inline(c)))
+            if cells:
+                data.append(cells)
+        if not data:
+            return ""
+        cols = max(len(r) for r in data)
+        if cols == 0:
+            return ""
+        if 0 < header_idx < len(data):
+            h = data.pop(header_idx)
+            data.insert(0, h)
+        lines = []
+        header = data[0]
+        lines.append("|" + "".join(
+            f" {header[i] if i < len(header) else ''} |" for i in range(cols)))
+        lines.append("|" + " --- |" * cols)
+        for row in data[1:]:
+            lines.append("|" + "".join(
+                f" {row[i] if i < len(row) else ''} |" for i in range(cols)))
+        return "\n".join(lines) + "\n"
+
+    def render_figure(self, node: Node, out: _Out) -> None:
+        if figure_is_content_wrapper(node):
+            for child in node.children:
+                self.render_block(child, out)
+            return
+        img = node.find_first("img")
+        caption = node.find_first("figcaption")
+        img_md = self.render_image(img) if img is not None else ""
+        cap_md = self.render_inline(caption) if caption is not None else ""
+        if not img_md and not cap_md.strip():
+            return
+        out.ensure_nl(2)
+        if img_md:
+            out.push(img_md)
+            out.ensure_nl(2)
+        if cap_md.strip():
+            out.push(cap_md.strip())
+            out.ensure_nl(2)
+
+    def render_dl(self, node: Node, out: _Out) -> None:
+        for child in node.children:
+            if child.type == ELEMENT and child.tag in ("dt", "dd"):
+                self.render_paragraph(child, out)
+
+    def collect_footnote_list(self, ol: Node) -> None:
+        start_attr = ol.get("start")
+        idx = int(start_attr) if start_attr and start_attr.isdigit() else 1
+        for li in ol.children:
+            if _tag(li) != "li":
+                continue
+            raw = li.get("id")
+            if raw:
+                stripped = None
+                for prefix in ("fn:", "fn-", "footnote-", "cite_note-"):
+                    if raw.startswith(prefix):
+                        stripped = raw[len(prefix):]
+                        break
+                if stripped is None and raw.startswith("fn") and \
+                        len(raw) > 2 and raw[2].isdigit():
+                    stripped = raw[2:]
+                if stripped is None:
+                    stripped = raw
+                ident = stripped.split("-", 1)[0] or stripped
+            else:
+                ident = str(idx)
+            idx += 1
+            buf = _Out()
+            for child in li.children:
+                self.render_block(child, buf)
+            cleaned = _strip_footnote_backrefs(buf.value().strip())
+            self.footnotes.append((ident, cleaned))
+
+
+# ---------------------------------------------------------------- post
+
+def _unescape_md(s: str) -> str:
+    out = []
+    i = 0
+    while i < len(s):
+        if s[i] == "\\" and i + 1 < len(s) and s[i + 1] in "\\`[]_*":
+            out.append(s[i + 1])
+            i += 2
+        else:
+            out.append(s[i])
+            i += 1
+    return "".join(out)
+
+
+def _heading_matches_title(h: str, title: str) -> bool:
+    h = _unescape_md(h)
+    if h == title or h.lower() == title.lower():
+        return True
+    t_low, h_low = title.lower(), h.lower()
+    if t_low.startswith(h_low):
+        rest = t_low[len(h_low):].lstrip()
+        if rest[:1] in ("-", "|", "·", ":"):
+            return True
+    return False
+
+
+def _strip_leading_title_heading(md: str, title: str) -> str:
+    trimmed = md.lstrip()
+    lead = len(md) - len(trimmed)
+    nl = trimmed.find("\n")
+    first = trimmed if nl < 0 else trimmed[:nl]
+    body = None
+    if first.startswith("# "):
+        body = first[2:]
+    elif first.startswith("## "):
+        body = first[3:]
+    if body is None or not _heading_matches_title(body.strip(), title.strip()):
+        return md
+    new_start = lead + len(first)
+    while new_start < len(md) and md[new_start] == "\n":
+        new_start += 1
+    return md[new_start:]
+
+
+def post_process(md: str, footnotes: list[tuple[str, str]], title: str) -> str:
+    s = md
+    if title:
+        s = _strip_leading_title_heading(s, title)
+
+    def _empty_link_sub(m: re.Match) -> str:
+        whole = m.group(0)
+        return whole[0] if whole and whole[0] != "[" else ""
+
+    s = _EMPTY_LINK_RE.sub(_empty_link_sub, s)
+    s = _BANG_BANG_RE.sub(r"! \1", s)
+    s = _MULTI_NL_RE.sub("\n\n", s)
+
+    if footnotes:
+        if not s.endswith("\n"):
+            s += "\n"
+        if not s.endswith("\n\n"):
+            s += "\n"
+        bits = []
+        for ident, body in footnotes:
+            one_line = " ".join(
+                ln.strip() for ln in body.split("\n") if ln.strip())
+            bits.append(f"[^{ident}]: {one_line}\n")
+        # entries each end with "\n"; joining on "\n" leaves a blank line
+        # between definitions, matching the reference emitter
+        s += "\n".join(bits)
+
+    cleaned = []
+    for line in s.split("\n"):
+        trailing = len(line) - len(line.rstrip(" "))
+        cleaned.append(line if trailing == 2 else line.rstrip())
+    return "\n".join(cleaned).strip()
+
+
+def node_to_markdown(node: Node, title: str = "",
+                     base_url: Optional[str] = None) -> str:
+    renderer = Renderer(base_url)
+    body = node
+    for d in node.iter_elements():
+        if d.tag == "body":
+            body = d
+            break
+    out = renderer.render_children(body)
+    return post_process(out, renderer.footnotes, title)

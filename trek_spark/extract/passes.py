@@ -1,0 +1,658 @@
+"""Clutter-removal and standardization passes over the DOM.
+
+Implements the observable semantics of the reference's string/streaming and
+kuchikiki passes as mutations of one parsed tree:
+
+* ``remove_clutter`` — exact-tag removal, svg chrome, navigation/sidebar
+  classes, partial-selector matching over TEST_ATTRIBUTES with Tailwind
+  arbitrary-variant skips (`src/lib.rs:606-769`). The reference masks
+  ``<pre>`` regions before its streaming pass; here pre/code subtrees are
+  simply exempted from matching, which has the same effect.
+* legacy standardize — embed-iframe rewrite, comment removal, empty p/div
+  removal, wrapper-div flattening (`src/standardize_legacy.rs`).
+* removals pre — selector long-tail + hidden-element removal
+  (`src/removals/selectors.rs`, `src/removals/hidden.rs`).
+* standardize DOM passes — flatten_wrappers, promote_semantics,
+  relative_urls, figure_image, footnotes, tables, headings
+  (`src/standardize/*.rs`).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional
+from urllib.parse import urljoin
+
+from ..constants import (
+    EXACT_SELECTORS,
+    PARTIAL_SELECTORS,
+    TEST_ATTRIBUTES,
+)
+from ..dom.node import COMMENT, ELEMENT, TEXT, Node
+from ..dom.select import compile_selector
+
+_HEADING_TAGS = frozenset(("h1", "h2", "h3", "h4", "h5", "h6"))
+_CLUTTER_TAGS = frozenset(("script", "style", "nav", "footer", "header",
+                           "aside", "noscript"))
+_PARTIAL_CHECK_TAGS = frozenset((
+    "div", "section", "article", "main", "span", "p", "ul", "ol", "li",
+    "h1", "h2", "h3", "h4", "h5", "h6",
+))
+
+_HIDDEN_STYLE_RE = re.compile(
+    r"(?:^|;\s*)(?:display\s*:\s*none|visibility\s*:\s*hidden|opacity\s*:\s*0)(?:\s*;|\s*$)",
+    re.I,
+)
+
+_YT_IFRAME_SRC_RE = re.compile(
+    r"^(?:https?:)?//(?:www\.)?youtube(?:-nocookie)?\.com/embed/([A-Za-z0-9_\-]+)", re.I)
+_TW_IFRAME_SRC_RE = re.compile(
+    r"^(?:https?:)?//(?:www\.)?(?:twitter|x)\.com/([A-Za-z0-9_]+)/status/(\d+)", re.I)
+
+# Precompile the partial-selector list into one alternation regex for speed
+# (matching ~529 substrings against every attribute value).
+_PARTIAL_RE = re.compile("|".join(re.escape(p) for p in PARTIAL_SELECTORS))
+_EXACT_COMPILED = [compile_selector(s) for s in EXACT_SELECTORS]
+
+
+def _inside_pre_or_code(node: Node) -> bool:
+    cur = node.parent
+    while cur is not None:
+        if cur.type == ELEMENT and cur.tag in ("pre", "code"):
+            return True
+        cur = cur.parent
+    return False
+
+
+def value_matches_partial(value: str, attr: str) -> bool:
+    """Ref `src/lib.rs:607-634`: class tokenized on whitespace, Tailwind
+    arbitrary-variant tokens skipped; other attrs whole-value substring."""
+    if attr == "class":
+        for tok in value.split():
+            if "[" in tok or "]" in tok:
+                continue
+            if _PARTIAL_RE.search(tok.lower()):
+                return True
+        return False
+    return _PARTIAL_RE.search(value.lower()) is not None
+
+
+def _class_token_matches_partial(value: str, attr: str) -> bool:
+    """Ref `src/removals/selectors.rs:57-88`: like value_matches_partial but
+    honours responsive-show classes (`sm:flex` keeps bare `hidden`)."""
+    if attr == "class":
+        tokens = value.split()
+        has_responsive_show = any(
+            ":" in t and (t.endswith(":flex") or t.endswith(":block")
+                          or t.endswith(":inline"))
+            for t in tokens)
+        for t in tokens:
+            if "[" in t or "]" in t:
+                continue
+            if has_responsive_show and t in ("hidden", "invisible"):
+                continue
+            if _PARTIAL_RE.search(t.lower()):
+                return True
+        return False
+    return _PARTIAL_RE.search(value.lower()) is not None
+
+
+def remove_clutter(body: Node, remove_exact: bool = True,
+                   remove_partial: bool = True) -> None:
+    to_remove = []
+    for n in body.descendants_snapshot():
+        if n.parent is None:
+            continue
+        if _inside_pre_or_code(n):
+            continue
+        t = n.tag
+        if t in _CLUTTER_TAGS:
+            if remove_exact:
+                to_remove.append(n)
+            continue
+        if t == "svg":
+            if remove_exact:
+                role = n.get("role") or ""
+                is_content = (role.lower() == "img"
+                              or n.get("aria-label") is not None
+                              or n.get("title") is not None)
+                if not is_content:
+                    to_remove.append(n)
+            continue
+        if t in _PARTIAL_CHECK_TAGS:
+            should_remove = False
+            if remove_exact:
+                cls = n.get("class")
+                if cls:
+                    for c in cls.split():
+                        if c in ("navigation", "sidebar"):
+                            should_remove = True
+                            break
+            if not should_remove and remove_partial:
+                is_heading = t in _HEADING_TAGS
+                for attr in TEST_ATTRIBUTES:
+                    if is_heading and attr != "class":
+                        continue
+                    v = n.get(attr)
+                    if v is not None and value_matches_partial(v, attr):
+                        should_remove = True
+                        break
+            if should_remove:
+                to_remove.append(n)
+    for n in to_remove:
+        if n.parent is not None:
+            n.detach()
+
+
+def remove_exact_selectors(body: Node) -> None:
+    """Apply EXACT_SELECTORS (`src/constants.rs:86-194`) as removals.
+
+    The reference applies these through its removal configuration; pre/code
+    subtrees are exempt, html/body never removed.
+    """
+    to_remove = []
+    for n in body.descendants_snapshot():
+        if n.parent is None or n.tag in ("html", "body"):
+            continue
+        if _inside_pre_or_code(n):
+            continue
+        for sel in _EXACT_COMPILED:
+            if sel.matches(n):
+                to_remove.append(n)
+                break
+    for n in to_remove:
+        if n.parent is not None and not _contains_math(n):
+            n.detach()
+
+
+# ------------------------------------------------------------- removals pre
+
+def selectors_pass(body: Node) -> None:
+    """Long-tail partial-selector removal (`src/removals/selectors.rs:88-142`)."""
+    to_remove = []
+    for n in body.descendants_snapshot():
+        if n.parent is None:
+            continue
+        if _inside_pre_or_code(n):
+            continue
+        is_h = n.tag in _HEADING_TAGS
+        matched = False
+        for attr in TEST_ATTRIBUTES:
+            if is_h and attr != "class":
+                continue
+            v = n.get(attr)
+            if v is not None and _class_token_matches_partial(v, attr):
+                matched = True
+                break
+        if matched and n.tag not in ("html", "body"):
+            to_remove.append(n)
+    for n in to_remove:
+        if n.parent is None:
+            continue
+        if n.tag == "a" and n.has_ancestor_tag(*_HEADING_TAGS):
+            continue
+        n.detach()
+
+
+def _contains_math(node: Node) -> bool:
+    for d in node.iter_elements():
+        if d.tag == "math":
+            return True
+        cls = d.get("class")
+        if cls:
+            lc = cls.lower()
+            if "katex-mathml" in lc or "mathml" in lc:
+                return True
+        if d.get("data-mathml") is not None:
+            return True
+    return False
+
+
+def _class_marks_hidden(cls: str) -> bool:
+    for tok in cls.split():
+        if "[" in tok or "]" in tok:
+            continue
+        if tok in ("hidden", "invisible"):
+            return True
+        if tok.endswith(":hidden") or tok.endswith(":invisible"):
+            return True
+    return False
+
+
+def _has_responsive_show(cls: str) -> bool:
+    return any(
+        ":" in t and (t.endswith(":flex") or t.endswith(":block")
+                      or t.endswith(":inline") or t.endswith(":grid"))
+        for t in cls.split())
+
+
+def hidden_pass(body: Node) -> None:
+    """Remove inline-style/class hidden elements (`src/removals/hidden.rs`)."""
+    to_remove = []
+    for n in body.descendants_snapshot():
+        if n.parent is None or n.tag in ("html", "body", "head"):
+            continue
+        if _contains_math(n):
+            continue
+        style = n.get("style")
+        if style and _HIDDEN_STYLE_RE.search(style):
+            to_remove.append(n)
+            continue
+        cls = n.get("class")
+        if cls:
+            if _has_responsive_show(cls):
+                continue
+            if _class_marks_hidden(cls):
+                to_remove.append(n)
+    for n in to_remove:
+        if n.parent is not None:
+            n.detach()
+
+
+# ------------------------------------------------------------- legacy passes
+
+def rewrite_embed_iframes(body: Node) -> None:
+    """YouTube/Twitter embed iframes → plain links (`src/standardize_legacy.rs:38-67`)."""
+    for n in body.descendants_snapshot():
+        if n.tag != "iframe" or n.parent is None:
+            continue
+        src = (n.get("src") or "").strip()
+        m = _YT_IFRAME_SRC_RE.match(src)
+        if m:
+            vid = m.group(1)
+            a = Node.element("a", {"href": f"https://www.youtube.com/watch?v={vid}"})
+            a.append(Node.text_node(f"YouTube: {vid}"))
+            n.replace_with(a)
+            continue
+        m = _TW_IFRAME_SRC_RE.match(src)
+        if m:
+            user, tid = m.group(1), m.group(2)
+            a = Node.element("a", {"href": f"https://twitter.com/{user}/status/{tid}"})
+            a.append(Node.text_node(f"Tweet by @{user}: {tid}"))
+            n.replace_with(a)
+
+
+def remove_comments(body: Node) -> None:
+    for n in list(body.iter()):
+        if n.type == COMMENT and n.parent is not None:
+            n.detach()
+
+
+def remove_empty_elements(body: Node) -> None:
+    """Empty <p>/<div> removal (`src/standardize_legacy.rs:147-157`)."""
+    changed = True
+    while changed:
+        changed = False
+        for n in body.descendants_snapshot():
+            if n.parent is None or n.tag not in ("p", "div"):
+                continue
+            if not n.children or all(
+                c.type == TEXT and not c.text.strip() for c in n.children
+            ):
+                n.detach()
+                changed = True
+
+
+_LEGACY_FLATTEN_KEEP_ATTRS = (
+    "role", "aria-label", "aria-hidden", "hidden", "itemscope",
+    "data-callout", "data-callout-fold", "data-callout-metadata",
+    "data-floating-buttons", "data-fade-overlay",
+    "data-rehype-pretty-code-figure",
+)
+_LEGACY_CLASS_HINTS = ("article", "content", "footnote", "reference",
+                       "bibliography", "callout")
+
+
+def _legacy_div_flattenable(n: Node) -> bool:
+    for a in _LEGACY_FLATTEN_KEEP_ATTRS:
+        if n.get(a) is not None:
+            return False
+    cls = n.get("class")
+    if cls:
+        cl = cls.lower()
+        if any(h in cl for h in _LEGACY_CLASS_HINTS):
+            return False
+        for t in cl.split():
+            if (t.startswith("language-") or t.startswith("lang-")
+                    or t in ("highlight", "highlighter-rouge",
+                             "expressive-code", "code-block",
+                             "highlight-source")
+                    or t.startswith("highlight-source-")):
+                return False
+    return True
+
+
+def flatten_wrapper_elements_legacy(body: Node) -> None:
+    """Unwrap attribute-safe <div>s (`src/standardize_legacy.rs:166-251`).
+    Pre subtrees exempt (the reference carves out pre regions)."""
+    for n in body.descendants_snapshot():
+        if n.parent is None or n.tag != "div":
+            continue
+        if _inside_pre_or_code(n):
+            continue
+        if _legacy_div_flattenable(n):
+            n.unwrap()
+
+
+# ------------------------------------------------------- standardize passes
+
+_SEMANTIC_CLASS_HINTS = (
+    "article", "content", "footnote", "reference", "bibliography", "callout",
+    "admonition", "note", "highlight", "language-", "math", "katex",
+    "mathjax", "footnotes",
+)
+_BLOCK_TAGS = frozenset((
+    "div", "section", "article", "aside", "header", "footer", "nav", "main",
+    "p", "pre", "blockquote", "table", "ul", "ol", "dl", "figure", "form",
+    "fieldset", "details", "summary", "h1", "h2", "h3", "h4", "h5", "h6", "hr",
+))
+
+
+def _has_semantic_attrs(n: Node) -> bool:
+    for a in ("role", "aria-label", "itemscope", "data-callout",
+              "data-callout-fold", "data-callout-metadata", "data-mathml"):
+        if n.get(a) is not None:
+            return True
+    cls = n.get("class")
+    if cls:
+        cl = cls.lower()
+        if any(h in cl for h in _SEMANTIC_CLASS_HINTS):
+            return True
+    return False
+
+
+def _is_unwrappable_wrapper(n: Node) -> bool:
+    if n.tag not in ("div", "section", "main"):
+        return False
+    if _has_semantic_attrs(n):
+        return False
+    if n.parent is None or n.parent.type != ELEMENT:
+        return False
+    if n.parent.tag == "html":
+        return False
+    children = n.element_children()
+    if not children:
+        return False
+    if len(children) == 1:
+        return True
+    has_text = any(c.type == TEXT and c.text.strip() for c in n.children)
+    if has_text:
+        return False
+    return all(c.tag in _BLOCK_TAGS for c in children)
+
+
+def _post_order(root: Node) -> list[Node]:
+    out = []
+    stack = [(root, False)]
+    while stack:
+        n, visited = stack.pop()
+        if visited:
+            out.append(n)
+            continue
+        stack.append((n, True))
+        for c in n.children:
+            if c.type == ELEMENT:
+                stack.append((c, False))
+    return out
+
+
+def flatten_wrappers(body: Node) -> None:
+    """Iterative decorative-wrapper unwrap (`src/standardize/flatten_wrappers.rs`)."""
+    for _ in range(6):
+        changed = False
+        for n in _post_order(body):
+            if n is body or n.parent is None:
+                continue
+            if _is_unwrappable_wrapper(n):
+                n.unwrap()
+                changed = True
+        if not changed:
+            break
+
+
+_PROMOTE_TARGETS = frozenset(("p", "h1", "h2", "h3", "h4", "h5", "h6", "li",
+                              "blockquote"))
+
+
+def promote_semantics(body: Node) -> None:
+    """`src/standardize/promote_semantics.rs` — data-as renames, block spans
+    → p, bare-span drop, code-anchor unwrap, heading-anchor inversion."""
+    for n in _post_order(body):
+        if n.tag not in ("span", "div") or n.parent is None:
+            continue
+        target = n.get("data-as")
+        if target and target.lower() in _PROMOTE_TARGETS:
+            n.tag = target.lower()
+
+    for n in _post_order(body):
+        if n.tag != "span" or n.parent is None:
+            continue
+        promote = False
+        cls = n.get("class")
+        if cls and any(c in ("block", "is-block", "block-text")
+                       for c in cls.lower().split()):
+            promote = True
+        style = n.get("style")
+        if style:
+            sl = style.lower()
+            if "display:block" in sl or "display: block" in sl:
+                promote = True
+        if promote:
+            n.tag = "p"
+
+    for n in _post_order(body):
+        if n.tag != "span" or n.parent is None:
+            continue
+        if _inside_pre_or_code(n):
+            continue
+        if not n.attrs:
+            n.unwrap()
+
+    for n in _post_order(body):
+        if n.tag != "a" or n.parent is None:
+            continue
+        href = (n.get("href") or "").strip().lower()
+        inside_code = False
+        cur = n.parent
+        while cur is not None:
+            if cur.type == ELEMENT and cur.tag == "code":
+                inside_code = True
+                break
+            cur = cur.parent
+        if inside_code or href.startswith("javascript:"):
+            n.unwrap()
+
+    for n in _post_order(body):
+        if n.tag != "a" or n.parent is None:
+            continue
+        kids = n.element_children()
+        if len(kids) == 1 and kids[0].tag in _HEADING_TAGS:
+            h = kids[0]
+            new_a = Node.element("a", dict(n.attrs or {}))
+            for c in list(h.children):
+                new_a.append(c)
+            n.insert_before(h)
+            h.clear_children()
+            h.append(new_a)
+            n.detach()
+
+
+def relative_urls(body: Node, url: Optional[str]) -> None:
+    if not url:
+        return
+    for n in body.descendants_snapshot():
+        if n.tag in ("a", "link"):
+            _rewrite_rel(n, "href", url)
+        if n.tag in ("img", "video", "audio", "source", "iframe", "script"):
+            _rewrite_rel(n, "src", url)
+
+
+def _rewrite_rel(n: Node, attr: str, base: str) -> None:
+    val = n.get(attr)
+    if val is None:
+        return
+    t = val.strip()
+    if (not t or t.startswith("#") or t.startswith("data:")
+            or t.startswith("javascript:") or t.startswith("mailto:")
+            or t.startswith("tel:")):
+        return
+    if re.match(r"^[a-zA-Z][a-zA-Z0-9+.\-]*:", t):
+        return  # already absolute (any scheme)
+    try:
+        n.set(attr, urljoin(base, t))
+    except ValueError:
+        pass
+
+
+def _looks_like_base64_placeholder(src: str) -> bool:
+    return src.startswith("data:") and len(src) < 300
+
+
+def figure_image(body: Node) -> None:
+    """Lazy-src promotion + <picture> flattening (`src/standardize/figure_image.rs`)."""
+    for n in body.descendants_snapshot():
+        if n.tag != "img":
+            continue
+        cur = n.get("src") or ""
+        if not cur or _looks_like_base64_placeholder(cur):
+            for key in ("data-src", "data-lazy-src", "data-original",
+                        "data-img-src"):
+                v = n.get(key)
+                if v:
+                    n.set("src", v)
+                    break
+        if not (n.get("srcset") or ""):
+            v = n.get("data-srcset")
+            if v:
+                n.set("srcset", v)
+
+    for pic in [x for x in body.descendants_snapshot() if x.tag == "picture"]:
+        if pic.parent is None:
+            continue
+        img = pic.find_first("img")
+        chosen = None
+        for c in pic.element_children():
+            if c.tag == "source":
+                ss = c.get("srcset")
+                if ss:
+                    first = ss.split(",")[0].strip().split()
+                    if first:
+                        chosen = first[0]
+                        break
+        if img is not None:
+            cur = img.get("src") or ""
+            if (not cur or _looks_like_base64_placeholder(cur)) and chosen:
+                img.set("src", chosen)
+            pic.insert_before(img)
+            pic.detach()
+        else:
+            pic.detach()
+
+
+def footnotes_std(body: Node) -> None:
+    """Wrap bare footnote-ref anchors in <sup> (`src/standardize/footnotes.rs`)."""
+    for n in _post_order(body):
+        if n.tag != "a" or n.parent is None:
+            continue
+        href = n.get("href") or ""
+        cls = (n.get("class") or "").lower()
+        is_ref = (href.startswith("#fn") or href.startswith("#footnote")
+                  or "footnote-ref" in cls)
+        if not is_ref:
+            continue
+        p = n.parent
+        if p.type == ELEMENT and p.tag in ("sup", "li"):
+            continue
+        sup = Node.element("sup")
+        n.insert_before(sup)
+        n.detach()
+        sup.append(n)
+
+
+def _is_visually_empty(n: Node) -> bool:
+    if n.text_content().strip():
+        return False
+    for d in n.iter_elements():
+        if d.tag in ("img", "svg", "video", "audio", "iframe", "picture",
+                     "math", "input"):
+            return False
+    return True
+
+
+def tables_std(body: Node) -> None:
+    """Drop empty tables, unwrap layout tables (`src/standardize/tables.rs`)."""
+    for t in [x for x in body.descendants_snapshot() if x.tag == "table"]:
+        if t.parent is None:
+            continue
+        if _is_visually_empty(t):
+            t.detach()
+            continue
+        cells = [c for c in t.iter_elements() if c.tag in ("td", "th")]
+        if not cells:
+            continue
+        rows = [r for r in t.iter_elements() if r.tag == "tr"]
+        layout = len(cells) == 1 or (
+            len(rows) == 1 and not any(c.tag == "th" for c in cells))
+        if layout:
+            moved = []
+            for cell in cells:
+                moved.extend(list(cell.children))
+            for c in moved:
+                t.insert_before(c)
+            t.detach()
+
+    for d in body.descendants_snapshot():
+        if d.tag in ("tbody", "thead", "tfoot") and d.parent is not None:
+            kids = d.element_children()
+            if not kids:
+                d.detach()
+            elif len(kids) == 1 and kids[0].tag == "table":
+                d.unwrap()
+
+
+def _has_replaced_content(n: Node) -> bool:
+    for d in n.iter_elements():
+        if d.tag in ("img", "video", "audio", "iframe", "picture", "svg",
+                     "math", "table"):
+            return True
+    return False
+
+
+def headings_std(body: Node) -> None:
+    """Permalink-anchor strip, H1 demotion, trailing-heading drop
+    (`src/standardize/headings.rs`)."""
+    for h in [x for x in body.descendants_snapshot() if x.tag in _HEADING_TAGS]:
+        for k in h.element_children():
+            if k.tag == "a" and not k.text_content().strip():
+                k.detach()
+
+    h1s = [x for x in body.descendants_snapshot() if x.tag == "h1"]
+    for h in h1s[1:]:
+        h.tag = "h2"
+
+    kids = body.element_children()
+    content_seen = False
+    for k in reversed(kids):
+        if k.tag not in _HEADING_TAGS:
+            if k.text_content().strip() or _has_replaced_content(k):
+                content_seen = True
+            continue
+        if content_seen:
+            break
+        txt = k.text_content()
+        if len(txt.split()) <= 12 and k.parent is not None:
+            k.detach()
+        else:
+            break
+
+
+def extract_body_substring(html: str) -> str:
+    """Substring between <body…> and </body> (`src/lib.rs:533-548`)."""
+    m = re.search(r"<body[^>]*>", html, re.I)
+    if m:
+        start = m.end()
+        end = html.rfind("</body>")
+        if end < 0:
+            end = len(html)
+        return html[start:end].lstrip("\n")
+    return html

@@ -1,0 +1,194 @@
+"""End-to-end per-document extraction pipeline.
+
+Mirrors the reference lifecycle (`src/lib.rs:95-341`):
+
+  head scan → metadata → [site extractor] → body extract → noscript promote
+  → clutter removal → callouts → legacy standardize → DOM pass chain
+  (removals.pre → callouts → standardize → elements → removals.post)
+  → word count / image fallback → markdown render → low-content retry.
+
+Everything after the head scan operates on ONE parsed DOM (the reference
+re-parses between its string passes and DOM passes; here the clutter and
+standardize stages share the tree, which preserves the observable output
+while parsing each document at most twice — head scan + body).
+"""
+
+from __future__ import annotations
+
+import re
+import time
+from typing import Optional
+
+from ..dom.node import ELEMENT, TEXT, Node, inner_html, serialize
+from ..dom.parser import body_of, parse_html
+from . import elements, passes, removals_post
+from .head_scan import collect_initial_data
+from .markdown import node_to_markdown
+from .metadata import extract_metadata
+from .utils import count_words
+
+_NOSCRIPT_IMG_RE = re.compile(
+    r"<noscript[^>]*>\s*(<img[^>]+>)\s*</noscript>", re.I | re.S)
+
+DEFAULT_OPTIONS = {
+    "url": None,
+    "markdown": True,
+    "separate_markdown": True,
+    "remove_exact_selectors": True,
+    "remove_partial_selectors": True,
+    "debug": False,
+}
+
+
+def promote_noscript_html(html: str) -> str:
+    """`src/elements/images.rs:60-80` — keep lazy images alive."""
+    return _NOSCRIPT_IMG_RE.sub(r"\1", html)
+
+
+def _first_image_from_dom(body: Node) -> str:
+    """First content <img> ≥50×50 with non-data src (`src/lib.rs:551-604`)."""
+    for n in body.iter_elements():
+        if n.tag != "img":
+            continue
+        src = n.get("src") or ""
+        if not src or src.startswith("data:"):
+            continue
+
+        def dim(attr: str) -> Optional[int]:
+            v = n.get(attr)
+            if v:
+                m = re.match(r"(\d+)", v)
+                if m:
+                    return int(m.group(1))
+            return None
+
+        w, h = dim("width"), dim("height")
+        if (w is not None and w < 50) or (h is not None and h < 50):
+            continue
+        return src
+    return ""
+
+
+def _run_cleanup(body: Node, url: Optional[str], title: str,
+                 remove_exact: bool, remove_partial: bool) -> None:
+    """Clutter removal + full DOM pass chain, in reference order."""
+    if remove_exact or remove_partial:
+        passes.remove_clutter(body, remove_exact, remove_partial)
+
+    # callouts normalize BEFORE legacy flatten (ref `src/lib.rs:281-289`)
+    elements.normalize_callouts(body)
+
+    # legacy standardize (`src/standardize_legacy.rs:9-36`)
+    passes.remove_comments(body)
+    passes.rewrite_embed_iframes(body)
+    passes.remove_empty_elements(body)
+    passes.flatten_wrapper_elements_legacy(body)
+    passes.flatten_wrapper_elements_legacy(body)
+
+    # DOM pass chain (`src/lib.rs:350-387`)
+    if remove_exact or remove_partial:
+        passes.selectors_pass(body)
+        passes.hidden_pass(body)
+    elements.normalize_callouts(body)
+    # standardize::run_all order (`src/standardize/mod.rs:29-49`)
+    elements.code_blocks(body)
+    passes.flatten_wrappers(body)
+    passes.promote_semantics(body)
+    passes.relative_urls(body, url)
+    passes.figure_image(body)
+    passes.footnotes_std(body)
+    passes.tables_std(body)
+    passes.headings_std(body)
+    # elements::normalize_all order (`src/elements/mod.rs:31-39`)
+    elements.normalize_all(body)
+    # removals post (`src/removals/mod.rs:18-25`)
+    removals_post.run_post(body, title)
+
+
+def _parse_once(html: str, metadata: dict, url: Optional[str],
+                remove_exact: bool, remove_partial: bool) -> tuple[Node, str]:
+    body_html = passes.extract_body_substring(html)
+    body_html = promote_noscript_html(body_html)
+    doc = parse_html(body_html)
+    body = body_of(doc)
+    _run_cleanup(body, url, metadata.get("title", ""),
+                 remove_exact, remove_partial)
+    content_html = inner_html(body)
+    return body, content_html
+
+
+def trek_parse(html: str, url: Optional[str] = None,
+               options: Optional[dict] = None) -> dict:
+    """One document in → response dict out (shape of `TrekResponse`,
+    `src/types.rs:120-138`)."""
+    opts = dict(DEFAULT_OPTIONS)
+    if options:
+        opts.update(options)
+    if url is not None:
+        opts["url"] = url
+    url = opts["url"]
+
+    start = time.time()
+    html = html or ""
+
+    collected = collect_initial_data(html)
+    metadata = extract_metadata(collected, url)
+
+    # site-specific extractors (ported incrementally; falls back to generic)
+    from .extractors import try_extractors
+    extracted = try_extractors(html, url, collected, metadata)
+    if extracted is not None:
+        content_html, extractor_type, overrides = extracted
+        for k, v in overrides.items():
+            if v is not None:
+                metadata[k] = v
+        word_count = count_words(content_html)
+        md = node_to_markdown(body_of(parse_html(content_html)),
+                              metadata.get("title", ""), url)
+        metadata["word_count"] = word_count
+        return _response(md, content_html, metadata, collected,
+                         extractor_type, start)
+
+    remove_exact = opts["remove_exact_selectors"]
+    remove_partial = opts["remove_partial_selectors"]
+
+    body, content_html = _parse_once(html, metadata, url,
+                                     remove_exact, remove_partial)
+    word_count = count_words(content_html)
+
+    # low-content retry (`src/lib.rs:199-237`)
+    if word_count < 200 and (remove_exact or remove_partial):
+        body2, content2 = _parse_once(html, metadata, url, False, False)
+        retry_count = count_words(content2)
+        if retry_count > word_count * 2 or (word_count < 30
+                                            and retry_count > word_count):
+            body, content_html, word_count = body2, content2, retry_count
+
+    metadata["word_count"] = word_count
+    if not metadata.get("image"):
+        metadata["image"] = _first_image_from_dom(body)
+
+    md = node_to_markdown(body, metadata.get("title", ""), url)
+    return _response(md, content_html, metadata, collected, None, start)
+
+
+def _response(md: str, content_html: str, metadata: dict, collected,
+              extractor_type: Optional[str], start: float) -> dict:
+    return {
+        "content": md,
+        "content_markdown": md,
+        "content_html": content_html,
+        "extractor_type": extractor_type,
+        "meta_tags": collected.meta_tags,
+        "title": metadata.get("title", ""),
+        "author": metadata.get("author", ""),
+        "site": metadata.get("site", ""),
+        "published": metadata.get("published", ""),
+        "description": metadata.get("description", ""),
+        "domain": metadata.get("domain", ""),
+        "favicon": metadata.get("favicon", ""),
+        "image": metadata.get("image", ""),
+        "word_count": metadata.get("word_count", 0),
+        "parse_time_ms": int((time.time() - start) * 1000),
+        "schema_org_data": metadata.get("schema_org_data", []),
+    }

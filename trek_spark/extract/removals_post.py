@@ -1,0 +1,544 @@
+"""Post-normalization removal passes (small images, metadata blocks,
+content patterns, scoring).
+
+Order and semantics per reference ``src/removals/mod.rs:18-25``:
+small_images → metadata_block → content_patterns → scoring.
+"""
+
+from __future__ import annotations
+
+import re
+
+from ..constants import NAVIGATION_INDICATORS
+from ..dom.node import ELEMENT, TEXT, Node
+
+_HEADING_TAGS = frozenset(("h1", "h2", "h3", "h4", "h5", "h6"))
+
+MIN_DIMENSION = 33
+
+_STYLE_W = re.compile(r"width\s*:\s*(\d+)", re.I)
+_STYLE_H = re.compile(r"height\s*:\s*(\d+)", re.I)
+
+_SOCIAL_COUNT_RE = re.compile(
+    r"^\s*\d+\s+(?:like|likes|comment|comments|reply|replies|share|shares)\s*$", re.I)
+_READ_TIME_RE = re.compile(r"^\s*\d+\s*(?:min|minute|minutes)\s+read\s*$", re.I)
+_BYLINE_BY_RE = re.compile(r"^\s*by\s+[A-Z][\w'\-]+(?:\s+[A-Z][\w'\-]+)*", re.I)
+_SHARE_FOLLOW_RE = re.compile(
+    r"^\s*(?:share|follow|tweet|like|subscribe|sign up|sign in|copy link)\s*$", re.I)
+_NEWSLETTER_RE = re.compile(
+    r"\b(?:subscribe to (?:our|the) newsletter|join (?:our|the) newsletter|"
+    r"sign up for (?:our|the) newsletter|email(?: address)? to subscribe|"
+    r"never miss a (?:post|story))\b", re.I)
+_DATE_PATTERN = re.compile(
+    r"(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)[a-z]*\s+\d{1,2}|"
+    r"\d{1,2}\s+(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)|"
+    r"\d{4}[-/]\d{1,2}[-/]\d{1,2}", re.I)
+_TRAILING_DATE_RE = re.compile(
+    r"(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)[a-z]*\s+\d{1,2},?\s*\d{0,4}|"
+    r"\d{4}[-/]\d{1,2}[-/]\d{1,2}", re.I)
+_ISO_DATE_RE = re.compile(r"^\s*\d{4}-\d{1,2}-\d{1,2}\s*$")
+_LONG_DATE_RE = re.compile(
+    r"^\s*(?:\d{1,2}\s+)?(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)"
+    r"[a-z]*\s+\d{1,2},?\s*\d{0,4}\s*$", re.I)
+
+_LABELS = (
+    "share this article", "share this story", "pinned", "advertisement",
+    "loading…", "loading...", "loading", "more like this",
+    "table of contents", "categories", "tags",
+)
+
+
+def _words(s: str) -> int:
+    return len(s.split())
+
+
+def _text(n: Node) -> str:
+    return n.text_content()
+
+
+def _link_text_length(n: Node) -> int:
+    total = 0
+    for d in n.iter_elements():
+        if d.tag == "a":
+            total += len(d.text_content())
+    return total
+
+
+def _link_density(n: Node) -> float:
+    t = len(_text(n))
+    if t == 0:
+        return 0.0
+    return _link_text_length(n) / t
+
+
+def _post_order_elements(root: Node) -> list[Node]:
+    out = []
+    stack = [(root, False)]
+    while stack:
+        n, visited = stack.pop()
+        if visited:
+            out.append(n)
+            continue
+        stack.append((n, True))
+        for c in n.children:
+            if c.type == ELEMENT:
+                stack.append((c, False))
+    return out
+
+
+# ------------------------------------------------------------- small images
+
+def _looks_like_math_img(n: Node) -> bool:
+    alt = n.get("alt")
+    if alt:
+        a = alt.lower()
+        if "\\(" in a or "\\[" in a or a.startswith("$") or "latex" in a:
+            return True
+    cls = n.get("class")
+    if cls:
+        lc = cls.lower()
+        if any(k in lc for k in ("latex", "tex", "equation", "math")):
+            return True
+    return n.get("data-latex") is not None or n.get("data-math") is not None
+
+
+def small_images(root: Node) -> None:
+    to_remove = []
+    for d in root.descendants_snapshot():
+        if d.tag not in ("img", "svg") or d.parent is None:
+            continue
+        if _looks_like_math_img(d):
+            continue
+        if d.tag == "img":
+            fig = None
+            cur = d.parent
+            while cur is not None:
+                if cur.type == ELEMENT and cur.tag == "figure":
+                    fig = cur
+                    break
+                cur = cur.parent
+            if fig is not None:
+                img_count = sum(1 for x in fig.iter_elements() if x.tag == "img")
+                if img_count == 1:
+                    continue
+
+        def parse_u(v):
+            if not v:
+                return 0
+            try:
+                return int(v)
+            except ValueError:
+                return 0
+
+        aw, ah = parse_u(d.get("width")), parse_u(d.get("height"))
+        style = d.get("style") or ""
+        mw = _STYLE_W.search(style)
+        mh = _STYLE_H.search(style)
+        sw = int(mw.group(1)) if mw else 0
+        sh = int(mh.group(1)) if mh else 0
+        vw = vh = 0
+        if d.tag == "svg":
+            vb = d.get("viewBox") or d.get("viewbox") or ""
+            parts = [p for p in re.split(r"[\s,]+", vb) if p]
+            if len(parts) == 4:
+                try:
+                    vw = round(float(parts[2]))
+                    vh = round(float(parts[3]))
+                except ValueError:
+                    pass
+        widths = [x for x in (aw, sw, vw) if x > 0]
+        heights = [x for x in (ah, sh, vh) if x > 0]
+        if not widths and not heights:
+            if d.tag == "img":
+                src = d.get("src") or ""
+                has_alt_src = any(
+                    d.get(k) for k in ("srcset", "data-src", "data-srcset",
+                                       "data-lazy-src", "data-original"))
+                if not src and not has_alt_src:
+                    to_remove.append(d)
+                    continue
+                if not has_alt_src and src.startswith("data:") and len(src) < 300:
+                    in_picture = d.has_ancestor_tag("picture")
+                    if not in_picture:
+                        to_remove.append(d)
+                        continue
+            continue
+        min_w = min(widths) if widths else 1 << 30
+        min_h = min(heights) if heights else 1 << 30
+        if min_w < MIN_DIMENSION or min_h < MIN_DIMENSION:
+            to_remove.append(d)
+    for n in to_remove:
+        if n.parent is not None:
+            n.detach()
+
+
+# ---------------------------------------------------------- metadata block
+
+def metadata_block(root: Node) -> None:
+    h1 = None
+    for d in root.iter_elements():
+        if d.tag == "h1":
+            h1 = d
+            break
+    if h1 is None:
+        return
+    to_check = []
+    cur = h1.next_sibling()
+    count = 0
+    while cur is not None and count < 3:
+        if cur.type == ELEMENT:
+            to_check.append(cur)
+            count += 1
+        cur = cur.next_sibling()
+    cur = h1.prev_sibling()
+    count = 0
+    while cur is not None and count < 3:
+        if cur.type == ELEMENT:
+            to_check.append(cur)
+            count += 1
+        cur = cur.prev_sibling()
+    for n in to_check:
+        txt = _text(n)
+        if _words(txt) > 20:
+            continue
+        if _DATE_PATTERN.search(txt) or re.search(r"\bby\s+[A-Z]", txt, re.I):
+            if n.tag in _HEADING_TAGS:
+                continue
+            if n.parent is not None:
+                n.detach()
+
+
+# -------------------------------------------------------- content patterns
+
+def _scope_of(root: Node) -> Node:
+    scope = root
+    for d in root.iter_elements():
+        if d.tag == "body":
+            scope = d
+            break
+    for _ in range(6):
+        kids = scope.element_children()
+        if len(kids) == 1 and kids[0].tag in ("main", "article", "div", "section"):
+            scope = kids[0]
+        else:
+            break
+    return scope
+
+
+def _drop_social_counters(root: Node) -> None:
+    for d in _post_order_elements(root):
+        if d.parent is None or d.tag not in ("div", "span", "p", "li", "a"):
+            continue
+        txt = _text(d)
+        if _SOCIAL_COUNT_RE.match(txt):
+            target = d
+            tw = _words(txt)
+            while target.parent is not None and target.parent.type == ELEMENT:
+                parent = target.parent
+                kids = parent.element_children()
+                if len(kids) == 1 and _words(_text(parent)) == tw:
+                    target = parent
+                else:
+                    break
+            target.detach()
+
+
+def _drop_read_time(root: Node) -> None:
+    for d in _post_order_elements(root):
+        if d.parent is None or d.tag not in ("div", "span", "p", "li"):
+            continue
+        if _READ_TIME_RE.match(_text(d)):
+            d.detach()
+
+
+def _drop_share_follow(root: Node) -> None:
+    for d in _post_order_elements(root):
+        if d.parent is None or d.tag not in ("div", "section", "ul", "p"):
+            continue
+        txt = _text(d).strip()
+        if not txt or _words(txt) > 8:
+            continue
+        if _SHARE_FOLLOW_RE.match(txt):
+            d.detach()
+
+
+def _drop_newsletter(root: Node) -> None:
+    for d in _post_order_elements(root):
+        if d.parent is None or d.tag not in ("div", "section", "aside", "form", "ul"):
+            continue
+        if _NEWSLETTER_RE.search(_text(d)):
+            d.detach()
+
+
+def _looks_like_breadcrumb_list(node: Node) -> bool:
+    txt = _text(node).strip()
+    sep_count = sum(1 for c in txt if c in "/>·|›")
+    words = _words(txt)
+    li_count = sum(1 for d in node.iter_elements() if d.tag == "li")
+    a_count = sum(1 for d in node.iter_elements() if d.tag == "a")
+    if words >= 25:
+        return False
+    if sep_count >= 2:
+        return True
+    if 2 <= li_count <= 6 and a_count >= max(0, li_count - 1):
+        return True
+    return False
+
+
+def _drop_breadcrumb_at_start(root: Node) -> None:
+    scope = _scope_of(root)
+    while True:
+        kids = scope.element_children()
+        if kids and kids[0].tag in ("hr", "br"):
+            kids[0].detach()
+            continue
+        break
+    kids = scope.element_children()
+    if len(kids) >= 2 and kids[0].tag == "h1" and kids[1].tag in ("hr", "br"):
+        kids[1].detach()
+    kids = scope.element_children()
+    for k in kids[:4]:
+        if k.parent is None:
+            continue
+        if k.tag in _HEADING_TAGS:
+            break
+        if k.tag in ("ul", "ol", "nav") and _looks_like_breadcrumb_list(k):
+            k.detach()
+            continue
+        if k.tag in ("div", "section", "aside"):
+            inner = k.element_children()
+            if len(inner) == 1 and inner[0].tag in ("ul", "ol", "nav") \
+                    and _looks_like_breadcrumb_list(inner[0]):
+                k.detach()
+                continue
+        txt = _text(k).strip()
+        if _words(txt) >= 12 and k.tag in ("p", "div", "section", "blockquote"):
+            break
+
+
+def _drop_trailing_related(root: Node) -> None:
+    scope = root
+    for d in root.iter_elements():
+        if d.tag == "body":
+            scope = d
+            break
+    kids = scope.element_children()
+    if not kids:
+        return
+    n = len(kids)
+    for idx in range(n - 1, max(-1, n - 7), -1):
+        k = kids[idx]
+        if k.parent is None:
+            continue
+        lc = _text(k).lower()
+        if k.tag in _HEADING_TAGS and (
+                "related" in lc or "read next" in lc or "more from" in lc
+                or "further reading" in lc or "about the author" in lc
+                or lc.strip().startswith("comments")):
+            for j in range(idx, n):
+                if kids[j].parent is not None:
+                    kids[j].detach()
+            return
+
+
+def _drop_link_dense_trailing(root: Node) -> None:
+    scope = _scope_of(root)
+    kids = scope.element_children()
+    if not kids:
+        return
+    for idx in range(len(kids) - 1, -1, -1):
+        k = kids[idx]
+        if k.parent is None:
+            continue
+        if k.tag in ("hr", "br"):
+            k.detach()
+            continue
+        if k.tag not in ("div", "section", "ul", "aside", "p"):
+            break
+        words = _words(_text(k))
+        if words < 6:
+            if words == 0:
+                k.detach()
+                continue
+            break
+        if _link_density(k) > 0.6 and words < 200:
+            k.detach()
+            continue
+        break
+
+
+def _drop_label_widgets(root: Node) -> None:
+    for d in _post_order_elements(root):
+        if d.parent is None or d.tag not in ("div", "section", "p", "span", "ul"):
+            continue
+        txt = _text(d).strip().lower()
+        if txt and txt in _LABELS:
+            d.detach()
+
+
+def _drop_byline_near_start(root: Node) -> None:
+    h1 = None
+    for d in root.iter_elements():
+        if d.tag == "h1":
+            h1 = d
+            break
+    if h1 is None:
+        return
+    cur = h1.next_sibling()
+    count = 0
+    while cur is not None:
+        s = cur
+        if s.type == TEXT:
+            trimmed = s.text.strip()
+            if not trimmed:
+                cur = s.next_sibling()
+                continue
+            count += 1
+            if count > 6:
+                break
+            words = _words(trimmed)
+            if words < 12 and (
+                    _BYLINE_BY_RE.match(trimmed) or _ISO_DATE_RE.match(trimmed)
+                    or _LONG_DATE_RE.match(trimmed)
+                    or _READ_TIME_RE.match(trimmed)):
+                nxt = s.next_sibling()
+                s.detach()
+                cur = nxt
+                continue
+            if words >= 12:
+                break
+            cur = s.next_sibling()
+            continue
+        if s.type == ELEMENT:
+            count += 1
+            if count > 6:
+                break
+            trimmed = _text(s).strip()
+            if not trimmed:
+                cur = s.next_sibling()
+                continue
+            words = _words(trimmed)
+            is_short = words < 12
+            is_byline = bool(_BYLINE_BY_RE.match(trimmed))
+            is_iso = is_short and bool(_ISO_DATE_RE.match(trimmed))
+            is_long = is_short and bool(_LONG_DATE_RE.match(trimmed))
+            is_author_list = (is_short and s.tag in ("ul", "ol")
+                              and "author" in (s.get("class") or "").lower())
+            is_read_time = bool(_READ_TIME_RE.match(trimmed))
+            if is_byline or is_iso or is_long or is_author_list or is_read_time:
+                nxt = s.next_sibling()
+                s.detach()
+                cur = nxt
+                continue
+            if words >= 12 and s.tag in ("p", "div", "section", "blockquote"):
+                break
+        cur = s.next_sibling()
+
+
+def _drop_trailing_author_block(root: Node) -> None:
+    scope = _scope_of(root)
+    kids = scope.element_children()
+    if not kids:
+        return
+    n = len(kids)
+    for idx in range(n - 1, max(-1, n - 7) - 1, -1):
+        if idx < 0:
+            break
+        k = kids[idx]
+        if k.parent is None:
+            continue
+        trimmed = _text(k).strip()
+        words = _words(trimmed)
+        if words > 30:
+            break
+        if words == 0:
+            continue
+        if k.tag in _HEADING_TAGS:
+            continue
+        by_match = bool(_BYLINE_BY_RE.match(trimmed))
+        date_match = bool(_TRAILING_DATE_RE.search(trimmed))
+        lc = trimmed.lower()
+        label_match = (lc.startswith("posted in") or lc.startswith("filed under")
+                       or lc.startswith("tags ") or lc == "tags"
+                       or lc.startswith("tagged "))
+        if (by_match or date_match or label_match) and words < 14:
+            k.detach()
+            continue
+        if k.tag in ("section", "div", "aside") and words < 14:
+            if by_match or date_match:
+                k.detach()
+                continue
+
+
+def content_patterns(root: Node) -> None:
+    _drop_social_counters(root)
+    _drop_read_time(root)
+    _drop_share_follow(root)
+    _drop_newsletter(root)
+    _drop_breadcrumb_at_start(root)
+    _drop_trailing_related(root)
+    _drop_link_dense_trailing(root)
+    _drop_label_widgets(root)
+    _drop_byline_near_start(root)
+    _drop_trailing_author_block(root)
+
+
+# ------------------------------------------------------------------ scoring
+
+_NAV_INDICATORS_LOWER = tuple(s.lower() for s in NAVIGATION_INDICATORS)
+
+
+def _score_block(n: Node) -> int:
+    txt = _text(n)
+    if not txt:
+        return -50
+    score = _words(txt) // 5
+    paragraphs = sum(1 for c in n.element_children() if c.tag == "p")
+    score += paragraphs * 5
+    density = _link_text_length(n) / max(1, len(txt))
+    if density > 0.6:
+        score -= 25
+    if density > 0.8:
+        score -= 20
+    cls = n.get("class")
+    if cls:
+        lc = cls.lower()
+        nav_hits = sum(1 for kw in _NAV_INDICATORS_LOWER if kw in lc)
+        score -= nav_hits * 5
+    return score
+
+
+def _looks_like_real_content(n: Node) -> bool:
+    for d in n.iter_elements():
+        if d.tag in ("pre", "table", "figure", "picture", "blockquote"):
+            return True
+    paragraphs = [d for d in n.iter_elements() if d.tag == "p"]
+    if len(paragraphs) >= 2:
+        prose = sum(1 for p in paragraphs if _words(_text(p)) >= 10)
+        if prose >= 2:
+            return True
+    return False
+
+
+def scoring(root: Node) -> None:
+    to_remove = []
+    for d in _post_order_elements(root):
+        if d.parent is None or d.tag not in ("div", "section", "aside"):
+            continue
+        if _looks_like_real_content(d):
+            continue
+        txt = _text(d)
+        if _words(txt) < 4:
+            continue
+        if _score_block(d) < -10:
+            to_remove.append(d)
+    for n in to_remove:
+        if n.parent is not None:
+            n.detach()
+
+
+def run_post(root: Node, title: str = "") -> None:
+    small_images(root)
+    metadata_block(root)
+    content_patterns(root)
+    scoring(root)
