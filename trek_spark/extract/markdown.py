@@ -31,6 +31,7 @@ _EMPTY_LINK_RE = re.compile(r"(?m)(?:^|[^!])\[\]\([^)]*\)")
 _BANG_BANG_RE = re.compile(r"!(!\[|\[!\[)")
 _MULTI_NL_RE = re.compile(r"\n{3,}")
 _BACKREF_RE = re.compile(r"\s*↩(?:︎)?\s*$")
+_QUOTE_ONLY_RE = re.compile(r"(?:> )+")
 _LANG_CLASS_RE = re.compile(r"(?:^|\s)(?:lang|language)-([A-Za-z0-9_+\-]+)")
 
 _CODE_CHROME_CLASS = (
@@ -704,10 +705,53 @@ class Renderer:
         return s + ")"
 
     # -- blocks ----------------------------------------------------------
+    # Inline-ish tags that, when appearing at block level, merge with
+    # adjacent inline siblings into one implicit paragraph (Turndown
+    # semantics — the golden corpus joins e.g. consecutive bare <img>s
+    # with a space on one line).
+    def _render_block_seq(self, children: list[Node], out: _Out) -> None:
+        """Render a block container's children. Consecutive bare <img>
+        siblings (with interleaving whitespace) merge into one implicit
+        paragraph — the golden corpus joins them with a single space."""
+        run: list[Node] = []
+
+        def flush():
+            if not run:
+                return
+            buf = _Out()
+            for n in run:
+                self.render_inline_node(n, buf)
+            run.clear()
+            val = re.sub(" {2,}", " ", buf.value().strip())
+            if val:
+                out.ensure_nl(2)
+                out.push(val)
+                out.ensure_nl(2)
+
+        inline_run_tags = self._STRAY_INLINE
+        for child in children:
+            if child.type == TEXT:
+                if child.text.strip() or run:
+                    run.append(child)
+                continue
+            if child.type == ELEMENT and child.tag in inline_run_tags:
+                if child.tag == "img" and self.render_image(child) == "":
+                    continue
+                run.append(child)
+                continue
+            flush()
+            self.render_block(child, out)
+        flush()
+
+    _STRAY_INLINE = frozenset((
+        "img", "span", "a", "em", "i", "strong", "b", "mark", "sub", "sup",
+        "u", "small", "abbr", "cite", "kbd", "time", "del", "s", "strike",
+        "ins", "q", "tt", "br",
+    ))
+
     def render_children(self, node: Node) -> str:
         out = _Out()
-        for child in node.children:
-            self.render_block(child, out)
+        self._render_block_seq(node.children, out)
         return out.value()
 
     def render_block(self, node: Node, out: _Out) -> None:
@@ -759,6 +803,17 @@ class Renderer:
             if node.find_first("pre") is not None:
                 for child in node.children:
                     self.render_block(child, out)
+            elif "\n" in node.text_content().strip():
+                # block-level bare <code> holding multi-line text (e.g.
+                # white-space:pre without a <pre> wrapper) → fenced block
+                body = node.text_content().strip("\n")
+                lang = detect_language(node, node) or ""
+                out.ensure_nl(2)
+                out.push("```" + lang + "\n" + body)
+                if not body.endswith("\n"):
+                    out.push("\n")
+                out.push("```")
+                out.ensure_nl(2)
             else:
                 inline = self.render_inline(node)
                 if inline.strip():
@@ -812,8 +867,7 @@ class Renderer:
             if ident:
                 self.footnotes.append((ident, cleaned))
             return
-        for child in node.children:
-            self.render_block(child, out)
+        self._render_block_seq(node.children, out)
 
     def render_heading(self, node: Node, tag: str, out: _Out) -> None:
         level = max(1, min(6, int(tag[1])))
@@ -843,7 +897,9 @@ class Renderer:
             return
         out.ensure_nl(2)
         for line in inner.split("\n"):
-            out.push(">\n" if not line else "> " + line + "\n")
+            # Defuddle emits "> " (trailing space) for blank quoted lines —
+            # every expected-corpus file uses that form
+            out.push("> \n" if not line else "> " + line + "\n")
         out.ensure_nl(2)
 
     def render_callout(self, node: Node, out: _Out) -> None:
@@ -882,7 +938,7 @@ class Renderer:
         body = body_out.value().strip()
         if body:
             for line in body.split("\n"):
-                out.push(">\n" if not line else "> " + line + "\n")
+                out.push("> \n" if not line else "> " + line + "\n")
         out.ensure_nl(2)
 
     def render_list(self, node: Node, out: _Out) -> None:
@@ -1175,6 +1231,9 @@ def post_process(md: str, footnotes: list[tuple[str, str]], title: str) -> str:
 
     cleaned = []
     for line in s.split("\n"):
+        if _QUOTE_ONLY_RE.fullmatch(line):
+            cleaned.append(line)  # blank blockquote line "> " keeps its space
+            continue
         trailing = len(line) - len(line.rstrip(" "))
         cleaned.append(line if trailing == 2 else line.rstrip())
     return "\n".join(cleaned).strip()
