@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship extraction: the golden-fixture transcript corpus
+through the fused Trek-equivalent pandas-UDF pipeline with salted
+repartitioning, returning per-turn extracted markdown + metadata joined
+against the golden expectations.
+
+``queries``/``oracle_sql`` expose the relational + training-data operator
+surface (SURVEY.md §2.0 and the dedup/similarity/text-analysis ops) with
+DuckDB oracles; extraction ops are rows-only (non-SQL-expressible).
 """
 
 from __future__ import annotations
@@ -12,27 +15,78 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: extract the fixture transcript corpus; driver checks rows>0."""
+    from trek_spark.spark.corpus import build_golden, build_transcripts
+    from trek_spark.spark.job import extract_turns
+
+    transcripts = build_transcripts(spark)
+    golden = build_golden(spark)
+    extracted = extract_turns(transcripts, num_partitions=8)
+    return (
+        extracted.join(F.broadcast(golden), ["conv_id", "turn_idx"], "left")
+        .select(
+            "conv_id", "turn_idx", "role", "title", "author", "site",
+            "published", "word_count", "extractor_type",
+            (F.col("extracted_text") == F.col("expected_markdown"))
+            .alias("markdown_exact"),
+            F.length("extracted_text").alias("md_len"),
+        )
+        .orderBy("conv_id", "turn_idx")
+    )
+
+
+def _extract_fixture_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction op (rows-only check): per-turn extraction results over the
+    deterministic fixture corpus (sf_dir-independent — the transcript table
+    is synthesized, not part of the driver's TPC-H testdata)."""
+    from trek_spark.spark.corpus import build_transcripts
+    from trek_spark.spark.job import extract_turns
+
+    transcripts = build_transcripts(spark)
+    return (
+        extract_turns(transcripts, num_partitions=8)
+        .select("conv_id", "turn_idx", "title", "author", "site",
+                "word_count",
+                F.substring(F.md5(F.coalesce("extracted_text", F.lit(""))),
+                            1, 16).alias("md_hash"))
+        .orderBy("conv_id", "turn_idx")
+    )
+
+
+def _extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-span offsets per turn (rows-only): north-star span surface."""
+    from trek_spark.spark.corpus import build_transcripts
+    from trek_spark.spark.job import extract_turns
+
+    transcripts = build_transcripts(spark)
+    return (
+        extract_turns(transcripts, num_partitions=8)
+        .select("conv_id", "turn_idx",
+                F.explode_outer("content_spans").alias("span"))
+        .select("conv_id", "turn_idx",
+                F.col("span.start").alias("start"),
+                F.col("span.end").alias("end"),
+                F.col("span.kind").alias("kind"))
+        .orderBy("conv_id", "turn_idx", "start")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from trek_spark.spark.ops import OPS
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable] = {}
+    for name, (fn, _sql) in OPS.items():
+        out[name] = fn
+    out["extract_fixture_turns"] = _extract_fixture_turns
+    out["extract_content_spans"] = _extract_spans
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from trek_spark.spark.ops import OPS
+
+    return {name: sql for name, (_fn, sql) in OPS.items() if sql is not None}

@@ -77,11 +77,34 @@ def _strip_alert_marker(root: Node) -> None:
 
 
 def normalize_callouts(root: Node) -> None:
-    # 1. Obsidian collapsed/collapsible markers
-    for el in _select(root, ".callout"):
-        cls = el.classes()
-        if "is-collapsed" not in cls and "is-collapsible" not in cls:
+    # Single traversal classifying candidates (the reference runs ~10
+    # selector scans here; one pass is equivalent and ~10× cheaper on the
+    # hot path since this normalizer runs three times per document).
+    obsidian, gh_alerts, blockquotes, asides, admonitions, alerts = \
+        [], [], [], [], [], []
+    for n in root.iter():
+        if n.type != ELEMENT:
             continue
+        cls = n.classes()
+        if "callout" in cls and ("is-collapsed" in cls or "is-collapsible" in cls):
+            obsidian.append(n)
+        if "markdown-alert" in cls:
+            gh_alerts.append(n)
+        if n.tag == "blockquote":
+            blockquotes.append(n)
+        if n.tag == "aside" and any("callout" in c for c in cls):
+            asides.append(n)
+        if "admonition" in cls:
+            admonitions.append(n)
+        if "alert" in cls:
+            alerts.append(n)
+    if not (obsidian or gh_alerts or blockquotes or asides
+            or admonitions or alerts):
+        return
+
+    # 1. Obsidian collapsed/collapsible markers
+    for el in obsidian:
+        cls = el.classes()
         collapsed = "is-collapsed" in cls
         new_classes = [c for c in cls if c not in ("is-collapsed", "is-collapsible")]
         if new_classes:
@@ -104,7 +127,7 @@ def normalize_callouts(root: Node) -> None:
                     content.del_attr("style")
 
     # 2a. GitHub markdown alerts
-    for el in _select(root, ".markdown-alert"):
+    for el in gh_alerts:
         if el.parent is None:
             continue
         kind = "note"
@@ -119,7 +142,7 @@ def normalize_callouts(root: Node) -> None:
         el.replace_with(new)
 
     # 2b. GitHub blockquote alerts
-    for bq in _select(root, "blockquote"):
+    for bq in blockquotes:
         if bq.parent is None or bq.get("data-callout") is not None:
             continue
         text = bq.text_content()
@@ -133,7 +156,7 @@ def normalize_callouts(root: Node) -> None:
         bq.replace_with(new)
 
     # 3. Aside callouts
-    for el in _select(root, "aside[class*='callout']"):
+    for el in asides:
         if el.parent is None or el.tag != "aside":
             continue
         if el.get("data-callout") is not None:
@@ -147,7 +170,7 @@ def normalize_callouts(root: Node) -> None:
         el.replace_with(new)
 
     # 4. Admonitions
-    for el in _select(root, ".admonition"):
+    for el in admonitions:
         if el.parent is None or el.get("data-callout") is not None:
             continue
         kind = None
@@ -172,7 +195,7 @@ def normalize_callouts(root: Node) -> None:
         el.replace_with(new)
 
     # 5. Bootstrap alerts
-    for el in _select(root, ".alert"):
+    for el in alerts:
         if el.parent is None or el.get("data-callout") is not None:
             continue
         cls = el.classes()
@@ -368,17 +391,16 @@ def detect_code_language(node: Node) -> str:
     return ""
 
 
-def _strip_chroma_lntable(root: Node) -> None:
-    for table in _select(root, "table.lntable"):
-        for td in _select(table, "td.lntd"):
-            spans = [n for n in td.iter_elements() if n.tag == "span"]
-            lnt = [n for n in spans if n.has_class("lnt")]
-            if lnt and len(lnt) == len(spans):
-                td.detach()
-        inner_pre = table.find_first("pre")
-        if inner_pre is not None:
-            table.insert_before(inner_pre)
-            table.detach()
+def _strip_one_lntable(table: Node) -> None:
+    for td in _select(table, "td.lntd"):
+        spans = [n for n in td.iter_elements() if n.tag == "span"]
+        lnt = [n for n in spans if n.has_class("lnt")]
+        if lnt and len(lnt) == len(spans):
+            td.detach()
+    inner_pre = table.find_first("pre")
+    if inner_pre is not None:
+        table.insert_before(inner_pre)
+        table.detach()
 
 
 def _coalesce_line_spans(node: Node) -> None:
@@ -425,17 +447,28 @@ def _is_canonical_pre_code(node: Node, lang: str) -> bool:
     return found
 
 
+def _is_copy_button(n: Node) -> bool:
+    cls = n.get("class") or ""
+    aria = n.get("aria-label")
+    if n.tag == "button":
+        if "copy" in n.classes() or n.get("data-copy") is not None \
+                or "codeblock-button" in cls:
+            return True
+        if aria in ("Copy", "Copy code"):
+            return True
+    return aria == "Copy" or "copy-button" in cls
+
+
 def normalize_code_blocks(root: Node) -> None:
-    for sel in _COPY_BUTTON_SELECTORS:
-        for n in _select(root, sel):
-            if n.parent is not None:
-                n.detach()
-
-    _strip_chroma_lntable(root)
-
-    candidates = []
+    # single traversal: copy buttons + lntables + pre/highlighter candidates
+    copy_buttons, lntables, candidates = [], [], []
     for d in root.iter_elements():
-        if d.tag == "pre":
+        if _is_copy_button(d):
+            copy_buttons.append(d)
+            continue
+        if d.tag == "table" and d.has_class("lntable"):
+            lntables.append(d)
+        elif d.tag == "pre":
             candidates.append(d)
         elif d.tag == "div":
             cls = d.classes()
@@ -444,6 +477,11 @@ def normalize_code_blocks(root: Node) -> None:
                    or c == "wp-block-code" or c.startswith("prismjs")
                    for c in cls):
                 candidates.append(d)
+    for n in copy_buttons:
+        if n.parent is not None:
+            n.detach()
+    for table in lntables:
+        _strip_one_lntable(table)
 
     for node in candidates:
         if node.parent is None:

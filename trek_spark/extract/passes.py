@@ -98,7 +98,7 @@ def _class_token_matches_partial(value: str, attr: str) -> bool:
 
 
 def remove_clutter(body: Node, remove_exact: bool = True,
-                   remove_partial: bool = True) -> None:
+                   remove_partial: bool = True) -> int:
     to_remove = []
     for n in body.descendants_snapshot():
         if n.parent is None:
@@ -139,9 +139,12 @@ def remove_clutter(body: Node, remove_exact: bool = True,
                         break
             if should_remove:
                 to_remove.append(n)
+    removed = 0
     for n in to_remove:
         if n.parent is not None:
             n.detach()
+            removed += 1
+    return removed
 
 
 def remove_exact_selectors(body: Node) -> None:
@@ -167,7 +170,7 @@ def remove_exact_selectors(body: Node) -> None:
 
 # ------------------------------------------------------------- removals pre
 
-def selectors_pass(body: Node) -> None:
+def selectors_pass(body: Node) -> int:
     """Long-tail partial-selector removal (`src/removals/selectors.rs:88-142`)."""
     to_remove = []
     for n in body.descendants_snapshot():
@@ -186,12 +189,15 @@ def selectors_pass(body: Node) -> None:
                 break
         if matched and n.tag not in ("html", "body"):
             to_remove.append(n)
+    removed = 0
     for n in to_remove:
         if n.parent is None:
             continue
         if n.tag == "a" and n.has_ancestor_tag(*_HEADING_TAGS):
             continue
         n.detach()
+        removed += 1
+    return removed
 
 
 def _contains_math(node: Node) -> bool:
@@ -226,7 +232,7 @@ def _has_responsive_show(cls: str) -> bool:
         for t in cls.split())
 
 
-def hidden_pass(body: Node) -> None:
+def hidden_pass(body: Node) -> int:
     """Remove inline-style/class hidden elements (`src/removals/hidden.rs`)."""
     to_remove = []
     for n in body.descendants_snapshot():
@@ -244,9 +250,12 @@ def hidden_pass(body: Node) -> None:
                 continue
             if _class_marks_hidden(cls):
                 to_remove.append(n)
+    removed = 0
     for n in to_remove:
         if n.parent is not None:
             n.detach()
+            removed += 1
+    return removed
 
 
 # ------------------------------------------------------------- legacy passes

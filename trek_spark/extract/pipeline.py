@@ -70,10 +70,17 @@ def _first_image_from_dom(body: Node) -> str:
 
 
 def _run_cleanup(body: Node, url: Optional[str], title: str,
-                 remove_exact: bool, remove_partial: bool) -> None:
-    """Clutter removal + full DOM pass chain, in reference order."""
+                 remove_exact: bool, remove_partial: bool) -> int:
+    """Clutter removal + full DOM pass chain, in reference order.
+
+    Returns the number of nodes removed by the GATED removal passes (clutter
+    + selectors + hidden) — the only passes the low-content retry disables,
+    so a zero return means a retry would reproduce the same output and can
+    be skipped (saves a full re-parse for short documents)."""
+    gated_removed = 0
     if remove_exact or remove_partial:
-        passes.remove_clutter(body, remove_exact, remove_partial)
+        gated_removed += passes.remove_clutter(body, remove_exact,
+                                               remove_partial)
 
     # callouts normalize BEFORE legacy flatten (ref `src/lib.rs:281-289`)
     elements.normalize_callouts(body)
@@ -87,8 +94,8 @@ def _run_cleanup(body: Node, url: Optional[str], title: str,
 
     # DOM pass chain (`src/lib.rs:350-387`)
     if remove_exact or remove_partial:
-        passes.selectors_pass(body)
-        passes.hidden_pass(body)
+        gated_removed += passes.selectors_pass(body)
+        gated_removed += passes.hidden_pass(body)
     elements.normalize_callouts(body)
     # standardize::run_all order (`src/standardize/mod.rs:29-49`)
     elements.code_blocks(body)
@@ -103,18 +110,20 @@ def _run_cleanup(body: Node, url: Optional[str], title: str,
     elements.normalize_all(body)
     # removals post (`src/removals/mod.rs:18-25`)
     removals_post.run_post(body, title)
+    return gated_removed
 
 
 def _parse_once(html: str, metadata: dict, url: Optional[str],
-                remove_exact: bool, remove_partial: bool) -> tuple[Node, str]:
+                remove_exact: bool, remove_partial: bool
+                ) -> tuple[Node, str, int]:
     body_html = passes.extract_body_substring(html)
     body_html = promote_noscript_html(body_html)
     doc = parse_html(body_html)
     body = body_of(doc)
-    _run_cleanup(body, url, metadata.get("title", ""),
-                 remove_exact, remove_partial)
+    gated_removed = _run_cleanup(body, url, metadata.get("title", ""),
+                                 remove_exact, remove_partial)
     content_html = inner_html(body)
-    return body, content_html
+    return body, content_html, gated_removed
 
 
 def trek_parse(html: str, url: Optional[str] = None,
@@ -152,13 +161,15 @@ def trek_parse(html: str, url: Optional[str] = None,
     remove_exact = opts["remove_exact_selectors"]
     remove_partial = opts["remove_partial_selectors"]
 
-    body, content_html = _parse_once(html, metadata, url,
-                                     remove_exact, remove_partial)
+    body, content_html, gated_removed = _parse_once(
+        html, metadata, url, remove_exact, remove_partial)
     word_count = count_words(content_html)
 
-    # low-content retry (`src/lib.rs:199-237`)
-    if word_count < 200 and (remove_exact or remove_partial):
-        body2, content2 = _parse_once(html, metadata, url, False, False)
+    # low-content retry (`src/lib.rs:199-237`); skipped when the gated
+    # removal passes removed nothing — the retry output would be identical
+    if word_count < 200 and gated_removed > 0 \
+            and (remove_exact or remove_partial):
+        body2, content2, _ = _parse_once(html, metadata, url, False, False)
         retry_count = count_words(content2)
         if retry_count > word_count * 2 or (word_count < 30
                                             and retry_count > word_count):

@@ -1,0 +1,783 @@
+"""Relational surface + training-data pipeline operators.
+
+Each operator is a (Spark builder, DuckDB oracle SQL) pair registered in
+``OPS``. The Spark side is declarative DataFrame API (Catalyst handles
+pushdown/pruning/join strategy); the oracle is ANSI-ish SQL DuckDB runs over
+the same parquet for the driver's value-equality gate.
+
+Scale notes (per-op details in docstrings):
+* joins against small dims are explicitly ``broadcast()``;
+* aggregates rely on partial (map-side) aggregation — no extra shuffles;
+* pairwise dedup ops avoid O(n²): they bucket by shingle/minhash-band and
+  join within buckets only, which is the strategy that survives 100 TB;
+* floating aggregates are rounded in BOTH engines so value-hashes agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# TPC-H-ish relational surface (SURVEY.md §2.0)
+# --------------------------------------------------------------------------
+
+def q_scan_filter_project(spark, sf_dir):
+    """Predicate + projection pushed into the parquet scan (verify with
+    .explain: PushedFilters + 3-column ReadSchema)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 45)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    )
+
+
+SQL_SCAN = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem WHERE l_quantity > 45
+"""
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: map-side partial agg → single shuffle on the two
+    group keys; columns rounded for cross-engine float agreement."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice")
+                          * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_orders(spark, sf_dir):
+    """Global top-k: per-partition top-k then merge (Spark's TakeOrdered)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+SQL_TOP_ORDERS = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def q_segment_revenue(spark, sf_dir):
+    """customer is the small side → explicit broadcast join, one shuffle for
+    the final groupBy."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(cust),
+                    orders.o_custkey == cust.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("order_cnt"),
+             F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+SQL_SEGMENT_REVENUE = """
+SELECT c_mktsegment, count(*) AS order_cnt,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_region_revenue(spark, sf_dir):
+    """4-way join; dims broadcast, fact tables shuffle once on join keys."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    region = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))), 2).alias("revenue"),
+             F.count("*").alias("line_cnt"))
+    )
+
+
+SQL_REGION_REVENUE = """
+SELECT r_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS line_cnt
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_latest_order_per_customer(spark, sf_dir):
+    """Window function: one shuffle on the partition key; stable ordering
+    with an explicit tiebreaker (the per-turn ordering idiom of the
+    extraction pipeline: partitionBy(conv_id).orderBy(turn_idx))."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey"))
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", F.col("o_orderkey").alias("latest_orderkey"),
+                F.col("o_orderdate").alias("latest_orderdate"))
+    )
+
+
+SQL_LATEST_ORDER = """
+SELECT o_custkey, o_orderkey AS latest_orderkey,
+       o_orderdate AS latest_orderdate
+FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+          ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+WHERE rn = 1
+"""
+
+
+def q_distinct_priorities(spark, sf_dir):
+    return (_t(spark, sf_dir, "orders")
+            .select("o_orderstatus", "o_orderpriority").distinct())
+
+
+SQL_DISTINCT_PRIORITIES = \
+    "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders"
+
+
+def q_orders_except(spark, sf_dir):
+    """Set op: mid-value orders = >100k EXCEPT ALL >200k."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return (o.filter(F.col("o_totalprice") > 100000)
+            .exceptAll(o.filter(F.col("o_totalprice") > 200000)))
+
+
+SQL_ORDERS_EXCEPT = """
+SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 100000
+EXCEPT ALL
+SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 200000
+"""
+
+
+def q_part_strings(spark, sf_dir):
+    """Scalar string function family — whole-stage-codegen'd, no shuffle."""
+    return (
+        _t(spark, sf_dir, "part")
+        .select(
+            "p_partkey",
+            F.lower(F.col("p_name")).alias("name_lower"),
+            F.length("p_name").alias("name_len"),
+            F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+            F.substring(F.md5(F.col("p_name")), 1, 8).alias("name_hash8"),
+        )
+    )
+
+
+SQL_PART_STRINGS = """
+SELECT p_partkey, lower(p_name) AS name_lower, length(p_name) AS name_len,
+       regexp_extract(p_name, '^(\\w+)', 1) AS first_word,
+       substr(md5(p_name), 1, 8) AS name_hash8
+FROM part
+"""
+
+
+def q_orders_by_month(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", F.col("o_orderdate").cast("timestamp"))
+                 .alias("month"))
+        .agg(F.count("*").alias("order_cnt"),
+             F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+SQL_ORDERS_BY_MONTH = """
+SELECT date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS month,
+       count(*) AS order_cnt, round(sum(o_totalprice), 2) AS revenue
+FROM orders GROUP BY 1
+"""
+
+
+def q_events_stats(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"),
+             F.round(F.avg("value"), 3).alias("avg_value"),
+             F.countDistinct("user_id").alias("users"))
+    )
+
+
+SQL_EVENTS_STATS = """
+SELECT event_type, count(*) AS cnt, round(avg(value), 3) AS avg_value,
+       count(DISTINCT user_id) AS users
+FROM events GROUP BY event_type
+"""
+
+
+def q_event_gaps(spark, sf_dir):
+    """LAG window over the event stream: inter-event gap seconds per user."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .filter(F.col("prev_ts").isNotNull())
+        .select("user_id", "event_id",
+                (F.unix_timestamp("ts")
+                 - F.unix_timestamp("prev_ts")).alias("gap_sec"))
+    )
+
+
+SQL_EVENT_GAPS = """
+SELECT user_id, event_id,
+       CAST(floor(epoch(ts)) AS BIGINT)
+       - CAST(floor(epoch(prev_ts)) AS BIGINT) AS gap_sec
+FROM (SELECT user_id, event_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events)
+WHERE prev_ts IS NOT NULL
+"""
+
+
+def q_events_json(spark, sf_dir):
+    """JSON path extraction from the props column."""
+    return (
+        _t(spark, sf_dir, "events")
+        .select("event_id",
+                F.get_json_object("props", "$.k").cast("int").alias("k_val"))
+        .filter(F.col("k_val").isNotNull())
+    )
+
+
+SQL_EVENTS_JSON = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+"""
+
+
+# --------------------------------------------------------------------------
+# Text-analysis ops over documents (training-data pipeline)
+# --------------------------------------------------------------------------
+
+def q_token_counts(spark, sf_dir):
+    """Whitespace tokenization — JVM-side split, no Python."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id",
+                F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+                F.col("n_chars"))
+    )
+
+
+SQL_TOKEN_COUNTS = """
+SELECT doc_id, length(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+       n_chars
+FROM documents
+"""
+
+
+def q_text_quality(spark, sf_dir):
+    """Quality scoring: length, mean word length, stopword share —
+    length/punct heuristics in pure column expressions."""
+    d = _t(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    stop_hits = F.size(F.expr(
+        r"filter(split(trim(text), '\\s+'), w -> w IN ('the','a','and','of','to'))"))
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(F.col("n_chars") / n_tokens, 3).alias("avg_token_len"),
+        stop_hits.alias("stopword_hits"),
+        (F.col("n_chars") >= 100).cast("int").alias("len_ok"),
+    )
+
+
+SQL_TEXT_QUALITY = """
+SELECT doc_id,
+       length(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+       round(n_chars / length(regexp_split_to_array(trim(text), '\\s+')), 3)
+           AS avg_token_len,
+       length(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+              w -> w IN ('the','a','and','of','to'))) AS stopword_hits,
+       CAST(n_chars >= 100 AS INT) AS len_ok
+FROM documents
+"""
+
+
+def q_lang_heuristic(spark, sf_dir):
+    """n-gram-free language ID heuristic: stopword votes per language.
+    (The labeled `lang` column rides along for agreement analysis.)"""
+    d = _t(spark, sf_dir, "documents")
+
+    def votes(words):
+        lst = ",".join(f"'{w}'" for w in words)
+        return F.size(F.expr(
+            rf"filter(split(lower(trim(text)), '\\s+'), w -> w IN ({lst}))"))
+
+    en = votes(("the", "and", "of", "a", "to", "in"))
+    de = votes(("der", "die", "und", "das", "ist", "ein"))
+    fr = votes(("le", "la", "et", "les", "des", "un"))
+    return (
+        d.select("doc_id", "lang", en.alias("v_en"), de.alias("v_de"),
+                 fr.alias("v_fr"))
+        .withColumn(
+            "pred_lang",
+            F.when((F.col("v_en") >= F.col("v_de"))
+                   & (F.col("v_en") >= F.col("v_fr")), F.lit("en"))
+            .when(F.col("v_de") >= F.col("v_fr"), F.lit("de"))
+            .otherwise(F.lit("fr")))
+    )
+
+
+SQL_LANG_HEURISTIC = """
+SELECT doc_id, lang, v_en, v_de, v_fr,
+       CASE WHEN v_en >= v_de AND v_en >= v_fr THEN 'en'
+            WHEN v_de >= v_fr THEN 'de' ELSE 'fr' END AS pred_lang
+FROM (
+  SELECT doc_id, lang,
+    length(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+           w -> w IN ('the','and','of','a','to','in'))) AS v_en,
+    length(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+           w -> w IN ('der','die','und','das','ist','ein'))) AS v_de,
+    length(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+           w -> w IN ('le','la','et','les','des','un'))) AS v_fr
+  FROM documents)
+"""
+
+
+def q_fingerprints(spark, sf_dir):
+    """Document fingerprinting: normalized-text content hash (md5 prefix —
+    hex-string form is engine-portable)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id",
+                F.substring(F.md5(F.lower(F.trim(F.col("text")))), 1, 16)
+                .alias("fingerprint"))
+    )
+
+
+SQL_FINGERPRINTS = """
+SELECT doc_id, substr(md5(lower(trim(text))), 1, 16) AS fingerprint
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Deduplication ops
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup via content-hash groupBy: one shuffle on the hash;
+    keeps the smallest doc_id as canonical."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id",
+                 F.md5(F.lower(F.trim(F.col("text")))).alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("canonical_id"),
+             F.count("*").alias("dup_count"))
+        .filter(F.col("dup_count") > 1)
+        .select("canonical_id", "dup_count")
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT min(doc_id) AS canonical_id, count(*) AS dup_count
+FROM (SELECT doc_id, md5(lower(trim(text))) AS h FROM documents)
+GROUP BY h HAVING count(*) > 1
+"""
+
+
+def _shingles(col="text", k=3):
+    """k-word shingles as a column expression (JVM-side, no Python UDF):
+    transform over token index → concat_ws of the k-token slice."""
+    return F.expr(
+        rf"""
+        array_distinct(transform(
+          sequence(1, greatest(size(split(trim({col}), '\\s+')) - {k - 1}, 0)),
+          i -> concat_ws(' ', slice(split(trim({col}), '\\s+'), i, {k}))))
+        """
+    )
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """3-gram shingle Jaccard near-dup pairs.
+
+    Scale path: explode shingles → self-join ON shingle (co-occurrence
+    count) → Jaccard from |A∩B| and set sizes. The join key is the shingle,
+    so work is proportional to shared-shingle pairs, not n² — at 100 TB the
+    hot shingles would be frequency-capped (drop shingles appearing in >F
+    docs), which only removes non-discriminative keys.
+    """
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", _shingles().alias("sh"))
+    sizes = d.select("doc_id", F.size("sh").alias("n"))
+    ex = d.select("doc_id", F.explode("sh").alias("shingle"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"),
+                 F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        pairs.join(sa, F.col("id_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("id_b") == F.col("sb.doc_id"))
+        .withColumn("jaccard", F.round(
+            F.col("shared")
+            / (F.col("sa.n") + F.col("sb.n") - F.col("shared")), 4))
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b", "shared", "jaccard")
+    )
+
+
+SQL_DEDUP_NGRAM = """
+WITH sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+           range(1, greatest(length(regexp_split_to_array(trim(text), '\\s+')) - 2, 0) + 1),
+           i -> array_to_string(list_slice(regexp_split_to_array(trim(text), '\\s+'), i, i + 2), ' ')
+         )) AS shingles
+  FROM documents
+), sizes AS (
+  SELECT doc_id, length(shingles) AS n FROM sh
+), ex AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, shared,
+       round(shared / (sa.n + sb.n - shared), 4) AS jaccard
+FROM pairs
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE round(shared / (sa.n + sb.n - shared), 4) >= 0.5
+"""
+
+
+_MINHASH_SEEDS = 8
+_BAND_ROWS = 2  # 4 bands × 2 rows
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH candidate pairs.
+
+    shingle → k seeded minhashes (min over md5(seed:shingle) hex prefix —
+    engine-portable) → band keys (r minhashes concatenated) → bucket
+    self-join. Only documents sharing a full band collide, so the join is
+    band-bucket-local: the 100 TB-scale strategy (no pairwise scan).
+    """
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", _shingles().alias("sh")).filter(F.size("sh") > 0)
+    mh_cols = [
+        F.array_min(F.expr(
+            f"transform(sh, s -> substr(md5(concat('{i}:', s)), 1, 16))"))
+        .alias(f"mh{i}")
+        for i in range(_MINHASH_SEEDS)
+    ]
+    sigs = d.select("doc_id", *mh_cols)
+    bands = []
+    for b in range(_MINHASH_SEEDS // _BAND_ROWS):
+        cols = [f"mh{b * _BAND_ROWS + r}" for r in range(_BAND_ROWS)]
+        bands.append(
+            sigs.select(
+                "doc_id", F.lit(b).alias("band"),
+                F.concat_ws("|", *cols).alias("band_key")))
+    all_bands = bands[0]
+    for extra in bands[1:]:
+        all_bands = all_bands.unionAll(extra)
+    a = all_bands.alias("a")
+    b2 = all_bands.alias("b")
+    return (
+        a.join(b2, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+
+
+def _sql_minhash_bands() -> str:
+    mh = ",\n    ".join(
+        "list_min(list_transform(shingles, "
+        f"s -> substr(md5(concat('{i}:', s)), 1, 16))) AS mh{i}"
+        for i in range(_MINHASH_SEEDS))
+    band_selects = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, "
+        + " || '|' || ".join(
+            f"mh{b * _BAND_ROWS + r}" for r in range(_BAND_ROWS))
+        + " AS band_key FROM sigs"
+        for b in range(_MINHASH_SEEDS // _BAND_ROWS))
+    return f"""
+WITH sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+           range(1, greatest(length(regexp_split_to_array(trim(text), '\\s+')) - 2, 0) + 1),
+           i -> array_to_string(list_slice(regexp_split_to_array(trim(text), '\\s+'), i, i + 2), ' ')
+         )) AS shingles
+  FROM documents
+), sigs AS (
+  SELECT doc_id,
+    {mh}
+  FROM sh WHERE length(shingles) > 0
+), bands AS (
+{band_selects}
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+
+SQL_DEDUP_MINHASH = _sql_minhash_bands()
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """64-bit SimHash per document (no SQL oracle — bit-twiddling is not
+    portably expressible; driver records a rows-only check).
+
+    Implementation stays JVM-side: per-token 64-bit xxhash, bit-vote
+    aggregation via array arithmetic in higher-order functions.
+    """
+    d = _t(spark, sf_dir, "documents")
+    tokens = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    # votes[i] = sum over tokens of (bit i set ? 1 : -1)
+    votes = F.expr("""
+      aggregate(
+        transform(split(lower(trim(text)), '\\\\s+'), t -> xxhash64(t)),
+        array_repeat(0L, 64),
+        (acc, h) -> zip_with(acc, sequence(0, 63),
+                             (a, i) -> a + CASE WHEN ((h >> i) & 1) = 1
+                                            THEN 1 ELSE -1 END))
+    """)
+    sim = F.expr("""
+      aggregate(zip_with(simhash_votes, sequence(0, 63),
+                         (v, i) -> CASE WHEN v > 0 THEN shiftleft(1L, i)
+                                        ELSE 0L END),
+                0L, (acc, x) -> acc | x)
+    """)
+    return (
+        d.select("doc_id", F.size(tokens).alias("n_tokens"),
+                 votes.alias("simhash_votes"))
+        .select("doc_id", "n_tokens", sim.alias("simhash"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding similarity ops
+# --------------------------------------------------------------------------
+
+def q_embedding_norms(spark, sf_dir):
+    """L2 norms via higher-order aggregate — JVM-side, vectorizable."""
+    return (
+        _t(spark, sf_dir, "embeddings")
+        .select("vec_id",
+                F.round(F.sqrt(F.expr(
+                    "aggregate(embedding, CAST(0 AS DOUBLE),"
+                    " (s, x) -> s + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")),
+                    3).alias("l2_norm"))
+    )
+
+
+SQL_EMBEDDING_NORMS = """
+SELECT vec_id,
+       round(sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 3) AS l2_norm
+FROM embeddings
+"""
+
+
+def q_ann_topk_cosine(spark, sf_dir):
+    """Brute-force cosine top-k for a query set (vec_id < 5, k=3).
+
+    Baseline scale path: broadcast the query vectors, one pass over the
+    corpus computing dot products JVM-side, per-query top-k via window.
+    Scores are dropped from the output (rank only) so engine float noise
+    can't flip the value-hash; rank ties broken by vec_id.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    dot = F.expr(
+        "aggregate(zip_with(embedding, qv,"
+        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " CAST(0 AS DOUBLE), (s, x) -> s + x)")
+    norm = (lambda c: F.sqrt(F.expr(
+        f"aggregate({c}, CAST(0 AS DOUBLE),"
+        f" (s, x) -> s + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("vec_id"))
+    return (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos", dot / (norm("embedding") * norm("qv")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank")
+    )
+
+
+SQL_ANN_TOPK = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_sum(list_transform(range(1, len(e.embedding) + 1),
+            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(e.embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(q.qv,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id != q.query_id
+)
+SELECT query_id, vec_id AS neighbor_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY cos DESC, vec_id ASC) AS rank
+FROM scored
+QUALIFY rank <= 3
+"""
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (cos > 0.95) via LSH-style bucketing:
+    sign of the first 8 dims forms the bucket key; only same-bucket pairs
+    are compared (candidate recall tuned by bucket width — the ANN-ish
+    scale path; exact pairs at this threshold rarely cross sign buckets).
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    bucket = F.expr(
+        "concat_ws('', transform(slice(embedding, 1, 8),"
+        " x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END))")
+    d = emb.select("vec_id", "embedding", bucket.alias("bucket"))
+    a = d.alias("a")
+    b = d.alias("b")
+    dot = F.expr(
+        "aggregate(zip_with(a.embedding, b.embedding,"
+        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " CAST(0 AS DOUBLE), (s, x) -> s + x)")
+    norm = (lambda side: F.sqrt(F.expr(
+        f"aggregate({side}.embedding, CAST(0 AS DOUBLE),"
+        f" (s, x) -> s + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")))
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .withColumn("cos", dot / (norm("a") * norm("b")))
+        .filter(F.col("cos") > 0.95)
+        .select(F.col("a.vec_id").alias("id_a"),
+                F.col("b.vec_id").alias("id_b"))
+    )
+
+
+SQL_EMBEDDING_NEAR_DUP = """
+WITH d AS (
+  SELECT vec_id, embedding,
+         array_to_string(list_transform(list_slice(embedding, 1, 8),
+             x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM d a JOIN d b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
+         i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(a.embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         * sqrt(list_sum(list_transform(b.embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) > 0.95
+"""
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing (payloads as opaque binary + typed metadata)
+# --------------------------------------------------------------------------
+
+def q_multimodal_meta(spark, sf_dir):
+    """Binary-payload plumbing: documents.text re-encoded as an opaque
+    binary column (stand-in for image/audio bytes — the container has no
+    codec libs, see trek_spark.spark.multimodal for the decode stubs);
+    length + content hash computed on the binary JVM-side."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+        .select("doc_id",
+                F.length("payload").alias("n_bytes"),
+                F.substring(F.md5(F.col("payload")), 1, 16).alias("payload_hash"))
+    )
+
+
+SQL_MULTIMODAL_META = """
+SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+       substr(md5(text), 1, 16) AS payload_hash
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+OPS: dict[str, tuple] = {
+    # (spark_fn, oracle_sql_or_None)
+    "scan_filter_project": (q_scan_filter_project, SQL_SCAN),
+    "pricing_summary": (q_pricing_summary, SQL_PRICING),
+    "top_orders": (q_top_orders, SQL_TOP_ORDERS),
+    "segment_revenue": (q_segment_revenue, SQL_SEGMENT_REVENUE),
+    "region_revenue": (q_region_revenue, SQL_REGION_REVENUE),
+    "latest_order_per_customer": (q_latest_order_per_customer, SQL_LATEST_ORDER),
+    "distinct_priorities": (q_distinct_priorities, SQL_DISTINCT_PRIORITIES),
+    "orders_except": (q_orders_except, SQL_ORDERS_EXCEPT),
+    "part_strings": (q_part_strings, SQL_PART_STRINGS),
+    "orders_by_month": (q_orders_by_month, SQL_ORDERS_BY_MONTH),
+    "events_stats": (q_events_stats, SQL_EVENTS_STATS),
+    "event_gaps": (q_event_gaps, SQL_EVENT_GAPS),
+    "events_json": (q_events_json, SQL_EVENTS_JSON),
+    "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
+    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "lang_heuristic": (q_lang_heuristic, SQL_LANG_HEURISTIC),
+    "fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM),
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),
+    "dedup_simhash": (q_dedup_simhash, None),
+    "embedding_norms": (q_embedding_norms, SQL_EMBEDDING_NORMS),
+    "ann_topk_cosine": (q_ann_topk_cosine, SQL_ANN_TOPK),
+    "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
+    "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
+}

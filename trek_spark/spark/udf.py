@@ -1,0 +1,184 @@
+"""Vectorized extraction UDFs.
+
+The whole per-document pipeline (SURVEY.md §2.1-§2.8) is fused into ONE
+Arrow-batched pandas UDF: Spark sees ``string → struct`` with zero per-row
+Python dispatch at the Spark level — batches cross the JVM↔Python boundary
+once as Arrow record batches, and the Python loop inside the batch is
+amortized (the reference's per-doc cost dominates; Arrow overhead is noise).
+
+``trek_extract_udf`` is the scalar form for ``withColumn``;
+``extract_map_in_pandas`` is the ``mapInPandas`` form that additionally emits
+per-batch lineage/metrics columns (docs in/out, bytes, wall ms, failures) for
+the metrics side-table required by the north rule.
+"""
+
+from __future__ import annotations
+
+import time
+import traceback
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..extract.pipeline import trek_parse
+
+# Arrow-safe result struct (SURVEY.md §1.2 mapping of TrekResponse,
+# reference src/types.rs:120-138). schema_org stays JSON-encoded string —
+# deeply nested MapTypes are Arrow-hostile.
+RESULT_SCHEMA = StructType([
+    StructField("extracted_text", StringType()),    # markdown (primary)
+    StructField("content_html", StringType()),
+    StructField("title", StringType()),
+    StructField("author", StringType()),
+    StructField("site", StringType()),
+    StructField("published", StringType()),
+    StructField("description", StringType()),
+    StructField("domain", StringType()),
+    StructField("image", StringType()),
+    StructField("favicon", StringType()),
+    StructField("word_count", IntegerType()),
+    StructField("extractor_type", StringType()),
+    StructField("parse_time_ms", IntegerType()),
+    StructField("error", StringType()),
+    StructField("content_spans", ArrayType(StructType([
+        StructField("start", IntegerType()),
+        StructField("end", IntegerType()),
+        StructField("kind", StringType()),
+    ]))),
+    StructField("meta_tags", ArrayType(StructType([
+        StructField("name", StringType()),
+        StructField("property", StringType()),
+        StructField("content", StringType()),
+    ]))),
+])
+
+_EMPTY = {f.name: None for f in RESULT_SCHEMA.fields}
+
+
+def compute_content_spans(source: str, markdown: str) -> list[dict]:
+    """Best-effort offsets of retained content in the source text.
+
+    For each markdown block, locate its leading text fragment in the source
+    (monotonic cursor, so offsets are non-decreasing). Blocks whose text
+    can't be located (rewritten by normalization) are skipped. This gives
+    the per-turn span offsets the north star asks for without a full
+    source-map through ~30 DOM passes.
+    """
+    spans = []
+    cursor = 0
+    if not source or not markdown:
+        return spans
+    for block in markdown.split("\n\n"):
+        probe = block.strip().lstrip("#>-*` \t")[:40]
+        if len(probe) < 8:
+            continue
+        idx = source.find(probe, cursor)
+        if idx < 0:
+            # entity/escape differences — try a shorter probe
+            idx = source.find(probe[:16], cursor)
+            if idx < 0:
+                continue
+        end = idx + len(block)
+        spans.append({"start": idx, "end": min(end, len(source)),
+                      "kind": "block"})
+        cursor = idx
+    return spans
+
+
+def extract_one(text: Optional[str], url: Optional[str] = None,
+                with_spans: bool = True) -> dict:
+    """One document → result dict matching RESULT_SCHEMA. Never raises."""
+    if text is None or not text.strip():
+        out = dict(_EMPTY)
+        out["error"] = "empty_input"
+        return out
+    try:
+        r = trek_parse(text, url or None)
+        md = r["content_markdown"] or ""
+        return {
+            "extracted_text": md,
+            "content_html": r["content_html"],
+            "title": r["title"], "author": r["author"], "site": r["site"],
+            "published": r["published"], "description": r["description"],
+            "domain": r["domain"], "image": r["image"],
+            "favicon": r["favicon"],
+            "word_count": int(r["word_count"] or 0),
+            "extractor_type": r["extractor_type"],
+            "parse_time_ms": int(r["parse_time_ms"] or 0),
+            "error": None,
+            "content_spans": compute_content_spans(text, md) if with_spans else [],
+            "meta_tags": [
+                {"name": t.get("name"), "property": t.get("property"),
+                 "content": t.get("content")}
+                for t in (r["meta_tags"] or [])
+            ],
+        }
+    except Exception:
+        out = dict(_EMPTY)
+        out["error"] = traceback.format_exc(limit=3)
+        return out
+
+
+def _extract_series(texts: pd.Series, urls: Optional[pd.Series]) -> pd.DataFrame:
+    rows = []
+    if urls is None:
+        for t in texts:
+            rows.append(extract_one(t))
+    else:
+        for t, u in zip(texts, urls):
+            rows.append(extract_one(t, u if isinstance(u, str) else None))
+    return pd.DataFrame(rows, columns=[f.name for f in RESULT_SCHEMA.fields])
+
+
+def make_trek_extract_udf():
+    """Scalar pandas UDF: (text[, url]) → RESULT_SCHEMA struct."""
+
+    @F.pandas_udf(RESULT_SCHEMA)
+    def trek_extract(text: pd.Series, url: pd.Series) -> pd.DataFrame:
+        return _extract_series(text, url)
+
+    return trek_extract
+
+
+METRICS_SCHEMA = StructType([
+    StructField("part_id", IntegerType()),
+    StructField("batch_idx", IntegerType()),
+    StructField("docs_in", LongType()),
+    StructField("docs_out", LongType()),
+    StructField("failures", LongType()),
+    StructField("bytes_in", LongType()),
+    StructField("wall_ms", LongType()),
+])
+
+
+def extract_map_in_pandas(iterator: Iterator[pd.DataFrame]
+                          ) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: passes through key columns, adds result columns
+    plus per-batch metrics columns (flattened; the job aggregates them into
+    the metrics side table)."""
+    from pyspark import TaskContext
+    ctx = TaskContext.get()
+    part_id = ctx.partitionId() if ctx is not None else -1
+    for batch_idx, pdf in enumerate(iterator):
+        t0 = time.time()
+        urls = pdf["url"] if "url" in pdf.columns else None
+        res = _extract_series(pdf["text"], urls)
+        failures = int(res["error"].notna().sum())
+        out = pd.concat(
+            [pdf.drop(columns=["text"]).reset_index(drop=True), res], axis=1)
+        out["part_id"] = part_id
+        out["batch_idx"] = batch_idx
+        out["docs_in"] = len(pdf)
+        out["failures"] = failures
+        out["bytes_in"] = int(pdf["text"].str.len().fillna(0).sum())
+        out["wall_ms"] = int((time.time() - t0) * 1000)
+        yield out
