@@ -1,0 +1,172 @@
+"""Cleanup-pass unit tests (cases mirror reference src/lib.rs:783-1193 and
+src/standardize_legacy.rs embedded tests)."""
+
+from trek_spark.dom import body_of, inner_html, parse_html
+from trek_spark.extract import elements, passes, removals_post
+
+
+def run(html: str, fn, *args) -> str:
+    body = body_of(parse_html(html))
+    fn(body, *args)
+    return inner_html(body)
+
+
+def test_clutter_removes_nav_footer():
+    out = run("<nav>n</nav><p>keep</p><footer>f</footer>",
+              passes.remove_clutter)
+    assert out == "<p>keep</p>"
+
+
+def test_clutter_partial_selector_class():
+    out = run('<div class="share-buttons">x</div><p>keep</p>',
+              passes.remove_clutter)
+    assert out == "<p>keep</p>"
+
+
+def test_clutter_keeps_content_svg():
+    out = run('<svg role="img"><title>t</title></svg><svg><path d="x"/></svg>',
+              passes.remove_clutter)
+    assert 'role="img"' in out and out.count("<svg") == 1
+
+
+def test_clutter_exempts_pre_content():
+    html = '<pre><span class="token promo">code</span></pre>'
+    assert run(html, passes.remove_clutter) == html
+
+
+def test_tailwind_arbitrary_variant_not_removed():
+    html = '<div class="[&_.foo]:hidden">keep</div>'
+    out = run(html, passes.remove_clutter)
+    assert "keep" in out
+
+
+def test_hidden_inline_style():
+    out = run('<div style="display:none">x</div><p>keep</p>',
+              passes.hidden_pass)
+    assert out == "<p>keep</p>"
+
+
+def test_hidden_responsive_show_kept():
+    html = '<div class="hidden sm:flex">keep</div>'
+    assert "keep" in run(html, passes.hidden_pass)
+
+
+def test_iframe_rewrite_youtube():
+    out = run('<iframe src="https://www.youtube.com/embed/dQw4w9WgXcQ">'
+              "</iframe>", passes.rewrite_embed_iframes)
+    assert out == ('<a href="https://www.youtube.com/watch?v=dQw4w9WgXcQ">'
+                   "YouTube: dQw4w9WgXcQ</a>")
+
+
+def test_iframe_rewrite_x_status():
+    out = run('<iframe src="https://x.com/jack/status/20"></iframe>',
+              passes.rewrite_embed_iframes)
+    assert out == ('<a href="https://twitter.com/jack/status/20">'
+                   "Tweet by @jack: 20</a>")
+
+
+def test_unknown_iframe_untouched():
+    html = '<iframe src="https://example.com/foo"></iframe>'
+    assert run(html, passes.rewrite_embed_iframes) == html
+
+
+def test_flatten_wrapper_divs():
+    assert run("<div><div><p>deep</p></div></div>",
+               passes.flatten_wrapper_elements_legacy) == "<p>deep</p>"
+
+
+def test_flatten_preserves_semantic():
+    html = '<div role="article"><p>x</p></div>'
+    assert run(html, passes.flatten_wrapper_elements_legacy) == html
+
+
+def test_flatten_preserves_content_class():
+    html = '<div class="article-content"><p>x</p></div>'
+    assert run(html, passes.flatten_wrapper_elements_legacy) == html
+
+
+def test_remove_empty_elements():
+    out = run("<p>a</p><p></p><div>  </div><p>b</p>",
+              passes.remove_empty_elements)
+    assert out == "<p>a</p><p>b</p>"
+
+
+def test_promote_semantics_data_as():
+    out = run('<span data-as="h2">t</span>', passes.promote_semantics)
+    assert out == '<h2 data-as="h2">t</h2>'
+
+
+def test_promote_heading_anchor_inversion():
+    out = run('<a href="/x"><h2>T</h2></a>', passes.promote_semantics)
+    assert out == '<h2><a href="/x">T</a></h2>'
+
+
+def test_tables_std_unwraps_layout():
+    out = run("<table><tr><td><p>only</p></td></tr></table>",
+              passes.tables_std)
+    assert out == "<p>only</p>"
+
+
+def test_headings_std_demotes_extra_h1():
+    out = run("<h1>a</h1><p>x</p><h1>b</h1><p>y</p>", passes.headings_std)
+    assert out == "<h1>a</h1><p>x</p><h2>b</h2><p>y</p>"
+
+
+def test_callout_github_blockquote():
+    out = run("<blockquote><p>[!WARNING] heads up</p></blockquote>",
+              elements.normalize_callouts)
+    assert 'data-callout="warning"' in out
+    assert "heads up" in out
+    assert "callout-title-inner" in out
+
+
+def test_callout_admonition():
+    out = run('<div class="admonition note">'
+              '<p class="admonition-title">My note</p><p>body</p></div>',
+              elements.normalize_callouts)
+    assert 'data-callout="note"' in out and "My note" in out and "body" in out
+
+
+def test_images_lazy_promotion():
+    out = run('<img src="" data-src="real.png">', elements.normalize_images)
+    assert 'src="real.png"' in out and "data-src" not in out
+
+
+def test_images_tracking_pixel_dropped():
+    out = run('<img src="/pixel.gif" width="1" height="1"><p>k</p>',
+              elements.normalize_images)
+    assert "<img" not in out
+
+
+def test_code_chroma_lntable():
+    html = ('<table class="lntable"><tr>'
+            '<td class="lntd"><code><span class="lnt">1</span></code></td>'
+            '<td class="lntd"><pre><code class="language-go">x := 1'
+            "</code></pre></td></tr></table>")
+    out = run(html, elements.normalize_code_blocks)
+    assert "lntable" not in out and "language-go" in out
+
+
+def test_small_images_removed():
+    out = run('<img src="a.png" width="16" height="16"><p>k</p>',
+              removals_post.small_images)
+    assert "<img" not in out
+
+
+def test_small_images_keeps_figure_subject():
+    html = '<figure><img src="a.png" width="16" height="16"></figure>'
+    assert "<img" in run(html, removals_post.small_images)
+
+
+def test_content_patterns_read_time():
+    out = run("<h1>T</h1><div>5 min read</div><p>long prose content here "
+              "with quite a few words to stop the walker</p>",
+              removals_post.content_patterns)
+    assert "min read" not in out
+
+
+def test_scoring_drops_link_farm():
+    links = "".join(f'<a href="/{i}">somewhere link {i}</a> ' for i in range(12))
+    html = f'<div class="related">{links}</div><p>real prose</p>'
+    out = run(html, removals_post.scoring)
+    assert "somewhere link" not in out and "real prose" in out

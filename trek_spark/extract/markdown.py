@@ -979,7 +979,7 @@ class Renderer:
         checkbox = _task_list_marker(node)
 
         inline_parts: list[str] = []
-        nested_parts: list[str] = []
+        nested_parts: list[str] = []  # (verbatim: bool, text)
         for child in node.children:
             if child.type == TEXT:
                 inline_parts.append(self.render_inline_text(child.text))
@@ -988,15 +988,19 @@ class Renderer:
                 continue
             tg = child.tag
             if tg in ("ul", "ol"):
+                # nested list items already carry their absolute depth
+                # indent ("\t" per level) — append verbatim, no extra
+                # continuation indent (golden convention: one tab/level)
                 nb = _Out()
                 self.render_list(child, nb)
-                nested_parts.append(nb.value().rstrip("\n") + "\n")
+                if nb.value().strip():
+                    nested_parts.append((True, nb.value().rstrip("\n") + "\n"))
             elif tg == "p":
                 inner = self.render_inline(child)
                 if not "".join(inline_parts).strip():
                     inline_parts = [inner.strip()]
                 else:
-                    nested_parts.append("\n" + inner.strip() + "\n")
+                    nested_parts.append((False, "\n" + inner.strip() + "\n"))
             elif tg == "br":
                 inline_parts.append("  \n")
             elif tg in _INLINE_TAGS:
@@ -1006,11 +1010,12 @@ class Renderer:
             else:
                 nb = _Out()
                 self.render_block(child, nb)
-                nested_parts.append(nb.value().rstrip("\n") + "\n")
+                if nb.value().strip():
+                    nested_parts.append(
+                        (False, nb.value().rstrip("\n") + "\n"))
 
         body_first = "".join(inline_parts).strip()
-        nested_buf = "".join(nested_parts)
-        if not body_first and not nested_buf.strip():
+        if not body_first and not any(t.strip() for _, t in nested_parts):
             return
 
         out.push(indent + marker)
@@ -1018,14 +1023,18 @@ class Renderer:
             out.push(checkbox + " ")
         out.push(body_first + "\n")
 
-        if nested_buf:
-            cont_indent = indent + "\t"
-            lines = nested_buf.split("\n")
+        cont_indent = indent + "\t"
+        for verbatim, chunk in nested_parts:
+            if not chunk:
+                continue
+            lines = chunk.split("\n")
             if lines and lines[-1] == "":
                 lines.pop()
             for line in lines:
                 if not line:
                     out.push("\n")
+                elif verbatim:
+                    out.push(line + "\n")
                 else:
                     out.push(cont_indent + line + "\n")
 
