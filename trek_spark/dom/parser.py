@@ -97,6 +97,13 @@ class _TreeBuilder(HTMLParser):
     # -- HTMLParser hooks ------------------------------------------------
     def handle_starttag(self, tag, attrs):
         self._close_implied(tag)
+        # HTML5 implied <tr>: a cell opening directly inside a row-group
+        # (or table) gets a synthesized row.
+        if tag in ("td", "th") and self.stack[-1].tag in (
+                "thead", "tbody", "tfoot", "table"):
+            tr = Node(ELEMENT, "tr")
+            self._top().append(tr)
+            self.stack.append(tr)
         # first-declared attribute wins, per spec
         adict: dict = {}
         for k, v in attrs:

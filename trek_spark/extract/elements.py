@@ -573,17 +573,660 @@ def normalize_headings(root: Node) -> None:
 
 # ---------------------------------------------------------------- footnotes
 
+_LEADING_NUMBER_RE = re.compile(r"^\s*[\[\(\{]?\s*(\d+)\s*[\]\)\}]?\s*[.):]?\s*$")
+_EASY_HREF_RE = re.compile(r"#easy-footnote-bottom-(\d+)")
+_WORD_FTN_RE = re.compile(r"#_ftn(\d+)", re.I)
+_WORD_FTNREF_RE = re.compile(r"#_ftnref(\d+)", re.I)
+_FN_ANCHOR_ID_RE = re.compile(r"^(?:fn-|footnote-)(\d+)")
+
+_DELIM_HEADINGS = frozenset(
+    ("notes", "footnotes", "endnotes", "references", "footnote"))
+
+
+def _add_class(node: Node, cls: str) -> None:
+    cur = node.get("class") or ""
+    tokens = cur.split()
+    if cls not in tokens:
+        tokens.append(cls)
+    node.set("class", " ".join(tokens))
+
+
+def _is_footnote_delimiter(node: Node) -> bool:
+    if node.tag == "hr":
+        return True
+    if node.tag in _HEADING_TAGS:
+        return node.text_content().strip().lower() in _DELIM_HEADINGS
+    return False
+
+
+def _first_significant_descendant(node: Node) -> Optional[Node]:
+    cur = node
+    while True:
+        found = None
+        for c in cur.children:
+            if c.type == TEXT:
+                if not c.text.strip():
+                    continue
+                return None
+            if c.type == ELEMENT:
+                found = c
+                break
+        if found is None:
+            return None
+        if found.tag == "span":
+            cur = found
+            continue
+        return found
+
+
+def _parse_def_paragraph(p: Node):
+    """<p><sup>N</sup>…> / <p><strong>N</strong>…> / <p><b><sup>N</sup>lbl:</b>…>
+    → (num, label) or None (ref `src/elements/footnotes.rs:310-370`)."""
+    if p.tag != "p":
+        return None
+    first = _first_significant_descendant(p)
+    if first is None:
+        return None
+    if first.tag == "sup":
+        m = _LEADING_NUMBER_RE.match(first.text_content().strip())
+        return (m.group(1), None) if m else None
+    if first.tag in ("strong", "b"):
+        wrapped_num = None
+        label_parts = []
+        found_sup = False
+        for cc in first.children:
+            if cc.type == TEXT:
+                txt = cc.text
+                if found_sup:
+                    label_parts.append(txt)
+                elif not txt.strip():
+                    continue
+                else:
+                    m = _LEADING_NUMBER_RE.match(txt.strip())
+                    return (m.group(1), None) if m else None
+            elif cc.type == ELEMENT and cc.tag == "sup" and not found_sup:
+                m = _LEADING_NUMBER_RE.match(cc.text_content().strip())
+                if not m:
+                    return None
+                wrapped_num = m.group(1)
+                found_sup = True
+            elif found_sup:
+                label_parts.append(cc.text_content())
+            else:
+                return None
+        if wrapped_num is not None:
+            label = "".join(label_parts).strip()
+            return (wrapped_num, label or None)
+    return None
+
+
+def _detach_leading_marker(p: Node) -> None:
+    def drop_first(node: Node) -> bool:
+        for c in node.children:
+            if c.type == TEXT:
+                if not c.text.strip():
+                    continue
+                return False
+            if c.type != ELEMENT:
+                continue
+            if c.tag == "sup" or c.tag in ("strong", "b"):
+                c.detach()
+                return True
+            if c.tag == "span":
+                return drop_first(c)
+            return False
+        return False
+    drop_first(p)
+
+
+def _new_fn_li(num: str) -> Node:
+    return Node.element("li", {"id": f"fn:{num}"})
+
+
+def _rewrite_word_ftn_ids(root: Node) -> None:
+    for a in [n for n in root.iter_elements() if n.tag == "a"]:
+        href = a.get("href") or ""
+        if "_ftn" not in href:
+            continue
+        m = _WORD_FTNREF_RE.search(href)
+        if m:
+            a.set("href", f"#fnref:{m.group(1)}")
+            continue
+        m = _WORD_FTN_RE.search(href)
+        if m:
+            a.set("href", f"#fn:{m.group(1)}")
+
+
+def _rewrite_ftnt_ids(root: Node) -> None:
+    for el in root.descendants_snapshot():
+        ident = el.get("id")
+        if ident and ident.startswith("ftnt"):
+            if ident.startswith("ftnt_ref"):
+                el.set("id", "fnref:" + ident[len("ftnt_ref"):])
+            else:
+                el.set("id", "fn:" + ident[len("ftnt"):])
+        if el.tag == "a":
+            href = el.get("href") or ""
+            if href.startswith("#ftnt_ref"):
+                el.set("href", "#fnref:" + href[len("#ftnt_ref"):])
+            elif href.startswith("#ftnt"):
+                el.set("href", "#fn:" + href[len("#ftnt"):])
+
+
+def _rewrite_easy_footnotes(root: Node) -> None:
+    for a in [n for n in root.iter_elements() if n.tag == "a"]:
+        href = a.get("href") or ""
+        if "easy-footnote" not in href and "easy-footnote" not in (
+                a.get("class") or ""):
+            continue
+        if "easy-footnote-to-top" in (a.get("class") or ""):
+            a.detach()
+            continue
+        m = _EASY_HREF_RE.search(href)
+        if m:
+            a.set("href", f"#fn:{m.group(1)}")
+
+
+def _convert_inline_footnote_span(root: Node) -> None:
+    spans = [n for n in root.iter_elements()
+             if n.tag == "span" and n.has_class("inline-footnote")]
+    if not spans:
+        return
+    defs = []
+    count = 0
+    owner = None
+    for s in spans:
+        inner = None
+        num_str = ""
+        for c in s.children:
+            if c.type == TEXT:
+                t = c.text.strip()
+                if t and t.isdigit():
+                    num_str = t
+            elif c.type == ELEMENT and c.has_class("footnoteContent"):
+                inner = c
+        if inner is None:
+            continue
+        if not num_str:
+            count += 1
+            num_str = str(count)
+        sup = Node.element("sup")
+        sup.append(Node.text_node(num_str))
+        s.insert_before(sup)
+        s.detach()
+        li = _new_fn_li(num_str)
+        p = Node.element("p")
+        for c in list(inner.children):
+            p.append(c)
+        li.append(p)
+        defs.append(li)
+        if owner is None:
+            cur = sup.parent
+            while cur is not None:
+                if cur.type == ELEMENT and cur.tag in ("article", "main", "body"):
+                    owner = cur
+                    break
+                cur = cur.parent
+    if not defs:
+        return
+    owner = owner or root
+    ol = Node.element("ol", {"class": "footnotes-list"})
+    for li in defs:
+        ol.append(li)
+    owner.append(ol)
+
+
+def _convert_data_definition_aside(root: Node) -> None:
+    refs = [n for n in root.iter_elements()
+            if n.tag == "span" and n.get("data-definition") is not None]
+    if not refs:
+        return
+    count = 0
+    defs = []
+    owner = None
+    for r in refs:
+        target_id = r.get("data-definition")
+        target = None
+        for n in root.iter_elements():
+            if n.get("id") == target_id:
+                target = n
+                break
+        if target is None or target.tag != "aside":
+            continue
+        count += 1
+        num = str(count)
+        sup = Node.element("sup")
+        sup.append(Node.text_node(num))
+        r.insert_before(sup)
+        r.detach()
+        li = _new_fn_li(num)
+        p = Node.element("p")
+        for c in list(target.children):
+            p.append(c)
+        li.append(p)
+        defs.append(li)
+        if owner is None:
+            cur = target.parent
+            while cur is not None:
+                if cur.type == ELEMENT and cur.tag in ("article", "main", "body"):
+                    owner = cur
+                    break
+                cur = cur.parent
+        target.detach()
+    if not defs:
+        return
+    owner = owner or root
+    ol = Node.element("ol", {"class": "footnotes-list"})
+    for li in defs:
+        ol.append(li)
+    owner.append(ol)
+
+
+def _wrapper_or_self(node: Node) -> Node:
+    parent = node.parent
+    if parent is None or parent.type != ELEMENT or parent.tag != "div":
+        return node
+    others = 0
+    for c in parent.children:
+        if c.type == TEXT:
+            if c.text.strip():
+                others += 1
+        elif c.type == ELEMENT and c is not node:
+            others += 1
+    return parent if others == 0 else node
+
+
+def _collect_id_indexed_paragraphs(root: Node) -> None:
+    candidates = [n for n in root.iter_elements()
+                  if n.tag == "p" and (n.get("id") or "").startswith("fn:")]
+    entries = []
+    for p in candidates:
+        rest = (p.get("id") or "")[3:]
+        if not rest.isdigit():
+            continue
+        in_list = False
+        cur = p.parent
+        while cur is not None:
+            if cur.type == ELEMENT and cur.has_class("footnotes-list"):
+                in_list = True
+                break
+            cur = cur.parent
+        if not in_list:
+            entries.append((int(rest), p))
+    if len(entries) < 2:
+        return
+    entries.sort(key=lambda e: e[0])
+    last = entries[-1][1]
+    anchor = _wrapper_or_self(last)
+    ol = Node.element("ol", {"class": "footnotes-list"})
+    for n, p in entries:
+        li = _new_fn_li(str(n))
+        # drop leading backref anchor / index sup
+        for c in list(p.children):
+            if c.type == TEXT:
+                if not c.text.strip():
+                    continue
+                break
+            if c.type == ELEMENT:
+                if c.tag == "a":
+                    c.detach()
+                elif c.tag == "sup":
+                    txt = c.text_content().strip()
+                    if not txt or txt.strip("[]").isdigit():
+                        c.detach()
+                break
+        for c in list(p.children):
+            li.append(c)
+        ol.append(li)
+    anchor.insert_after(ol)
+    for _, p in entries:
+        wrapper = _wrapper_or_self(p)
+        if wrapper is not p:
+            p.detach()
+            significant = any(
+                (c.type == TEXT and c.text.strip()) or c.type == ELEMENT
+                for c in wrapper.children)
+            if not significant:
+                wrapper.detach()
+        else:
+            p.detach()
+
+
+def _drop_delimiter_before_known(root: Node) -> None:
+    known = []
+    for n in root.iter_elements():
+        cls = n.classes()
+        if (n.tag in ("section", "aside") and "footnotes" in cls) \
+                or (n.tag == "section" and n.get("data-footnotes") is not None) \
+                or (n.tag == "ol" and ("footnotes-list" in cls or "footnotes" in cls)) \
+                or (n.tag == "div" and "footnote-definition" in cls):
+            known.append(n)
+    for k in known:
+        prev = k.prev_sibling()
+        while prev is not None:
+            if prev.type == TEXT:
+                if not prev.text.strip():
+                    prev = prev.prev_sibling()
+                    continue
+                break
+            if prev.type != ELEMENT:
+                prev = prev.prev_sibling()
+                continue
+            if _is_footnote_delimiter(prev):
+                prev.detach()
+            break
+
+
+def _process_def_container(container: Node) -> None:
+    children = list(container.children)
+    if not children:
+        return
+    all_defs = []  # (index, num, label, node)
+    for i, c in enumerate(children):
+        if c.type != ELEMENT:
+            continue
+        d = _parse_def_paragraph(c)
+        if d is not None:
+            all_defs.append((i, d[0], d[1], c))
+    if not all_defs:
+        return
+    # Only a CONSECUTIVE run (ignoring whitespace text between) forms a
+    # footnote section in place; scattered definitions are left for the
+    # p.footnote collector, which moves them to the end of the article.
+    elem_indices = [i for i, c in enumerate(children)
+                    if c.type == ELEMENT
+                    or (c.type == TEXT and c.text.strip())]
+    pos_of = {i: k for k, i in enumerate(elem_indices)}
+    defs = [all_defs[0]]
+    for d in all_defs[1:]:
+        if pos_of.get(d[0], -99) == pos_of.get(defs[-1][0], 99) + 1:
+            defs.append(d)
+        else:
+            break
+    first_idx = defs[0][0]
+    delim = None
+    for j in range(first_idx - 1, -1, -1):
+        prev = children[j]
+        if prev.type == TEXT:
+            if not prev.text.strip():
+                continue
+            break
+        if prev.type != ELEMENT:
+            continue
+        if _is_footnote_delimiter(prev):
+            delim = prev
+        break
+    if not (len(defs) >= 2 or (len(defs) == 1 and delim is not None)):
+        return
+    prev_n = None
+    for _i, num, _l, _n in defs:
+        n = int(num)
+        if prev_n is not None and n <= prev_n:
+            return
+        prev_n = n
+    ol = Node.element("ol", {"class": "footnotes-list"})
+    for _i, num, label, p in defs:
+        li = _new_fn_li(num)
+        _detach_leading_marker(p)
+        if label:
+            strong = Node.element("strong")
+            strong.append(Node.text_node(label))
+            p_inner = Node.element("p")
+            p_inner.append(strong)
+            for c in list(p.children):
+                p_inner.append(c)
+            li.append(p_inner)
+        else:
+            for c in list(p.children):
+                li.append(c)
+        ol.append(li)
+    defs[-1][3].insert_after(ol)
+    for _i, _num, _l, n in defs:
+        n.detach()
+    if delim is not None:
+        delim.detach()
+
+
+def _convert_paragraph_definitions_global(root: Node) -> None:
+    stack = [root]
+    while stack:
+        node = stack.pop()
+        if node.parent is None and node is not root and node.type == ELEMENT:
+            continue
+        _process_def_container(node)
+        for child in node.children:
+            if child.type == ELEMENT:
+                stack.append(child)
+
+
+def _convert_p_class_footnotes(root: Node) -> None:
+    candidates = [n for n in root.iter_elements() if n.tag == "p"
+                  and any(n.has_class(c) for c in
+                          ("footnote", "footnote-text", "footnote-item"))]
+    defs = []
+    for p in candidates:
+        d = _parse_def_paragraph(p)
+        if d is not None:
+            defs.append((d[0], p))
+    if not defs:
+        return
+    # scattered p.footnote definitions collect at the END of the article
+    # (golden convention), unlike hr-delimited runs which stay in place
+    owner = None
+    cur = defs[-1][1].parent
+    while cur is not None:
+        if cur.type == ELEMENT and cur.tag in ("article", "main", "body"):
+            owner = cur
+            break
+        cur = cur.parent
+    ol = Node.element("ol", {"class": "footnotes-list"})
+    for num, p in defs:
+        li = _new_fn_li(num)
+        first_el = next((c for c in p.children if c.type == ELEMENT), None)
+        if first_el is not None:
+            first_el.detach()
+        for c in list(p.children):
+            li.append(c)
+        ol.append(li)
+    (owner or root).append(ol)
+    for _, p in defs:
+        p.detach()
+
+
+def _tag_canonical_lists(root: Node) -> None:
+    for c in root.descendants_snapshot():
+        cls = c.classes()
+        is_container = (
+            (c.tag in ("aside", "section", "div") and "footnotes" in cls)
+            or (c.tag == "ol" and ("footnotes" in cls
+                                   or "easy-footnotes-wrapper" in cls
+                                   or "footnotes-list" in cls))
+            or (c.tag == "section" and c.get("data-footnotes") is not None)
+        )
+        if not is_container:
+            continue
+        if c.tag == "ol":
+            _add_class(c, "footnotes-list")
+        else:
+            ol = c.find_first("ol")
+            if ol is not None:
+                _add_class(ol, "footnotes-list")
+
+
+def _convert_paragraph_definitions_containers(root: Node) -> None:
+    containers = [n for n in root.iter_elements()
+                  if n.has_class("footnotes") or n.id() == "footnotes"]
+    for container in containers:
+        defs = []
+        for child in container.element_children():
+            if child.tag != "p":
+                continue
+            num = None
+            for cc in child.children:
+                if cc.type == TEXT:
+                    if cc.text.strip():
+                        num = None
+                        break
+                    continue
+                if cc.type != ELEMENT:
+                    continue
+                if cc.tag in ("strong", "b"):
+                    m = _LEADING_NUMBER_RE.match(cc.text_content())
+                    num = m.group(1) if m else None
+                break
+            if num:
+                defs.append((num, child))
+        if not defs:
+            continue
+        ol = Node.element("ol", {"class": "footnotes-list"})
+        for num, p in defs:
+            li = _new_fn_li(num)
+            strong = p.find_first("strong") or p.find_first("b")
+            if strong is not None:
+                strong.detach()
+            for c in list(p.children):
+                li.append(c)
+            ol.append(li)
+        defs[0][1].insert_before(ol)
+        for _, p in defs:
+            p.detach()
+
+
+def _convert_anchored_definitions(root: Node) -> None:
+    groups = []
+    for a in [n for n in root.iter_elements() if n.tag == "a"]:
+        ident = a.get("id")
+        if not ident:
+            continue
+        m = _FN_ANCHOR_ID_RE.match(ident)
+        if m:
+            groups.append((m.group(1), a))
+    if not groups:
+        return
+    parent = groups[0][1].parent
+    if parent is None:
+        return
+    for n in parent.iter_elements():
+        if n.tag == "ol" and n.has_class("footnotes-list"):
+            return
+    ol = Node.element("ol", {"class": "footnotes-list"})
+    for num, anchor in groups:
+        p = anchor.parent
+        if p is None:
+            continue
+        li = _new_fn_li(num)
+        anchor.detach()
+        for c in list(p.children):
+            li.append(c)
+        ol.append(li)
+        p.detach()
+    parent.append(ol)
+
+
+def _renumber_named_ids(root: Node) -> None:
+    for ol in [n for n in root.iter_elements()
+               if n.tag == "ol" and n.has_class("footnotes-list")]:
+        mapping = []
+        start = ol.get("start")
+        idx = int(start) if start and start.isdigit() else 1
+        for li in ol.children:
+            if li.type != ELEMENT or li.tag != "li":
+                continue
+            ident = li.get("id")
+            if not ident or not ident.startswith("fn:"):
+                idx += 1
+                continue
+            stripped = ident[3:]
+            if stripped.isdigit():
+                idx = int(stripped) + 1
+                continue
+            li.set("id", f"fn:{idx}")
+            mapping.append((stripped, str(idx)))
+            idx += 1
+        if not mapping:
+            continue
+        for name, n in mapping:
+            for el in root.iter_elements():
+                if el.tag == "a":
+                    href = el.get("href")
+                    if href == f"#fn:{name}":
+                        el.set("href", f"#fn:{n}")
+                    elif href == f"#fnref:{name}":
+                        el.set("href", f"#fnref:{n}")
+                if el.get("id") == f"fnref:{name}":
+                    el.set("id", f"fnref:{n}")
+
+
+def _trim_ws_around_footnote_refs(root: Node) -> None:
+    for sup in [n for n in root.iter_elements() if n.tag == "sup"]:
+        txt = sup.text_content().strip()
+        is_digit_ref = bool(txt) and txt.isdigit() and len(txt) <= 4
+        is_class_ref = sup.has_class("footnote-ref") \
+            or sup.has_class("footnote-reference")
+        if not is_digit_ref and not is_class_ref:
+            continue
+        parent = sup.parent
+        if parent is not None and parent.type == ELEMENT and parent.tag == "span":
+            prev = sup.prev_sibling()
+            if prev is not None and prev.type == TEXT and not prev.text.strip():
+                prev.text = ""
+
+
+def _drop_trailing_bare_period(root: Node) -> None:
+    """A definition whose LAST text node is exactly "." right after an
+    element (link/code) loses it in the golden corpus; a period attached to
+    normal trailing text survives."""
+    targets = []
+    for n in root.iter_elements():
+        if n.tag == "li" and n.parent is not None \
+                and n.parent.type == ELEMENT \
+                and n.parent.has_class("footnotes-list"):
+            targets.append(n)
+        elif n.has_class("footnote-definition"):
+            targets.append(n)
+    for t in targets:
+        # descend to last significant child (possibly inside a trailing <p>)
+        node = t
+        while True:
+            last = None
+            for c in reversed(node.children):
+                if c.type == TEXT and not c.text.strip():
+                    continue
+                last = c
+                break
+            if last is None:
+                break
+            if last.type == ELEMENT and last.tag in ("p", "span"):
+                node = last
+                continue
+            if last.type == TEXT and last.text.strip() == ".":
+                prev = last.prev_sibling()
+                while prev is not None and prev.type == TEXT \
+                        and not prev.text.strip():
+                    prev = prev.prev_sibling()
+                if prev is not None and prev.type == ELEMENT:
+                    last.detach()
+            break
+
+
 def normalize_footnotes(root: Node) -> None:
-    """Canonicalize common footnote shapes. The markdown renderer already
-    recognizes `<sup><a href="#fn...">` refs and footnote `<ol>` lists; this
-    pass handles the `<div class="footnote"><ol>` (Sphinx/Python-Markdown)
-    and `<section class="footnotes">` shapes by tagging the list so the
-    renderer's `_is_footnote_list` fires (`src/elements/footnotes.rs`)."""
-    for sel in ("div.footnote ol", "div.footnotes ol", "section.footnotes ol"):
-        for ol in _select(root, sel):
-            if not ol.has_class("footnotes-list"):
-                cls = ol.get("class")
-                ol.set("class", (cls + " footnotes-list") if cls else "footnotes-list")
+    """7 footnote shape-families → canonical `<ol class="footnotes-list">`
+    + `<sup>N</sup>` refs (`src/elements/footnotes.rs:47-84` pass order)."""
+    _rewrite_word_ftn_ids(root)
+    _rewrite_ftnt_ids(root)
+    _rewrite_easy_footnotes(root)
+    _convert_inline_footnote_span(root)
+    _convert_data_definition_aside(root)
+    _collect_id_indexed_paragraphs(root)
+    _drop_delimiter_before_known(root)
+    _convert_paragraph_definitions_global(root)
+    _convert_p_class_footnotes(root)
+    _tag_canonical_lists(root)
+    _convert_paragraph_definitions_containers(root)
+    _convert_anchored_definitions(root)
+    _renumber_named_ids(root)
+    _drop_trailing_bare_period(root)
+    _trim_ws_around_footnote_refs(root)
 
 
 # --------------------------------------------------------------------- math

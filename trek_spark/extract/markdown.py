@@ -529,7 +529,10 @@ class Renderer:
         for c in raw:
             if c == "\ufeff":
                 continue
-            if c.isspace():
+            # collapse ASCII whitespace and nbsp \u2014 but typographic spaces
+            # (U+2009 thin space etc.) are content and survive verbatim in
+            # the golden corpus
+            if c in " \t\n\r\f\v\u00a0":
                 if not prev_space:
                     buf.append(" ")
                 prev_space = True
@@ -865,7 +868,7 @@ class Renderer:
                 self.render_block(child, buf)
             cleaned = _strip_footnote_backrefs(buf.value().strip())
             if ident:
-                self.footnotes.append((ident, cleaned))
+                self._emit_footnote_defs([(ident, cleaned)], out)
             return
         self._render_block_seq(node.children, out)
 
@@ -941,6 +944,16 @@ class Renderer:
                 out.push("> \n" if not line else "> " + line + "\n")
         out.ensure_nl(2)
 
+    def _emit_footnote_defs(self, defs, out: _Out) -> None:
+        """Emit `[^id]: body` blocks at the current document position (the
+        golden corpus renders footnote lists in place, not as an appendix)."""
+        for ident, body in defs:
+            one_line = " ".join(
+                ln.strip() for ln in body.split("\n") if ln.strip())
+            out.ensure_nl(2)
+            out.push(f"[^{ident}]: {one_line}")
+            out.ensure_nl(2)
+
     def render_list(self, node: Node, out: _Out) -> None:
         ordered = node.tag == "ol"
         start_attr = node.get("start")
@@ -948,7 +961,11 @@ class Renderer:
         self.list_stack.append([ordered, start])
         if ordered and _is_footnote_list(node):
             self.list_stack.pop()
+            before = len(self.footnotes)
             self.collect_footnote_list(node)
+            new_defs = self.footnotes[before:]
+            del self.footnotes[before:]
+            self._emit_footnote_defs(new_defs, out)
             return
         buf = _Out()
         for child in node.children:
@@ -1182,15 +1199,10 @@ def _unescape_md(s: str) -> str:
 
 
 def _heading_matches_title(h: str, title: str) -> bool:
+    # exact (case-insensitive) equality only — the golden corpus keeps a
+    # leading heading when the title carries an uncleaned site suffix
     h = _unescape_md(h)
-    if h == title or h.lower() == title.lower():
-        return True
-    t_low, h_low = title.lower(), h.lower()
-    if t_low.startswith(h_low):
-        rest = t_low[len(h_low):].lstrip()
-        if rest[:1] in ("-", "|", "·", ":"):
-            return True
-    return False
+    return h == title or h.lower() == title.lower()
 
 
 def _strip_leading_title_heading(md: str, title: str) -> str:
