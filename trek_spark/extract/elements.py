@@ -510,11 +510,10 @@ def normalize_code_blocks(root: Node) -> None:
 
 
 def code_blocks(root: Node) -> None:
-    """standardize::code_blocks stage — currently shares the element-level
-    normalizer (the reference's two passes overlap heavily; the canonical
-    rewrite happens in normalize_code_blocks below in pipeline order)."""
-    # Intentionally minimal: the heavy lifting is in normalize_code_blocks,
-    # which runs later in the chain; running the rewrite twice is idempotent.
+    """standardize::code_blocks stage — full canonicalization pass chain
+    (`src/standardize/code_blocks.rs`)."""
+    from .code_blocks import normalize_code_blocks_std
+    normalize_code_blocks_std(root)
 
 
 # ----------------------------------------------------------------- headings
@@ -930,20 +929,15 @@ def _process_def_container(container: Node) -> None:
             all_defs.append((i, d[0], d[1], c))
     if not all_defs:
         return
-    # Only a CONSECUTIVE run (ignoring whitespace text between) forms a
-    # footnote section in place; scattered definitions are left for the
-    # p.footnote collector, which moves them to the end of the article.
-    elem_indices = [i for i, c in enumerate(children)
-                    if c.type == ELEMENT
-                    or (c.type == TEXT and c.text.strip())]
-    pos_of = {i: k for k, i in enumerate(elem_indices)}
-    defs = [all_defs[0]]
-    for d in all_defs[1:]:
-        if pos_of.get(d[0], -99) == pos_of.get(defs[-1][0], 99) + 1:
-            defs.append(d)
-        else:
-            break
-    first_idx = defs[0][0]
+
+    # Locate a footnote delimiter (hr / "Notes"-style heading) preceding the
+    # first def. With a delimiter, EVERY def after it converts in place
+    # (each consecutive group becomes one ol at its own position) — matching
+    # the golden corpus, where interleaved non-def content (continuation
+    # lists, prose) stays between the definitions. Without a delimiter only
+    # consecutive runs of >=2 defs convert; scattered singles fall through
+    # to the p.footnote collector.
+    first_idx = all_defs[0][0]
     delim = None
     for j in range(first_idx - 1, -1, -1):
         prev = children[j]
@@ -956,33 +950,55 @@ def _process_def_container(container: Node) -> None:
         if _is_footnote_delimiter(prev):
             delim = prev
         break
-    if not (len(defs) >= 2 or (len(defs) == 1 and delim is not None)):
-        return
-    prev_n = None
-    for _i, num, _l, _n in defs:
-        n = int(num)
-        if prev_n is not None and n <= prev_n:
-            return
-        prev_n = n
-    ol = Node.element("ol", {"class": "footnotes-list"})
-    for _i, num, label, p in defs:
-        li = _new_fn_li(num)
-        _detach_leading_marker(p)
-        if label:
-            strong = Node.element("strong")
-            strong.append(Node.text_node(label))
-            p_inner = Node.element("p")
-            p_inner.append(strong)
-            for c in list(p.children):
-                p_inner.append(c)
-            li.append(p_inner)
+
+    # group defs into consecutive runs (ignoring whitespace-only text)
+    sig_indices = [i for i, c in enumerate(children)
+                   if c.type == ELEMENT
+                   or (c.type == TEXT and c.text.strip())]
+    pos_of = {i: k for k, i in enumerate(sig_indices)}
+    runs = [[all_defs[0]]]
+    for d in all_defs[1:]:
+        if pos_of.get(d[0], -99) == pos_of.get(runs[-1][-1][0], 99) + 1:
+            runs[-1].append(d)
         else:
-            for c in list(p.children):
-                li.append(c)
-        ol.append(li)
-    defs[-1][3].insert_after(ol)
-    for _i, _num, _l, n in defs:
-        n.detach()
+            runs.append([d])
+
+    if delim is None:
+        runs = [r for r in runs if len(r) >= 2]
+    if not runs:
+        return
+
+    # numbering must increase across the whole accepted sequence
+    prev_n = None
+    for run in runs:
+        for _i, num, _l, _n in run:
+            if not num.isdigit():
+                return
+            n = int(num)
+            if prev_n is not None and n <= prev_n:
+                return
+            prev_n = n
+
+    for run in runs:
+        ol = Node.element("ol", {"class": "footnotes-list"})
+        for _i, num, label, p in run:
+            li = _new_fn_li(num)
+            _detach_leading_marker(p)
+            if label:
+                strong = Node.element("strong")
+                strong.append(Node.text_node(label))
+                p_inner = Node.element("p")
+                p_inner.append(strong)
+                for c in list(p.children):
+                    p_inner.append(c)
+                li.append(p_inner)
+            else:
+                for c in list(p.children):
+                    li.append(c)
+            ol.append(li)
+        run[-1][3].insert_after(ol)
+        for _i, _num, _l, n in run:
+            n.detach()
     if delim is not None:
         delim.detach()
 

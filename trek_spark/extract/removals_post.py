@@ -334,6 +334,7 @@ def _drop_trailing_related(root: Node) -> None:
         if k.tag in _HEADING_TAGS and (
                 "related" in lc or "read next" in lc or "more from" in lc
                 or "further reading" in lc or "about the author" in lc
+                or lc.strip() in ("subscribe", "newsletter")
                 or lc.strip().startswith("comments")):
             for j in range(idx, n):
                 if kids[j].parent is not None:
