@@ -158,9 +158,13 @@ def _chatgpt_header_lang(pre: Node) -> Optional[str]:
     for d in pre.iter_elements():
         toks = _tokens(d.get("class"))
         if "select-none" in toks or "sticky" in toks:
-            for word in d.text_content().split():
-                if word.lower() in _KNOWN_LANGS:
-                    return word.lower()
+            # inspect individual text nodes (labels/buttons are adjacent
+            # without whitespace: "PythonRun")
+            for t in d.iter():
+                if t.type == TEXT:
+                    word = t.text.strip()
+                    if word.lower() in _KNOWN_LANGS:
+                        return word.lower()
     return None
 
 
@@ -200,15 +204,17 @@ def extract_text_with_lines(node: Node) -> str:
         return bool(out) and out[-1].endswith("\n")
 
     def visit(n: Node, state: list) -> None:
-        # state[0] = last_was_line_term
+        # state[0]: 0 = mid-line, 1 = newline from <br>, 2 = newline from a
+        # line container/block. <br> after a container-newline is a doubled
+        # separator (skip); <br> after a br-newline is a real blank line.
         for c in n.children:
             if c.type == ELEMENT:
                 tag = c.tag
                 if tag == "br":
-                    if not state[0]:
+                    if state[0] != 2:
                         out.append("\n")
                         total[0] += 1
-                    state[0] = True
+                    state[0] = 1
                     continue
                 if tag in ("button", "style", "script", "svg"):
                     continue
@@ -220,7 +226,7 @@ def extract_text_with_lines(node: Node) -> str:
                     continue
                 cls = c.get("class") or ""
                 if _is_lineno_class(cls):
-                    state[0] = False
+                    state[0] = 0
                     continue
                 if _is_chrome_class(cls):
                     continue
@@ -229,28 +235,34 @@ def extract_text_with_lines(node: Node) -> str:
                 is_line = _is_line_container_class(cls)
                 block_like = tag in ("p", "div", "li", "tr") or is_line
                 before = total[0]
-                child_state = [False]
+                child_state = [0]
                 visit(c, child_state)
                 produced = total[0] > before
                 if block_like and produced and not ends_nl():
                     out.append("\n")
                     total[0] += 1
-                    state[0] = True
+                    state[0] = 2
                 elif block_like and produced and ends_nl():
-                    state[0] = True
+                    state[0] = 2
                 elif is_line and not produced:
-                    state[0] = False
+                    state[0] = 0
                 elif produced:
-                    state[0] = ends_nl()
+                    state[0] = 2 if ends_nl() else 0
             elif c.type == TEXT:
                 s = c.text
                 if not s:
                     continue
                 if state[0] and "\n" in s and not s.strip():
                     continue
+                # inter-element formatting whitespace inside block/table
+                # containers is layout, not code
+                if not s.strip() and "\n" in s and n.type == ELEMENT \
+                        and n.tag in ("table", "tbody", "thead", "tr", "td",
+                                      "figure", "ol", "ul"):
+                    continue
                 out.append(s)
                 total[0] += len(s)
-                state[0] = s.endswith("\n")
+                state[0] = 2 if s.endswith("\n") else 0
 
     visit(node, [False])
     return "".join(out)
@@ -315,9 +327,15 @@ def _looks_like_codemirror(n: Node) -> bool:
 
 
 def _nearby_code_block(node: Node) -> bool:
+    """True when node sits in a small code-block wrapper that also holds a
+    <pre>. Stops before body/article/main — a page-level container with a
+    pre somewhere must not mark every button in the document as chrome."""
     cur = node.parent
     hops = 0
     while cur is not None and hops < 3:
+        if cur.type == ELEMENT and cur.tag in ("body", "article", "main",
+                                               "section"):
+            return False
         hops += 1
         for d in cur.iter_elements():
             if d is not node and d.tag == "pre":

@@ -524,15 +524,24 @@ class Renderer:
     def render_inline_text(self, raw: str) -> str:
         if self.in_pre:
             return raw
+        if "\u00a0" in raw:
+            # nbsp: a run between word characters collapses to one space;
+            # nbsp adjacent to punctuation disappears (golden corpus:
+            # "formul\u00e6\u00a0:" \u2192 "formul\u00e6:", word\u00a0word \u2192 "word word")
+            raw = re.sub("\u00a0+", "\u00a0", raw)
+            # drop nbsp only when directly adjacent to punctuation;
+            # word-adjacent or node-boundary nbsp becomes a space
+            raw = re.sub("(?<=[^\\w\\s])\u00a0|\u00a0(?=[^\\w\\s])", "", raw)
+            raw = raw.replace("\u00a0", " ")
         buf = []
         prev_space = False
         for c in raw:
             if c == "\ufeff":
                 continue
-            # collapse ASCII whitespace and nbsp \u2014 but typographic spaces
-            # (U+2009 thin space etc.) are content and survive verbatim in
-            # the golden corpus
-            if c in " \t\n\r\f\v\u00a0":
+            # collapse ASCII whitespace only \u2014 typographic spaces (U+2009
+            # thin space etc.) are content and survive verbatim in the
+            # golden corpus
+            if c in " \t\n\r\f\v":
                 if not prev_space:
                     buf.append(" ")
                 prev_space = True
@@ -725,7 +734,8 @@ class Renderer:
             for n in run:
                 self.render_inline_node(n, buf)
             run.clear()
-            val = re.sub(" {2,}", " ", buf.value().strip())
+            # collapse space runs except the two-space hard-break marker
+            val = re.sub(r" {2,}(?=\S)", " ", buf.value().strip("\n").strip(" "))
             if val:
                 out.ensure_nl(2)
                 out.push(val)
