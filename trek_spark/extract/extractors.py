@@ -23,7 +23,20 @@ def register(name: str, can_extract: Callable, extract: Callable) -> None:
     _REGISTRY.append((name, can_extract, extract))
 
 
+_BOOTSTRAPPED = False
+
+
+def _bootstrap() -> None:
+    global _BOOTSTRAPPED
+    if _BOOTSTRAPPED:
+        return
+    _BOOTSTRAPPED = True
+    from .conversations import register_all
+    register_all()
+
+
 def try_extractors(html: str, url: Optional[str], collected, metadata):
+    _bootstrap()
     for name, can_extract, extract in _REGISTRY:
         try:
             if not can_extract(url or "", html):
