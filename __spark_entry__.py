@@ -75,6 +75,21 @@ def _extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing op (rows-only): binary payloads through the
+    Arrow-batched decode stub → typed metadata columns."""
+    from trek_spark.spark.multimodal import (
+        attach_media_meta,
+        media_corpus_from_documents,
+    )
+
+    media = media_corpus_from_documents(spark, sf_dir)
+    return (attach_media_meta(media)
+            .select("media_id", "media_type", "mime", "n_bytes",
+                    "content_hash", "width", "height", "duration_ms")
+            .orderBy("media_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from trek_spark.spark.ops import OPS
 
@@ -83,6 +98,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[name] = fn
     out["extract_fixture_turns"] = _extract_fixture_turns
     out["extract_content_spans"] = _extract_spans
+    out["multimodal_decode"] = _multimodal_decode
     return out
 
 
