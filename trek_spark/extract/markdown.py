@@ -512,6 +512,21 @@ def _strip_footnote_backrefs(s: str) -> str:
 
 # ---------------------------------------------------------------- renderer
 
+
+
+_BLOCK_DESC_TAGS = frozenset((
+    "p", "div", "ul", "ol", "pre", "blockquote", "table", "h1", "h2", "h3",
+    "h4", "h5", "h6", "figure", "section", "article",
+))
+
+
+def _contains_block(node: Node) -> bool:
+    for d in node.iter_elements():
+        if d is not node and d.tag in _BLOCK_DESC_TAGS:
+            return True
+    return False
+
+
 class Renderer:
     def __init__(self, base_url: Optional[str] = None):
         self.list_stack: list[list] = []  # [ordered: bool, next: int]
@@ -749,6 +764,13 @@ class Renderer:
                 continue
             if child.type == ELEMENT and child.tag in inline_run_tags:
                 if child.tag == "img" and self.render_image(child) == "":
+                    continue
+                if child.tag != "img" and _contains_block(child):
+                    # an inline wrapper holding block content (e.g.
+                    # <span class="gated-content"><p>…) is a transparent
+                    # block container, not inline content
+                    flush()
+                    self.render_div_like(child, out)
                     continue
                 run.append(child)
                 continue

@@ -41,6 +41,8 @@ _LONG_DATE_RE = re.compile(
     r"^\s*(?:\d{1,2}\s+)?(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)"
     r"[a-z]*\s+\d{1,2},?\s*\d{0,4}\s*$", re.I)
 
+_SENTENCE_PUNCT = ".!?:;\u3002\uff01\uff1f\u2026\u061f\u060c\uff1b\uff1a"
+
 _LABELS = (
     "share this article", "share this story", "pinned", "advertisement",
     "loading…", "loading...", "loading", "more like this",
@@ -344,21 +346,38 @@ def _drop_trailing_related(root: Node) -> None:
 
 def _drop_link_dense_trailing(root: Node) -> None:
     scope = _scope_of(root)
-    kids = scope.element_children()
+    kids = [c for c in scope.children
+            if c.type == ELEMENT or (c.type == TEXT and c.text.strip())]
     if not kids:
         return
     for idx in range(len(kids) - 1, -1, -1):
         k = kids[idx]
         if k.parent is None:
             continue
+        if k.type == TEXT:
+            # trailing bare text label ("Linked mentions") — short,
+            # no sentence punctuation → chrome
+            t = k.text.strip()
+            if _words(t) < 6 and not any(c in t for c in _SENTENCE_PUNCT):
+                k.detach()
+                continue
+            break
         if k.tag in ("hr", "br"):
             k.detach()
             continue
-        if k.tag not in ("div", "section", "ul", "aside", "p"):
+        if k.tag not in ("div", "section", "ul", "aside", "p", "span"):
             break
         words = _words(_text(k))
         if words < 6:
             if words == 0:
+                k.detach()
+                continue
+            t = _text(k).strip()
+            # trailing short non-prose widget ("You might also enjoy",
+            # "FPS: --") — no sentence-ending punctuation → drop
+            if not any(c in t for c in _SENTENCE_PUNCT) \
+                    and not _has_media(k) \
+                    and k.find_first("code") is None:
                 k.detach()
                 continue
             break
@@ -366,6 +385,14 @@ def _drop_link_dense_trailing(root: Node) -> None:
             k.detach()
             continue
         break
+
+
+def _has_media(n: Node) -> bool:
+    for d in n.iter_elements():
+        if d.tag in ("img", "video", "audio", "iframe", "picture", "table",
+                     "pre", "math"):
+            return True
+    return False
 
 
 def _drop_label_widgets(root: Node) -> None:
