@@ -339,6 +339,10 @@ def flatten_wrapper_elements_legacy(body: Node) -> None:
             continue
         if _inside_pre_or_code(n):
             continue
+        if not n.element_children():
+            # text-only wrappers stay discrete so content-pattern removals
+            # can still target them ("8 min read", "Pinned", bylines)
+            continue
         if _legacy_div_flattenable(n):
             n.unwrap()
 

@@ -319,11 +319,7 @@ def _drop_breadcrumb_at_start(root: Node) -> None:
 
 
 def _drop_trailing_related(root: Node) -> None:
-    scope = root
-    for d in root.iter_elements():
-        if d.tag == "body":
-            scope = d
-            break
+    scope = _scope_of(root)
     kids = scope.element_children()
     if not kids:
         return
@@ -375,8 +371,12 @@ def _drop_link_dense_trailing(root: Node) -> None:
             t = _text(k).strip()
             # trailing short non-prose widget ("You might also enjoy",
             # "FPS: --") — no sentence-ending punctuation → drop
-            if not any(c in t for c in _SENTENCE_PUNCT) \
-                    and not _has_media(k) \
+            is_label = not any(c in t for c in _SENTENCE_PUNCT)
+            # all-caps ascii stat widgets ("FPS: --") count as labels even
+            # with a colon; CJK prose (non-ascii) is protected
+            if not is_label and t.isascii() and not re.search(r"[a-z]", t):
+                is_label = True
+            if is_label and not _has_media(k) \
                     and k.find_first("code") is None:
                 k.detach()
                 continue
@@ -498,7 +498,24 @@ def _drop_trailing_author_block(root: Node) -> None:
                 continue
 
 
+def _drop_leading_eyebrow(root: Node) -> None:
+    """Eyebrow/kicker label immediately before the lead heading
+    ("Blog post", "CASE STUDY") → chrome."""
+    scope = _scope_of(root)
+    kids = scope.element_children()
+    if len(kids) < 2:
+        return
+    first = kids[0]
+    if first.tag not in ("p", "div", "span") or kids[1].tag not in _HEADING_TAGS:
+        return
+    t = _text(first).strip()
+    if t and _words(t) <= 4 and not any(c in t for c in _SENTENCE_PUNCT) \
+            and not _has_media(first):
+        first.detach()
+
+
 def content_patterns(root: Node) -> None:
+    _drop_leading_eyebrow(root)
     _drop_social_counters(root)
     _drop_read_time(root)
     _drop_share_follow(root)
