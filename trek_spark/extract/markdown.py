@@ -745,6 +745,35 @@ class Renderer:
         def flush():
             if not run:
                 return
+            # a run of ≥2 bare links (no interleaved text) renders as
+            # separate paragraphs (avatar-link + name-link pattern), while
+            # text-bearing runs stay one implicit paragraph
+            els = [n for n in run if n.type == ELEMENT]
+            texty = any(n.type == TEXT and n.text.strip() for n in run)
+
+            def bare_link(e):
+                if e.tag == "a":
+                    return True
+                if e.tag == "span":
+                    if any(c.type == TEXT and c.text.strip()
+                           for c in e.children):
+                        return False
+                    kids = e.element_children()
+                    return len(kids) == 1 and bare_link(kids[0])
+                return False
+
+            if len(els) >= 2 and not texty and all(bare_link(e) for e in els):
+                items = list(els)
+                run.clear()
+                for e in items:
+                    b = _Out()
+                    self.render_inline_node(e, b)
+                    v = b.value().strip()
+                    if v:
+                        out.ensure_nl(2)
+                        out.push(v)
+                        out.ensure_nl(2)
+                return
             buf = _Out()
             for n in run:
                 self.render_inline_node(n, buf)
@@ -982,6 +1011,7 @@ class Renderer:
         for ident, body in defs:
             one_line = " ".join(
                 ln.strip() for ln in body.split("\n") if ln.strip())
+            one_line = one_line.replace(" ...", "...")
             out.ensure_nl(2)
             out.push(f"[^{ident}]: {one_line}")
             out.ensure_nl(2)
@@ -1265,6 +1295,9 @@ def post_process(md: str, footnotes: list[tuple[str, str]], title: str) -> str:
         return whole[0] if whole and whole[0] != "[" else ""
 
     s = _EMPTY_LINK_RE.sub(_empty_link_sub, s)
+    # Arabic-script punctuation directly after a closing ** gets a space
+    # (golden corpus convention for RTL comma/semicolon/question mark)
+    s = re.sub("(?<=[^\\s*]\\*\\*)(?=[\u060c\u061b\u061f])", " ", s)
     s = _BANG_BANG_RE.sub(r"! \1", s)
     s = _MULTI_NL_RE.sub("\n\n", s)
 
