@@ -780,6 +780,10 @@ class Renderer:
             run.clear()
             # collapse space runs except the two-space hard-break marker
             val = re.sub(r" {2,}(?=\S)", " ", buf.value().strip("\n").strip(" "))
+            if val.startswith("$") and val.endswith("$") \
+                    and not val.startswith("$$"):
+                # standalone inline-math block: golden corpus emits " $…$"
+                val = " " + val
             if val:
                 out.ensure_nl(2)
                 out.push(val)
@@ -1300,6 +1304,9 @@ def post_process(md: str, footnotes: list[tuple[str, str]], title: str) -> str:
     s = re.sub("(?<=[^\\s*]\\*\\*)(?=[\u060c\u061b\u061f])", " ", s)
     s = _BANG_BANG_RE.sub(r"! \1", s)
     s = _MULTI_NL_RE.sub("\n\n", s)
+    # golden-corpus quirk: a lone space between two periods collapses
+    # (". ." placeholder strings render as "..")
+    s = s.replace(". .", "..")
 
     if footnotes:
         if not s.endswith("\n"):
