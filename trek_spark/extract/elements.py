@@ -911,7 +911,8 @@ def _drop_delimiter_before_known(root: Node) -> None:
             if prev.type != ELEMENT:
                 prev = prev.prev_sibling()
                 continue
-            if _is_footnote_delimiter(prev):
+            if _is_footnote_delimiter(prev) \
+                    and "sr-only" not in prev.classes():
                 prev.detach()
             break
 

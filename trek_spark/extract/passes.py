@@ -55,6 +55,18 @@ _PARTIAL_RE = re.compile("|".join(re.escape(p) for p in PARTIAL_SELECTORS))
 _EXACT_COMPILED = [compile_selector(s) for s in EXACT_SELECTORS]
 
 
+def _inside_footnotes_container(node: Node) -> bool:
+    cur = node.parent
+    while cur is not None:
+        if cur.type == ELEMENT:
+            if cur.get("data-footnotes") is not None:
+                return True
+            if any("footnote" in c for c in cur.classes()):
+                return True
+        cur = cur.parent
+    return False
+
+
 def _inside_pre_or_code(node: Node) -> bool:
     cur = node.parent
     while cur is not None:
@@ -137,6 +149,10 @@ def remove_clutter(body: Node, remove_exact: bool = True,
                     if v is not None and value_matches_partial(v, attr):
                         should_remove = True
                         break
+            if should_remove and t in _HEADING_TAGS \
+                    and "sr-only" in n.classes() \
+                    and _inside_footnotes_container(n):
+                should_remove = False
             if should_remove:
                 to_remove.append(n)
     removed = 0
@@ -187,6 +203,12 @@ def selectors_pass(body: Node) -> int:
             if v is not None and _class_token_matches_partial(v, attr):
                 matched = True
                 break
+        if matched and n.tag in _HEADING_TAGS \
+                and "sr-only" in n.classes() \
+                and _inside_footnotes_container(n):
+            # screen-reader "Footnotes" headings inside footnote sections
+            # are real structure in the golden corpus
+            matched = False
         if matched and n.tag not in ("html", "body"):
             to_remove.append(n)
     removed = 0

@@ -372,6 +372,8 @@ def _drop_link_dense_trailing(root: Node) -> None:
             # trailing short non-prose widget ("You might also enjoy",
             # "FPS: --") — no sentence-ending punctuation → drop
             is_label = not any(c in t for c in _SENTENCE_PUNCT)
+            if not is_label and _link_density(k) > 0.8:
+                is_label = True  # trailing pure-link widget (signature line)
             # all-caps ascii stat widgets ("FPS: --") count as labels even
             # with a colon; CJK prose (non-ascii) is protected
             if not is_label and t.isascii() and not re.search(r"[a-z]", t):
@@ -499,22 +501,44 @@ def _drop_trailing_author_block(root: Node) -> None:
 
 
 def _drop_leading_eyebrow(root: Node) -> None:
-    """Eyebrow/kicker label immediately before the lead heading
-    ("Blog post", "CASE STUDY") → chrome."""
+    """Eyebrow/kicker labels immediately before the lead heading
+    ("Blog post", icon + "Off-nominal") → chrome."""
     scope = _scope_of(root)
     kids = scope.element_children()
     if len(kids) < 2:
         return
-    first = kids[0]
-    if first.tag not in ("p", "div", "span") or kids[1].tag not in _HEADING_TAGS:
+    candidates = []
+    heading = None
+    for k in kids[:4]:
+        if k.tag in _HEADING_TAGS:
+            heading = k
+            break
+        if k.tag not in ("p", "div", "span"):
+            return
+        t = _text(k).strip()
+        if t and (_words(t) > 4 or any(c in t for c in _SENTENCE_PUNCT)
+                  or _has_media(k)):
+            return
+        candidates.append(k)
+    if heading is None or not candidates:
         return
-    t = _text(first).strip()
-    if t and _words(t) <= 4 and not any(c in t for c in _SENTENCE_PUNCT) \
-            and not _has_media(first):
-        first.detach()
+    if not any(_text(c).strip() for c in candidates):
+        return
+    for c in candidates:
+        c.detach()
+
+
+def _drop_dismiss_controls(root: Node) -> None:
+    for a in [n for n in root.descendants_snapshot() if n.tag == "a"]:
+        if a.parent is None:
+            continue
+        label = (a.get("aria-label") or "").lower()
+        if label in ("dismiss", "close") or a.get("data-dismiss-url") is not None:
+            a.detach()
 
 
 def content_patterns(root: Node) -> None:
+    _drop_dismiss_controls(root)
     _drop_leading_eyebrow(root)
     _drop_social_counters(root)
     _drop_read_time(root)
