@@ -43,6 +43,10 @@ _LONG_DATE_RE = re.compile(
 
 _SENTENCE_PUNCT = ".!?:;\u3002\uff01\uff1f\u2026\u061f\u060c\uff1b\uff1a"
 
+_LEGAL_RE = re.compile(
+    r"(?i)\b(?:all rights reserved|re-?use permitted|copyright \u00a9?|"
+    r"\u00a9 \d{4}|terms of (?:use|service))\b")
+
 _LABELS = (
     "share this article", "share this story", "pinned", "advertisement",
     "loading…", "loading...", "loading", "more like this",
@@ -485,6 +489,9 @@ def _drop_trailing_author_block(root: Node) -> None:
             continue
         if k.tag in _HEADING_TAGS:
             continue
+        if _LEGAL_RE.search(trimmed) and words < 20:
+            k.detach()
+            continue
         by_match = bool(_BYLINE_BY_RE.match(trimmed))
         date_match = bool(_TRAILING_DATE_RE.search(trimmed))
         lc = trimmed.lower()
@@ -526,6 +533,22 @@ def _drop_leading_eyebrow(root: Node) -> None:
         return
     for c in candidates:
         c.detach()
+
+
+def _drop_hr_label_widgets(root: Node) -> None:
+    """Short no-punct label sandwiched between two <hr>s ("For More on
+    This Topic") → drop label + the second hr."""
+    for d in _post_order_elements(root):
+        if d.parent is None or d.tag not in ("p", "div", "span", "h3", "h4"):
+            continue
+        t = _text(d).strip()
+        if not t or _words(t) > 6 or any(c in t for c in _SENTENCE_PUNCT):
+            continue
+        prev, nxt = d.prev_element_sibling(), d.next_element_sibling()
+        if prev is not None and prev.tag == "hr" \
+                and nxt is not None and nxt.tag == "hr":
+            nxt.detach()
+            d.detach()
 
 
 def _drop_dismiss_controls(root: Node) -> None:
@@ -611,3 +634,5 @@ def run_post(root: Node, title: str = "") -> None:
     metadata_block(root)
     content_patterns(root)
     scoring(root)
+    # after scoring removes embed cards, label-between-hrs shapes surface
+    _drop_hr_label_widgets(root)
