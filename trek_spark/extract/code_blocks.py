@@ -254,12 +254,23 @@ def extract_text_with_lines(node: Node) -> str:
                     continue
                 if state[0] and "\n" in s and not s.strip():
                     continue
-                # inter-element formatting whitespace inside block/table
-                # containers is layout, not code
-                if not s.strip() and "\n" in s and n.type == ELEMENT \
-                        and n.tag in ("table", "tbody", "thead", "tr", "td",
-                                      "figure", "ol", "ul"):
-                    continue
+                if not s.strip() and "\n" in s:
+                    # whitespace formatting around BLOCK siblings is layout,
+                    # not code (indentation before <table>/<pre>/<div>);
+                    # whitespace between inline spans/text is real code
+                    if n.type == ELEMENT and n.tag in (
+                            "table", "tbody", "thead", "tr", "td",
+                            "figure", "ol", "ul"):
+                        continue
+                    nxt = c.next_sibling()
+                    while nxt is not None and nxt.type == TEXT \
+                            and not nxt.text.strip():
+                        nxt = nxt.next_sibling()
+                    # only table-layout siblings mark layout whitespace —
+                    # div/span siblings may be line containers (real code)
+                    if nxt is not None and nxt.type == ELEMENT and nxt.tag in (
+                            "table", "tbody", "tr", "td", "figure"):
+                        continue
                 out.append(s)
                 total[0] += len(s)
                 state[0] = 2 if s.endswith("\n") else 0
