@@ -1226,9 +1226,26 @@ def _drop_trailing_bare_period(root: Node) -> None:
             break
 
 
+def _drop_sidenote_spans(root: Node) -> None:
+    """Inline sidenote spans duplicate the footnote definitions at the
+    bottom — drop them from the flow (span.sidenote > span.sidenote-number)."""
+    for sp in [n for n in root.iter_elements()
+               if n.tag == "span" and n.has_class("sidenote")]:
+        if sp.parent is None:
+            continue
+        kids = sp.element_children()
+        if kids and kids[0].has_class("sidenote-number"):
+            sp.detach()
+    for hr in [n for n in root.iter_elements() if n.tag == "hr"
+               and "footnote" in (n.get("class") or "")]:
+        if hr.parent is not None:
+            hr.detach()
+
+
 def normalize_footnotes(root: Node) -> None:
     """7 footnote shape-families → canonical `<ol class="footnotes-list">`
     + `<sup>N</sup>` refs (`src/elements/footnotes.rs:47-84` pass order)."""
+    _drop_sidenote_spans(root)
     _rewrite_word_ftn_ids(root)
     _rewrite_ftnt_ids(root)
     _rewrite_easy_footnotes(root)

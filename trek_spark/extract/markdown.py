@@ -926,10 +926,21 @@ class Renderer:
         if _has_class(node, "footnote-definition"):
             ident = node.get("id") or ""
             ident = ident.split("-", 1)[0]
+            if not ident:
+                # id may live on an inner <sup id="footnote-N"> label
+                for d in node.iter_elements():
+                    did = d.get("id") or ""
+                    m = re.match(r"(?:fn:|fn-|footnote-)(\w+)", did)
+                    if m:
+                        ident = m.group(1)
+                        break
             buf = _Out()
             for child in node.children:
                 if _has_class(child, "footnote-definition-label"):
                     continue
+                if child.type == ELEMENT and child.tag == "sup" \
+                        and child.text_content().strip().isdigit():
+                    continue  # numeric label sup
                 self.render_block(child, buf)
             cleaned = _strip_footnote_backrefs(buf.value().strip())
             if ident:
