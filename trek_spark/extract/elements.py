@@ -576,7 +576,7 @@ _LEADING_NUMBER_RE = re.compile(r"^\s*[\[\(\{]?\s*(\d+)\s*[\]\)\}]?\s*[.):]?\s*$
 _EASY_HREF_RE = re.compile(r"#easy-footnote-bottom-(\d+)")
 _WORD_FTN_RE = re.compile(r"#_ftn(\d+)", re.I)
 _WORD_FTNREF_RE = re.compile(r"#_ftnref(\d+)", re.I)
-_FN_ANCHOR_ID_RE = re.compile(r"^(?:fn-|footnote-)(\d+)")
+_FN_ANCHOR_ID_RE = re.compile(r"^(?:fn|footnote|ref|note)[-_:]?(\d+)$", re.I)
 
 _DELIM_HEADINGS = frozenset(
     ("notes", "footnotes", "endnotes", "references", "footnote"))
@@ -629,6 +629,13 @@ def _parse_def_paragraph(p: Node):
     if first.tag == "sup":
         m = _LEADING_NUMBER_RE.match(first.text_content().strip())
         return (m.group(1), None) if m else None
+    if first.tag == "a":
+        # leading numeric backlink anchor: <a href="#FnAnchor_1">1</a> body
+        href = first.get("href") or ""
+        m = _LEADING_NUMBER_RE.match(first.text_content().strip())
+        if m and re.search(r"(?:anchor|fnref|fn|ref|note)", href, re.I):
+            return (m.group(1), None)
+        return None
     if first.tag in ("strong", "b"):
         wrapped_num = None
         label_parts = []
@@ -913,7 +920,14 @@ def _drop_delimiter_before_known(root: Node) -> None:
                 continue
             if _is_footnote_delimiter(prev) \
                     and "sr-only" not in prev.classes():
-                prev.detach()
+                # an <hr> that lives INSIDE a .footnotes wrapper is kept
+                # (visual separator in the golden corpus); only delimiters
+                # preceding the footnote region from outside are dropped
+                par = prev.parent
+                inside_wrapper = (par is not None and par.type == ELEMENT
+                                  and "footnotes" in par.classes())
+                if not (prev.tag == "hr" and inside_wrapper):
+                    prev.detach()
             break
 
 
@@ -1127,6 +1141,7 @@ def _convert_anchored_definitions(root: Node) -> None:
         if n.tag == "ol" and n.has_class("footnotes-list"):
             return
     ol = Node.element("ol", {"class": "footnotes-list"})
+    shells = []
     for num, anchor in groups:
         p = anchor.parent
         if p is None:
@@ -1136,8 +1151,12 @@ def _convert_anchored_definitions(root: Node) -> None:
         for c in list(p.children):
             li.append(c)
         ol.append(li)
+        shells.append(p)
+    if not shells:
+        return
+    shells[-1].insert_after(ol)
+    for p in shells:
         p.detach()
-    parent.append(ol)
 
 
 def _renumber_named_ids(root: Node) -> None:
@@ -1242,10 +1261,47 @@ def _drop_sidenote_spans(root: Node) -> None:
             hr.detach()
 
 
+def _tag_reference_lists(root: Node) -> None:
+    """<ol>/<li> reference lists whose items carry #rN/#refN/#Footnote_N
+    anchor ids (directly or on a child anchor) → canonical footnotes-list."""
+    id_re = re.compile(r"^(?:r|ref|note|fn|footnote)[-_:]?(\d+)$", re.I)
+    for ol in [n for n in root.iter_elements() if n.tag in ("ol", "ul")]:
+        hits = []
+        for li in ol.element_children():
+            if li.tag != "li":
+                continue
+            num = None
+            ident = li.get("id")
+            if ident:
+                m = id_re.match(ident)
+                if m:
+                    num = m.group(1)
+            if num is None:
+                for d in li.iter_elements():
+                    if d.tag in ("a", "sup", "span") and d.get("id"):
+                        m = id_re.match(d.get("id"))
+                        if m:
+                            num = m.group(1)
+                            break
+            if num is not None:
+                hits.append((li, num))
+        if len(hits) >= 2:
+            _add_class(ol, "footnotes-list")
+            for li, num in hits:
+                li.set("id", f"fn:{num}")
+                # drop the now-redundant anchor label inside
+                for d in li.descendants_snapshot():
+                    if d.tag == "a" and d.get("id") \
+                            and id_re.match(d.get("id") or "") \
+                            and not d.text_content().strip():
+                        d.detach()
+
+
 def normalize_footnotes(root: Node) -> None:
     """7 footnote shape-families → canonical `<ol class="footnotes-list">`
     + `<sup>N</sup>` refs (`src/elements/footnotes.rs:47-84` pass order)."""
     _drop_sidenote_spans(root)
+    _tag_reference_lists(root)
     _rewrite_word_ftn_ids(root)
     _rewrite_ftnt_ids(root)
     _rewrite_easy_footnotes(root)
@@ -1258,6 +1314,7 @@ def normalize_footnotes(root: Node) -> None:
     _tag_canonical_lists(root)
     _convert_paragraph_definitions_containers(root)
     _convert_anchored_definitions(root)
+    _drop_delimiter_before_known(root)  # converters may surface new lists
     _renumber_named_ids(root)
     _drop_trailing_bare_period(root)
     _trim_ws_around_footnote_refs(root)

@@ -186,6 +186,13 @@ def footnote_ref_id(node: Node) -> Optional[str]:
     for prefix in ("footnote-", "cite_note-"):
         if ident.startswith(prefix):
             return _normalize_fn_id(ident[len(prefix):])
+    m = re.match(r"(?:r|ref|note|footnote)[-_:]?(\d+)$", ident, re.I)
+    if m:
+        # generic reference anchor (#r1, #ref2, #Footnote_3) — treat as a
+        # footnote ref when the link text is the bare/bracketed number
+        text = node.text_content().strip().strip("[]")
+        if text == m.group(1):
+            return m.group(1)
     if ident.isdigit():
         text = node.text_content().strip()
         if text == ident:
@@ -662,7 +669,8 @@ class Renderer:
             text = node.text_content().strip()
             wraps_sup = node.find_first("sup") is not None
             numeric_like = (not is_backref(node)) and \
-                all(c.isdigit() or c == "↩" for c in text)
+                all(c.isdigit() or c in "↩[]()" for c in text) \
+                and any(c.isdigit() for c in text)
             if (wraps_sup or numeric_like) and fid:
                 out.push("[^" + fid + "]")
                 return
@@ -1313,6 +1321,9 @@ def post_process(md: str, footnotes: list[tuple[str, str]], title: str) -> str:
     # Arabic-script punctuation directly after a closing ** gets a space
     # (golden corpus convention for RTL comma/semicolon/question mark)
     s = re.sub("(?<=[^\\s*]\\*\\*)(?=[\u060c\u061b\u061f])", " ", s)
+    # drop a stray space between closing emphasis and ASCII punctuation
+    # ("*Journal* , 1962" → "*Journal*, 1962")
+    s = re.sub(r"(?<=\*) (?=[,.;:])", "", s)
     s = _BANG_BANG_RE.sub(r"! \1", s)
     s = _MULTI_NL_RE.sub("\n\n", s)
     # golden-corpus quirk: a lone space between two periods collapses
