@@ -588,21 +588,13 @@ class Renderer:
         if t == "br":
             out.push("  \n")
         elif t in ("strong", "b"):
-            inner = self.render_inline(node)
-            if inner.strip():
-                out.push("**" + inner.strip() + "**")
+            self._emit_flanked(node, "**", out)
         elif t in ("em", "i"):
-            inner = self.render_inline(node)
-            if inner.strip():
-                out.push("*" + inner.strip() + "*")
+            self._emit_flanked(node, "*", out)
         elif t in ("del", "s", "strike"):
-            inner = self.render_inline(node)
-            if inner.strip():
-                out.push("~~" + inner.strip() + "~~")
+            self._emit_flanked(node, "~~", out)
         elif t == "mark":
-            inner = self.render_inline(node)
-            if inner.strip():
-                out.push("==" + inner.strip() + "==")
+            self._emit_flanked(node, "==", out)
         elif t == "code":
             self.render_inline_code(node, out)
         elif t == "a":
@@ -644,6 +636,22 @@ class Renderer:
             pass
         else:
             out.push(self.render_inline(node))
+
+    def _emit_flanked(self, node: Node, delim: str, out: _Out) -> None:
+        """Turndown flanking rule: leading/trailing whitespace of the inner
+        content moves OUTSIDE the emphasis delimiters ("<i>at </i>" →
+        "*at* ")."""
+        inner = self.render_inline(node)
+        core = inner.strip()
+        if not core:
+            return
+        lead = inner[: len(inner) - len(inner.lstrip())]
+        trail = inner[len(inner.rstrip()):]
+        if lead:
+            out.push(" " if "\n" not in lead else lead)
+        out.push(delim + core + delim)
+        if trail:
+            out.push(trail if "\n" in trail else " ")
 
     def render_inline_code(self, node: Node, out: _Out) -> None:
         content = node.text_content().strip()

@@ -520,7 +520,7 @@ def _drop_leading_eyebrow(root: Node) -> None:
         if k.tag in _HEADING_TAGS:
             heading = k
             break
-        if k.tag not in ("p", "div", "span"):
+        if k.tag not in ("p", "div", "span", "a"):
             return
         t = _text(k).strip()
         if t and (_words(t) > 4 or any(c in t for c in _SENTENCE_PUNCT)
@@ -551,6 +551,23 @@ def _drop_hr_label_widgets(root: Node) -> None:
             d.detach()
 
 
+def _drop_toc_blocks(root: Node) -> None:
+    """"Contents"/"Table of contents" heading + link-only list → chrome."""
+    for h in [n for n in root.descendants_snapshot()
+              if n.tag in _HEADING_TAGS]:
+        if h.parent is None:
+            continue
+        if _text(h).strip().lower() not in ("contents", "table of contents",
+                                            "in this article",
+                                            "on this page"):
+            continue
+        nxt = h.next_element_sibling()
+        if nxt is not None and nxt.tag in ("ul", "ol", "nav", "div") \
+                and _link_density(nxt) > 0.8:
+            nxt.detach()
+            h.detach()
+
+
 def _drop_dismiss_controls(root: Node) -> None:
     for a in [n for n in root.descendants_snapshot() if n.tag == "a"]:
         if a.parent is None:
@@ -562,6 +579,7 @@ def _drop_dismiss_controls(root: Node) -> None:
 
 def content_patterns(root: Node) -> None:
     _drop_dismiss_controls(root)
+    _drop_toc_blocks(root)
     _drop_leading_eyebrow(root)
     _drop_social_counters(root)
     _drop_read_time(root)
