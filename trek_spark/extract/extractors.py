@@ -33,6 +33,8 @@ def _bootstrap() -> None:
     _BOOTSTRAPPED = True
     from .conversations import register_all
     register_all()
+    from .comments import register_comment_extractors
+    register_comment_extractors()
 
 
 def try_extractors(html: str, url: Optional[str], collected, metadata):
