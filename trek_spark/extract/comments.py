@@ -173,11 +173,39 @@ def hn_can(url: str, html: str) -> bool:
     return _host(url) == "news.ycombinator.com" and "item" in url
 
 
+def _hn_comment_page(body: Node):
+    """Comment-permalink page (fatitem holds a comment, no titleline):
+    title "Comment by USER: text…", body = header + comment paragraphs."""
+    fat = _find_class(body, "fatitem", "table")
+    if fat is None:
+        return None
+    commtext = _find_class(fat, "commtext")
+    if commtext is None:
+        return None
+    hnuser = _find_class(fat, "hnuser", "a")
+    user = hnuser.text_content().strip() if hnuser is not None else ""
+    age = _find_class(fat, "age")
+    dt = (age.get("title") or "")[:10] if age is not None else ""
+    text = commtext.text_content().strip()
+    first = " ".join(text.split())
+    title = f"Comment by {user}: {first}"
+    if len(title) > 80:
+        title = title[:77].rstrip() + "..."
+    header = f"<p><strong>{user}</strong> · {dt}</p>" if user else ""
+    content = f"<article>{header}{inner_html(commtext)}</article>"
+    overrides = {"site": "Hacker News", "title": title}
+    if user:
+        overrides["author"] = user
+    if dt:
+        overrides["published"] = dt
+    return content, overrides
+
+
 def hn_extract(html: str, url, collected, metadata):
     body = body_of(parse_html(html))
     titleline = _find_class(body, "titleline")
     if titleline is None:
-        return None
+        return _hn_comment_page(body)
     link = titleline.find_first("a")
     title = link.text_content().strip() if link is not None else ""
     story_url = (link.get("href") or "") if link is not None else ""
