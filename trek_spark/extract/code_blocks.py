@@ -428,7 +428,11 @@ def normalize_code_blocks_std(root: Node) -> None:
                              "ul", "ol", "table", "blockquote"):
                         break
                     if t == "button":
-                        victims.append(sib)
+                        btxt = sib.text_content().strip()
+                        if not btxt or len(btxt) <= 16 and " " not in btxt \
+                                or btxt.lower() in ("copy", "run",
+                                                    "copy code"):
+                            victims.append(sib)
                         sib = sib.prev_sibling()
                         continue
                     if t in ("span", "div"):
@@ -520,9 +524,15 @@ def normalize_code_blocks_std(root: Node) -> None:
         cand.insert_before(build_canonical_pre(cleaned, lang))
         cand.detach()
 
-    # Pass B2: buttons near code + sibling language-label spans
+    # Pass B2: buttons near code + sibling language-label spans.
+    # Only chrome-looking buttons (empty/short single-token/copy-run text) —
+    # content buttons inside paragraphs keep their inner text.
     for b in [n for n in root.descendants_snapshot() if n.tag == "button"]:
-        if b.parent is not None and _nearby_code_block(b):
+        if b.parent is None or not _nearby_code_block(b):
+            continue
+        btxt = b.text_content().strip()
+        if not btxt or (len(btxt) <= 16 and " " not in btxt) \
+                or btxt.lower() in ("copy", "run", "copy code"):
             b.detach()
     for s in [n for n in root.descendants_snapshot() if n.tag == "span"]:
         if s.parent is None:

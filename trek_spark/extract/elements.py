@@ -305,7 +305,33 @@ def _is_tracking_pixel(img: Node) -> bool:
     return "/pixel." in src or "tracking" in src or "/1x1." in src
 
 
+def _dedup_adjacent_images(root: Node) -> None:
+    """Lightbox/noscript duplicates: an <img> whose src equals the previous
+    sibling image's src (or the previous <a>'s href whose thumbnail links
+    to the same full-size file) is a duplicate — drop it."""
+    for img in [n for n in root.iter_elements() if n.tag == "img"]:
+        if img.parent is None:
+            continue
+        src = img.get("src") or ""
+        if not src:
+            continue
+        prev = img.prev_element_sibling()
+        if prev is None:
+            continue
+        if prev.tag == "img" and (prev.get("src") or "") == src:
+            img.detach()
+            continue
+        if prev.tag == "a":
+            if (prev.get("href") or "") == src and prev.find_first("img") is not None:
+                img.detach()
+                continue
+            pimg = prev.find_first("img")
+            if pimg is not None and (pimg.get("src") or "") == src:
+                img.detach()
+
+
 def normalize_images(root: Node) -> None:
+    _dedup_adjacent_images(root)
     for img in [n for n in root.iter_elements() if n.tag == "img"]:
         if img.parent is None:
             continue

@@ -498,7 +498,13 @@ def _drop_trailing_author_block(root: Node) -> None:
         label_match = (lc.startswith("posted in") or lc.startswith("filed under")
                        or lc.startswith("tags ") or lc == "tags"
                        or lc.startswith("tagged "))
-        if (by_match or date_match or label_match) and words < 14:
+        ends_sentence = trimmed.endswith((".", "!", "?"))
+        if (by_match or label_match) and words < 14:
+            k.detach()
+            continue
+        if date_match and words < 14 and not (ends_sentence and words >= 8):
+            # a dated but sentence-like trailing block (an "Update ...:"
+            # note) is content, not a byline
             k.detach()
             continue
         if k.tag in ("section", "div", "aside") and words < 14:
