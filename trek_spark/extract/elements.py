@@ -605,7 +605,8 @@ _WORD_FTNREF_RE = re.compile(r"#_ftnref(\d+)", re.I)
 _FN_ANCHOR_ID_RE = re.compile(r"^(?:fn|footnote|ref|note)[-_:]?(\d+)$", re.I)
 
 _DELIM_HEADINGS = frozenset(
-    ("notes", "footnotes", "endnotes", "references", "footnote"))
+    ("notes", "footnotes", "endnotes", "references", "footnote",
+     "sidenotes"))
 
 
 def _add_class(node: Node, cls: str) -> None:
@@ -1037,7 +1038,12 @@ def _process_def_container(container: Node) -> None:
                 for c in list(p.children):
                     li.append(c)
             ol.append(li)
-        run[-1][3].insert_after(ol)
+        if delim is not None:
+            run[-1][3].insert_after(ol)
+        else:
+            # no introducing delimiter → definitions collect at the end of
+            # their container (trailing prose stays ahead of them)
+            container.append(ol)
         for _i, _num, _l, n in run:
             n.detach()
     if delim is not None:
@@ -1273,18 +1279,70 @@ def _drop_trailing_bare_period(root: Node) -> None:
 
 def _drop_sidenote_spans(root: Node) -> None:
     """Inline sidenote spans duplicate the footnote definitions at the
-    bottom — drop them from the flow (span.sidenote > span.sidenote-number)."""
+    bottom — drop them from the flow (span.sidenote > span.sidenote-number,
+    or orgmode sup-led sidenotes when .footdef definitions exist)."""
+    has_footdefs = any(n.has_class("footdef") for n in root.iter_elements())
     for sp in [n for n in root.iter_elements()
                if n.tag == "span" and n.has_class("sidenote")]:
         if sp.parent is None:
             continue
         kids = sp.element_children()
-        if kids and kids[0].has_class("sidenote-number"):
+        if kids and (kids[0].has_class("sidenote-number")
+                     or (kids[0].tag == "sup" and has_footdefs)):
             sp.detach()
+    # orgmode: <label class="footref">N</label> → <sup>N</sup> ref;
+    # the checkbox toggle input is chrome
+    for lab in [n for n in root.iter_elements()
+                if n.tag == "label" and n.has_class("footref")]:
+        if lab.parent is None:
+            continue
+        num = lab.text_content().strip()
+        if num.isdigit():
+            sup = Node.element("sup")
+            sup.append(Node.text_node(num))
+            lab.replace_with(sup)
+    for inp in [n for n in root.iter_elements()
+                if n.tag == "input" and n.has_class("footref-toggle")]:
+        if inp.parent is not None:
+            inp.detach()
     for hr in [n for n in root.iter_elements() if n.tag == "hr"
                and "footnote" in (n.get("class") or "")]:
         if hr.parent is not None:
             hr.detach()
+
+
+def _convert_footdefs(root: Node) -> None:
+    """orgmode `div.footdef` definitions: <sup><a id="fn.N" class="footnum">
+    + div.footpara body → canonical footnotes-list."""
+    defs = []
+    for fd in [n for n in root.iter_elements() if n.has_class("footdef")]:
+        num = None
+        for d in fd.iter_elements():
+            ident = d.get("id") or ""
+            m = re.match(r"fn\.(\d+)$", ident)
+            if m:
+                num = m.group(1)
+                break
+        body = None
+        for d in fd.iter_elements():
+            if d.has_class("footpara") and d.tag == "div":
+                body = d
+                break
+        if num is None:
+            continue
+        defs.append((num, fd, body))
+    if not defs:
+        return
+    ol = Node.element("ol", {"class": "footnotes-list"})
+    for num, fd, body in defs:
+        li = _new_fn_li(num)
+        src = body if body is not None else fd
+        for c in list(src.children):
+            li.append(c)
+        ol.append(li)
+    defs[-1][1].insert_after(ol)
+    for _num, fd, _b in defs:
+        fd.detach()
 
 
 def _tag_reference_lists(root: Node) -> None:
@@ -1327,6 +1385,7 @@ def normalize_footnotes(root: Node) -> None:
     """7 footnote shape-families → canonical `<ol class="footnotes-list">`
     + `<sup>N</sup>` refs (`src/elements/footnotes.rs:47-84` pass order)."""
     _drop_sidenote_spans(root)
+    _convert_footdefs(root)
     _tag_reference_lists(root)
     _rewrite_word_ftn_ids(root)
     _rewrite_ftnt_ids(root)

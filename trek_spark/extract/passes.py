@@ -109,9 +109,21 @@ def _class_token_matches_partial(value: str, attr: str) -> bool:
     return _PARTIAL_RE.search(value.lower()) is not None
 
 
+def _contains_footnote_defs(node: Node) -> bool:
+    for d in node.iter_elements():
+        if d.get("role") in ("doc-footnote", "doc-endnotes"):
+            return True
+        cls = d.classes()
+        if any(c in ("footdef", "footnotes", "footnote-definition",
+                     "footnotes-list") for c in cls):
+            return True
+    return False
+
+
 def remove_clutter(body: Node, remove_exact: bool = True,
                    remove_partial: bool = True) -> int:
     to_remove = []
+    total_text = len(body.text_content())
     for n in body.descendants_snapshot():
         if n.parent is None:
             continue
@@ -120,6 +132,14 @@ def remove_clutter(body: Node, remove_exact: bool = True,
         t = n.tag
         if t in _CLUTTER_TAGS:
             if remove_exact:
+                # a <header>/<footer> that wraps the bulk of the document
+                # text IS the article (Webflow-style markup) — keep it
+                if t in ("header", "footer", "aside") and total_text > 0:
+                    frac = len(n.text_content()) / total_text
+                    if frac > 0.5:
+                        continue
+                    if t == "footer" and _contains_footnote_defs(n):
+                        continue  # footers holding footnote definitions
                 to_remove.append(n)
             continue
         if t == "svg":
@@ -331,7 +351,8 @@ _LEGACY_FLATTEN_KEEP_ATTRS = (
     "data-rehype-pretty-code-figure",
 )
 _LEGACY_CLASS_HINTS = ("article", "content", "footnote", "reference",
-                       "bibliography", "callout")
+                       "bibliography", "callout", "footdef", "footpara",
+                       "sidenote")
 
 
 def _legacy_div_flattenable(n: Node) -> bool:
@@ -374,7 +395,7 @@ def flatten_wrapper_elements_legacy(body: Node) -> None:
 _SEMANTIC_CLASS_HINTS = (
     "article", "content", "footnote", "reference", "bibliography", "callout",
     "admonition", "note", "highlight", "language-", "math", "katex",
-    "mathjax", "footnotes",
+    "mathjax", "footnotes", "footdef", "footpara", "sidenote",
 )
 _BLOCK_TAGS = frozenset((
     "div", "section", "article", "aside", "header", "footer", "nav", "main",

@@ -224,7 +224,8 @@ def _scope_of(root: Node) -> Node:
             break
     for _ in range(6):
         kids = scope.element_children()
-        if len(kids) == 1 and kids[0].tag in ("main", "article", "div", "section"):
+        if len(kids) == 1 and kids[0].tag in ("main", "article", "div",
+                                              "section", "header"):
             scope = kids[0]
         else:
             break
