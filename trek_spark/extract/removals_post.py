@@ -419,7 +419,15 @@ def _drop_byline_near_start(root: Node) -> None:
             break
     if h1 is None:
         return
-    cur = h1.next_sibling()
+    # the H1 may be the last child of a header wrapper — climb until a
+    # following sibling exists so the byline block after the wrapper is seen
+    node = h1
+    cur = node.next_sibling()
+    while cur is None and node.parent is not None \
+            and node.parent.type == ELEMENT \
+            and node.parent.tag not in ("body", "html"):
+        node = node.parent
+        cur = node.next_sibling()
     count = 0
     while cur is not None:
         s = cur
@@ -460,7 +468,13 @@ def _drop_byline_near_start(root: Node) -> None:
             is_author_list = (is_short and s.tag in ("ul", "ol")
                               and "author" in (s.get("class") or "").lower())
             is_read_time = bool(_READ_TIME_RE.match(trimmed))
-            if is_byline or is_iso or is_long or is_author_list or is_read_time:
+            is_author_block = words < 6 and (
+                "author" in (s.get("class") or "").lower()
+                or "author" in (s.get("href") or "").lower()
+                or any("author" in (d.get("class") or "").lower()
+                       for d in s.iter_elements()))
+            if is_byline or is_iso or is_long or is_author_list \
+                    or is_read_time or is_author_block:
                 nxt = s.next_sibling()
                 s.detach()
                 cur = nxt
@@ -575,6 +589,27 @@ def _drop_toc_blocks(root: Node) -> None:
             h.detach()
 
 
+def _drop_leading_author_chrome(root: Node) -> None:
+    """Author/category chips at the very start of the article (before the
+    first prose paragraph) — class/href-hinted, short → chrome."""
+    scope = _scope_of(root)
+    for k in scope.element_children()[:3]:
+        if k.parent is None:
+            continue
+        t = _text(k).strip()
+        if _words(t) >= 12 or k.tag in _HEADING_TAGS:
+            break
+        hinted = any(
+            h in ((k.get("class") or "") + (k.get("href") or "")).lower()
+            for h in ("author", "category", "eyebrow", "kicker"))
+        if not hinted:
+            hinted = any(
+                "author" in (d.get("class") or "").lower()
+                for d in k.iter_elements())
+        if hinted and _words(t) <= 4 and not _has_media(k):
+            k.detach()
+
+
 def _drop_dismiss_controls(root: Node) -> None:
     for a in [n for n in root.descendants_snapshot() if n.tag == "a"]:
         if a.parent is None:
@@ -586,6 +621,7 @@ def _drop_dismiss_controls(root: Node) -> None:
 
 def content_patterns(root: Node) -> None:
     _drop_dismiss_controls(root)
+    _drop_leading_author_chrome(root)
     _drop_toc_blocks(root)
     _drop_leading_eyebrow(root)
     _drop_social_counters(root)
