@@ -1410,9 +1410,96 @@ def normalize_footnotes(root: Node) -> None:
 _MATH_IMG_HOSTS = ("codecogs.com", "latex.php", "mimetex", "mathtex")
 
 
+_LATEX_DELIM_RE = re.compile(
+    r"(?s)\$\$(.+?)\$\$|\\\[(.+?)\\\]|"
+    r"\$([^\s$][^$]*[^\s$]|[^\s$])\$|\\\((.+?)\\\)")
+_LATEX_CMD_RE = re.compile(r"\\[a-zA-Z]")
+_RAW_LATEX_SKIP = frozenset(("pre", "code", "script", "style", "math",
+                             "svg", "textarea"))
+
+
+def _contains_latex_command(sv: str) -> bool:
+    return bool(_LATEX_CMD_RE.search(sv)) or any(c in sv for c in "_^{}")
+
+
+def _wrap_raw_latex(root: Node) -> None:
+    """Raw `$…$` / `$$…$$` / `\(...\)` / `\[...\]` text → <math>
+    elements (`src/elements/math/base.rs:503-…`); $-forms require a LaTeX
+    command/structure char so currency text stays intact."""
+    for n in root.iter_elements():
+        if n.tag == "math" or n.get("data-math") is not None \
+                or "katex" in (n.get("class") or "").lower():
+            return  # rendered math present — other passes handle it
+    text_nodes = []
+    for t in root.iter():
+        if t.type != TEXT:
+            continue
+        cur = t.parent
+        skip = False
+        while cur is not None:
+            if cur.type == ELEMENT and cur.tag in _RAW_LATEX_SKIP:
+                skip = True
+                break
+            cur = cur.parent
+        if not skip:
+            text_nodes.append(t)
+    for tn in text_nodes:
+        text = tn.text
+        if "$" not in text and "\\(" not in text and "\\[" not in text:
+            continue
+        parts = []
+        last = 0
+        had_block = False
+        for m in _LATEX_DELIM_RE.finditer(text):
+            block_c = m.group(1) or m.group(2)
+            inline_c = m.group(3) or m.group(4)
+            is_backslash = m.group(2) is not None or m.group(4) is not None
+            is_block = block_c is not None
+            latex = (block_c or inline_c or "").strip()
+            if not latex:
+                continue
+            if not is_backslash and not _contains_latex_command(latex):
+                continue
+            if last < m.start():
+                parts.append(("text", text[last:m.start()]))
+            if is_block:
+                had_block = True
+            parts.append(("math", latex, is_block))
+            last = m.end()
+        if not any(p[0] == "math" for p in parts):
+            continue
+        if last < len(text):
+            parts.append(("text", text[last:]))
+        if had_block:
+            text_around = any(p[0] == "text" and p[1].strip() for p in parts)
+            parent = tn.parent
+            other = False
+            if parent is not None:
+                for c in parent.children:
+                    if c is tn:
+                        continue
+                    if c.type == TEXT and c.text.strip():
+                        other = True
+                    elif c.type == ELEMENT:
+                        other = True
+            if text_around or other:
+                parts = [("math", p[1], False) if p[0] == "math" else p
+                         for p in parts]
+        for part in parts:
+            if part[0] == "text":
+                tn.insert_before(Node.text_node(part[1]))
+            else:
+                attrs = {"data-latex": part[1]}
+                if part[2]:
+                    attrs["display"] = "block"
+                tn.insert_before(Node.element("math", attrs))
+        tn.detach()
+
+
 def normalize_math_base(root: Node) -> None:
-    """Minimal math-base pass: LaTeX-image promotion and data-math spans →
-    `<math>` elements the renderer understands (`src/elements/math/base.rs`)."""
+    """Math-base pass: raw LaTeX wrapping, LaTeX-image promotion and
+    data-math spans → `<math>` elements (`src/elements/math/base.rs`)."""
+    _wrap_raw_latex(root)
     for img in [n for n in root.iter_elements() if n.tag == "img"]:
         if img.parent is None:
             continue
