@@ -230,6 +230,8 @@ def extract_text_with_lines(node: Node) -> str:
                     continue
                 if _is_chrome_class(cls):
                     continue
+                if "hover-info" in cls.split():
+                    continue  # Verso hover metadata: hidden tooltip content
                 if _looks_like_inline_lineno(c):
                     continue
                 is_line = _is_line_container_class(cls)
@@ -370,8 +372,58 @@ def _post_order(root: Node) -> list[Node]:
     return out
 
 
+def _merge_verso_fragments(root: Node) -> None:
+    """Lean/Verso alternating command (`code.hl.block`) and output
+    (`pre.hl.lean-output`) fragments merge into ONE canonical fenced block;
+    fragment texts keep their internal newlines and join with a single
+    newline (empty fragments become blank lines)."""
+    def is_verso(n: Node) -> bool:
+        toks = _tokens(n.get("class"))
+        return n.tag in ("code", "pre") and "hl" in toks
+
+    processed = set()
+    for container in root.descendants_snapshot():
+        runs = []
+        cur_run = []
+        for c in container.children:
+            if c.type == ELEMENT and is_verso(c) and id(c) not in processed:
+                cur_run.append(c)
+                continue
+            if c.type == TEXT and not c.text.strip() and cur_run:
+                continue
+            if len(cur_run) >= 2:
+                runs.append(cur_run)
+            cur_run = []
+        if len(cur_run) >= 2:
+            runs.append(cur_run)
+        for run in runs:
+            for frag in run:
+                processed.add(id(frag))
+            lang = None
+            for frag in run:
+                lang = detect_lang_from_class(frag.get("class") or "")
+                if lang:
+                    break
+            texts = []
+            for f in run:
+                t = extract_text_with_lines(f)
+                stripped = t.rstrip("\n")
+                if stripped and t.endswith("\n"):
+                    # keep ONE trailing newline — an intentional section gap
+                    stripped += "\n"
+                texts.append(stripped)
+            merged = trim_lines("\n".join(texts))
+            if not merged.strip():
+                continue
+            canonical = build_canonical_pre(merged, lang)
+            run[0].insert_before(canonical)
+            for frag in run:
+                frag.detach()
+
+
 def normalize_code_blocks_std(root: Node) -> None:
     """standardize::code_blocks — full pass chain A/A2/A3/B/B2/C/C1/C2/D."""
+    _merge_verso_fragments(root)
     # Pass A: bare block <code> outside <pre> → wrap in <pre>
     for node in _post_order(root):
         if node.tag != "code" or node.parent is None:
