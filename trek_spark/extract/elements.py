@@ -620,7 +620,7 @@ def _add_class(node: Node, cls: str) -> None:
 def _is_footnote_delimiter(node: Node) -> bool:
     if node.tag == "hr":
         return True
-    if node.tag in _HEADING_TAGS:
+    if node.tag in _HEADING_TAGS or node.tag in ("p", "div", "b", "strong"):
         return node.text_content().strip().lower() in _DELIM_HEADINGS
     return False
 
@@ -1252,7 +1252,13 @@ def _drop_trailing_bare_period(root: Node) -> None:
             targets.append(n)
         elif n.has_class("footnote-definition"):
             targets.append(n)
+    expanded = []
     for t in targets:
+        if t.tag == "li" and len(t.element_children()) > 1:
+            expanded.extend(c for c in t.element_children() if c.tag == "p")
+        else:
+            expanded.append(t)
+    for t in expanded:
         # descend to last significant child (possibly inside a trailing <p>)
         node = t
         while True:
@@ -1345,6 +1351,57 @@ def _convert_footdefs(root: Node) -> None:
         fd.detach()
 
 
+def _convert_note_id_paragraphs(root: Node) -> None:
+    """`<p id="mn37note04">4. text</p>` style numbered note paragraphs →
+    canonical footnotes-list (suffix-note ids + leading "N." labels)."""
+    note_re = re.compile(r".*note[-_]?0*(\d+)$", re.I)
+    entries = []
+    for p in [n for n in root.iter_elements() if n.tag == "p"]:
+        ident = p.get("id") or ""
+        m = note_re.match(ident)
+        if not m:
+            continue
+        num = str(int(m.group(1)))
+        entries.append((num, p))
+    if len(entries) < 2:
+        return
+    id_set = {id(p) for _n, p in entries}
+    ol = Node.element("ol", {"class": "footnotes-list"})
+    absorbed = []
+    for num, p in entries:
+        li = _new_fn_li(num)
+        # strip the leading "N." label from the first text node
+        for c in p.children:
+            if c.type == TEXT and c.text.strip():
+                c.text = re.sub(r"^\s*" + re.escape(num) + r"\.\s*", "",
+                                c.text, count=1)
+                break
+        wrap = Node.element("p")
+        for c in list(p.children):
+            wrap.append(c)
+        li.append(wrap)
+        # absorb continuation paragraphs (no note id) into this note's body
+        sib = p.next_element_sibling()
+        while sib is not None and sib.tag == "p" \
+                and id(sib) not in id_set and not sib.get("id") \
+                and not sib.get("class"):
+            nxt = sib.next_element_sibling()
+            absorbed.append(sib)
+            li.append(sib)
+            sib = nxt
+        ol.append(li)
+    container = entries[-1][1].parent
+    lead = entries[0][1].prev_element_sibling()
+    if lead is not None and _is_footnote_delimiter(lead) \
+            and "sr-only" not in lead.classes():
+        lead.detach()
+    for _n, p in entries:
+        p.detach()
+    # notes collect at the end of their container so cross-reference
+    # paragraphs ("See also: …") stay in the body flow ahead of them
+    (container or root).append(ol)
+
+
 def _tag_reference_lists(root: Node) -> None:
     """<ol>/<li> reference lists whose items carry #rN/#refN/#Footnote_N
     anchor ids (directly or on a child anchor) → canonical footnotes-list."""
@@ -1386,6 +1443,7 @@ def normalize_footnotes(root: Node) -> None:
     + `<sup>N</sup>` refs (`src/elements/footnotes.rs:47-84` pass order)."""
     _drop_sidenote_spans(root)
     _convert_footdefs(root)
+    _convert_note_id_paragraphs(root)
     _tag_reference_lists(root)
     _rewrite_word_ftn_ids(root)
     _rewrite_ftnt_ids(root)

@@ -186,13 +186,14 @@ def footnote_ref_id(node: Node) -> Optional[str]:
     for prefix in ("footnote-", "cite_note-"):
         if ident.startswith(prefix):
             return _normalize_fn_id(ident[len(prefix):])
-    m = re.match(r"(?:r|ref|note|footnote)[-_:]?(\d+)$", ident, re.I)
+    m = re.match(r"(?:r|ref|note|footnote)[-_:]?(\d+)$", ident, re.I) \
+        or re.match(r".*note[-_]?0*(\d+)$", ident, re.I)
     if m:
-        # generic reference anchor (#r1, #ref2, #Footnote_3) — treat as a
+        # generic reference anchor (#r1, #ref2, #mn37note01) — treat as a
         # footnote ref when the link text is the bare/bracketed number
         text = node.text_content().strip().strip("[]")
-        if text == m.group(1):
-            return m.group(1)
+        if text.isdigit() and int(text) == int(m.group(1)):
+            return str(int(m.group(1)))
     if ident.isdigit():
         text = node.text_content().strip()
         if text == ident:
@@ -553,7 +554,7 @@ class Renderer:
             raw = re.sub("\u00a0+", "\u00a0", raw)
             # drop nbsp only when directly adjacent to punctuation;
             # word-adjacent or node-boundary nbsp becomes a space
-            raw = re.sub("(?<=[^\\w\\s])\u00a0|\u00a0(?=[^\\w\\s])", "", raw)
+            raw = re.sub("(?<=[\\w\\s])\u00a0(?=[:;!?\u00bb\u00ab])|(?<=[:;!?\u00ab])\u00a0", "", raw)
             raw = raw.replace("\u00a0", " ")
         buf = []
         prev_space = False
@@ -629,7 +630,10 @@ class Renderer:
                     else:
                         out.push("$" + latex + "$")
                     return
-            out.push(self.render_inline(node))
+            # transparent passthrough INTO the shared buffer so spacing
+            # decisions (footnote refs) see the surrounding context
+            for child in node.children:
+                self.render_inline_node(child, out)
         elif t == "iframe":
             out.push(serialize(node))
         elif t in ("script", "style", "noscript", "template"):
@@ -680,7 +684,7 @@ class Renderer:
                 all(c.isdigit() or c in "↩[]()" for c in text) \
                 and any(c.isdigit() for c in text)
             if (wraps_sup or numeric_like) and fid:
-                out.push("[^" + fid + "]")
+                self._emit_footnote_ref(out, fid)
                 return
         if is_backref(node):
             return
@@ -719,7 +723,7 @@ class Renderer:
 
     def _emit_footnote_ref(self, out: _Out, fid: str) -> None:
         c = out.last_char()
-        if c and (c.isalnum() or c in "`)]*"):
+        if c and (c.isalnum() or c in "`)]*\u201d\u2019"):
             out.push(" ")
         out.push("[^" + fid + "]")
 
@@ -969,6 +973,9 @@ class Renderer:
         if level == 1:
             level = 2
         text = self.render_inline(node).strip()
+        # headings are single-line: internal hard breaks become spaces
+        text = re.sub(r"\s*\n\s*", " ", text)
+        text = re.sub(r" {2,}", " ", text).strip()
         if not text:
             return
         out.ensure_nl(2)
@@ -1040,12 +1047,27 @@ class Renderer:
         """Emit `[^id]: body` blocks at the current document position (the
         golden corpus renders footnote lists in place, not as an appendix)."""
         for ident, body in defs:
+            if isinstance(body, str):
+                blocks = [body]
+            else:
+                blocks = [b for b in body if b.strip()] or [""]
+            # first block joins the marker; further blocks stay separate
+            # paragraphs (multi-paragraph notes keep their structure)
             one_line = " ".join(
-                ln.strip() for ln in body.split("\n") if ln.strip())
+                ln.strip() for ln in blocks[0].split("\n") if ln.strip())
             one_line = one_line.replace(" ...", "...")
+            # nbsp-derived stray spaces around punctuation in note bodies
+            one_line = re.sub(r"(?<=\S) ([,;])", r"\1", one_line)
+            one_line = one_line.replace("( ", "(").replace(" )", ")")
             out.ensure_nl(2)
             out.push(f"[^{ident}]: {one_line}")
             out.ensure_nl(2)
+            for extra in blocks[1:]:
+                txt = " ".join(ln.strip() for ln in extra.split("\n")
+                               if ln.strip())
+                txt = re.sub(r"(?<=\S) ([,;])", r"\1", txt)
+                out.push(txt.replace("( ", "(").replace(" )", ")"))
+                out.ensure_nl(2)
 
     def render_list(self, node: Node, out: _Out) -> None:
         ordered = node.tag == "ol"
@@ -1269,11 +1291,23 @@ class Renderer:
             else:
                 ident = str(idx)
             idx += 1
-            buf = _Out()
-            for child in li.children:
-                self.render_block(child, buf)
-            cleaned = _strip_footnote_backrefs(buf.value().strip())
-            self.footnotes.append((ident, cleaned))
+            block_children = sum(
+                1 for c in li.children if c.type == ELEMENT
+                and c.tag in ("p", "div", "ul", "ol", "blockquote"))
+            blocks: list[str] = []
+            if block_children >= 2:
+                for child in li.children:
+                    b = _Out()
+                    self.render_block(child, b)
+                    v = _strip_footnote_backrefs(b.value().strip())
+                    if v.strip():
+                        blocks.append(v)
+            else:
+                buf = _Out()
+                for child in li.children:
+                    self.render_block(child, buf)
+                blocks = [_strip_footnote_backrefs(buf.value().strip())]
+            self.footnotes.append((ident, blocks))
 
 
 # ---------------------------------------------------------------- post

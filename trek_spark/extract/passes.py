@@ -173,6 +173,11 @@ def remove_clutter(body: Node, remove_exact: bool = True,
                     and "sr-only" in n.classes() \
                     and _inside_footnotes_container(n):
                 should_remove = False
+            if should_remove and total_text > 500 \
+                    and len(n.text_content()) / total_text > 0.5:
+                # never remove the element holding the bulk of the article
+                # (sidebar-/ad-classed wrappers around real content)
+                should_remove = False
             if should_remove:
                 to_remove.append(n)
     removed = 0
@@ -230,6 +235,9 @@ def selectors_pass(body: Node) -> int:
             # are real structure in the golden corpus
             matched = False
         if matched and n.tag not in ("html", "body"):
+            total = len(body.text_content())
+            if total > 500 and len(n.text_content()) / total > 0.5:
+                continue
             to_remove.append(n)
     removed = 0
     for n in to_remove:

@@ -207,7 +207,12 @@ def metadata_block(root: Node) -> None:
         txt = _text(n)
         if _words(txt) > 20:
             continue
-        if _DATE_PATTERN.search(txt) or re.search(r"\bby\s+[A-Z]", txt, re.I):
+        t = txt.strip()
+        author_list = ("," in t and not t.endswith((".", "!", "?"))
+                       and re.match(r"^[A-Z][\w'\-]+ [A-Z]", t) is not None
+                       and len(re.findall(r"[A-Z][a-z]+ [A-Z][a-z]+", t)) >= 2)
+        if _DATE_PATTERN.search(txt) \
+                or re.search(r"\bby\s+[A-Z]", txt, re.I) or author_list:
             if n.tag in _HEADING_TAGS:
                 continue
             if n.parent is not None:
@@ -312,6 +317,13 @@ def _drop_breadcrumb_at_start(root: Node) -> None:
         if k.tag in ("ul", "ol", "nav") and _looks_like_breadcrumb_list(k):
             k.detach()
             continue
+        if k.tag in ("p", "div", "span"):
+            bt = _text(k).strip()
+            seps = sum(1 for c in bt if c in "/>·|›")
+            links = sum(1 for d in k.iter_elements() if d.tag == "a")
+            if seps >= 1 and links >= 2 and _words(bt) <= 10:
+                k.detach()
+                continue
         if k.tag in ("div", "section", "aside"):
             inner = k.element_children()
             if len(inner) == 1 and inner[0].tag in ("ul", "ol", "nav") \
@@ -351,6 +363,7 @@ def _drop_link_dense_trailing(root: Node) -> None:
             if c.type == ELEMENT or (c.type == TEXT and c.text.strip())]
     if not kids:
         return
+    removed_junk = False
     for idx in range(len(kids) - 1, -1, -1):
         k = kids[idx]
         if k.parent is None:
@@ -363,7 +376,12 @@ def _drop_link_dense_trailing(root: Node) -> None:
                 k.detach()
                 continue
             break
-        if k.tag in ("hr", "br"):
+        if k.tag in ("hr", "br", "button"):
+            k.detach()
+            removed_junk = True
+            continue
+        if k.tag == "img" and removed_junk:
+            # an image amid already-removed widget junk is part of it
             k.detach()
             continue
         if k.tag not in ("div", "section", "ul", "aside", "p", "span"):
@@ -379,6 +397,10 @@ def _drop_link_dense_trailing(root: Node) -> None:
             is_label = not any(c in t for c in _SENTENCE_PUNCT)
             if not is_label and _link_density(k) > 0.8:
                 is_label = True  # trailing pure-link widget (signature line)
+            lw = t.lower()
+            if is_label and ("share" in lw.split() or lw == "author"):
+                k.detach()  # share/author widget — media doesn't protect it
+                continue
             # all-caps ascii stat widgets ("FPS: --") count as labels even
             # with a colon; CJK prose (non-ascii) is protected
             if not is_label and t.isascii() and not re.search(r"[a-z]", t):
@@ -389,6 +411,8 @@ def _drop_link_dense_trailing(root: Node) -> None:
                 continue
             break
         if _link_density(k) > 0.6 and words < 200:
+            if _text(k).strip().lower().startswith("see also"):
+                break  # cross-reference lines are content
             k.detach()
             continue
         break
