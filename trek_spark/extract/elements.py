@@ -1465,7 +1465,31 @@ def normalize_footnotes(root: Node) -> None:
 
 # --------------------------------------------------------------------- math
 
-_MATH_IMG_HOSTS = ("codecogs.com", "latex.php", "mimetex", "mathtex")
+_MATH_IMG_HOSTS = ("codecogs.com", "latex.php", "mimetex", "mathtex",
+                   "s0.wp.com", "quicklatex", "mathurl")
+_LATEX_PARAM_RE = re.compile(r"[?&](?:latex|chl|tex|eq|math)=([^&#]+)", re.I)
+_LATEX_CMDISH_RE = re.compile(r"\\[a-zA-Z]{2,}")
+
+
+def _latex_from_image(img: Node):
+    """LaTeX source for an equation image: URL param (s0.wp.com/latex.php
+    ?latex=…), else a LaTeX-looking alt text."""
+    from urllib.parse import unquote_plus
+    src = img.get("src") or ""
+    m = _LATEX_PARAM_RE.search(src)
+    if m:
+        # the latex=/tex= param IS the signal; simple exprs ("AB") count
+        return unquote_plus(m.group(1))
+    alt = img.get("alt") or ""
+    if alt and (_LATEX_CMDISH_RE.search(alt) or alt.startswith("\\(")
+                or alt.startswith("$")):
+        lowsrc = src.lower()
+        if any(h in lowsrc for h in _MATH_IMG_HOSTS) or "latex" in lowsrc \
+                or "math" in lowsrc or "equation" in lowsrc \
+                or re.search(r"[-_/]eq[.\-_]", lowsrc) or not src:
+            return alt.strip().strip("$").replace("\\(", "").replace(
+                "\\)", "").strip()
+    return None
 
 
 _LATEX_DELIM_RE = re.compile(
@@ -1561,11 +1585,18 @@ def normalize_math_base(root: Node) -> None:
     for img in [n for n in root.iter_elements() if n.tag == "img"]:
         if img.parent is None:
             continue
-        src = (img.get("src") or "").lower()
-        alt = img.get("alt") or ""
-        if alt and any(h in src for h in _MATH_IMG_HOSTS):
-            math = Node.element("math", {"data-latex": alt})
+        latex = _latex_from_image(img)
+        if latex:
+            math = Node.element("math", {"data-latex": latex})
+            parent = img.parent
             img.replace_with(math)
+            # an equation image that was the sole content of its paragraph
+            # is display math
+            if parent is not None and parent.type == ELEMENT \
+                    and parent.tag in ("p", "div", "figure") \
+                    and not parent.text_content().strip() \
+                    and len(parent.element_children()) == 1:
+                math.set("display", "block")
     for span in [n for n in root.iter_elements()
                  if n.tag == "span" and n.get("data-math") is not None]:
         if span.parent is None:

@@ -24,7 +24,8 @@ _HEADINGS = frozenset(("h1", "h2", "h3", "h4", "h5", "h6"))
 
 _INLINE_TAGS = frozenset(
     "a abbr b bdi bdo br cite code data dfn em i kbd label mark q rp rt ruby "
-    "s samp small span strong sub sup time u var wbr del ins strike tt img".split()
+    "s samp small span strong sub sup time u var wbr del ins strike tt img "
+    "math".split()
 )
 
 _EMPTY_LINK_RE = re.compile(r"(?m)(?:^|[^!])\[\]\([^)]*\)")
@@ -836,6 +837,8 @@ class Renderer:
         "u", "small", "abbr", "cite", "kbd", "time", "del", "s", "strike",
         "ins", "q", "tt", "br",
     ))
+    # (block-level <math display="block"> still renders as $$ via the
+    # dedicated branch in render_block)
 
     def render_children(self, node: Node) -> str:
         out = _Out()

@@ -98,7 +98,8 @@ def _looks_like_math_img(n: Node) -> bool:
     alt = n.get("alt")
     if alt:
         a = alt.lower()
-        if "\\(" in a or "\\[" in a or a.startswith("$") or "latex" in a:
+        if "\\(" in a or "\\[" in a or a.startswith("$") or "latex" in a \
+                or re.search(r"\\[a-zA-Z]{2,}", alt):
             return True
     cls = n.get("class")
     if cls:
@@ -348,7 +349,7 @@ def _drop_trailing_related(root: Node) -> None:
         lc = _text(k).lower()
         if k.tag in _HEADING_TAGS and (
                 "related" in lc or "read next" in lc or "more from" in lc
-                or "further reading" in lc or "about the author" in lc
+                or "about the author" in lc
                 or lc.strip() in ("subscribe", "newsletter")
                 or lc.strip().startswith("comments")):
             for j in range(idx, n):
