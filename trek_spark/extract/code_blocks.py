@@ -481,9 +481,11 @@ def normalize_code_blocks_std(root: Node) -> None:
                         break
                     if t == "button":
                         btxt = sib.text_content().strip()
-                        if not btxt or len(btxt) <= 16 and " " not in btxt \
+                        if not sib.has_ancestor_tag("p", "li") and (
+                                not btxt
+                                or (len(btxt) <= 16 and " " not in btxt)
                                 or btxt.lower() in ("copy", "run",
-                                                    "copy code"):
+                                                    "copy code")):
                             victims.append(sib)
                         sib = sib.prev_sibling()
                         continue
@@ -582,6 +584,8 @@ def normalize_code_blocks_std(root: Node) -> None:
     for b in [n for n in root.descendants_snapshot() if n.tag == "button"]:
         if b.parent is None or not _nearby_code_block(b):
             continue
+        if b.has_ancestor_tag("p", "li"):
+            continue  # inline keyword buttons inside prose are content
         btxt = b.text_content().strip()
         if not btxt or (len(btxt) <= 16 and " " not in btxt) \
                 or btxt.lower() in ("copy", "run", "copy code"):

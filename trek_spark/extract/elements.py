@@ -573,6 +573,16 @@ def normalize_headings(root: Node) -> None:
         for a in [n for n in h.iter_elements() if n.tag == "a"
                   and _is_permalink_anchor(n)]:
             a.detach()
+        # partial-coverage links inside a heading (author link in a byline
+        # heading) unwrap to plain text; a link spanning the whole heading
+        # (card-title pattern) is kept
+        h_text = h.text_content().strip()
+        for a in [n for n in h.iter_elements() if n.tag == "a"]:
+            if a.parent is None:
+                continue
+            a_text = a.text_content().strip()
+            if h_text and a_text and len(a_text) < 0.9 * len(h_text):
+                a.unwrap()
         for n in [x for x in h.iter_elements()
                   if x.has_class("section-number")
                   or x.has_class("header-section-number")]:
@@ -702,7 +712,7 @@ def _detach_leading_marker(p: Node) -> None:
                 return False
             if c.type != ELEMENT:
                 continue
-            if c.tag == "sup" or c.tag in ("strong", "b"):
+            if c.tag in ("sup", "strong", "b", "a"):
                 c.detach()
                 return True
             if c.tag == "span":

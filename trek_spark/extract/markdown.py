@@ -132,8 +132,10 @@ def escape_md_text(s: str) -> str:
 
 
 def escape_table_cell(s: str) -> str:
-    s = s.replace("|", "\\|").replace("\n", " ").replace("\r", " ")
-    return re.sub(r" {2,}", " ", s).strip()
+    # newlines map 1:1 to spaces (block boundaries inside a cell become
+    # the double-space the golden corpus uses); no further collapsing
+    s = s.replace("|", "\\|").replace("\r", "").replace("\n", " ")
+    return re.sub(" {4,}", "   ", s).strip()
 
 
 # ---------------------------------------------------------------- links
@@ -1227,7 +1229,13 @@ class Renderer:
                 if _tag(c) in ("td", "th"):
                     sub = Renderer(self.base_url)
                     sub.in_table = True
-                    cells.append(escape_table_cell(sub.render_inline(c)))
+                    if any(k.type == ELEMENT and k.tag in (
+                            "p", "div", "ul", "ol", "blockquote")
+                           for k in c.children):
+                        rendered = sub.render_children(c).strip()
+                    else:
+                        rendered = sub.render_inline(c)
+                    cells.append(escape_table_cell(rendered))
             if cells:
                 data.append(cells)
         if not data:

@@ -151,15 +151,23 @@ def remove_clutter(body: Node, remove_exact: bool = True,
                 if not is_content:
                     to_remove.append(n)
             continue
+        if t == "table" and remove_exact and (
+                n.get("id") == "toc" or "toc" in n.classes()):
+            to_remove.append(n)
+            continue
         if t in _PARTIAL_CHECK_TAGS:
             should_remove = False
             if remove_exact:
                 cls = n.get("class")
                 if cls:
                     for c in cls.split():
-                        if c in ("navigation", "sidebar"):
+                        if c in ("navigation", "sidebar", "toc"):
                             should_remove = True
                             break
+                if n.get("id") == "toc":
+                    should_remove = True
+            if t == "span" and n.has_ancestor_tag(*_HEADING_TAGS):
+                continue  # heading label spans (mw-headline) are content
             if not should_remove and remove_partial:
                 is_heading = t in _HEADING_TAGS
                 for attr in TEST_ATTRIBUTES:
@@ -218,6 +226,8 @@ def selectors_pass(body: Node) -> int:
         if n.parent is None:
             continue
         if _inside_pre_or_code(n):
+            continue
+        if n.tag == "span" and n.has_ancestor_tag(*_HEADING_TAGS):
             continue
         is_h = n.tag in _HEADING_TAGS
         matched = False
@@ -655,8 +665,13 @@ def tables_std(body: Node) -> None:
         if not cells:
             continue
         rows = [r for r in t.iter_elements() if r.tag == "tr"]
+        filled = sum(1 for c in cells
+                     if c.text_content().strip()
+                     or any(d.tag in ("img", "picture", "svg")
+                            for d in c.iter_elements()))
         layout = len(cells) == 1 or (
-            len(rows) == 1 and not any(c.tag == "th" for c in cells))
+            len(rows) == 1 and not any(c.tag == "th" for c in cells)
+            and filled <= 1)
         if layout:
             moved = []
             for cell in cells:
