@@ -581,7 +581,13 @@ def normalize_headings(root: Node) -> None:
             if a.parent is None:
                 continue
             a_text = a.text_content().strip()
-            if h_text and a_text and len(a_text) < 0.9 * len(h_text):
+            if not (h_text and a_text):
+                continue
+            remainder = h_text.replace(a_text, "", 1)
+            # unwrap only when real words remain outside the link (byline
+            # headings); glyph/arrow suffixes don't count
+            if len(re.findall(r"\w", remainder)) >= 3 \
+                    and len(a_text) < 0.9 * len(h_text):
                 a.unwrap()
         for n in [x for x in h.iter_elements()
                   if x.has_class("section-number")

@@ -366,7 +366,7 @@ _LEGACY_FLATTEN_KEEP_ATTRS = (
     "role", "aria-label", "aria-hidden", "hidden", "itemscope",
     "data-callout", "data-callout-fold", "data-callout-metadata",
     "data-floating-buttons", "data-fade-overlay",
-    "data-rehype-pretty-code-figure",
+    "data-rehype-pretty-code-figure", "data-component-name",
 )
 _LEGACY_CLASS_HINTS = ("article", "content", "footnote", "reference",
                        "bibliography", "callout", "footdef", "footpara",
@@ -424,7 +424,8 @@ _BLOCK_TAGS = frozenset((
 
 def _has_semantic_attrs(n: Node) -> bool:
     for a in ("role", "aria-label", "itemscope", "data-callout",
-              "data-callout-fold", "data-callout-metadata", "data-mathml"):
+              "data-callout-fold", "data-callout-metadata", "data-mathml",
+              "data-component-name"):
         if n.get(a) is not None:
             return True
     cls = n.get("class")
@@ -540,6 +541,31 @@ def promote_semantics(body: Node) -> None:
         if n.tag != "a" or n.parent is None:
             continue
         kids = n.element_children()
+        headings_in = [k for k in kids if k.tag in _HEADING_TAGS]
+        in_embed = False
+        cur = n.parent
+        hops = 0
+        while cur is not None and hops < 3:
+            if cur.type == ELEMENT:
+                hint = ((cur.get("class") or "")
+                        + (cur.get("data-component-name") or "")).lower()
+                if any(k in hint for k in ("embed", "digest", "related",
+                                           "recirc", "promo")):
+                    in_embed = True
+                    break
+            cur = cur.parent
+            hops += 1
+        if len(kids) > 1 and len(headings_in) == 1 and not in_embed:
+            # card link wrapping heading + description: move the link onto
+            # the heading text, splice the rest out of the anchor
+            h = headings_in[0]
+            new_a = Node.element("a", dict(n.attrs or {}))
+            for c in list(h.children):
+                new_a.append(c)
+            h.clear_children()
+            h.append(new_a)
+            n.unwrap()
+            continue
         if len(kids) == 1 and kids[0].tag in _HEADING_TAGS:
             h = kids[0]
             new_a = Node.element("a", dict(n.attrs or {}))
