@@ -221,6 +221,8 @@ def normalize_callouts(root: Node) -> None:
 # ------------------------------------------------------------------- images
 
 def _is_base64_placeholder(src: str) -> bool:
+    if src.startswith("data:image/svg+xml"):
+        return True  # inline-SVG lazy placeholders regardless of size
     return src.startswith("data:") and len(src) <= 200
 
 
@@ -337,7 +339,8 @@ def normalize_images(root: Node) -> None:
             continue
         src = img.get("src") or ""
         if not src or _is_base64_placeholder(src):
-            for key in ("data-src", "data-original", "data-lazy-src"):
+            for key in ("data-src", "data-original", "data-lazy-src",
+                        "data-image-loader", "data-img-src"):
                 v = img.get(key)
                 if v:
                     img.set("src", v)
@@ -1117,9 +1120,7 @@ def _tag_canonical_lists(root: Node) -> None:
         cls = c.classes()
         is_container = (
             (c.tag in ("aside", "section", "div") and "footnotes" in cls)
-            or (c.tag == "ol" and ("footnotes" in cls
-                                   or "easy-footnotes-wrapper" in cls
-                                   or "footnotes-list" in cls))
+            or (c.tag == "ol" and any("footnote" in t for t in cls))
             or (c.tag == "section" and c.get("data-footnotes") is not None)
         )
         if not is_container:
@@ -1217,10 +1218,10 @@ def _renumber_named_ids(root: Node) -> None:
             if li.type != ELEMENT or li.tag != "li":
                 continue
             ident = li.get("id")
-            if not ident or not ident.startswith("fn:"):
+            if not ident:
                 idx += 1
                 continue
-            stripped = ident[3:]
+            stripped = ident[3:] if ident.startswith("fn:") else ident
             if stripped.isdigit():
                 idx = int(stripped) + 1
                 continue
@@ -1233,11 +1234,11 @@ def _renumber_named_ids(root: Node) -> None:
             for el in root.iter_elements():
                 if el.tag == "a":
                     href = el.get("href")
-                    if href == f"#fn:{name}":
+                    if href in (f"#fn:{name}", f"#{name}"):
                         el.set("href", f"#fn:{n}")
-                    elif href == f"#fnref:{name}":
+                    elif href in (f"#fnref:{name}", f"#{name}-link"):
                         el.set("href", f"#fnref:{n}")
-                if el.get("id") == f"fnref:{name}":
+                if el.get("id") in (f"fnref:{name}", f"{name}-link"):
                     el.set("id", f"fnref:{n}")
 
 

@@ -165,6 +165,8 @@ def is_backref(node: Node) -> bool:
     href = node.get("href") or ""
     if "#fnref" in href or "#cite_ref" in href:
         return True
+    if node.text_content().strip() in ("↩", "↩︎"):
+        return True
     cls = node.get("class") or ""
     if "footnote-backref" in cls or "backref" in cls:
         return True
@@ -726,7 +728,7 @@ class Renderer:
 
     def _emit_footnote_ref(self, out: _Out, fid: str) -> None:
         c = out.last_char()
-        if c and (c.isalnum() or c in "`)]*\u201d\u2019"):
+        if c and (c.isalnum() or c in "`)]*\"\u201d\u2019"):
             out.push(" ")
         out.push("[^" + fid + "]")
 

@@ -605,6 +605,8 @@ def _rewrite_rel(n: Node, attr: str, base: str) -> None:
 
 
 def _looks_like_base64_placeholder(src: str) -> bool:
+    if src.startswith("data:image/svg+xml"):
+        return True
     return src.startswith("data:") and len(src) < 300
 
 
@@ -616,7 +618,7 @@ def figure_image(body: Node) -> None:
         cur = n.get("src") or ""
         if not cur or _looks_like_base64_placeholder(cur):
             for key in ("data-src", "data-lazy-src", "data-original",
-                        "data-img-src"):
+                        "data-img-src", "data-image-loader"):
                 v = n.get(key)
                 if v:
                     n.set("src", v)
