@@ -33,14 +33,16 @@ from ..dom.select import compile_selector
 
 _HEADING_TAGS = frozenset(("h1", "h2", "h3", "h4", "h5", "h6"))
 _CLUTTER_TAGS = frozenset(("script", "style", "nav", "footer", "header",
-                           "aside", "noscript"))
+                           "aside", "noscript", "title", "meta", "link",
+                           "template"))
 _PARTIAL_CHECK_TAGS = frozenset((
     "div", "section", "article", "main", "span", "p", "ul", "ol", "li",
     "h1", "h2", "h3", "h4", "h5", "h6",
 ))
 
 _HIDDEN_STYLE_RE = re.compile(
-    r"(?:^|;\s*)(?:display\s*:\s*none|visibility\s*:\s*hidden|opacity\s*:\s*0)(?:\s*;|\s*$)",
+    r"(?:^|;\s*)(?:display\s*:\s*none|visibility\s*:\s*hidden"
+    r"|opacity\s*:\s*(?:0|0?\.0+\d*))(?:\s*;|\s*$)",
     re.I,
 )
 
