@@ -54,15 +54,15 @@ def test_hidden_responsive_show_kept():
 def test_iframe_rewrite_youtube():
     out = run('<iframe src="https://www.youtube.com/embed/dQw4w9WgXcQ">'
               "</iframe>", passes.rewrite_embed_iframes)
-    assert out == ('<a href="https://www.youtube.com/watch?v=dQw4w9WgXcQ">'
-                   "YouTube: dQw4w9WgXcQ</a>")
+    # golden-corpus convention: embeds become image-links to the watch URL
+    assert out == ('<img src="https://www.youtube.com/watch?v=dQw4w9WgXcQ"'
+                   ' alt="">')
 
 
 def test_iframe_rewrite_x_status():
     out = run('<iframe src="https://x.com/jack/status/20"></iframe>',
               passes.rewrite_embed_iframes)
-    assert out == ('<a href="https://twitter.com/jack/status/20">'
-                   "Tweet by @jack: 20</a>")
+    assert out == '<img src="https://x.com/i/status/20" alt="">' 
 
 
 def test_unknown_iframe_untouched():

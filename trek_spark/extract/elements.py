@@ -589,7 +589,7 @@ def normalize_headings(root: Node) -> None:
             remainder = h_text.replace(a_text, "", 1)
             # unwrap only when real words remain outside the link (byline
             # headings); glyph/arrow suffixes don't count
-            if len(re.findall(r"\w", remainder)) >= 3 \
+            if len(re.findall(r"\w", remainder)) >= 1 \
                     and len(a_text) < 0.9 * len(h_text):
                 a.unwrap()
         for n in [x for x in h.iter_elements()

@@ -932,6 +932,11 @@ class Renderer:
                 out.push(img)
                 out.ensure_nl(2)
         elif t in ("iframe", "video", "audio"):
+            has_src = bool(node.get("src")) or any(
+                c.type == ELEMENT and c.tag == "source" and c.get("src")
+                for c in node.children)
+            if not has_src:
+                return  # src-less media shells are chrome
             raw = serialize(node).strip()
             if raw:
                 out.ensure_nl(2)
@@ -983,6 +988,8 @@ class Renderer:
         # headings are single-line: internal hard breaks become spaces
         text = re.sub(r"\s*\n\s*", " ", text)
         text = re.sub(r" {2,}", " ", text).strip()
+        # a leading "N." would parse as an ordered-list marker
+        text = re.sub(r"^(\d+)\.(?=\s)", r"\1\\.", text)
         if not text:
             return
         out.ensure_nl(2)

@@ -50,6 +50,9 @@ _YT_IFRAME_SRC_RE = re.compile(
     r"^(?:https?:)?//(?:www\.)?youtube(?:-nocookie)?\.com/embed/([A-Za-z0-9_\-]+)", re.I)
 _TW_IFRAME_SRC_RE = re.compile(
     r"^(?:https?:)?//(?:www\.)?(?:twitter|x)\.com/([A-Za-z0-9_]+)/status/(\d+)", re.I)
+_TW_EMBED_SRC_RE = re.compile(
+    r"^(?:https?:)?//platform\.twitter\.com/embed/Tweet\.html\?[^\"]*?id=(\d+)",
+    re.I)
 
 # Precompile the partial-selector list into one alternation regex for speed
 # (matching ~529 substrings against every attribute value).
@@ -331,16 +334,24 @@ def rewrite_embed_iframes(body: Node) -> None:
         m = _YT_IFRAME_SRC_RE.match(src)
         if m:
             vid = m.group(1)
-            a = Node.element("a", {"href": f"https://www.youtube.com/watch?v={vid}"})
-            a.append(Node.text_node(f"YouTube: {vid}"))
-            n.replace_with(a)
+            img = Node.element(
+                "img", {"src": f"https://www.youtube.com/watch?v={vid}",
+                        "alt": ""})
+            n.replace_with(img)
             continue
         m = _TW_IFRAME_SRC_RE.match(src)
         if m:
             user, tid = m.group(1), m.group(2)
-            a = Node.element("a", {"href": f"https://twitter.com/{user}/status/{tid}"})
-            a.append(Node.text_node(f"Tweet by @{user}: {tid}"))
-            n.replace_with(a)
+            img = Node.element(
+                "img", {"src": f"https://x.com/i/status/{tid}", "alt": ""})
+            n.replace_with(img)
+            continue
+        m = _TW_EMBED_SRC_RE.match(src)
+        if m:
+            img = Node.element(
+                "img", {"src": f"https://x.com/i/status/{m.group(1)}",
+                        "alt": ""})
+            n.replace_with(img)
 
 
 def remove_comments(body: Node) -> None:

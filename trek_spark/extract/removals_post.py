@@ -22,7 +22,8 @@ _STYLE_H = re.compile(r"height\s*:\s*(\d+)", re.I)
 _SOCIAL_COUNT_RE = re.compile(
     r"^\s*\d+\s+(?:like|likes|comment|comments|reply|replies|share|shares)\s*$", re.I)
 _READ_TIME_RE = re.compile(r"^\s*\d+\s*(?:min|minute|minutes)\s+read\s*$", re.I)
-_BYLINE_BY_RE = re.compile(r"^\s*by\s+[A-Z][\w'\-]+(?:\s+[A-Z][\w'\-]+)*", re.I)
+# capital required after "by" — "By the residue theorem…" is prose
+_BYLINE_BY_RE = re.compile(r"^\s*[Bb]y\s+[A-Z][\w'\-]+(?:\s+[A-Z][\w'\-]+)*")
 _SHARE_FOLLOW_RE = re.compile(
     r"^\s*(?:share|follow|tweet|like|subscribe|sign up|sign in|copy link)\s*$", re.I)
 _NEWSLETTER_RE = re.compile(
@@ -487,7 +488,7 @@ def _drop_byline_near_start(root: Node) -> None:
                 continue
             words = _words(trimmed)
             is_short = words < 12
-            is_byline = bool(_BYLINE_BY_RE.match(trimmed))
+            is_byline = is_short and bool(_BYLINE_BY_RE.match(trimmed))
             is_iso = is_short and bool(_ISO_DATE_RE.match(trimmed))
             is_long = is_short and bool(_LONG_DATE_RE.match(trimmed))
             is_author_list = (is_short and s.tag in ("ul", "ol")
