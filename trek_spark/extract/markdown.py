@@ -161,6 +161,13 @@ def _normalize_url(href: str) -> str:
     return href + "/"
 
 
+
+
+def _escape_url(u: str) -> str:
+    """Parens in markdown link targets must be backslash-escaped."""
+    if "(" in u or ")" in u:
+        u = u.replace("(", "\\(").replace(")", "\\)")
+    return u
 def is_backref(node: Node) -> bool:
     href = node.get("href") or ""
     if "#fnref" in href or "#cite_ref" in href:
@@ -701,7 +708,7 @@ class Renderer:
         if not inner:
             return
         title = node.get("title")
-        resolved = self.resolve_url(href)
+        resolved = _escape_url(self.resolve_url(href))
         s = "[" + inner + "](" + decode_html_entities(resolved)
         if title:
             s += ' "' + title.replace('"', '\\"') + '"'
@@ -748,7 +755,7 @@ class Renderer:
         src = best_img_src(node)
         if not src or src.startswith("data:"):
             return ""
-        resolved = self.resolve_url(src)
+        resolved = _escape_url(self.resolve_url(src))
         alt = node.get("alt") or ""
         title = node.get("title") or ""
         s = "![" + alt + "](" + decode_html_entities(resolved)
@@ -937,6 +944,7 @@ class Renderer:
                 for c in node.children)
             if not has_src:
                 return  # src-less media shells are chrome
+            node.del_attr("style")
             raw = serialize(node).strip()
             if raw:
                 out.ensure_nl(2)

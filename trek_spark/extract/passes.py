@@ -343,7 +343,8 @@ def rewrite_embed_iframes(body: Node) -> None:
         if m:
             user, tid = m.group(1), m.group(2)
             img = Node.element(
-                "img", {"src": f"https://x.com/i/status/{tid}", "alt": ""})
+                "img", {"src": f"https://x.com/{user}/status/{tid}",
+                        "alt": ""})
             n.replace_with(img)
             continue
         m = _TW_EMBED_SRC_RE.match(src)
