@@ -1598,6 +1598,21 @@ def _wrap_raw_latex(root: Node) -> None:
 def normalize_math_base(root: Node) -> None:
     """Math-base pass: raw LaTeX wrapping, LaTeX-image promotion and
     data-math spans → `<math>` elements (`src/elements/math/base.rs`)."""
+    # MediaWiki serves <math> plus a rendered fallback <img> — drop the
+    # duplicate image (class mwe-math-fallback… or sibling-of-math)
+    for img in [n for n in root.iter_elements() if n.tag == "img"]:
+        if img.parent is None:
+            continue
+        cls = (img.get("class") or "").lower()
+        if "mwe-math" in cls or "math-fallback" in cls:
+            img.detach()
+            continue
+        prev = img.prev_element_sibling()
+        if prev is not None and prev.tag in ("math", "semantics") \
+                and (img.get("alt") or "") \
+                and (img.get("alt") or "").replace(" ", "") in \
+                prev.text_content().replace(" ", "") + (prev.get("alttext") or "").replace(" ", ""):
+            img.detach()
     _wrap_raw_latex(root)
     for img in [n for n in root.iter_elements() if n.tag == "img"]:
         if img.parent is None:

@@ -182,7 +182,13 @@ def is_backref(node: Node) -> bool:
 
 
 def _normalize_fn_id(raw: str) -> str:
-    return raw.split("-", 1)[0] if raw else raw
+    if not raw:
+        return raw
+    parts = re.split(r"[-_]", raw)
+    # wiki-style "Name-4"/"Name_4" ids: the numeric tail is the number
+    if len(parts) > 1 and parts[-1].isdigit() and not parts[0].isdigit():
+        return parts[-1]
+    return parts[0]
 
 
 def footnote_ref_id(node: Node) -> Optional[str]:
@@ -554,6 +560,9 @@ class Renderer:
         self.in_table = False
         self.in_pre = False
         self.base_url = base_url
+        # bare <sup>N</sup> counts as a footnote ref only when the document
+        # actually declares footnote definitions (affiliation marks don't)
+        self.has_footnote_defs = True
 
     # -- inline ----------------------------------------------------------
     def render_inline_text(self, raw: str) -> str:
@@ -726,7 +735,8 @@ class Renderer:
                 self._emit_footnote_ref(out, fid)
                 return
         text = node.text_content().strip()
-        if text and len(text) <= 4 and text.isdigit():
+        if text and len(text) <= 4 and text.isdigit() \
+                and self.has_footnote_defs:
             self._emit_footnote_ref(out, text)
             return
         inner = self.render_inline(node)
@@ -1424,9 +1434,22 @@ def post_process(md: str, footnotes: list[tuple[str, str]], title: str) -> str:
     return "\n".join(cleaned).strip()
 
 
+def _doc_has_footnote_defs(node: Node) -> bool:
+    for d in node.iter_elements():
+        if d.tag == "ol" and _has_class(d, "footnotes-list"):
+            return True
+        if _has_class(d, "footnote-definition"):
+            return True
+        ident = d.get("id") or ""
+        if d.tag == "li" and ident.startswith("fn"):
+            return True
+    return False
+
+
 def node_to_markdown(node: Node, title: str = "",
                      base_url: Optional[str] = None) -> str:
     renderer = Renderer(base_url)
+    renderer.has_footnote_defs = _doc_has_footnote_defs(node)
     body = node
     for d in node.iter_elements():
         if d.tag == "body":

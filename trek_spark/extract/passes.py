@@ -157,7 +157,8 @@ def remove_clutter(body: Node, remove_exact: bool = True,
                     to_remove.append(n)
             continue
         if t == "table" and remove_exact and (
-                n.get("id") == "toc" or "toc" in n.classes()):
+                n.get("id") == "toc" or "toc" in n.classes()
+                or "infobox" in n.classes()):
             to_remove.append(n)
             continue
         if t in _PARTIAL_CHECK_TAGS:
