@@ -709,13 +709,18 @@ class Renderer:
                 return
         if is_backref(node):
             return
-        inner = self.render_inline(node).strip()
+        raw_inner = self.render_inline(node)
+        inner = raw_inner.strip()
         href = link_href(node)
         if href is None:
             out.push(inner)
             return
         if not inner:
             return
+        # flanking whitespace inside the anchor moves outside the brackets
+        lead = raw_inner[: len(raw_inner) - len(raw_inner.lstrip())]
+        if lead and not out.is_empty() and out.last_char() not in " \n":
+            out.push(" ")
         title = node.get("title")
         resolved = _escape_url(self.resolve_url(href))
         s = "[" + inner + "](" + decode_html_entities(resolved)

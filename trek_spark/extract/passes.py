@@ -161,11 +161,15 @@ def remove_clutter(body: Node, remove_exact: bool = True,
                 or "infobox" in n.classes()):
             to_remove.append(n)
             continue
-        if t in _PARTIAL_CHECK_TAGS:
+        if t in _PARTIAL_CHECK_TAGS or t == "img":
             should_remove = False
             if remove_exact:
                 cls = n.get("class")
                 if cls:
+                    lc = cls.lower()
+                    if "splash" in lc or "readingprogress" in lc \
+                            or "progressbar" in lc:
+                        should_remove = True
                     for c in cls.split():
                         if c in ("navigation", "sidebar", "toc"):
                             should_remove = True

@@ -561,6 +561,17 @@ def _drop_leading_eyebrow(root: Node) -> None:
     kids = scope.element_children()
     if len(kids) < 2:
         return
+    first = kids[0]
+    if first.tag == "div":
+        fcls = (first.get("class") or "").lower()
+        ft = _text(first).strip()
+        if any(h in fcls for h in ("post-header", "eyebrow", "kicker",
+                                   "article-meta", "post-meta")) \
+                and _words(ft) <= 8 \
+                and not any(c in ft for c in ".!?") \
+                and not _has_media(first):
+            first.detach()
+            return
     candidates = []
     heading = None
     for k in kids[:4]:
@@ -580,6 +591,9 @@ def _drop_leading_eyebrow(root: Node) -> None:
         return
     for c in candidates:
         c.detach()
+    ht = _text(heading).strip()
+    if _LONG_DATE_RE.match(ht) or _ISO_DATE_RE.match(ht):
+        heading.detach()  # a pure-date heading is part of the eyebrow
 
 
 def _drop_hr_label_widgets(root: Node) -> None:
