@@ -62,7 +62,7 @@ def test_iframe_rewrite_youtube():
 def test_iframe_rewrite_x_status():
     out = run('<iframe src="https://x.com/jack/status/20"></iframe>',
               passes.rewrite_embed_iframes)
-    assert out == '<img src="https://x.com/i/status/20" alt="">' 
+    assert out == '<img src="https://x.com/jack/status/20" alt="">' 
 
 
 def test_unknown_iframe_untouched():

@@ -583,6 +583,9 @@ def normalize_headings(root: Node) -> None:
         for a in [n for n in h.iter_elements() if n.tag == "a"]:
             if a.parent is None:
                 continue
+            if (a.get("href") or "").startswith("#"):
+                a.unwrap()  # self-referencing section link: keep the text
+                continue
             a_text = a.text_content().strip()
             if not (h_text and a_text):
                 continue
@@ -1630,10 +1633,19 @@ def normalize_math_base(root: Node) -> None:
                     and len(parent.element_children()) == 1:
                 math.set("display", "block")
     for span in [n for n in root.iter_elements()
-                 if n.tag == "span" and n.get("data-math") is not None]:
+                 if n.tag in ("span", "p", "div")
+                 and n.get("data-math") is not None]:
         if span.parent is None:
             continue
-        math = Node.element("math", {"data-latex": span.get("data-math") or ""})
+        attrs = {"data-latex": span.get("data-math") or ""}
+        stoks = (span.get("class") or "").lower().split()
+        if "display" in (span.get("class") or "").lower() \
+                or "math-block" in stoks or "block" in stoks \
+                or span.tag in ("p", "div") \
+                or span.get("data-display") == "block" \
+                or (span.get("data-math-display") or "") == "true":
+            attrs["display"] = "block"
+        math = Node.element("math", attrs)
         span.replace_with(math)
 
 

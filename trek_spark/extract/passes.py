@@ -152,7 +152,8 @@ def remove_clutter(body: Node, remove_exact: bool = True,
                 role = n.get("role") or ""
                 is_content = (role.lower() == "img"
                               or n.get("aria-label") is not None
-                              or n.get("title") is not None)
+                              or n.get("title") is not None
+                              or n.find_first("title", "text") is not None)
                 if not is_content:
                     to_remove.append(n)
             continue

@@ -391,6 +391,8 @@ def _drop_link_dense_trailing(root: Node) -> None:
         words = _words(_text(k))
         if words < 6:
             if words == 0:
+                if _has_media(k):
+                    break  # math/img-only trailing block is content
                 k.detach()
                 continue
             t = _text(k).strip()
@@ -612,6 +614,31 @@ def _drop_hr_label_widgets(root: Node) -> None:
             d.detach()
 
 
+def _drop_fragment_link_lists(root: Node) -> None:
+    """Standalone TOC lists: every link is a #fragment anchor, ≥3 items →
+    chrome (plus a directly preceding <hr>)."""
+    for lst in [n for n in root.descendants_snapshot()
+                if n.tag in ("ul", "ol")]:
+        if lst.parent is None:
+            continue
+        links = [d for d in lst.iter_elements() if d.tag == "a"]
+        lis = [d for d in lst.iter_elements() if d.tag == "li"]
+        if len(lis) < 3 or not links:
+            continue
+        link_chars = sum(len("".join(a.text_content().split()))
+                         for a in links)
+        total_chars = len("".join(_text(lst).split())) or 1
+        if all((a.get("href") or "").startswith("#") for a in links) \
+                and link_chars / total_chars > 0.8:
+            prev = lst.prev_element_sibling()
+            nxt = lst.next_element_sibling()
+            lst.detach()
+            if prev is not None and prev.tag == "hr":
+                prev.detach()
+            elif nxt is not None and nxt.tag == "hr":
+                nxt.detach()
+
+
 def _drop_toc_blocks(root: Node) -> None:
     """"Contents"/"Table of contents" heading + link-only list → chrome."""
     for h in [n for n in root.descendants_snapshot()
@@ -663,6 +690,7 @@ def content_patterns(root: Node) -> None:
     _drop_dismiss_controls(root)
     _drop_leading_author_chrome(root)
     _drop_toc_blocks(root)
+    _drop_fragment_link_lists(root)
     _drop_leading_eyebrow(root)
     _drop_social_counters(root)
     _drop_read_time(root)
