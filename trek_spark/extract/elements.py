@@ -967,6 +967,11 @@ def _drop_delimiter_before_known(root: Node) -> None:
             if prev.type != ELEMENT:
                 prev = prev.prev_sibling()
                 continue
+            if prev.tag == "div" \
+                    and len(prev.element_children()) == 1 \
+                    and _is_footnote_delimiter(prev.element_children()[0]):
+                prev.detach()
+                break
             if _is_footnote_delimiter(prev) \
                     and "sr-only" not in prev.classes():
                 # an <hr> that lives INSIDE a .footnotes wrapper is kept
@@ -1425,7 +1430,8 @@ def _convert_note_id_paragraphs(root: Node) -> None:
 def _tag_reference_lists(root: Node) -> None:
     """<ol>/<li> reference lists whose items carry #rN/#refN/#Footnote_N
     anchor ids (directly or on a child anchor) → canonical footnotes-list."""
-    id_re = re.compile(r"^(?:r|ref|note|fn|footnote)[-_:]?(\d+)$", re.I)
+    id_re = re.compile(
+        r"^(?:r|ref|note|fn|footnote|cite[-_]note)[-_:]?(\d+)$", re.I)
     for ol in [n for n in root.iter_elements() if n.tag in ("ol", "ul")]:
         hits = []
         for li in ol.element_children():
@@ -1446,7 +1452,8 @@ def _tag_reference_lists(root: Node) -> None:
                             break
             if num is not None:
                 hits.append((li, num))
-        if len(hits) >= 2:
+        min_hits = 1 if any("reference" in c for c in ol.classes()) else 2
+        if len(hits) >= min_hits:
             _add_class(ol, "footnotes-list")
             for li, num in hits:
                 li.set("id", f"fn:{num}")

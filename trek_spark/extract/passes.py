@@ -88,6 +88,8 @@ def value_matches_partial(value: str, attr: str) -> bool:
         for tok in value.split():
             if "[" in tok or "]" in tok:
                 continue
+            if tok.lower().startswith("mw-heading"):
+                continue  # MediaWiki section-heading wrappers are content
             if _PARTIAL_RE.search(tok.lower()):
                 return True
         return False
@@ -105,6 +107,8 @@ def _class_token_matches_partial(value: str, attr: str) -> bool:
             for t in tokens)
         for t in tokens:
             if "[" in t or "]" in t:
+                continue
+            if t.lower().startswith("mw-heading"):
                 continue
             if has_responsive_show and t in ("hidden", "invisible"):
                 continue

@@ -614,6 +614,27 @@ def _drop_hr_label_widgets(root: Node) -> None:
             d.detach()
 
 
+def _drop_seealso_sections(root: Node) -> None:
+    """"See also" / "External links" headings + their link lists → chrome
+    (wiki convention in the golden corpus)."""
+    for h in [n for n in root.descendants_snapshot()
+              if n.tag in _HEADING_TAGS]:
+        if h.parent is None:
+            continue
+        if _text(h).strip().lower() not in ("see also", "external links",
+                                            "navigation menu"):
+            continue
+        nxt = h.next_element_sibling()
+        if nxt is None and h.parent is not None \
+                and h.parent.type == ELEMENT:
+            # heading inside a wrapper div — look after the wrapper
+            nxt = h.parent.next_element_sibling()
+        if nxt is not None and nxt.tag in ("ul", "ol", "nav") \
+                and _link_density(nxt) > 0.5:
+            nxt.detach()
+            h.detach()
+
+
 def _drop_fragment_link_lists(root: Node) -> None:
     """Standalone TOC lists: every link is a #fragment anchor, ≥3 items →
     chrome (plus a directly preceding <hr>)."""
@@ -690,6 +711,7 @@ def content_patterns(root: Node) -> None:
     _drop_dismiss_controls(root)
     _drop_leading_author_chrome(root)
     _drop_toc_blocks(root)
+    _drop_seealso_sections(root)
     _drop_fragment_link_lists(root)
     _drop_leading_eyebrow(root)
     _drop_social_counters(root)
