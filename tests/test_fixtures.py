@@ -77,4 +77,4 @@ def test_markdown_exact_count_floor(corpus):
             continue
         if (r["content_markdown"] or "").strip() == fx.expected_markdown.strip():
             exact += 1
-    assert exact >= 131, f"byte-exact markdown count dropped to {exact}"
+    assert exact >= 132, f"byte-exact markdown count dropped to {exact}"

@@ -1432,7 +1432,10 @@ def _tag_reference_lists(root: Node) -> None:
     anchor ids (directly or on a child anchor) → canonical footnotes-list."""
     id_re = re.compile(
         r"^(?:r|ref|note|fn|footnote|cite[-_]note)[-_:]?(\d+)$", re.I)
+    cite_named_re = re.compile(r"^cite[-_]note[-_].*?(\d+)$", re.I)
     for ol in [n for n in root.iter_elements() if n.tag in ("ol", "ul")]:
+        if ol.has_class("footnotes-list"):
+            continue  # already canonical (earlier converter placed it)
         hits = []
         for li in ol.element_children():
             if li.tag != "li":
@@ -1440,7 +1443,7 @@ def _tag_reference_lists(root: Node) -> None:
             num = None
             ident = li.get("id")
             if ident:
-                m = id_re.match(ident)
+                m = id_re.match(ident) or cite_named_re.match(ident)
                 if m:
                     num = m.group(1)
             if num is None:
@@ -1455,6 +1458,20 @@ def _tag_reference_lists(root: Node) -> None:
         min_hits = 1 if any("reference" in c for c in ol.classes()) else 2
         if len(hits) >= min_hits:
             _add_class(ol, "footnotes-list")
+            # reference lists render as footnote definitions, which the
+            # golden corpus places after ALL article content — move the
+            # list to the end of its article/body container
+            owner = None
+            cur = ol.parent
+            while cur is not None:
+                if cur.type == ELEMENT and cur.tag in ("article", "main",
+                                                       "body"):
+                    owner = cur
+                    break
+                cur = cur.parent
+            if owner is not None:
+                ol.detach()
+                owner.append(ol)
             for li, num in hits:
                 li.set("id", f"fn:{num}")
                 # drop the now-redundant anchor label inside

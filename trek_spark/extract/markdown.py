@@ -729,16 +729,19 @@ class Renderer:
         out.push(s + ")")
 
     def render_sup(self, node: Node, out: _Out) -> None:
-        fid = _footnote_id_from_sup(node)
-        if fid is not None:
-            self._emit_footnote_ref(out, fid)
-            return
+        # the child anchor's target is the authoritative number (wiki
+        # cite_ref-Name_2-0 sup ids end in the occurrence index, not the
+        # footnote number)
         anchor = node.find_first("a")
         if anchor is not None:
             fid = footnote_ref_id(anchor)
             if fid is not None:
                 self._emit_footnote_ref(out, fid)
                 return
+        fid = _footnote_id_from_sup(node)
+        if fid is not None:
+            self._emit_footnote_ref(out, fid)
+            return
         text = node.text_content().strip()
         if text and len(text) <= 4 and text.isdigit() \
                 and self.has_footnote_defs:

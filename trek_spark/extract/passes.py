@@ -181,8 +181,8 @@ def remove_clutter(body: Node, remove_exact: bool = True,
                             break
                 if n.get("id") == "toc":
                     should_remove = True
-            if t == "span" and n.has_ancestor_tag(*_HEADING_TAGS):
-                continue  # heading label spans (mw-headline) are content
+            if t == "span" and "mw-headline" in n.classes():
+                continue  # heading label span is content; [edit] spans go
             if not should_remove and remove_partial:
                 is_heading = t in _HEADING_TAGS
                 for attr in TEST_ATTRIBUTES:
@@ -242,7 +242,7 @@ def selectors_pass(body: Node) -> int:
             continue
         if _inside_pre_or_code(n):
             continue
-        if n.tag == "span" and n.has_ancestor_tag(*_HEADING_TAGS):
+        if n.tag == "span" and "mw-headline" in n.classes():
             continue
         is_h = n.tag in _HEADING_TAGS
         matched = False

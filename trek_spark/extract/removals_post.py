@@ -621,8 +621,12 @@ def _drop_seealso_sections(root: Node) -> None:
               if n.tag in _HEADING_TAGS]:
         if h.parent is None:
             continue
-        if _text(h).strip().lower() not in ("see also", "external links",
-                                            "navigation menu"):
+        ht = _text(h).strip().lower()
+        if ht not in ("see also", "external links", "navigation menu"):
+            continue
+        # substantial articles keep their See also / External links
+        # sections; on thin stub pages they are trailing chrome
+        if _words(_text(_scope_of(root))) > 400:
             continue
         nxt = h.next_element_sibling()
         if nxt is None and h.parent is not None \
