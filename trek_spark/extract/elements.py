@@ -1342,6 +1342,55 @@ def _drop_sidenote_spans(root: Node) -> None:
             hr.detach()
 
 
+def _convert_wikidot_footnotes(root: Node) -> None:
+    """Wikidot `div.footnote-footer#footnote-N` definitions + javascript:
+    `a#footnoteref-N` refs → canonical shapes."""
+    defs = []
+    for fd in [n for n in root.iter_elements()
+               if n.tag == "div" and n.has_class("footnote-footer")]:
+        ident = fd.get("id") or ""
+        m = re.match(r"footnote-(\d+)$", ident)
+        if m:
+            defs.append((m.group(1), fd))
+    if not defs:
+        return
+    ol = Node.element("ol", {"class": "footnotes-list"})
+    for num, fd in defs:
+        li = _new_fn_li(num)
+        # drop the leading backref anchor + "N. " label text (the anchor
+        # may already be unwrapped to a bare "N" text node by earlier passes)
+        for c in list(fd.children):
+            if c.type == ELEMENT:
+                if c.tag == "a":
+                    c.detach()
+                break
+            if c.type == TEXT and c.text.strip():
+                stripped = re.sub(r"^\s*\d+\s*\.?\s*$", "", c.text)
+                if stripped != c.text:
+                    c.detach()
+                    continue
+                break
+        for c in fd.children:
+            if c.type == TEXT and c.text.strip():
+                c.text = re.sub(r"^\s*\d*\s*\.?\s*", "", c.text, count=1)
+                break
+        for c in list(fd.children):
+            li.append(c)
+        ol.append(li)
+    container = defs[-1][1].parent
+    lead = defs[0][1].prev_element_sibling()
+    if lead is not None and _is_footnote_delimiter(lead):
+        lead.detach()
+    for _n, fd in defs:
+        fd.detach()
+    (container or root).append(ol)
+    # refs: sup.footnoteref > a#footnoteref-N (javascript: href)
+    for a in [n for n in root.iter_elements() if n.tag == "a"
+              and re.match(r"footnoteref-(\d+)$", n.get("id") or "")]:
+        num = re.match(r"footnoteref-(\d+)$", a.get("id")).group(1)
+        a.set("href", f"#fn:{num}")
+
+
 def _convert_footdefs(root: Node) -> None:
     """orgmode `div.footdef` definitions: <sup><a id="fn.N" class="footnum">
     + div.footpara body → canonical footnotes-list."""
@@ -1461,6 +1510,12 @@ def _tag_reference_lists(root: Node) -> None:
             # reference lists render as footnote definitions, which the
             # golden corpus places after ALL article content — move the
             # list to the end of its article/body container
+            lead = ol.prev_element_sibling()
+            if lead is not None and _is_footnote_delimiter(lead) \
+                    and "sr-only" not in lead.classes():
+                # bare "References" heading directly before the list is a
+                # delimiter; wrapped (mw-heading) section headings stay
+                lead.detach()
             owner = None
             cur = ol.parent
             while cur is not None:
@@ -1487,6 +1542,7 @@ def normalize_footnotes(root: Node) -> None:
     + `<sup>N</sup>` refs (`src/elements/footnotes.rs:47-84` pass order)."""
     _drop_sidenote_spans(root)
     _convert_footdefs(root)
+    _convert_wikidot_footnotes(root)
     _convert_note_id_paragraphs(root)
     _tag_reference_lists(root)
     _rewrite_word_ftn_ids(root)

@@ -88,9 +88,10 @@ def value_matches_partial(value: str, attr: str) -> bool:
         for tok in value.split():
             if "[" in tok or "]" in tok:
                 continue
-            if tok.lower().startswith("mw-heading"):
-                continue  # MediaWiki section-heading wrappers are content
-            if _PARTIAL_RE.search(tok.lower()):
+            tl = tok.lower()
+            if tl.startswith("mw-heading") or tl.startswith("footnote"):
+                continue  # section headings / footnote shells are content
+            if _PARTIAL_RE.search(tl):
                 return True
         return False
     return _PARTIAL_RE.search(value.lower()) is not None
@@ -108,11 +109,12 @@ def _class_token_matches_partial(value: str, attr: str) -> bool:
         for t in tokens:
             if "[" in t or "]" in t:
                 continue
-            if t.lower().startswith("mw-heading"):
+            tl2 = t.lower()
+            if tl2.startswith("mw-heading") or tl2.startswith("footnote"):
                 continue
             if has_responsive_show and t in ("hidden", "invisible"):
                 continue
-            if _PARTIAL_RE.search(t.lower()):
+            if _PARTIAL_RE.search(tl2):
                 return True
         return False
     return _PARTIAL_RE.search(value.lower()) is not None
