@@ -88,10 +88,9 @@ def value_matches_partial(value: str, attr: str) -> bool:
         for tok in value.split():
             if "[" in tok or "]" in tok:
                 continue
-            tl = tok.lower()
-            if tl.startswith("mw-heading") or tl.startswith("footnote"):
-                continue  # section headings / footnote shells are content
-            if _PARTIAL_RE.search(tl):
+            if tok.lower().startswith("mw-heading"):
+                continue  # MediaWiki section-heading wrappers are content
+            if _PARTIAL_RE.search(tok.lower()):
                 return True
         return False
     return _PARTIAL_RE.search(value.lower()) is not None
@@ -109,12 +108,11 @@ def _class_token_matches_partial(value: str, attr: str) -> bool:
         for t in tokens:
             if "[" in t or "]" in t:
                 continue
-            tl2 = t.lower()
-            if tl2.startswith("mw-heading") or tl2.startswith("footnote"):
+            if t.lower().startswith("mw-heading"):
                 continue
             if has_responsive_show and t in ("hidden", "invisible"):
                 continue
-            if _PARTIAL_RE.search(tl2):
+            if _PARTIAL_RE.search(t.lower()):
                 return True
         return False
     return _PARTIAL_RE.search(value.lower()) is not None

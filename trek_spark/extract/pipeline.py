@@ -81,8 +81,6 @@ def _run_cleanup(body: Node, url: Optional[str], title: str,
     if remove_exact or remove_partial:
         gated_removed += passes.remove_clutter(body, remove_exact,
                                                remove_partial)
-    if remove_exact:
-        passes.remove_exact_selectors(body)
 
     # callouts normalize BEFORE legacy flatten (ref `src/lib.rs:281-289`)
     elements.normalize_callouts(body)
