@@ -35,6 +35,8 @@ def _bootstrap() -> None:
     register_all()
     from .comments import register_comment_extractors
     register_comment_extractors()
+    from .sites import register_site_extractors
+    register_site_extractors()
 
 
 def try_extractors(html: str, url: Optional[str], collected, metadata):

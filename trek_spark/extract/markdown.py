@@ -126,6 +126,8 @@ def escape_md_text(s: str) -> str:
             prev_word = i > 0 and s[i - 1].isalnum()
             next_word = i + 1 < n and s[i + 1].isalnum()
             out.append("\\_" if prev_word and next_word else "_")
+        elif c == "*":
+            out.append("\\*")
         else:
             out.append(c)
     return "".join(out)
@@ -602,7 +604,11 @@ class Renderer:
 
     def render_inline_node(self, node: Node, out: _Out) -> None:
         if node.type == TEXT:
-            out.push(self.render_inline_text(node.text))
+            text = self.render_inline_text(node.text)
+            if text[:1] in ("-", "−") and out._tail[-1:] == "*":
+                # mirror of the hyphen-padding rule in _emit_flanked
+                out.push(" ")
+            out.push(text)
             return
         if node.type != ELEMENT:
             return
@@ -674,6 +680,10 @@ class Renderer:
         trail = inner[len(inner.rstrip()):]
         if lead:
             out.push(" " if "\n" not in lead else lead)
+        elif out._tail and out._tail[-1] in "-−":
+            # separate emphasis from an adjacent hyphen/minus so the golden
+            # corpus shape `*n* -by- *n*` round-trips
+            out.push(" ")
         out.push(delim + core + delim)
         if trail:
             out.push(trail if "\n" in trail else " ")
