@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import re
 from typing import Optional
-from urllib.parse import urljoin
+from urllib.parse import urljoin, urlsplit
 
 from ..dom.node import COMMENT, ELEMENT, TEXT, Node, serialize
 from .utils import decode_html_entities
@@ -775,9 +775,27 @@ class Renderer:
         if not self.base_url:
             return trimmed
         try:
-            return urljoin(self.base_url, trimmed)
+            joined = urljoin(self.base_url, trimmed)
         except ValueError:
             return trimmed
+        # normalize like rust's url crate `Url::join`: lowercase the host
+        # and give a bare authority the "/" root path
+        try:
+            parts = urlsplit(joined)
+        except ValueError:
+            return joined
+        if parts.scheme in ("http", "https") and parts.hostname:
+            host = parts.hostname
+            if parts.port:
+                host += f":{parts.port}"
+            path = parts.path or "/"
+            out = f"{parts.scheme}://{host}{path}"
+            if parts.query:
+                out += "?" + parts.query
+            if parts.fragment:
+                out += "#" + parts.fragment
+            return out
+        return joined
 
     def render_image(self, node: Node) -> str:
         src = best_img_src(node)

@@ -150,6 +150,182 @@ def substack_extract(html: str, url, collected, metadata):
     return None
 
 
+# --------------------------------------------------------------- x-article
+
+_X_ARTICLE_URL_RE = re.compile(
+    r"(?i)^https?://(?:www\.|mobile\.)?(?:x|twitter)\.com/"
+    r"(?:[A-Za-z0-9_]{1,15}|i)/article/\d+")
+_NAME_PARAM_RE = re.compile(r"([?&]name=)[A-Za-z0-9_]+")
+_SPACE_SENTINEL = "\x02XSPACE\x02"
+
+
+def _upgrade_media_name(src: str) -> str:
+    """`?format=jpg&name=medium` → `name=large` (full-quality media URL,
+    matching the golden corpus)."""
+    return _NAME_PARAM_RE.sub(r"\1large", src)
+
+
+def _style_of(node: Node) -> str:
+    return (node.get("style") or "").lower()
+
+
+def _inline_clean(node: Node) -> None:
+    """Convert DraftJS style spans into semantic strong/em in place."""
+    for d in node.descendants_snapshot():
+        if d.type != 1 or d.tag != "span":
+            continue
+        style = _style_of(d)
+        if "font-weight: bold" in style or "font-weight: 700" in style:
+            d.tag = "strong"
+            d.del_attr("style")
+        elif "font-style: italic" in style:
+            d.tag = "em"
+            d.del_attr("style")
+
+
+def _find_testid(root: Node, value: str) -> Optional[Node]:
+    for d in root.iter_elements():
+        if d.get("data-testid") == value:
+            return d
+    return None
+
+
+def x_article_can(url: str, html: str) -> bool:
+    if _X_ARTICLE_URL_RE.match(url or ""):
+        return True
+    # browser-rendered article DOM on any URL (Defuddle probes the DOM)
+    return "twitterArticleRichTextView" in html
+
+
+def x_article_extract(html: str, url, collected, metadata):
+    """Long-form X/Twitter articles (ref `src/extractors/x_article.rs`).
+
+    Rebuilds the DraftJS rich-text container as clean semantic HTML:
+    `longform-header-*` → h1/h2/h3, `longform-unstyled` → p, style spans →
+    strong/em, tweetPhoto media upgraded to `name=large`. A cover photo
+    rendered before the container is prepended.
+    """
+    doc = parse_html(html)
+    root = body_of(doc)
+    container = _find_testid(root, "twitterArticleRichTextView")
+    if container is None:
+        return None
+
+    blocks: list[str] = []
+
+    # cover photo: first pbs.twimg media image rendered before the article
+    container_seen = set()
+    for d in container.iter_elements():
+        container_seen.add(id(d))
+    for d in root.iter_elements():
+        if id(d) in container_seen:
+            break
+        if d.tag == "img" and "pbs.twimg.com/media" in (d.get("src") or ""):
+            src = _upgrade_media_name(d.get("src"))
+            alt = d.get("alt") or ""
+            blocks.append(f'<p><img src="{_esc_attr(src)}" '
+                          f'alt="{_esc_attr(alt)}" /></p>')
+            break
+
+    title_text = ""
+    author = ""
+
+    def walk(node: Node) -> None:
+        nonlocal title_text, author
+        for child in node.element_children():
+            cls = child.classes()
+            testid = child.get("data-testid") or ""
+            if testid == "twitter-article-title":
+                title_text = " ".join(child.text_content().split())
+                blocks.append(f"<p>{title_text}</p>")
+                continue
+            if child.get("itemprop") == "author":
+                name = handle = ""
+                for m in child.iter_elements():
+                    if m.tag == "meta":
+                        if m.get("itemprop") == "name":
+                            name = m.get("content") or ""
+                        elif m.get("itemprop") == "additionalName":
+                            handle = m.get("content") or ""
+                if name and handle:
+                    author = f"{name} (@{handle})"
+                elif name:
+                    author = name
+                elif handle:
+                    author = f"@{handle}"
+                blocks.append(f"<p>{_SPACE_SENTINEL}</p>")
+                continue
+            if testid == "tweetPhoto":
+                img = child.find_first("img")
+                if img is not None:
+                    src = _upgrade_media_name(img.get("src") or "")
+                    alt = img.get("alt") or ""
+                    blocks.append(f'<p><img src="{_esc_attr(src)}" '
+                                  f'alt="{_esc_attr(alt)}" /></p>')
+                continue
+            header_level = None
+            for c in cls:
+                if c == "longform-header-one":
+                    header_level = 1
+                elif c == "longform-header-two":
+                    header_level = 2
+                elif c == "longform-header-three":
+                    header_level = 3
+            if header_level:
+                txt = " ".join(child.text_content().split())
+                blocks.append(f"<h{header_level}>{txt}</h{header_level}>")
+                continue
+            if "longform-unstyled" in cls:
+                _inline_clean(child)
+                blocks.append("<p>" + "".join(
+                    serialize(c) for c in child.children) + "</p>")
+                continue
+            if child.tag in ("ol", "ul", "pre", "table", "blockquote"):
+                _inline_clean(child)
+                # DraftJS wraps each li's text in block divs — flatten to
+                # inline content so items render on one line
+                for li in [n for n in child.iter_elements()
+                           if n.tag == "li"]:
+                    divs = [d for d in li.iter_elements() if d.tag == "div"]
+                    for d in reversed(divs):
+                        d.unwrap()
+                blocks.append(serialize(child))
+                continue
+            walk(child)
+
+    walk(container)
+
+    content_html = "".join(blocks)
+    if not title_text:
+        # real x.com pages render the title in the page chrome, outside
+        # the rich-text container
+        t = _find_testid(root, "twitter-article-title")
+        if t is not None:
+            title_text = " ".join(t.text_content().split())
+    overrides = {
+        "site": "X (Twitter)",
+        "__md_fixes__": [(_SPACE_SENTINEL, " ")],
+    }
+    if title_text:
+        overrides["title"] = title_text
+    if author:
+        overrides["author"] = author
+    else:
+        # page chrome: User-Name card above the article
+        user = _find_testid(root, "User-Name")
+        if user is not None:
+            first = " ".join(user.text_content().split()).split("@")[0]
+            if first.strip():
+                overrides["author"] = first.strip()
+    # first <time datetime=...> anywhere on the page
+    for d in root.iter_elements():
+        if d.tag == "time" and d.get("datetime"):
+            overrides["published"] = d.get("datetime")
+            break
+    return content_html, overrides
+
+
 def register_site_extractors() -> None:
     from .extractors import register
+    register("x-article", x_article_can, x_article_extract)
     register("substack", substack_can, substack_extract)
