@@ -19,7 +19,6 @@ from trek_spark.fixtures import load_fixtures, metadata_field_ok
 # lacks or gates (reference allowlist tests/fixtures_test.rs:72-94) plus the
 # extractor-dependent gaps still open in this port.
 KNOWN_METADATA_GAPS = {
-    ("general--github.com-test-owner-test-repo-pull-42", "site"),
     ("extractor--bbcode-data", "published"),
 }
 
@@ -73,4 +72,4 @@ def test_markdown_exact_count_floor(corpus):
             continue
         if (r["content_markdown"] or "").strip() == fx.expected_markdown.strip():
             exact += 1
-    assert exact >= 138, f"byte-exact markdown count dropped to {exact}"
+    assert exact >= 141, f"byte-exact markdown count dropped to {exact}"

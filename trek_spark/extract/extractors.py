@@ -37,6 +37,9 @@ def _bootstrap() -> None:
     register_comment_extractors()
     from .sites import register_site_extractors
     register_site_extractors()
+    # catch-all BBCode detection registered LAST (`src/extractors/mod.rs:94`)
+    from .sites import bbcode_can, bbcode_extract
+    register("bbcode-data", bbcode_can, bbcode_extract)
 
 
 def try_extractors(html: str, url: Optional[str], collected, metadata):

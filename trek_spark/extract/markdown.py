@@ -1051,9 +1051,19 @@ class Renderer:
         out.ensure_nl(2)
 
     def render_paragraph(self, node: Node, out: _Out) -> None:
-        text = self.render_inline(node).strip()
+        inner = self.render_inline(node)
+        text = inner.strip()
         if not text:
             return
+        # trailing <br> runs survive as markdown hard breaks (`  \n`),
+        # matching the golden corpus (`below:  \n  ` before a block break)
+        m = re.search(r"((?:  \n)+)\s*$", inner)
+        if m:
+            n = m.group(1).count("\n")
+            # a single trailing <br> collapses; a run of 2+ renders as
+            # hard-break lines
+            if n >= 2:
+                text = (text + "  \n" * n).rstrip("\n")
         out.ensure_nl(2)
         out.push(text)
         out.ensure_nl(2)

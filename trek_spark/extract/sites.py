@@ -325,7 +325,357 @@ def x_article_extract(html: str, url, collected, metadata):
     return content_html, overrides
 
 
+# ----------------------------------------------------------------- github
+
+_GH_REPO_RE = re.compile(r"github\.com/([^/]+)/([^/?#]+)")
+_GH_KIND_RE = re.compile(r"/(issues|pull)/(\d+)")
+
+
+def github_can(url: str, html: str) -> bool:
+    if _host(url) == "github.com":
+        return True
+    return "octolytics-url" in html or "js-header-wrapper" in html
+
+
+def _gh_blob_widget_to_pre(body: Node) -> None:
+    """GitHub embedded code-reference widgets (`div.Box--condensed` with a
+    `.blob-wrapper-embedded` line table) render in the golden corpus as a
+    plain fenced block of the snippet lines."""
+    for box in [d for d in body.descendants_snapshot()
+                if d.type == 1 and "Box--condensed" in d.classes()]:
+        blob = None
+        for d in box.iter_elements():
+            if "blob-wrapper-embedded" in d.classes():
+                blob = d
+                break
+        if blob is None:
+            continue
+        lines = []
+        for td in [n for n in blob.iter_elements() if n.tag == "td"]:
+            if "blob-code" in (td.get("class") or ""):
+                # github pads each blob line with one leading space
+                line = td.text_content().rstrip()
+                lines.append(line[1:] if line.startswith(" ") else line)
+        pre = Node.element("pre")
+        code = Node.element("code")
+        code.append(Node.text_node("\n".join(lines)))
+        pre.append(code)
+        box.replace_with(pre)
+
+
+def _gh_strip_lang_classes(body: Node) -> None:
+    """The golden corpus renders GitHub's `highlight-source-X` blocks as
+    plain fences (turndown doesn't read the wrapper class)."""
+    for d in body.descendants_snapshot():
+        if d.type != 1:
+            continue
+        cls = d.get("class") or ""
+        if "highlight-source-" in cls or "language-" in cls:
+            d.set("class", " ".join(
+                c for c in cls.split()
+                if not c.startswith(("highlight-source-", "language-"))))
+
+
+def _gh_comment_block(author: str, date: str, body: Node) -> str:
+    date_part = f" · {date}" if date else ""
+    return ("<blockquote><p><strong>" + author + "</strong>" + date_part
+            + "</p>" + serialize(body) + "</blockquote>")
+
+
+def github_extract(html: str, url, collected, metadata):
+    """GitHub issues, PRs and repo READMEs
+    (ref `src/extractors/github.rs:80-300`), matched to the golden corpus:
+    issue pages render the author link + association badge + issue body
+    only; PR pages render the PR body + an `hr`/`## Comments` section of
+    blockquoted timeline/review comments.
+    """
+    root = body_of(parse_html(html))
+    url = url or ""
+
+    m = _GH_KIND_RE.search(url)
+    kind = {"issues": "issue", "pull": "pr"}.get(m.group(1)) if m else None
+    issue_container = None
+    for d in root.iter_elements():
+        if d.get("data-testid") == "issue-viewer-issue-container":
+            issue_container = d
+            break
+    pr_body_el = None
+    for d in root.iter_elements():
+        if (d.get("id") or "").startswith("pullrequest-"):
+            pr_body_el = d
+            break
+    if kind is None:
+        kind = ("issue" if issue_container is not None
+                else "pr" if pr_body_el is not None else "repo")
+
+    rm = _GH_REPO_RE.search(url)
+    site = f"GitHub - {rm.group(1)}/{rm.group(2)}" if rm else "GitHub"
+
+    author = published = ""
+    parts: list[str] = []
+
+    def _first_markdown_body(scope: Node) -> Optional[Node]:
+        for d in scope.iter_elements():
+            if "markdown-body" in d.classes():
+                return d
+        return None
+
+    if kind == "issue":
+        scope = issue_container or root
+        header_author = None
+        for d in scope.iter_elements():
+            if d.get("data-testid") == "issue-body-header-author":
+                header_author = d
+                break
+        if header_author is not None:
+            login = " ".join(header_author.text_content().split())
+            author = login
+            href = header_author.get("href") or f"/{login}"
+            parts.append(f'<p><a href="{_esc_attr(href)}">{login}</a></p>')
+        for d in scope.iter_elements():
+            if d.get("data-testid") == "comment-author-association":
+                assoc = " ".join(d.text_content().split())
+                if assoc:
+                    parts.append(f"<p>{assoc}</p>")
+                break
+        body = None
+        for d in scope.iter_elements():
+            if d.get("data-testid") == "issue-body-viewer":
+                body = _first_markdown_body(d)
+                break
+        if body is None:
+            body = _first_markdown_body(scope)
+        if body is None:
+            return None
+        _gh_blob_widget_to_pre(body)
+        _gh_strip_lang_classes(body)
+        parts.append(serialize(body))
+        for d in scope.iter_elements():
+            if d.tag == "relative-time" and d.get("datetime"):
+                published = d.get("datetime")
+                break
+    elif kind == "pr":
+        if pr_body_el is None:
+            return None
+        body = None
+        for d in pr_body_el.iter_elements():
+            cls = d.classes()
+            if "comment-body" in cls and "markdown-body" in cls:
+                body = d
+                break
+        if body is None:
+            return None
+        _gh_strip_lang_classes(body)
+        parts.append(serialize(body))
+        for d in pr_body_el.iter_elements():
+            if "author" in d.classes():
+                author = " ".join(d.text_content().split())
+                break
+        for d in pr_body_el.iter_elements():
+            if d.tag == "relative-time" and d.get("datetime"):
+                published = d.get("datetime")
+                break
+        comments = []
+        pr_body_ids = {id(n) for n in pr_body_el.iter_elements()}
+        pr_body_ids.add(id(pr_body_el))
+        for c in root.iter_elements():
+            cls = c.classes()
+            if "timeline-comment" not in cls and "review-comment" not in cls:
+                continue
+            if id(c) in pr_body_ids:
+                continue
+            cbody = None
+            for d in c.iter_elements():
+                dcls = d.classes()
+                if "comment-body" in dcls and "markdown-body" in dcls:
+                    cbody = d
+                    break
+            if cbody is None or id(cbody) in pr_body_ids:
+                continue
+            cauthor = ""
+            for d in c.iter_elements():
+                if "author" in d.classes():
+                    cauthor = " ".join(d.text_content().split())
+                    break
+            cdate = ""
+            for d in c.iter_elements():
+                if d.tag == "relative-time" and d.get("datetime"):
+                    cdate = (d.get("datetime") or "").split("T")[0]
+                    break
+            _gh_strip_lang_classes(cbody)
+            comments.append(_gh_comment_block(cauthor, cdate, cbody))
+        if comments:
+            parts.append("<hr><h2>Comments</h2>")
+            parts.extend(comments)
+    else:
+        body = None
+        for d in root.iter_elements():
+            if d.tag == "article" and "markdown-body" in d.classes():
+                body = d
+                break
+        if body is None:
+            body = _first_markdown_body(root)
+        if body is None:
+            return None
+        parts.append(serialize(body))
+
+    overrides = {"site": site}
+    if author:
+        overrides["author"] = author
+    if published:
+        overrides["published"] = published
+    return "".join(parts), overrides
+
+
+# ------------------------------------------------------------- bbcode-data
+
+_BBCODE_TAG_RE = re.compile(r"(?i)\[/?(?:[a-z][a-z0-9_]*|\*)(?:=[^\]]*)?\]")
+_BB_RULES = [
+    (re.compile(r"(?is)\[h1\](.*?)\[/h1\]"), r"<h1>\1</h1>"),
+    (re.compile(r"(?is)\[h2\](.*?)\[/h2\]"), r"<h2>\1</h2>"),
+    (re.compile(r"(?is)\[h3\](.*?)\[/h3\]"), r"<h3>\1</h3>"),
+    (re.compile(r"(?is)\[h4\](.*?)\[/h4\]"), r"<h4>\1</h4>"),
+    (re.compile(r"(?is)\[b\](.*?)\[/b\]"), r"<strong>\1</strong>"),
+    (re.compile(r"(?is)\[i\](.*?)\[/i\]"), r"<em>\1</em>"),
+    (re.compile(r"(?is)\[u\](.*?)\[/u\]"), r"<u>\1</u>"),
+    (re.compile(r"(?is)\[s\](.*?)\[/s\]"), r"<s>\1</s>"),
+    (re.compile(r"(?is)\[size=([^\]]+)\](.*?)\[/size\]"),
+     r'<span style="font-size:\1">\2</span>'),
+    (re.compile(r"(?is)\[color=([^\]]+)\](.*?)\[/color\]"),
+     r'<span style="color:\1">\2</span>'),
+]
+_BB_URL_RE = re.compile(r"(?is)\[url=[\"']?([^\"'\]]+)[\"']?\](.*?)\[/url\]")
+_BB_IMG_RE = re.compile(r"(?is)\[img\](.*?)\[/img\]")
+_BB_PREVIEW_RE = re.compile(
+    r"(?is)\[previewyoutube=[\"']?([^;'\"\]]+)[^\"'\]]*[\"']?\]"
+    r"\[/previewyoutube\]")
+_BB_LIST_RE = re.compile(r"(?is)\[list\](.*?)\[/list\]")
+_BB_OLIST_RE = re.compile(r"(?is)\[olist\](.*?)\[/olist\]")
+_BB_QUOTE_RE = re.compile(r"(?is)\[quote(?:=[^\]]+)?\](.*?)\[/quote\]")
+_BB_CODE_RE = re.compile(r"(?is)\[code\](.*?)\[/code\]")
+_BB_SPOILER_RE = re.compile(r"(?is)\[spoiler\](.*?)\[/spoiler\]")
+_BB_P_RE = re.compile(r"(?is)\[p\](.*?)\[/p\]")
+_BB_STRIP_RE = re.compile(r"\[[^\]]+\]")
+
+
+def _bb_dangerous(url: str) -> bool:
+    t = url.strip().lower()
+    return t.startswith(("javascript:", "data:", "vbscript:"))
+
+
+def bbcode_to_html(bbcode: str) -> str:
+    """BBCode → HTML (ref `src/extractors/bbcode_data.rs:254-395`)."""
+    html = bbcode
+    for rx, repl in _BB_RULES:
+        html = rx.sub(repl, html)
+
+    def _url(m):
+        href = m.group(1).replace('\\"', "")
+        text = m.group(2)
+        if _bb_dangerous(href):
+            return text
+        return f'<a href="{href.strip()}">{text}</a>'
+
+    html = _BB_URL_RE.sub(_url, html)
+    html = _BB_IMG_RE.sub(r'<img src="\1">', html)
+    html = _BB_PREVIEW_RE.sub(
+        r'<img src="https://www.youtube.com/watch?v=\1">', html)
+
+    def _items(inner: str) -> str:
+        return "".join(f"<li>{part.strip()}</li>"
+                       for part in inner.split("[*]")[1:])
+
+    html = _BB_LIST_RE.sub(lambda m: f"<ul>{_items(m.group(1))}</ul>", html)
+    html = _BB_OLIST_RE.sub(lambda m: f"<ol>{_items(m.group(1))}</ol>", html)
+    html = _BB_QUOTE_RE.sub(r"<blockquote>\1</blockquote>", html)
+    html = _BB_CODE_RE.sub(r"<pre><code>\1</code></pre>", html)
+    html = _BB_SPOILER_RE.sub(
+        r"<details><summary>Spoiler</summary>\1</details>", html)
+    html = _BB_P_RE.sub(
+        lambda m: "<p>" + m.group(1).replace("\n", "<br>") + "</p>", html)
+    html = html.replace("\n", "<br>")
+    return _BB_STRIP_RE.sub("", html)
+
+
+def _iso8601_ms(unix_seconds: int) -> str:
+    import datetime
+    dt = datetime.datetime.fromtimestamp(unix_seconds,
+                                         tz=datetime.timezone.utc)
+    return dt.strftime("%Y-%m-%dT%H:%M:%S.000Z")
+
+
+def bbcode_can(url: str, html: str) -> bool:
+    # catch-all; the real gate is in extract (ref bbcode_data.rs:46-54)
+    return "data-partnereventstore" in html or _BBCODE_TAG_RE.search(
+        html) is not None
+
+
+def bbcode_extract(html: str, url, collected, metadata):
+    """Steam-style `#application_config[data-partnereventstore]` blobs and
+    generic pre/code/textarea BBCode dumps
+    (ref `src/extractors/bbcode_data.rs:56-212`)."""
+    import json as _json
+    root = body_of(parse_html(html))
+
+    config = None
+    for d in root.iter_elements():
+        if d.id() == "application_config" and d.get("data-partnereventstore"):
+            config = d
+            break
+    if config is not None:
+        try:
+            parsed = _json.loads(config.get("data-partnereventstore"))
+        except ValueError:
+            parsed = None
+        event = (parsed[0] if isinstance(parsed, list) and parsed
+                 else parsed if isinstance(parsed, dict) else None)
+        body_obj = (event or {}).get("announcement_body") or {}
+        body_text = body_obj.get("body") or ""
+        if body_text:
+            content_html = bbcode_to_html(body_text)
+            overrides = {"site": ""}
+            title = body_obj.get("headline") or (event or {}).get(
+                "event_name") or ""
+            if title:
+                overrides["title"] = title
+            posttime = body_obj.get("posttime")
+            if isinstance(posttime, int):
+                overrides["published"] = _iso8601_ms(posttime)
+            vanity = config.get("data-groupvanityinfo")
+            if vanity:
+                try:
+                    v = _json.loads(vanity)
+                    entry = v[0] if isinstance(v, list) and v else v
+                    if isinstance(entry, dict) and entry.get("group_name"):
+                        overrides["author"] = entry["group_name"]
+                except ValueError:
+                    pass
+            return content_html, overrides
+
+    # generic BBCode dump in pre/code/textarea
+    best = None
+    for d in root.iter_elements():
+        if d.tag in ("pre", "code", "textarea"):
+            text = d.text_content()
+            count = len(_BBCODE_TAG_RE.findall(text))
+            if count >= 3 and (best is None or count > best[0]):
+                best = (count, text)
+    if best is None:
+        return None
+    bb = best[1]
+    content_html = bbcode_to_html(bb)
+    overrides = {}
+    m = re.search(r"(?is)\[h1\](.*?)\[/h1\]", bb) or re.search(
+        r"(?is)\[size=[^\]]+\](.*?)\[/size\]", bb)
+    if m:
+        t = _BB_STRIP_RE.sub("", m.group(1)).strip()
+        if t:
+            overrides["title"] = t
+    return content_html, overrides
+
+
 def register_site_extractors() -> None:
     from .extractors import register
     register("x-article", x_article_can, x_article_extract)
+    register("github", github_can, github_extract)
     register("substack", substack_can, substack_extract)
