@@ -1580,6 +1580,19 @@ def _latex_from_image(img: Node):
     if m:
         # the latex=/tex= param IS the signal; simple exprs ("AB") count
         return unquote_plus(m.group(1))
+    # bare query string (`latex.codecogs.com/svg.image?%5Cfrac…`) and
+    # URL path segments with an encoded backslash
+    # (ref `src/elements/math/base.rs:243-268`)
+    if "?" in src:
+        q = src.split("?", 1)[1].split("#", 1)[0]
+        decoded = unquote_plus(q)
+        if _LATEX_CMDISH_RE.search(decoded):
+            return decoded
+    for seg in reversed(src.split("?", 1)[0].split("/")):
+        if "%5c" in seg.lower():
+            decoded = unquote_plus(seg)
+            if _LATEX_CMDISH_RE.search(decoded):
+                return decoded
     alt = img.get("alt") or ""
     if alt and (_LATEX_CMDISH_RE.search(alt) or alt.startswith("\\(")
                 or alt.startswith("$")):
@@ -1678,6 +1691,26 @@ def _wrap_raw_latex(root: Node) -> None:
         tn.detach()
 
 
+def convert_math_tex_scripts(root: Node) -> None:
+    """Legacy MathJax v2 `<script type="math/tex">` payloads → `<math>`.
+
+    Must run before clutter removal (which strips all scripts). The
+    `mode=display` variant renders as block math.
+    """
+    for s in [n for n in root.iter_elements() if n.tag == "script"]:
+        stype = (s.get("type") or "").lower()
+        if not stype.startswith("math/tex"):
+            continue
+        latex = s.text_content().strip()
+        if not latex:
+            s.detach()
+            continue
+        attrs = {"data-latex": latex}
+        if "mode=display" in stype.replace(" ", ""):
+            attrs["display"] = "block"
+        s.replace_with(Node.element("math", attrs))
+
+
 def normalize_math_base(root: Node) -> None:
     """Math-base pass: raw LaTeX wrapping, LaTeX-image promotion and
     data-math spans → `<math>` elements (`src/elements/math/base.rs`)."""
@@ -1696,6 +1729,48 @@ def normalize_math_base(root: Node) -> None:
                 and (img.get("alt") or "").replace(" ", "") in \
                 prev.text_content().replace(" ", "") + (prev.get("alttext") or "").replace(" ", ""):
             img.detach()
+    # MathJax v3 containers: promote the assistive MathML, drop the
+    # rendered CHTML/SVG duplicate. Display comes from the container's
+    # display="true", or from paragraph-adjacency (an inline container
+    # whose nearest preceding flow sibling is a closed <p> renders as
+    # display math in the golden corpus).
+    for cont in [n for n in root.iter_elements()
+                 if n.tag == "mjx-container"]:
+        if cont.parent is None:
+            continue
+        math = None
+        for d in cont.iter_elements():
+            if d.tag == "math":
+                math = d
+                break
+        if math is None:
+            cont.detach()
+            continue
+        math.detach()
+        block = cont.get("display") == "true"
+        if not block:
+            prev = cont.prev_sibling()
+            while prev is not None and prev.type == TEXT \
+                    and not prev.text.strip():
+                prev = prev.prev_sibling()
+            if prev is not None and prev.type == ELEMENT and prev.tag == "p":
+                block = True
+        if block:
+            math.set("display", "block")
+        else:
+            math.del_attr("display")
+        math.set("data-from-mjx", "1")
+        cont.replace_with(math)
+
+    # MediaWiki math (inside span.mwe-math-element) renders inline in the
+    # golden corpus even when marked display="block"
+    for math in [n for n in root.iter_elements() if n.tag == "math"]:
+        cur = math.parent
+        while cur is not None and cur.type == ELEMENT:
+            if "mwe-math-element" in cur.classes():
+                math.del_attr("display")
+                break
+            cur = cur.parent
     _wrap_raw_latex(root)
     for img in [n for n in root.iter_elements() if n.tag == "img"]:
         if img.parent is None:

@@ -454,6 +454,14 @@ def mathml_latex(node: Node) -> Optional[str]:
             txt = d.text_content().strip()
             if txt:
                 return txt
+    # MathJax-promoted MathML → full conversion; other MathML renderers
+    # (temml etc.) keep the raw text fallback the golden corpus expects
+    if node.get("data-from-mjx") and any(
+            c.type == ELEMENT for c in node.children):
+        from .mathml import mathml_to_latex
+        latex = mathml_to_latex(node)
+        if latex:
+            return latex
     txt = node.text_content().strip()
     return txt or None
 
@@ -608,13 +616,30 @@ class Renderer:
             if text[:1] in ("-", "−") and out._tail[-1:] == "*":
                 # mirror of the hyphen-padding rule in _emit_flanked
                 out.push(" ")
+            if out._tail.endswith("  \n") \
+                    or getattr(self, "_space_after_math", False):
+                # content after a hard break (or MathJax math) starts
+                # flush — source indentation doesn't survive
+                text = text.lstrip(" ")
+            if getattr(self, "_space_after_math", False):
+                # after display math any text gets set off with a space;
+                # after inline math only word characters do (".," attach)
+                if text and not text[0].isspace() and (
+                        out._tail.endswith("\n")
+                        or text[0] not in ".,;:!?)]}"):
+                    out.push(" ")
+                self._space_after_math = False
             out.push(text)
             return
         if node.type != ELEMENT:
             return
+        self._space_after_math = False
         t = node.tag
         if t == "br":
-            out.push("  \n")
+            # hard break is exactly two trailing spaces — fold any spaces
+            # already emitted (e.g. an emphasis trail) into the marker
+            tail_sp = len(out._tail) - len(out._tail.rstrip(" "))
+            out.push(" " * max(0, 2 - tail_sp) + "\n")
         elif t in ("strong", "b"):
             self._emit_flanked(node, "**", out)
         elif t in ("em", "i"):
@@ -641,9 +666,12 @@ class Renderer:
                 if self.in_table:
                     out.push("$" + latex + "$")
                 elif node.get("display") == "block":
-                    out.push("\n\n$$\n" + latex + "\n$$\n\n")
+                    out.push("\n$$\n" + latex + "\n$$\n")
                 else:
                     out.push("$" + latex + "$")
+                # MathJax containers butt directly against following text;
+                # the golden corpus separates them with a space
+                self._space_after_math = bool(node.get("data-from-mjx"))
         elif t in ("span", "u", "small", "abbr", "cite", "dfn", "kbd", "samp",
                    "var", "time", "data", "label", "ruby", "rp", "rt", "tt",
                    "ins", "q", "bdi", "bdo"):
@@ -653,7 +681,7 @@ class Renderer:
                     is_display = _has_class(node, "katex-display") or \
                         _has_class(node, "math-display")
                     if is_display and not self.in_table:
-                        out.push("\n\n$$\n" + latex + "\n$$\n\n")
+                        out.push("\n$$\n" + latex + "\n$$\n")
                     else:
                         out.push("$" + latex + "$")
                     return
@@ -840,6 +868,17 @@ class Renderer:
                     return len(kids) == 1 and bare_link(kids[0])
                 return False
 
+            if len(els) == 1 and not texty and els[0].tag == "math":
+                # a math element alone in its flow run renders as display
+                # math regardless of its display attribute
+                node = run[0] if run[0].type == ELEMENT else els[0]
+                run.clear()
+                latex = mathml_latex(node)
+                if latex:
+                    out.ensure_nl(2)
+                    out.push("$$\n" + latex + "\n$$")
+                    out.ensure_nl(2)
+                return
             if len(els) >= 2 and not texty and all(bare_link(e) for e in els):
                 items = list(els)
                 run.clear()
@@ -857,12 +896,17 @@ class Renderer:
                 self.render_inline_node(n, buf)
             run.clear()
             # collapse space runs except the two-space hard-break marker
-            val = re.sub(r" {2,}(?=\S)", " ", buf.value().strip("\n").strip(" "))
-            if val.startswith("$") and val.endswith("$") \
-                    and not val.startswith("$$"):
-                # standalone inline-math block: golden corpus emits " $…$"
+            val = re.sub(r" {2,}(?=\S)", " ", buf.value())
+            # trim at the ends but keep spaces interior to the run — the
+            # golden corpus preserves spaces around embedded display math
+            # ("…is: \n$$", "$$\n , there")
+            raw = val
+            val = val.strip("\n ")
+            val = _keep_trailing_breaks(raw, val)
+            if val.startswith("$") and not val.startswith("$$"):
+                # runs opening with inline math get a leading space
                 val = " " + val
-            if val:
+            if val.strip():
                 out.ensure_nl(2)
                 out.push(val)
                 out.ensure_nl(2)
@@ -873,7 +917,8 @@ class Renderer:
                 if child.text.strip() or run:
                     run.append(child)
                 continue
-            if child.type == ELEMENT and child.tag in inline_run_tags:
+            if child.type == ELEMENT and (child.tag in inline_run_tags
+                                          or child.tag == "math"):
                 if child.tag == "img" and self.render_image(child) == "":
                     continue
                 if child.tag != "img" and _contains_block(child):
@@ -1055,15 +1100,7 @@ class Renderer:
         text = inner.strip()
         if not text:
             return
-        # trailing <br> runs survive as markdown hard breaks (`  \n`),
-        # matching the golden corpus (`below:  \n  ` before a block break)
-        m = re.search(r"((?:  \n)+)\s*$", inner)
-        if m:
-            n = m.group(1).count("\n")
-            # a single trailing <br> collapses; a run of 2+ renders as
-            # hard-break lines
-            if n >= 2:
-                text = (text + "  \n" * n).rstrip("\n")
+        text = _keep_trailing_breaks(inner, text)
         out.ensure_nl(2)
         out.push(text)
         out.ensure_nl(2)
@@ -1434,6 +1471,21 @@ def _strip_leading_title_heading(md: str, title: str) -> str:
     return md[new_start:]
 
 
+def _keep_trailing_breaks(inner: str, text: str) -> str:
+    """Trailing <br> runs survive as markdown hard breaks (`  \\n`),
+    matching the golden corpus (`below:  \\n  ` before a block break).
+    A single trailing <br> collapses; a run of 2+ renders as hard-break
+    lines."""
+    if not text:
+        return text
+    m = re.search(r"((?:  \n)+)\s*$", inner)
+    if m:
+        n = m.group(1).count("\n")
+        if n >= 2:
+            return (text + "  \n" * n).rstrip("\n")
+    return text
+
+
 def post_process(md: str, footnotes: list[tuple[str, str]], title: str) -> str:
     s = md
     if title:
@@ -1471,12 +1523,25 @@ def post_process(md: str, footnotes: list[tuple[str, str]], title: str) -> str:
         s += "\n".join(bits)
 
     cleaned = []
-    for line in s.split("\n"):
+    lines = s.split("\n")
+    in_fence = False
+    for i, line in enumerate(lines):
+        if line.lstrip().startswith("```"):
+            in_fence = not in_fence
         if _QUOTE_ONLY_RE.fullmatch(line):
             cleaned.append(line)  # blank blockquote line "> " keeps its space
             continue
+        if not in_fence and "`" not in line and "$" not in line:
+            # prose keeps no space before a colon ("formulæ : 8" → "formulæ: 8")
+            line = re.sub(r"(?<=\S) :(?=\s|$)", ":", line)
         trailing = len(line) - len(line.rstrip(" "))
-        cleaned.append(line if trailing == 2 else line.rstrip())
+        # a single trailing space survives when text runs straight into a
+        # display-math fence ("…and they are \n$$" in the golden corpus)
+        if trailing == 2 or (trailing == 1 and i + 1 < len(lines)
+                             and lines[i + 1] == "$$"):
+            cleaned.append(line)
+        else:
+            cleaned.append(line.rstrip())
     return "\n".join(cleaned).strip()
 
 

@@ -78,6 +78,8 @@ def _run_cleanup(body: Node, url: Optional[str], title: str,
     so a zero return means a retry would reproduce the same output and can
     be skipped (saves a full re-parse for short documents)."""
     gated_removed = 0
+    # legacy MathJax v2 payloads must convert before scripts are stripped
+    elements.convert_math_tex_scripts(body)
     if remove_exact or remove_partial:
         gated_removed += passes.remove_clutter(body, remove_exact,
                                                remove_partial)
