@@ -47,7 +47,7 @@ def _extraction_run(cpus: int, copies: int) -> dict:
     seconds cover the job only (session startup + Python-worker warmup
     excluded -- workers are long-lived in steady state)."""
     from trek_spark.spark.corpus import tile_transcripts
-    from trek_spark.spark.job import extract_turns
+    from trek_spark.spark.job import extract_turns, scoped_conf
     from trek_spark.spark.session import get_spark
 
     spark = get_spark(f"bench-extract-{cpus}", master=f"local[{cpus}]",
@@ -55,12 +55,16 @@ def _extraction_run(cpus: int, copies: int) -> dict:
     try:
         corpus = tile_transcripts(spark, copies).persist()
         n_rows = corpus.count()
-        warm = tile_transcripts(spark, 1).repartition(cpus * 4)
-        extract_turns(warm, num_partitions=cpus * 4).select("conv_id").count()
-        t0 = time.time()
-        extracted = extract_turns(corpus, num_partitions=cpus * 4)
-        out_rows = extracted.select("conv_id").count()
-        wall = time.time() - t0
+        with scoped_conf(spark,
+                         "spark.sql.adaptive.coalescePartitions.enabled",
+                         "false"):
+            warm = tile_transcripts(spark, 1).repartition(cpus * 4)
+            extract_turns(warm,
+                          num_partitions=cpus * 4).select("conv_id").count()
+            t0 = time.time()
+            extracted = extract_turns(corpus, num_partitions=cpus * 4)
+            out_rows = extracted.select("conv_id").count()
+            wall = time.time() - t0
         corpus.unpersist()
         assert out_rows == n_rows
         return {"cpus": cpus, "rows": out_rows, "wall_sec": round(wall, 3),

@@ -60,9 +60,27 @@ def test_extraction_no_failures(extracted):
 
 
 def test_metrics_columns_populated(extracted):
-    row = extracted.select(F.sum("docs_in").alias("d"),
+    row = extracted.select(F.sum("doc_bytes").alias("d"),
                            F.max("wall_ms").alias("w")).collect()[0]
     assert row.d > 0 and row.w >= 0
+
+
+def test_metrics_not_inflated(spark, extracted, tmp_path_factory):
+    """Round-1 ADVICE: batch metrics stamped per row must not multiply —
+    docs_in summed over the metrics table equals the actual row count."""
+    out = str(tmp_path_factory.mktemp("metrics"))
+    transcripts = build_transcripts(spark).limit(30)
+    r = run_extraction_job(spark, transcripts, out, num_partitions=8,
+                           part_buckets=8)
+    metrics = spark.read.parquet(os.path.join(out, "metrics"))
+    total_docs = metrics.agg(F.sum("docs_in")).collect()[0][0]
+    assert total_docs == 30 == r["rows"]
+    # resume run must not duplicate metrics rows (dynamic overwrite)
+    run_extraction_job(spark, transcripts, out, num_partitions=8,
+                       part_buckets=8)
+    total_docs2 = (spark.read.parquet(os.path.join(out, "metrics"))
+                   .agg(F.sum("docs_in")).collect()[0][0])
+    assert total_docs2 == 30
 
 
 def test_checkpoint_resume(spark, tmp_path_factory):

@@ -152,10 +152,7 @@ def make_trek_extract_udf():
 METRICS_SCHEMA = StructType([
     StructField("part_id", IntegerType()),
     StructField("batch_idx", IntegerType()),
-    StructField("docs_in", LongType()),
-    StructField("docs_out", LongType()),
-    StructField("failures", LongType()),
-    StructField("bytes_in", LongType()),
+    StructField("doc_bytes", LongType()),
     StructField("wall_ms", LongType()),
 ])
 
@@ -163,8 +160,14 @@ METRICS_SCHEMA = StructType([
 def extract_map_in_pandas(iterator: Iterator[pd.DataFrame]
                           ) -> Iterator[pd.DataFrame]:
     """mapInPandas worker: passes through key columns, adds result columns
-    plus per-batch metrics columns (flattened; the job aggregates them into
-    the metrics side table)."""
+    plus per-row lineage columns.
+
+    Lineage is per-ROW (doc_bytes = this document's input size) except
+    wall_ms, which is the wall time of the Arrow batch the row traveled in
+    (stamped on each of its rows; aggregate with first() per
+    (part_id, batch_idx)). Row-level counts (docs, failures) are derived by
+    the job from count(*)/error — stamping batch totals on every row made
+    the sums quadratic in batch size (round-1 ADVICE)."""
     from pyspark import TaskContext
     ctx = TaskContext.get()
     part_id = ctx.partitionId() if ctx is not None else -1
@@ -172,13 +175,10 @@ def extract_map_in_pandas(iterator: Iterator[pd.DataFrame]
         t0 = time.time()
         urls = pdf["url"] if "url" in pdf.columns else None
         res = _extract_series(pdf["text"], urls)
-        failures = int(res["error"].notna().sum())
         out = pd.concat(
             [pdf.drop(columns=["text"]).reset_index(drop=True), res], axis=1)
         out["part_id"] = part_id
         out["batch_idx"] = batch_idx
-        out["docs_in"] = len(pdf)
-        out["failures"] = failures
-        out["bytes_in"] = int(pdf["text"].str.len().fillna(0).sum())
+        out["doc_bytes"] = pdf["text"].str.len().fillna(0).astype("int64").values
         out["wall_ms"] = int((time.time() - t0) * 1000)
         yield out
