@@ -32,7 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
-PAIR_TILES = int(os.environ.get("SPARK_GRAFT_TILES", "40"))
+PAIR_TILES = int(os.environ.get("SPARK_GRAFT_TILES", "56"))
 FULL_TILES = int(os.environ.get("SPARK_GRAFT_FULL_TILES", "100"))
 
 BENCH_QUERIES = [

@@ -168,13 +168,23 @@ def extract_map_in_pandas(iterator: Iterator[pd.DataFrame]
     (part_id, batch_idx)). Row-level counts (docs, failures) are derived by
     the job from count(*)/error — stamping batch totals on every row made
     the sums quadratic in batch size (round-1 ADVICE)."""
+    import gc
+
     from pyspark import TaskContext
     ctx = TaskContext.get()
     part_id = ctx.partitionId() if ctx is not None else -1
     for batch_idx, pdf in enumerate(iterator):
         t0 = time.time()
         urls = pdf["url"] if "url" in pdf.columns else None
-        res = _extract_series(pdf["text"], urls)
+        # DOM trees are parent<->child reference cycles: the cycle collector
+        # pays bandwidth mid-parse for garbage we can free in one sweep at
+        # batch end. One collect per batch, zero during.
+        gc.disable()
+        try:
+            res = _extract_series(pdf["text"], urls)
+        finally:
+            gc.enable()
+            gc.collect()
         out = pd.concat(
             [pdf.drop(columns=["text"]).reset_index(drop=True), res], axis=1)
         out["part_id"] = part_id
