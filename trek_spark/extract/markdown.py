@@ -629,11 +629,17 @@ class Renderer:
                         or text[0] not in ".,;:!?)]}"):
                     out.push(" ")
                 self._space_after_math = False
+            if getattr(self, "_pad_closing_quote", False):
+                if text[:1] == "”":
+                    out.push(" ")
+                self._pad_closing_quote = False
             out.push(text)
             return
         if node.type != ELEMENT:
             return
         self._space_after_math = False
+        if node.tag not in ("a", "em", "i", "strong", "b", "span", "sup"):
+            self._pad_closing_quote = False
         t = node.tag
         if t == "br":
             # hard break is exactly two trailing spaces — fold any spaces
@@ -708,11 +714,15 @@ class Renderer:
         trail = inner[len(inner.rstrip()):]
         if lead:
             out.push(" " if "\n" not in lead else lead)
-        elif out._tail and out._tail[-1] in "-−":
-            # separate emphasis from an adjacent hyphen/minus so the golden
-            # corpus shape `*n* -by- *n*` round-trips
+        elif out._tail and (out._tail[-1] in "-−"
+                            or out._tail[-1].isalnum()
+                            or (out._tail[-1] == "“"
+                                and core[:1].isalnum())):
+            # separate emphasis from an adjacent hyphen/minus (`*n* -by-`),
+            # a word character (`agent *s*`), or a curly opening quote
             out.push(" ")
         out.push(delim + core + delim)
+        self._pad_closing_quote = core[-1:].isalnum()
         if trail:
             out.push(trail if "\n" in trail else " ")
 
@@ -720,6 +730,13 @@ class Renderer:
         content = node.text_content().strip()
         if not content:
             return
+        # emphasis markup inside an inline-code span renders as markdown
+        # inside the backticks (`…give *true* answers…`)
+        if any(d.tag in ("em", "i", "strong", "b")
+               for d in node.iter_elements() if d is not node):
+            rendered = self.render_inline(node).strip()
+            if rendered:
+                content = rendered
         max_ticks = 0
         run = 0
         for c in content:
@@ -759,12 +776,18 @@ class Renderer:
         lead = raw_inner[: len(raw_inner) - len(raw_inner.lstrip())]
         if lead and not out.is_empty() and out.last_char() not in " \n":
             out.push(" ")
+        elif out._tail.endswith("“") and inner[:1].isalnum():
+            # golden corpus sets a link off from a curly opening quote
+            out.push(" ")
         title = node.get("title")
         resolved = _escape_url(self.resolve_url(href))
         s = "[" + inner + "](" + decode_html_entities(resolved)
         if title:
             s += ' "' + title.replace('"', '\\"') + '"'
         out.push(s + ")")
+        # mirrored before a closing curly quote, when the link text ends
+        # on a word character
+        self._pad_closing_quote = inner[-1:].isalnum()
 
     def render_sup(self, node: Node, out: _Out) -> None:
         # the child anchor's target is the authoritative number (wiki
@@ -791,7 +814,13 @@ class Renderer:
 
     def _emit_footnote_ref(self, out: _Out, fid: str) -> None:
         c = out.last_char()
-        if c and (c.isalnum() or c in "`)]*\"\u201d\u2019"):
+        # after closing emphasis the ref attaches when the emphasized text
+        # ended in punctuation (`\u2026**[^12]`) and is set off when it ended on
+        # a word character (`*prediction* [^11]`)
+        if c == "*":
+            if getattr(self, "_pad_closing_quote", False):
+                out.push(" ")
+        elif c and (c.isalnum() or c in "`)]\"\u201d\u2019"):
             out.push(" ")
         out.push("[^" + fid + "]")
 
