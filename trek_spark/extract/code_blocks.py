@@ -424,6 +424,19 @@ def _merge_verso_fragments(root: Node) -> None:
 def normalize_code_blocks_std(root: Node) -> None:
     """standardize::code_blocks — full pass chain A/A2/A3/B/B2/C/C1/C2/D."""
     _merge_verso_fragments(root)
+    # Pass A0: text-only highlighter divs with an explicit language attr
+    # (Writerside `<div class="code-block" data-lang="http">…raw text…</div>`)
+    for node in _post_order(root):
+        if node.tag != "div" or node.parent is None:
+            continue
+        lang = node.get("data-lang") or node.get("data-language")
+        if not lang or "code-block" not in node.classes():
+            continue
+        if node.find_first("pre", "code") is not None:
+            continue
+        text = node.text_content().strip("\n")
+        if text.strip():
+            node.replace_with(build_canonical_pre(text, lang.lower()))
     # Pass A: bare block <code> outside <pre> → wrap in <pre>
     for node in _post_order(root):
         if node.tag != "code" or node.parent is None:

@@ -624,7 +624,8 @@ _LEADING_NUMBER_RE = re.compile(r"^\s*[\[\(\{]?\s*(\d+)\s*[\]\)\}]?\s*[.):]?\s*$
 _EASY_HREF_RE = re.compile(r"#easy-footnote-bottom-(\d+)")
 _WORD_FTN_RE = re.compile(r"#_ftn(\d+)", re.I)
 _WORD_FTNREF_RE = re.compile(r"#_ftnref(\d+)", re.I)
-_FN_ANCHOR_ID_RE = re.compile(r"^(?:fn|footnote|ref|note)[-_:]?(\d+)$", re.I)
+_FN_ANCHOR_ID_RE = re.compile(
+    r"^(?:fn|footnote|ref|note)[-_:]?(\d+)(?:-\d+)?$", re.I)
 
 _DELIM_HEADINGS = frozenset(
     ("notes", "footnotes", "endnotes", "references", "footnote",

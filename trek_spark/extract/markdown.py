@@ -195,8 +195,14 @@ def _normalize_fn_id(raw: str) -> str:
 
 def footnote_ref_id(node: Node) -> Optional[str]:
     href = node.get("href")
-    if not href or not href.startswith("#"):
+    if not href:
         return None
+    if not href.startswith("#"):
+        # absolute same-page anchors (substack emits the full post URL)
+        if "#" in href and "footnote" in (node.get("class") or ""):
+            href = "#" + href.split("#", 1)[1]
+        else:
+            return None
     ident = href[1:]
     for prefix in ("fn:", "fn-"):
         if ident.startswith(prefix):
@@ -633,6 +639,11 @@ class Renderer:
                 if text[:1] == "”":
                     out.push(" ")
                 self._pad_closing_quote = False
+            if getattr(self, "_pad_after_emph", False):
+                # mirror of the opener rule: `***z***latents` → `***z*** latents`
+                if text[:1].isalnum():
+                    out.push(" ")
+                self._pad_after_emph = False
             out.push(text)
             return
         if node.type != ELEMENT:
@@ -640,6 +651,8 @@ class Renderer:
         self._space_after_math = False
         if node.tag not in ("a", "em", "i", "strong", "b", "span", "sup"):
             self._pad_closing_quote = False
+        if node.tag != "span":  # spans are transparent wrappers
+            self._pad_after_emph = False
         t = node.tag
         if t == "br":
             # hard break is exactly two trailing spaces — fold any spaces
@@ -665,6 +678,10 @@ class Renderer:
         elif t == "sub":
             inner = self.render_inline(node)
             if inner.strip():
+                if out._tail[-1:].isalnum():
+                    # golden corpus sets subscripts off from the base word
+                    # (`x <sub>1</sub>`)
+                    out.push(" ")
                 out.push("<sub>" + inner.strip() + "</sub>")
         elif t == "math":
             latex = mathml_latex(node)
@@ -709,6 +726,9 @@ class Renderer:
         inner = self.render_inline(node)
         core = inner.strip()
         if not core:
+            # whitespace-only emphasis renders as a bare space
+            if inner and out._tail[-1:] not in ("", " ", "\n"):
+                out.push(" ")
             return
         lead = inner[: len(inner) - len(inner.lstrip())]
         trail = inner[len(inner.rstrip()):]
@@ -723,6 +743,7 @@ class Renderer:
             out.push(" ")
         out.push(delim + core + delim)
         self._pad_closing_quote = core[-1:].isalnum()
+        self._pad_after_emph = not trail
         if trail:
             out.push(trail if "\n" in trail else " ")
 
@@ -1113,6 +1134,10 @@ class Renderer:
         if level == 1:
             level = 2
         text = self.render_inline(node).strip()
+        # a heading entirely wrapped in bold sheds the redundant markers
+        if text.startswith("**") and text.endswith("**") \
+                and "**" not in text[2:-2] and len(text) > 4:
+            text = text[2:-2]
         # headings are single-line: internal hard breaks become spaces
         text = re.sub(r"\s*\n\s*", " ", text)
         text = re.sub(r" {2,}", " ", text).strip()
@@ -1417,7 +1442,12 @@ class Renderer:
     def render_dl(self, node: Node, out: _Out) -> None:
         for child in node.children:
             if child.type == ELEMENT and child.tag in ("dt", "dd"):
-                self.render_paragraph(child, out)
+                if _contains_block(child):
+                    # definition bodies holding block content (paragraphs,
+                    # code fences) render as blocks, not one inline line
+                    self._render_block_seq(child.children, out)
+                else:
+                    self.render_paragraph(child, out)
 
     def collect_footnote_list(self, ol: Node) -> None:
         start_attr = ol.get("start")

@@ -57,6 +57,9 @@ _TW_EMBED_SRC_RE = re.compile(
 # Precompile the partial-selector list into one alternation regex for speed
 # (matching ~529 substrings against every attribute value).
 _PARTIAL_RE = re.compile("|".join(re.escape(p) for p in PARTIAL_SELECTORS))
+# Writerside-style structural markers ("h2-related" = belongs to the h2
+# section) — not "related posts" chrome (issues--217 fixture).
+_HEADING_LEVEL_TOKEN_RE = re.compile(r"h\d-related$")
 _EXACT_COMPILED = [compile_selector(s) for s in EXACT_SELECTORS]
 
 
@@ -88,8 +91,11 @@ def value_matches_partial(value: str, attr: str) -> bool:
         for tok in value.split():
             if "[" in tok or "]" in tok:
                 continue
-            if tok.lower().startswith("mw-heading"):
+            tl = tok.lower()
+            if tl.startswith("mw-heading"):
                 continue  # MediaWiki section-heading wrappers are content
+            if _HEADING_LEVEL_TOKEN_RE.match(tl):
+                continue  # Writerside "h2-related" structural classes
             if _PARTIAL_RE.search(tok.lower()):
                 return True
         return False
@@ -108,7 +114,8 @@ def _class_token_matches_partial(value: str, attr: str) -> bool:
         for t in tokens:
             if "[" in t or "]" in t:
                 continue
-            if t.lower().startswith("mw-heading"):
+            tl2 = t.lower()
+            if tl2.startswith("mw-heading") or _HEADING_LEVEL_TOKEN_RE.match(tl2):
                 continue
             if has_responsive_show and t in ("hidden", "invisible"):
                 continue
@@ -246,7 +253,13 @@ def selectors_pass(body: Node) -> int:
             continue
         is_h = n.tag in _HEADING_TAGS
         matched = False
+        # custom elements (dash in the tag name) match partials by TAG —
+        # e.g. <ads-breadcrumbs> ("breadcrumb"); standard tags never do
+        if "-" in n.tag and _PARTIAL_RE.search(n.tag):
+            matched = True
         for attr in TEST_ATTRIBUTES:
+            if matched:
+                break
             if is_h and attr != "class":
                 continue
             v = n.get(attr)
@@ -661,14 +674,18 @@ def figure_image(body: Node) -> None:
             if c.tag == "source":
                 ss = c.get("srcset")
                 if ss:
-                    first = ss.split(",")[0].strip().split()
-                    if first:
-                        chosen = first[0]
-                        break
+                    from .markdown import _pick_from_srcset
+                    chosen = _pick_from_srcset(ss) or None
+                    if chosen is None:
+                        first = ss.split(",")[0].strip().split()
+                        chosen = first[0] if first else None
+                    break
         if img is not None:
-            cur = img.get("src") or ""
-            if (not cur or _looks_like_base64_placeholder(cur)) and chosen:
+            # the first <source> (usually the webp variant) wins over the
+            # img's own src/srcset — golden corpus picks its largest entry
+            if chosen:
                 img.set("src", chosen)
+                img.del_attr("srcset")
             pic.insert_before(img)
             pic.detach()
         else:

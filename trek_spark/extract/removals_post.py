@@ -25,7 +25,8 @@ _READ_TIME_RE = re.compile(r"^\s*\d+\s*(?:min|minute|minutes)\s+read\s*$", re.I)
 # capital required after "by" — "By the residue theorem…" is prose
 _BYLINE_BY_RE = re.compile(r"^\s*[Bb]y\s+[A-Z][\w'\-]+(?:\s+[A-Z][\w'\-]+)*")
 _SHARE_FOLLOW_RE = re.compile(
-    r"^\s*(?:share|follow|tweet|like|subscribe|sign up|sign in|copy link)\s*$", re.I)
+    r"^\s*(?:share|follow|tweet|like|subscribe|sign up|sign in|copy link|"
+    r"ready for more\??|no posts)\s*$", re.I)
 _NEWSLETTER_RE = re.compile(
     r"\b(?:subscribe to (?:our|the) newsletter|join (?:our|the) newsletter|"
     r"sign up for (?:our|the) newsletter|email(?: address)? to subscribe|"
@@ -658,9 +659,10 @@ def _drop_fragment_link_lists(root: Node) -> None:
             prev = lst.prev_element_sibling()
             nxt = lst.next_element_sibling()
             lst.detach()
+            # an <hr> on either side is part of the TOC framing
             if prev is not None and prev.tag == "hr":
                 prev.detach()
-            elif nxt is not None and nxt.tag == "hr":
+            if nxt is not None and nxt.tag == "hr":
                 nxt.detach()
 
 
