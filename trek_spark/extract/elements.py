@@ -575,7 +575,14 @@ def normalize_headings(root: Node) -> None:
     for h in [n for n in root.iter_elements() if n.tag in _HEADING_TAGS]:
         for a in [n for n in h.iter_elements() if n.tag == "a"
                   and _is_permalink_anchor(n)]:
-            a.detach()
+            # an "anchor" that IS the heading text (MDN `a.heading-anchor`
+            # wrapping the title) unwraps; a ¶/# permalink icon detaches
+            a_text = a.text_content().strip()
+            if a_text and a_text not in _PERMALINK_GLYPHS and \
+                    len(a_text) >= 0.9 * len(h.text_content().strip()):
+                a.unwrap()
+            else:
+                a.detach()
         # partial-coverage links inside a heading (author link in a byline
         # heading) unwrap to plain text; a link spanning the whole heading
         # (card-title pattern) is kept

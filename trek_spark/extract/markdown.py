@@ -75,6 +75,20 @@ class _Out:
         self.parts.append(s)
         self._tail = (self._tail + s)[-8:]
 
+    def trim_trailing_newlines(self, keep: int) -> None:
+        """Reduce the trailing newline run to at most `keep`."""
+        while self.trailing_newlines() > keep:
+            last = self.parts[-1]
+            if last.endswith("\n"):
+                trimmed = last[:-1]
+                if trimmed:
+                    self.parts[-1] = trimmed
+                else:
+                    self.parts.pop()
+                self._tail = "".join(self.parts)[-8:]
+            else:
+                break
+
     def trailing_newlines(self) -> int:
         n = 0
         for ch in reversed(self._tail):
@@ -998,6 +1012,11 @@ class Renderer:
         return out.value()
 
     def render_block(self, node: Node, out: _Out) -> None:
+        if node.type == ELEMENT and node.tag not in ("pre", "ul", "ol"):
+            # tracks list→fence adjacency (a pre straight after a list
+            # attaches with a single newline); any other block breaks it.
+            # render_list sets the flag once the list is fully rendered.
+            self._just_closed_list = False
         if node.type == TEXT:
             raw = node.text
             if not raw.strip():
@@ -1264,6 +1283,7 @@ class Renderer:
             out.ensure_nl(2)
             out.push(val.rstrip("\n"))
             out.ensure_nl(2)
+            self._just_closed_list = True
         else:
             out.push(val)
 
@@ -1345,7 +1365,16 @@ class Renderer:
         body = extract_code_text(node)
         if not body.strip() and not lang:
             return
-        out.ensure_nl(2)
+        # backticks inside fenced code are escaped (golden corpus carries
+        # the text-escape rules into fences), and a fence directly after a
+        # list attaches to it with a single newline
+        body = body.replace("`", "\\`").replace("\t", "    ")
+        if getattr(self, "_just_closed_list", False):
+            out.trim_trailing_newlines(1)
+            out.ensure_nl(1)
+            self._just_closed_list = False
+        else:
+            out.ensure_nl(2)
         out.push("```" + lang + "\n" + body)
         if not body.endswith("\n"):
             out.push("\n")

@@ -26,7 +26,7 @@ _READ_TIME_RE = re.compile(r"^\s*\d+\s*(?:min|minute|minutes)\s+read\s*$", re.I)
 _BYLINE_BY_RE = re.compile(r"^\s*[Bb]y\s+[A-Z][\w'\-]+(?:\s+[A-Z][\w'\-]+)*")
 _SHARE_FOLLOW_RE = re.compile(
     r"^\s*(?:share|follow|tweet|like|subscribe|sign up|sign in|copy link|"
-    r"ready for more\??|no posts)\s*$", re.I)
+    r"share this post|ready for more\??|no posts)\s*$", re.I)
 _NEWSLETTER_RE = re.compile(
     r"\b(?:subscribe to (?:our|the) newsletter|join (?:our|the) newsletter|"
     r"sign up for (?:our|the) newsletter|email(?: address)? to subscribe|"
@@ -210,6 +210,22 @@ def metadata_block(root: Node) -> None:
         txt = _text(n)
         if _words(txt) > 20:
             continue
+        # a bare author-profile link stranded next to the title (its date
+        # span was already stripped as chrome) is metadata too
+        if _words(txt) <= 4 and not txt.strip().endswith((".", "!", "?")):
+            anchor = n if n.tag == "a" else None
+            if anchor is None:
+                kids = n.element_children()
+                if len(kids) == 1 and kids[0].tag == "a" \
+                        and len(_text(n).strip()) == len(_text(kids[0]).strip()):
+                    anchor = kids[0]
+            if anchor is not None:
+                href = (anchor.get("href") or "").lower()
+                if anchor.get("rel") == "author" or re.search(
+                        r"github\.com/|twitter\.com/|/author/|/people/|/team/",
+                        href):
+                    n.detach()
+                    continue
         t = txt.strip()
         author_list = ("," in t and not t.endswith((".", "!", "?"))
                        and re.match(r"^[A-Z][\w'\-]+ [A-Z]", t) is not None
@@ -275,6 +291,37 @@ def _drop_share_follow(root: Node) -> None:
             continue
         if _SHARE_FOLLOW_RE.match(txt):
             d.detach()
+
+
+_FOLLOW_LEAD_RE = re.compile(r"(?i)^follow (?:the latest|us|me)\b")
+
+
+def _drop_follow_blocks(root: Node) -> None:
+    """'Follow the latest X news' label + the social-link row after it
+    (trailing footer; wrappers may already be flattened to siblings)."""
+    for d in _post_order_elements(root):
+        if d.parent is None or d.tag not in ("div", "section", "p", "h2",
+                                             "h3", "h4"):
+            continue
+        lead = _text(d).strip()
+        if not _FOLLOW_LEAD_RE.match(lead) or _words(lead) > 8:
+            continue
+        # consume following bare-link siblings (RSS / Discord / Twitter…)
+        nxt = d.next_element_sibling()
+        to_drop = [d]
+        while nxt is not None:
+            txt = _text(nxt).strip()
+            is_linky = (nxt.tag == "a"
+                        or (_words(txt) <= 3
+                            and any(k.tag == "a"
+                                    for k in nxt.iter_elements())))
+            if not is_linky:
+                break
+            to_drop.append(nxt)
+            nxt = nxt.next_element_sibling()
+        if len(to_drop) > 1:
+            for n in to_drop:
+                n.detach()
 
 
 def _drop_newsletter(root: Node) -> None:
@@ -724,6 +771,7 @@ def content_patterns(root: Node) -> None:
     _drop_read_time(root)
     _drop_share_follow(root)
     _drop_newsletter(root)
+    _drop_follow_blocks(root)
     _drop_breadcrumb_at_start(root)
     _drop_trailing_related(root)
     _drop_link_dense_trailing(root)
