@@ -72,4 +72,4 @@ def test_markdown_exact_count_floor(corpus):
             continue
         if (r["content_markdown"] or "").strip() == fx.expected_markdown.strip():
             exact += 1
-    assert exact >= 153, f"byte-exact markdown count dropped to {exact}"
+    assert exact >= 155, f"byte-exact markdown count dropped to {exact}"

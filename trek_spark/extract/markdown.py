@@ -823,6 +823,10 @@ class Renderer:
         # mirrored before a closing curly quote, when the link text ends
         # on a word character
         self._pad_closing_quote = inner[-1:].isalnum()
+        if inner.startswith("!["):
+            # image links butt against following prose in the source;
+            # golden corpus separates them
+            self._pad_after_emph = True
 
     def render_sup(self, node: Node, out: _Out) -> None:
         # the child anchor's target is the authoritative number (wiki

@@ -96,7 +96,7 @@ def value_matches_partial(value: str, attr: str) -> bool:
                 continue  # MediaWiki section-heading wrappers are content
             if _HEADING_LEVEL_TOKEN_RE.match(tl):
                 continue  # Writerside "h2-related" structural classes
-            if _PARTIAL_RE.search(tok.lower()):
+            if _PARTIAL_RE.search(tl):
                 return True
         return False
     return _PARTIAL_RE.search(value.lower()) is not None
@@ -119,10 +119,22 @@ def _class_token_matches_partial(value: str, attr: str) -> bool:
                 continue
             if has_responsive_show and t in ("hidden", "invisible"):
                 continue
-            if _PARTIAL_RE.search(t.lower()):
+            if _PARTIAL_RE.search(tl2):
                 return True
         return False
     return _PARTIAL_RE.search(value.lower()) is not None
+
+
+def _captioned_header_block(node: Node) -> bool:
+    """An article-title header region: holds a heading plus a captioned
+    figure (issues--227 `div.Article-header`). Card-grid chrome carries
+    bare imgs, never figcaptions — those still remove."""
+    if node.tag not in ("div", "section", "header"):
+        return False
+    has_heading = any(d.tag in ("h1", "h2") for d in node.iter_elements())
+    if not has_heading:
+        return False
+    return any(d.tag == "figcaption" for d in node.iter_elements())
 
 
 def _contains_footnote_defs(node: Node) -> bool:
@@ -197,6 +209,8 @@ def remove_clutter(body: Node, remove_exact: bool = True,
                         continue
                     v = n.get(attr)
                     if v is not None and value_matches_partial(v, attr):
+                        if _captioned_header_block(n):
+                            break
                         should_remove = True
                         break
             if should_remove and t in _HEADING_TAGS \
@@ -273,6 +287,8 @@ def selectors_pass(body: Node) -> int:
             # are real structure in the golden corpus
             matched = False
         if matched and n.tag not in ("html", "body"):
+            if _captioned_header_block(n):
+                continue
             total = len(body.text_content())
             if total > 500 and len(n.text_content()) / total > 0.5:
                 continue
@@ -664,6 +680,12 @@ def figure_image(body: Node) -> None:
             v = n.get("data-srcset")
             if v:
                 n.set("srcset", v)
+
+    # credit links inside figcaptions unwrap to plain text ("Source One")
+    for cap in [x for x in body.descendants_snapshot()
+                if x.tag == "figcaption"]:
+        for a in [n for n in cap.iter_elements() if n.tag == "a"]:
+            a.unwrap()
 
     for pic in [x for x in body.descendants_snapshot() if x.tag == "picture"]:
         if pic.parent is None:

@@ -834,8 +834,126 @@ def scoring(root: Node) -> None:
             n.detach()
 
 
+# ------------------------------------------------------- content boundary
+
+_BOUNDARY_BYLINE_RE = re.compile(r"(?i)^by\s+\S")
+_SENT_PUNCT_RE = re.compile(r"[.!?]")
+_SKIP_ANCESTORS = ("aside", "nav", "header", "footer", "form")
+
+
+def _is_prose_block(node: Node) -> bool:
+    """Ref `src/content_boundary.rs:46-88`."""
+    if node.tag not in ("p", "div", "section", "article", "blockquote",
+                        "font"):
+        return False
+    if node.has_ancestor_tag(*_SKIP_ANCESTORS):
+        return False
+    cls = node.get("class") or ""
+    if "isHidden" in cls or "is-hidden" in cls:
+        return False
+    txt = _text(node).strip()
+    if not txt:
+        return False
+    words = _words(txt)
+    if words < 7 or not _SENT_PUNCT_RE.search(txt):
+        return False
+    if _BOUNDARY_BYLINE_RE.match(txt) and words < 15:
+        return False
+    if _DATE_PATTERN.search(txt) and words < 20:
+        return False
+    if _link_text_length(node) > int(len(txt) * 0.7):
+        return False
+    if node.tag == "div" and not any(
+            d.tag == "p" for d in node.iter_elements()):
+        return False
+    return True
+
+
+def find_content_start(root: Node, title: str):
+    """Ref `src/content_boundary.rs:91-111`: the first prose block after
+    the title heading (or from the top when no title element matches)."""
+    def norm(s: str) -> str:
+        return " ".join(s.split()).lower()
+
+    title_el = None
+    if title:
+        t = norm(title)
+        for d in root.iter_elements():
+            if d.tag in ("h1", "h2") and norm(d.text_content()) == t:
+                title_el = d
+                break
+    started = title_el is None
+    for d in root.iter_elements():
+        if not started:
+            if d is title_el:
+                started = True
+            continue
+        if _is_prose_block(d):
+            return d
+    if title_el is not None:
+        return find_content_start(root, "")
+    return None
+
+
+def _bare_image_block(node: Node) -> bool:
+    """True for an element whose only content is image(s) — a hero banner
+    with no caption and no text."""
+    if node.tag == "img":
+        return True
+    if node.tag not in ("div", "section", "figure", "picture", "p", "a"):
+        return False
+    if _text(node).strip():
+        return False
+    has_img = False
+    for d in node.iter_elements():
+        if d is node:
+            continue
+        if d.tag in ("img", "picture", "source"):
+            has_img = True
+        elif d.tag == "figcaption":
+            return False
+        elif d.tag not in ("div", "section", "span", "a", "figure"):
+            return False
+    return has_img
+
+
+def content_boundary_cleanup(root: Node, title: str) -> None:
+    """Drop caption-less hero-image blocks that render before the TITLE
+    heading (defuddle `findContentStart`; issues--span-with-block fixture:
+    `section#section-hero` with a bare img above the h1)."""
+    if not title:
+        return
+
+    def norm(s: str) -> str:
+        return " ".join(s.split()).lower()
+
+    t = norm(title)
+    title_el = None
+    for d in root.iter_elements():
+        if d.tag in ("h1", "h2") and norm(d.text_content()) == t:
+            title_el = d
+            break
+    if title_el is None:
+        return
+    title_ancestors = {id(a) for a in title_el.ancestors()}
+    to_drop = []
+    for d in root.iter_elements():
+        if d is title_el:
+            break
+        if id(d) in title_ancestors or d.parent is None:
+            continue
+        if _bare_image_block(d) and not any(
+                a.tag == "figure" for a in d.ancestors()
+                if a.type == ELEMENT):
+            to_drop.append(d)
+    for n in to_drop:
+        if n.parent is not None:
+            n.detach()
+
+
 def run_post(root: Node, title: str = "") -> None:
     small_images(root)
+    content_boundary_cleanup(root, title)
     metadata_block(root)
     content_patterns(root)
     scoring(root)
