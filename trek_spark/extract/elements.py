@@ -839,6 +839,63 @@ def _convert_inline_footnote_span(root: Node) -> None:
     owner.append(ol)
 
 
+def _convert_margin_footnotes(root: Node) -> None:
+    """Tufte-style margin notes: `<span class="footnote-container">
+    <label class="footnote-number" for="N"/><input class="margin-toggle"/>
+    <span class="footnote">BODY</span></span>` → ref + collected def
+    (footnotes--maggieappleton fixture)."""
+    containers = [n for n in root.iter_elements()
+                  if n.tag == "span" and n.has_class("footnote-container")]
+    if not containers:
+        return
+    defs = []
+    count = 0
+    owner = None
+    for s in containers:
+        num_str = ""
+        inner = None
+        for c in s.element_children():
+            if c.tag == "label" and (c.has_class("footnote-number")
+                                     or c.has_class("margin-toggle")):
+                v = c.get("for") or ""
+                if v.isdigit():
+                    num_str = v
+            elif c.tag == "span" and c.has_class("footnote"):
+                inner = c
+        if inner is None:
+            continue
+        count += 1
+        if not num_str:
+            num_str = str(count)
+        sup = Node.element("sup", {"id": f"fnref:{num_str}"})
+        a = Node.element("a", {"href": f"#fn:{num_str}"})
+        a.append(Node.text_node(num_str))
+        sup.append(a)
+        s.insert_before(sup)
+        s.detach()
+        li = _new_fn_li(num_str)
+        p = Node.element("p")
+        for c in list(inner.children):
+            p.append(c)
+        li.append(p)
+        defs.append(li)
+        if owner is None:
+            cur = sup.parent
+            while cur is not None:
+                if cur.type == ELEMENT and cur.tag in ("article", "main",
+                                                       "body"):
+                    owner = cur
+                    break
+                cur = cur.parent
+    if not defs:
+        return
+    owner = owner or root
+    ol = Node.element("ol", {"class": "footnotes-list"})
+    for li in defs:
+        ol.append(li)
+    owner.append(ol)
+
+
 def _convert_data_definition_aside(root: Node) -> None:
     refs = [n for n in root.iter_elements()
             if n.tag == "span" and n.get("data-definition") is not None]
@@ -965,6 +1022,12 @@ def _drop_delimiter_before_known(root: Node) -> None:
                 or (n.tag == "div" and "footnote-definition" in cls):
             known.append(n)
     for k in known:
+        par = k.parent
+        if par is not None and par.type == ELEMENT \
+                and par.has_class("ltx_bibliography"):
+            # arxiv/LaTeXML bibliographies keep their "References" heading
+            # (issues--142 fixture)
+            continue
         prev = k.prev_sibling()
         while prev is not None:
             if prev.type == TEXT:
@@ -1545,9 +1608,88 @@ def _tag_reference_lists(root: Node) -> None:
                         d.detach()
 
 
+def _convert_ltx_arxiv(root: Node) -> None:
+    """LaTeXML (ar5iv/arxiv HTML) shapes → canonical footnotes
+    (issues--142/143/144 fixtures; `ul.ltx_biblist` is the reference's
+    footnote-list selector, `src/constants.rs:783`):
+
+    * ``ul.ltx_biblist`` → ``ol.footnotes-list`` with sequential
+      ``li id="fn:K"`` in document order; ``cite.ltx_cite`` anchors
+      referencing ``#bib.bibN`` become ``<sup><a href="#fn:K">`` refs.
+    * remaining ``a.ltx_ref`` cross-references (Figure/Section/Table)
+      unwrap to their text.
+    * ``span.ltx_note.ltx_role_footnotemark`` (duplicated author
+      affiliation marks) collapse to a single ``<sup>N</sup>``.
+    """
+    # --- bibliography list → footnote definitions ----------------------
+    bib_map: dict[str, str] = {}
+    for ul in [n for n in root.iter_elements()
+               if n.tag in ("ul", "ol") and n.has_class("ltx_biblist")]:
+        k = 0
+        for li in ul.element_children():
+            if li.tag != "li":
+                continue
+            k += 1
+            old = li.get("id") or ""
+            if old:
+                bib_map[old] = str(k)
+            li.set("id", f"fn:{k}")
+            li.set("class", "")
+        ul.tag = "ol"
+        ul.set("class", "footnotes-list")
+
+    # --- citations → footnote refs --------------------------------------
+    for cite in [n for n in root.iter_elements()
+                 if n.tag == "cite" and n.has_class("ltx_cite")]:
+        anchors = [a for a in cite.iter_elements() if a.tag == "a"]
+        nums = []
+        for a in anchors:
+            frag = (a.get("href") or "").rsplit("#", 1)[-1]
+            if frag in bib_map:
+                nums.append(bib_map[frag])
+        if not nums:
+            continue
+        for num in nums:
+            sup = Node.element("sup")
+            a = Node.element("a", {"href": f"#fn:{num}"})
+            a.append(Node.text_node(num))
+            sup.append(a)
+            cite.insert_before(sup)
+        cite.detach()
+
+    # --- leftover internal cross-references unwrap to text --------------
+    for a in [n for n in root.iter_elements()
+              if n.tag == "a" and n.has_class("ltx_ref")]:
+        frag = (a.get("href") or "").rsplit("#", 1)[-1]
+        if frag in bib_map:
+            continue
+        a.insert_before(Node.text_node(a.text_content()))
+        a.detach()
+
+    # --- duplicated footnotemark spans → single sup ----------------------
+    for span in [n for n in root.iter_elements()
+                 if n.tag == "span" and n.has_class("ltx_note")
+                 and n.has_class("ltx_role_footnotemark")]:
+        mark = None
+        for d in span.iter_elements():
+            if d.tag == "sup" and d.has_class("ltx_note_mark"):
+                mark = d
+                break
+        if mark is None:
+            span.detach()
+            continue
+        num = mark.text_content().strip()
+        span.insert_before(Node.text_node(" "))
+        sup = Node.element("sup")
+        sup.append(Node.text_node(num))
+        span.insert_before(sup)
+        span.detach()
+
+
 def normalize_footnotes(root: Node) -> None:
     """7 footnote shape-families → canonical `<ol class="footnotes-list">`
     + `<sup>N</sup>` refs (`src/elements/footnotes.rs:47-84` pass order)."""
+    _convert_ltx_arxiv(root)
     _drop_sidenote_spans(root)
     _convert_footdefs(root)
     _convert_wikidot_footnotes(root)
@@ -1557,6 +1699,7 @@ def normalize_footnotes(root: Node) -> None:
     _rewrite_ftnt_ids(root)
     _rewrite_easy_footnotes(root)
     _convert_inline_footnote_span(root)
+    _convert_margin_footnotes(root)
     _convert_data_definition_aside(root)
     _collect_id_indexed_paragraphs(root)
     _drop_delimiter_before_known(root)

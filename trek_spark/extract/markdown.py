@@ -1174,6 +1174,9 @@ class Renderer:
 
     def render_paragraph(self, node: Node, out: _Out) -> None:
         inner = self.render_inline(node)
+        # collapse double spaces across inline-element boundaries, sparing
+        # the two-space hard-break marker (spaces before \n)
+        inner = re.sub(r" {2,}(?=\S)", " ", inner)
         text = inner.strip()
         if not text:
             return

@@ -86,6 +86,9 @@ def _run_cleanup(body: Node, url: Optional[str], title: str,
 
     # callouts normalize BEFORE legacy flatten (ref `src/lib.rs:281-289`)
     elements.normalize_callouts(body)
+    # margin-note footnote containers are spans holding block content —
+    # convert before wrapper flattening splits them
+    elements._convert_margin_footnotes(body)
 
     # legacy standardize (`src/standardize_legacy.rs:9-36`)
     passes.remove_comments(body)

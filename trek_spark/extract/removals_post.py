@@ -231,7 +231,7 @@ def metadata_block(root: Node) -> None:
                        and re.match(r"^[A-Z][\w'\-]+ [A-Z]", t) is not None
                        and len(re.findall(r"[A-Z][a-z]+ [A-Z][a-z]+", t)) >= 2)
         if _DATE_PATTERN.search(txt) \
-                or re.search(r"\bby\s+[A-Z]", txt, re.I) or author_list:
+                or re.search(r"\b[Bb]y\s+[A-Z]", txt) or author_list:
             if n.tag in _HEADING_TAGS:
                 continue
             if n.parent is not None:
