@@ -61,11 +61,35 @@ _FORMATTING = frozenset(
 )
 
 
+# HTML5 "adjust SVG attributes" table: foreign-content attributes whose
+# canonical form is camelCase (HTMLParser lowercases all attr names)
+_SVG_ATTR_ADJUST = {a.lower(): a for a in (
+    "attributeName attributeType baseFrequency baseProfile calcMode "
+    "clipPathUnits diffuseConstant edgeMode filterUnits glyphRef "
+    "gradientTransform gradientUnits kernelMatrix kernelUnitLength "
+    "keyPoints keySplines keyTimes lengthAdjust limitingConeAngle "
+    "markerHeight markerUnits markerWidth maskContentUnits maskUnits "
+    "numOctaves pathLength patternContentUnits patternTransform "
+    "patternUnits pointsAtX pointsAtY pointsAtZ preserveAlpha "
+    "preserveAspectRatio primitiveUnits refX refY repeatCount repeatDur "
+    "requiredExtensions requiredFeatures specularConstant "
+    "specularExponent spreadMethod startOffset stdDeviation stitchTiles "
+    "surfaceScale systemLanguage tableValues targetX targetY textLength "
+    "viewBox viewTarget xChannelSelector yChannelSelector zoomAndPan"
+).split()}
+
+
 class _TreeBuilder(HTMLParser):
     def __init__(self):
         super().__init__(convert_charrefs=True)
         self.root = Node.document()
         self.stack: list[Node] = [self.root]
+
+    def _in_svg(self) -> bool:
+        for n in reversed(self.stack):
+            if n.tag == "svg":
+                return True
+        return False
 
     # -- helpers ---------------------------------------------------------
     def _top(self) -> Node:
@@ -105,8 +129,11 @@ class _TreeBuilder(HTMLParser):
             self._top().append(tr)
             self.stack.append(tr)
         # first-declared attribute wins, per spec
+        adjust = tag == "svg" or self._in_svg()
         adict: dict = {}
         for k, v in attrs:
+            if adjust:
+                k = _SVG_ATTR_ADJUST.get(k, k)
             if k not in adict:
                 adict[k] = v if v is not None else ""
         el = Node(ELEMENT, tag)
@@ -118,8 +145,11 @@ class _TreeBuilder(HTMLParser):
 
     def handle_startendtag(self, tag, attrs):
         # <tag/> — treat as start; non-void elements become empty elements
+        adjust = tag == "svg" or self._in_svg()
         adict: dict = {}
         for k, v in attrs:
+            if adjust:
+                k = _SVG_ATTR_ADJUST.get(k, k)
             if k not in adict:
                 adict[k] = v if v is not None else ""
         self._close_implied(tag)

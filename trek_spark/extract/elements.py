@@ -332,7 +332,58 @@ def _dedup_adjacent_images(root: Node) -> None:
                 img.detach()
 
 
+def _promote_nextjs_images(root: Node) -> None:
+    """Next.js `<Image>` widgets (issues--221): a wrapper holding an
+    aria-hidden svg sizer, a base64-gif placeholder carrying the alt, and a
+    noscript-promoted real `<img>`. Move the real image into the sizer's
+    slot (so it renders before the caption) and let the alt-bearing
+    placeholder fall through to the renderer's caption-text path."""
+    for img in [n for n in root.iter_elements() if n.tag == "img"]:
+        if img.get("data-nimg") is None or img.parent is None:
+            continue
+        src = img.get("src") or img.get("srcset") or ""
+        if not src or _is_base64_placeholder(src.split()[0]):
+            continue
+        parent = img.parent
+        target = None
+        for sib in parent.element_children():
+            if sib is img:
+                break
+            cand = sib if sib.tag == "img" else sib.find_first("img")
+            if cand is None:
+                continue
+            csrc = cand.get("src") or ""
+            if (not csrc or _is_base64_placeholder(csrc)) \
+                    and not (cand.get("alt") or "").strip():
+                target = cand
+                break
+        if target is None:
+            continue
+        holder = target
+        while holder.parent is not parent and holder.parent is not None:
+            holder = holder.parent
+        img.detach()
+        holder.insert_before(img)
+        target.detach()
+        if not holder.text_content().strip() \
+                and holder.find_first("img") is None and holder is not img:
+            holder.detach()
+        # the adjacent base64 placeholder still carrying the alt becomes
+        # the caption paragraph right after the image
+        sib = img.next_element_sibling()
+        if sib is not None and sib.tag == "img" \
+                and sib.get("data-nimg") is not None:
+            csrc = sib.get("src") or ""
+            alt = (sib.get("alt") or "").strip()
+            if csrc.startswith("data:") and alt:
+                p = Node.element("p")
+                p.append(Node.text_node(alt))
+                img.insert_after(p)
+                sib.detach()
+
+
 def normalize_images(root: Node) -> None:
+    _promote_nextjs_images(root)
     _dedup_adjacent_images(root)
     for img in [n for n in root.iter_elements() if n.tag == "img"]:
         if img.parent is None:
@@ -1865,6 +1916,19 @@ def convert_math_tex_scripts(root: Node) -> None:
 def normalize_math_base(root: Node) -> None:
     """Math-base pass: raw LaTeX wrapping, LaTeX-image promotion and
     data-math spans → `<math>` elements (`src/elements/math/base.rs`)."""
+    # a bare `span.katex` directly wrapping raw MathML (no katex-mathml /
+    # katex-html structure, no annotation) carries no recoverable LaTeX —
+    # drop it (issues--169 fixture)
+    for span in [n for n in root.iter_elements()
+                 if n.tag == "span" and "katex" in n.classes()]:
+        if span.parent is None:
+            continue
+        kids = span.element_children()
+        if len(kids) == 1 and kids[0].tag == "math" \
+                and kids[0].find_first("annotation") is None \
+                and not any(c.type == TEXT and c.text.strip()
+                            for c in span.children):
+            span.detach()
     # MediaWiki serves <math> plus a rendered fallback <img> — drop the
     # duplicate image (class mwe-math-fallback… or sibling-of-math)
     for img in [n for n in root.iter_elements() if n.tag == "img"]:

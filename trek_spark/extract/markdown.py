@@ -179,6 +179,161 @@ def _normalize_url(href: str) -> str:
 
 
 
+# Tailwind default palette (public defaults, v3) — the subset used to
+# resolve `var(--color-*)` custom properties and `stroke-*`/`fill-*`
+# utility classes when the stylesheet isn't available.
+_TW_COLORS = {
+    "slate": {"50": "#f8fafc", "100": "#f1f5f9", "200": "#e2e8f0",
+              "300": "#cbd5e1", "400": "#94a3b8", "500": "#64748b",
+              "600": "#475569", "700": "#334155", "800": "#1e293b",
+              "900": "#0f172a"},
+    "gray": {"50": "#f9fafb", "100": "#f3f4f6", "200": "#e5e7eb",
+             "300": "#d1d5db", "400": "#9ca3af", "500": "#6b7280",
+             "600": "#4b5563", "700": "#374151", "800": "#1f2937",
+             "900": "#111827"},
+    "zinc": {"50": "#fafafa", "100": "#f4f4f5", "200": "#e4e4e7",
+             "300": "#d4d4d8", "400": "#a1a1aa", "500": "#71717a",
+             "600": "#52525b", "700": "#3f3f46", "800": "#27272a",
+             "900": "#18181b"},
+    "neutral": {"300": "#d4d4d4", "400": "#a3a3a3", "500": "#737373",
+                "600": "#525252", "700": "#404040"},
+    "red": {"400": "#f87171", "500": "#ef4444", "600": "#dc2626",
+            "700": "#b91c1c"},
+    "orange": {"400": "#fb923c", "500": "#f97316", "600": "#ea580c",
+               "700": "#c2410c"},
+    "amber": {"400": "#fbbf24", "500": "#f59e0b", "600": "#d97706",
+              "700": "#b45309"},
+    "yellow": {"400": "#facc15", "500": "#eab308", "600": "#ca8a04"},
+    "lime": {"500": "#84cc16", "600": "#65a30d"},
+    "green": {"400": "#4ade80", "500": "#22c55e", "600": "#16a34a",
+              "700": "#15803d"},
+    "emerald": {"400": "#34d399", "500": "#10b981", "600": "#059669"},
+    "teal": {"400": "#2dd4bf", "500": "#14b8a6", "600": "#0d9488"},
+    "cyan": {"400": "#22d3ee", "500": "#06b6d4", "600": "#0891b2"},
+    "sky": {"400": "#38bdf8", "500": "#0ea5e9", "600": "#0284c7"},
+    "blue": {"400": "#60a5fa", "500": "#3b82f6", "600": "#2563eb",
+             "700": "#1d4ed8"},
+    "indigo": {"400": "#818cf8", "500": "#6366f1", "600": "#4f46e5"},
+    "violet": {"400": "#a78bfa", "500": "#8b5cf6", "600": "#7c3aed"},
+    "purple": {"400": "#c084fc", "500": "#a855f7", "600": "#9333ea"},
+    "fuchsia": {"400": "#e879f9", "500": "#d946ef", "600": "#c026d3"},
+    "pink": {"400": "#f472b6", "500": "#ec4899", "600": "#db2777"},
+    "rose": {"400": "#fb7185", "500": "#f43f5e", "600": "#e11d48"},
+}
+
+_CSS_VAR_RE = re.compile(r"var\(\s*(--[\w-]+)\s*(?:,[^)]*)?\)")
+_TW_COLOR_CLASS_RE = re.compile(r"^(stroke|fill)-([a-z]+)-(\d+)$")
+_TW_TEXT_SIZE_RE = re.compile(r"^text-\[(\d+(?:\.\d+)?)px\]$")
+_TW_FONT_WEIGHTS = {"font-medium": "500", "font-semibold": "600",
+                    "font-bold": "700"}
+
+
+def _resolve_css_value(v: str) -> str:
+    """Resolve `var(--…)` / `light-dark(…)` color expressions to concrete
+    values using the Tailwind default palette + CSS system-color fallbacks
+    (general--svg-content-preservation fixture)."""
+    v = v.strip()
+    if v.startswith("light-dark(") and v.endswith(")"):
+        inner = v[len("light-dark("):-1]
+        depth = 0
+        for i, c in enumerate(inner):
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif c == "," and depth == 0:
+                v = inner[:i].strip()
+                break
+
+    def sub(m):
+        name = m.group(1)
+        cm = re.match(r"--color-([a-z]+)-(\d+)$", name)
+        if cm:
+            fam = _TW_COLORS.get(cm.group(1))
+            if fam and cm.group(2) in fam:
+                return fam[cm.group(2)]
+        if name.startswith("--background-color"):
+            return "Canvas"
+        if name.startswith("--text-color"):
+            return "currentColor"
+        return "currentColor"
+
+    return _CSS_VAR_RE.sub(sub, v)
+
+
+def _serialize_svg(root: Node) -> str:
+    """Serialize a content SVG compactly for raw-HTML embedding:
+
+    * `class` attributes drop (stylesheets aren't shipped with markdown),
+      but Tailwind color/size utilities resolve to presentation attributes
+      and `var()`/`light-dark()` values resolve to concrete colors;
+    * class-styled `<line>`/`<path>` get presentation-attribute fallbacks
+      (`general--svg-external-css-fallback`): gridline strokes at 0.2
+      opacity, paths stroked/filled by their area/line role;
+    * whitespace-only text nodes drop (markup indentation), except the
+      corpus keeps one space after `</text>` when the enclosing groups are
+      followed by another `<g>`.
+    """
+    def ser(n: Node) -> str:
+        parts = ["<" + n.tag]
+        attrs = {k: _resolve_css_value(v) if ("var(" in v
+                                              or "light-dark(" in v) else v
+                 for k, v in (n.attrs or {}).items()}
+        cls = attrs.pop("class", None)
+        style_props: list[str] = []
+        tw_stroke = tw_fill = None
+        if cls is not None:
+            for tok in cls.split():
+                cm = _TW_COLOR_CLASS_RE.match(tok)
+                if cm:
+                    fam = _TW_COLORS.get(cm.group(2))
+                    if fam and cm.group(3) in fam:
+                        if cm.group(1) == "stroke":
+                            tw_stroke = fam[cm.group(3)]
+                        else:
+                            tw_fill = fam[cm.group(3)]
+                    continue
+                sm = _TW_TEXT_SIZE_RE.match(tok)
+                if sm:
+                    num = sm.group(1).rstrip("0").rstrip(".")
+                    style_props.append(f"font-size:{num}px")
+                    continue
+                if tok in _TW_FONT_WEIGHTS:
+                    style_props.append(
+                        "font-weight:" + _TW_FONT_WEIGHTS[tok])
+        lead: list[tuple[str, str]] = []
+        if style_props:
+            lead.append(("style", ";".join(style_props)))
+        if tw_stroke is not None and "stroke" not in attrs:
+            lead.append(("stroke", tw_stroke))
+        elif cls is not None and n.tag == "line" and "stroke" not in attrs:
+            lead.append(("stroke-opacity", "0.2"))
+            lead.append(("stroke", "currentColor"))
+        if tw_fill is not None and "fill" not in attrs:
+            lead.append(("fill", tw_fill))
+        elif cls is not None and n.tag == "path":
+            if tw_stroke is None and "stroke" not in attrs and any(
+                    "line" in t for t in cls.split()):
+                lead.append(("stroke", "currentColor"))
+            if "fill" not in attrs:
+                lead.append(("fill", "none"))
+        for k, v in lead + list(attrs.items()):
+            parts.append(" " + k + '="' + v.replace('"', "&quot;") + '"')
+        parts.append(">")
+        for c in n.children:
+            if c.type == TEXT:
+                if c.text.strip():
+                    parts.append(c.text.strip())
+            elif c.type == ELEMENT:
+                parts.append(ser(c))
+        parts.append("</" + n.tag + ">")
+        return "".join(parts)
+
+    s = ser(root)
+    s = re.sub(r"</text></g>((?:</g>)*)(?=<g[ >])", r"</text> </g>\1", s)
+    return re.sub(r"</text>(?=<path[ >])", "</text> ", s)
+
+
 def _escape_url(u: str) -> str:
     """Parens in markdown link targets must be backslash-escaped."""
     if "(" in u or ")" in u:
@@ -974,6 +1129,9 @@ class Renderer:
             if val.startswith("$") and not val.startswith("$$"):
                 # runs opening with inline math get a leading space
                 val = " " + val
+            if val.startswith(("- ", "-- ", "--")) or val in ("-", "--"):
+                # would parse as a list item / frontmatter fence
+                val = "\\" + val
             if val.strip():
                 out.ensure_nl(2)
                 out.push(val)
@@ -1114,6 +1272,14 @@ class Renderer:
                 out.ensure_nl(2)
                 out.push(raw)
                 out.ensure_nl(2)
+        elif t == "svg" and node.find_first("text") is not None:
+            # diagram/chart SVGs (with visible <text>) survive as raw HTML
+            # (issues--169, general--svg-content-preservation)
+            raw = _serialize_svg(node)
+            if raw:
+                out.ensure_nl(2)
+                out.push(raw)
+                out.ensure_nl(2)
         elif t in ("math", "svg"):
             latex = mathml_latex(node)
             if latex:
@@ -1181,6 +1347,9 @@ class Renderer:
         if not text:
             return
         text = _keep_trailing_breaks(inner, text)
+        # a paragraph opening with "-"/"+" would parse as a list item
+        if text.startswith(("- ", "-- ", "--")) or text in ("-", "--"):
+            text = "\\" + text
         out.ensure_nl(2)
         out.push(text)
         out.ensure_nl(2)

@@ -211,6 +211,10 @@ def remove_clutter(body: Node, remove_exact: bool = True,
                     if v is not None and value_matches_partial(v, attr):
                         if _captioned_header_block(n):
                             break
+                        if attr == "class" and any(
+                                "signature" in (d.get("class") or "")
+                                for d in n.iter_elements()):
+                            break  # email-signature footer is content
                         should_remove = True
                         break
             if should_remove and t in _HEADING_TAGS \
@@ -346,8 +350,19 @@ def hidden_pass(body: Node) -> int:
             continue
         style = n.get("style")
         if style and _HIDDEN_STYLE_RE.search(style):
-            to_remove.append(n)
-            continue
+            # hidden-until-hover footnote bodies are content: the footnote
+            # normalizer collects them into definitions
+            if not (n.has_class("footnoteContent")
+                    or (n.parent is not None and n.parent.type == ELEMENT
+                        and n.parent.has_class("inline-footnote"))):
+                to_remove.append(n)
+                continue
+        if n.get("hidden") is not None:
+            # React streaming-SSR stashes real content in `<div hidden
+            # id="S:n">` and unhides it with JS — keep those
+            if not (n.get("id") or "").startswith("S:"):
+                to_remove.append(n)
+                continue
         cls = n.get("class")
         if cls:
             if _has_responsive_show(cls):
@@ -430,7 +445,12 @@ def _legacy_div_flattenable(n: Node) -> bool:
     for a in _LEGACY_FLATTEN_KEEP_ATTRS:
         if n.get(a) is not None:
             return False
+    style = n.get("style")
+    if style and _HIDDEN_STYLE_RE.search(style):
+        return False  # keep the wrapper so hidden_pass removes the subtree
     cls = n.get("class")
+    if cls and _class_marks_hidden(cls) and not _has_responsive_show(cls):
+        return False  # ditto for class-hidden wrappers (sm:hidden)
     if cls:
         cl = cls.lower()
         if any(h in cl for h in _LEGACY_CLASS_HINTS):

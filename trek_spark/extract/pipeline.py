@@ -100,7 +100,9 @@ def _run_cleanup(body: Node, url: Optional[str], title: str,
     # DOM pass chain (`src/lib.rs:350-387`)
     if remove_exact or remove_partial:
         gated_removed += passes.selectors_pass(body)
-        gated_removed += passes.hidden_pass(body)
+    # hidden-element removal is ungated: hidden content stays hidden in the
+    # low-content retry too (hidden--nodes fixture)
+    passes.hidden_pass(body)
     elements.normalize_callouts(body)
     # standardize::run_all order (`src/standardize/mod.rs:29-49`)
     elements.code_blocks(body)

@@ -68,12 +68,14 @@ def _link_text_length(n: Node) -> int:
     total = 0
     for d in n.iter_elements():
         if d.tag == "a":
-            total += len(d.text_content())
+            total += len(" ".join(d.text_content().split()))
     return total
 
 
 def _link_density(n: Node) -> float:
-    t = len(_text(n))
+    # whitespace-normalized on both sides — markup indentation must not
+    # dilute the density of a link list
+    t = len(" ".join(_text(n).split()))
     if t == 0:
         return 0.0
     return _link_text_length(n) / t
@@ -398,9 +400,16 @@ def _drop_trailing_related(root: Node) -> None:
         lc = _text(k).lower()
         if k.tag in _HEADING_TAGS and (
                 "related" in lc or "read next" in lc or "more from" in lc
-                or "about the author" in lc
+                or "about the author" in lc or "further reading" in lc
                 or lc.strip() in ("subscribe", "newsletter")
                 or lc.strip().startswith("comments")):
+            if "further reading" in lc:
+                # a substantive Further-reading section (reading list with
+                # real prose) is content; only a stub pointer is chrome
+                rest = sum(_words(_text(kids[j])) for j in range(idx + 1, n)
+                           if kids[j].parent is not None)
+                if rest >= 25:
+                    continue
             for j in range(idx, n):
                 if kids[j].parent is not None:
                     kids[j].detach()
@@ -951,6 +960,43 @@ def content_boundary_cleanup(root: Node, title: str) -> None:
             n.detach()
 
 
+def _drop_contentless_headings(root: Node) -> None:
+    """Headings whose section lost all its content to removal passes
+    (hidden--nodes: `display:none` / `hidden` paragraphs leave their h2s
+    orphaned) render as dangling headers — drop them."""
+    heads = [n for n in root.iter_elements()
+             if n.tag in ("h2", "h3", "h4", "h5", "h6")]
+    if not heads:
+        return
+    order = [n for n in root.iter() if n.type in (ELEMENT, TEXT)]
+    pos = {id(n): i for i, n in enumerate(order)}
+    for h in reversed(heads):
+        if h.parent is None or id(h) not in pos:
+            continue
+        if h.text_content().strip().lower() in (
+                "references", "notes", "footnotes", "endnotes",
+                "external links", "see also"):
+            continue  # section lists render out-of-band (footnote defs)
+        level = int(h.tag[1])
+        h_sub = {id(d) for d in h.iter()}
+        has_content = False
+        for n in order[pos[id(h)] + 1:]:
+            if id(n) in h_sub or n.parent is None:
+                continue
+            if n.type == ELEMENT and n.tag in _HEADING_TAGS \
+                    and int(n.tag[1]) <= level:
+                break
+            if n.type == TEXT and n.text.strip():
+                has_content = True
+                break
+            if n.type == ELEMENT and n.tag in ("img", "table", "pre",
+                                               "iframe", "video", "math"):
+                has_content = True
+                break
+        if not has_content:
+            h.detach()
+
+
 def run_post(root: Node, title: str = "") -> None:
     small_images(root)
     content_boundary_cleanup(root, title)
@@ -959,3 +1005,4 @@ def run_post(root: Node, title: str = "") -> None:
     scoring(root)
     # after scoring removes embed cards, label-between-hrs shapes surface
     _drop_hr_label_widgets(root)
+    _drop_contentless_headings(root)
