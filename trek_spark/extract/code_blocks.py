@@ -115,6 +115,10 @@ def _first_descendant_lang(node: Node) -> Optional[str]:
         if lang:
             return lang
     for d in node.iter_elements():
+        for a in ("data-language", "data-lang"):
+            v = d.get(a)
+            if v and v not in _NON_LANGS:
+                return v
         cls = d.get("class")
         if cls:
             lang = detect_lang_from_class(cls)

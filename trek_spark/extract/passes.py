@@ -168,6 +168,10 @@ def remove_clutter(body: Node, remove_exact: bool = True,
                         continue
                     if t == "footer" and _contains_footnote_defs(n):
                         continue  # footers holding footnote definitions
+                if t == "aside" and any(
+                        "callout" in c or "admonition" in c
+                        for c in n.classes()):
+                    continue  # callout asides convert to blockquotes later
                 to_remove.append(n)
             continue
         if t == "svg":
@@ -451,6 +455,8 @@ def _legacy_div_flattenable(n: Node) -> bool:
     cls = n.get("class")
     if cls and _class_marks_hidden(cls) and not _has_responsive_show(cls):
         return False  # ditto for class-hidden wrappers (sm:hidden)
+    if cls and "disclaimer" in cls.lower():
+        return False  # trailing-disclaimer removal needs the wrapper intact
     if cls:
         cl = cls.lower()
         if any(h in cl for h in _LEGACY_CLASS_HINTS):
@@ -834,6 +840,39 @@ def headings_std(body: Node) -> None:
             k.detach()
         else:
             break
+
+
+_ENTRY_POINT_IDS = ("post", "article-content")
+_ENTRY_POINT_CLASSES = ("post-content", "article-content", "article_post",
+                        "article-wrapper", "entry-content", "content-article",
+                        "markdown-body")
+
+
+def find_entry_point(body: Node):
+    """Strong content-container selection (`src/constants.rs:10-26`
+    ENTRY_POINT_ELEMENTS): a node explicitly id/class-marked as the article
+    body wins over whole-<body> extraction (entry-point--js-article-content:
+    `div.js-article-content`). Generic article/main fallbacks are left to
+    the clutter passes. Returns None when no marked container with real
+    text exists."""
+    for n in body.iter_elements():
+        nid = n.get("id") or ""
+        cls = n.get("class") or ""
+        hit = nid in _ENTRY_POINT_IDS
+        if not hit and cls:
+            for tok in cls.split():
+                tl = tok.lower()
+                if tl in _ENTRY_POINT_CLASSES \
+                        or tl.endswith("-article-content"):
+                    hit = True
+                    break
+        if not hit:
+            continue
+        words = len(n.text_content().split())
+        if words >= 25:
+            return n
+        return None  # marked container is a JS shell — keep whole body
+    return None
 
 
 def extract_body_substring(html: str) -> str:

@@ -127,6 +127,14 @@ def _parse_once(html: str, metadata: dict, url: Optional[str],
     body_html = promote_noscript_html(body_html)
     doc = parse_html(body_html)
     body = body_of(doc)
+    entry = passes.find_entry_point(body)
+    if entry is not None:
+        # re-root on the marked article container: detach so removal passes
+        # never see the page chrome around it
+        entry.detach()
+        wrapper = Node.element("body")
+        wrapper.append(entry)
+        body = wrapper
     gated_removed = _run_cleanup(body, url, metadata.get("title", ""),
                                  remove_exact, remove_partial)
     content_html = inner_html(body)

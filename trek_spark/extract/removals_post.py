@@ -960,6 +960,20 @@ def content_boundary_cleanup(root: Node, title: str) -> None:
             n.detach()
 
 
+def _drop_trailing_disclaimer(root: Node) -> None:
+    """A trailing legal-disclaimer block (class *disclaimer*) is boilerplate
+    even when it holds most of the page's text, and must go in the
+    low-content retry too (entry-point--js-article-content fixture)."""
+    scope = _scope_of(root)
+    kids = scope.element_children()
+    for k in reversed(kids[-3:]):
+        if k.parent is None:
+            continue
+        cls = (k.get("class") or "").lower()
+        if "disclaimer" in cls:
+            k.detach()
+
+
 def _drop_contentless_headings(root: Node) -> None:
     """Headings whose section lost all its content to removal passes
     (hidden--nodes: `display:none` / `hidden` paragraphs leave their h2s
@@ -1005,4 +1019,5 @@ def run_post(root: Node, title: str = "") -> None:
     scoring(root)
     # after scoring removes embed cards, label-between-hrs shapes surface
     _drop_hr_label_widgets(root)
+    _drop_trailing_disclaimer(root)
     _drop_contentless_headings(root)
