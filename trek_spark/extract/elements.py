@@ -1737,10 +1737,54 @@ def _convert_ltx_arxiv(root: Node) -> None:
         span.detach()
 
 
+def _convert_aside_ol_sidenotes(root: Node) -> None:
+    """Numbered sidenote asides: `<aside><ol start="N"><li>…` next to prose
+    carrying `<sup>N</sup>` markers (footnotes--aside-ol-start) — collect
+    the lis into the canonical footnotes list, numbered from `start`."""
+    defs = []
+    owner = None
+    for aside in [n for n in root.iter_elements() if n.tag == "aside"]:
+        kids = aside.element_children()
+        if len(kids) != 1 or kids[0].tag != "ol":
+            continue
+        ol = kids[0]
+        start = ol.get("start")
+        if start is None or not start.isdigit():
+            continue
+        k = int(start)
+        for li in ol.element_children():
+            if li.tag != "li":
+                continue
+            new_li = _new_fn_li(str(k))
+            p = Node.element("p")
+            for c in list(li.children):
+                p.append(c)
+            new_li.append(p)
+            defs.append(new_li)
+            k += 1
+        if owner is None:
+            cur = aside.parent
+            while cur is not None:
+                if cur.type == ELEMENT and cur.tag in ("article", "main",
+                                                       "body"):
+                    owner = cur
+                    break
+                cur = cur.parent
+        aside.detach()
+    if not defs:
+        return
+    owner = owner or root
+    ol = Node.element("ol", {"class": "footnotes-list"})
+    for li in defs:
+        ol.append(li)
+    owner.append(ol)
+
+
 def normalize_footnotes(root: Node) -> None:
     """7 footnote shape-families → canonical `<ol class="footnotes-list">`
     + `<sup>N</sup>` refs (`src/elements/footnotes.rs:47-84` pass order)."""
     _convert_ltx_arxiv(root)
+    _convert_aside_ol_sidenotes(root)
     _drop_sidenote_spans(root)
     _convert_footdefs(root)
     _convert_wikidot_footnotes(root)

@@ -96,6 +96,8 @@ def value_matches_partial(value: str, attr: str) -> bool:
                 continue  # MediaWiki section-heading wrappers are content
             if _HEADING_LEVEL_TOKEN_RE.match(tl):
                 continue  # Writerside "h2-related" structural classes
+            if tl in ("footnote-footer", "footnotes-footer"):
+                continue  # wikidot footnote definitions are content
             if _PARTIAL_RE.search(tl):
                 return True
         return False
@@ -117,6 +119,8 @@ def _class_token_matches_partial(value: str, attr: str) -> bool:
             tl2 = t.lower()
             if tl2.startswith("mw-heading") or _HEADING_LEVEL_TOKEN_RE.match(tl2):
                 continue
+            if tl2 in ("footnote-footer", "footnotes-footer"):
+                continue  # wikidot footnote definitions are content
             if has_responsive_show and t in ("hidden", "invisible"):
                 continue
             if _PARTIAL_RE.search(tl2):
@@ -172,6 +176,16 @@ def remove_clutter(body: Node, remove_exact: bool = True,
                         "callout" in c or "admonition" in c
                         for c in n.classes()):
                     continue  # callout asides convert to blockquotes later
+                if t == "aside":
+                    kids = n.element_children()
+                    if len(kids) == 1 and kids[0].tag == "ol" \
+                            and kids[0].get("start") is not None:
+                        # numbered sidenote aside (footnotes--aside-ol-start)
+                        continue
+                    if any("fna-content" in c for c in n.classes()):
+                        # data-definition footnote body (footnotes--hidden-
+                        # aside-data-definition)
+                        continue
                 to_remove.append(n)
             continue
         if t == "svg":
@@ -357,6 +371,7 @@ def hidden_pass(body: Node) -> int:
             # hidden-until-hover footnote bodies are content: the footnote
             # normalizer collects them into definitions
             if not (n.has_class("footnoteContent")
+                    or n.has_class("fna-content")
                     or (n.parent is not None and n.parent.type == ELEMENT
                         and n.parent.has_class("inline-footnote"))):
                 to_remove.append(n)

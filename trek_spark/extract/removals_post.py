@@ -760,6 +760,49 @@ def _drop_leading_author_chrome(root: Node) -> None:
             k.detach()
 
 
+def _drop_frontmatter_section(root: Node) -> None:
+    """A leading front-matter block — abstract/date/author-bio lump before
+    the article body, marked by a rel=author/<address> author card plus a
+    date (metadata--rel-author-in-bio-container) — is metadata chrome."""
+    scope = _scope_of(root)
+    seen = 0
+    for k in scope.element_children():
+        if k.parent is None or k.tag in _HEADING_TAGS:
+            continue
+        seen += 1
+        if seen > 3:
+            break
+        if _words(_text(k)) >= 100:
+            break
+        has_author = any(
+            d.tag == "address" or d.get("rel") == "author"
+            or "author" in (d.get("class") or "").lower()
+            for d in k.iter_elements())
+        if has_author and _DATE_PATTERN.search(_text(k)):
+            k.detach()
+            return
+
+
+_SOCIAL_HOST_RE = re.compile(
+    r"(?i)^https?://(?:www\.)?(?:facebook|twitter|x|instagram|linkedin|"
+    r"youtube|pinterest|tiktok|t)\.(?:com|me)(?:/|$)")
+
+
+def _drop_social_icon_links(root: Node) -> None:
+    """Bare icon links to social profiles (img-only anchor → facebook/
+    twitter/…) are site chrome wherever they sit (scp-wiki side bar)."""
+    for a in [n for n in root.descendants_snapshot() if n.tag == "a"]:
+        if a.parent is None:
+            continue
+        if not _SOCIAL_HOST_RE.match(a.get("href") or ""):
+            continue
+        if _text(a).strip():
+            continue
+        imgs = [d for d in a.iter_elements() if d.tag == "img"]
+        if len(imgs) == 1 and "social" in (imgs[0].get("src") or "").lower():
+            a.detach()
+
+
 def _drop_dismiss_controls(root: Node) -> None:
     for a in [n for n in root.descendants_snapshot() if n.tag == "a"]:
         if a.parent is None:
@@ -771,6 +814,8 @@ def _drop_dismiss_controls(root: Node) -> None:
 
 def content_patterns(root: Node) -> None:
     _drop_dismiss_controls(root)
+    _drop_social_icon_links(root)
+    _drop_frontmatter_section(root)
     _drop_leading_author_chrome(root)
     _drop_toc_blocks(root)
     _drop_seealso_sections(root)
