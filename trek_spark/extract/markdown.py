@@ -32,7 +32,7 @@ _EMPTY_LINK_RE = re.compile(r"(?m)(?:^|[^!])\[\]\([^)]*\)")
 _BANG_BANG_RE = re.compile(r"!(!\[|\[!\[)")
 _MULTI_NL_RE = re.compile(r"\n{3,}")
 _BACKREF_RE = re.compile(r"\s*↩(?:︎)?\s*$")
-_QUOTE_ONLY_RE = re.compile(r"(?:> )+")
+_QUOTE_ONLY_RE = re.compile(r"(?:> )+(?:  )?")
 _LANG_CLASS_RE = re.compile(r"(?:^|\s)(?:lang|language)-([A-Za-z0-9_+\-]+)")
 
 _CODE_CHROME_CLASS = (
@@ -1126,6 +1126,12 @@ class Renderer:
             raw = val
             val = val.strip("\n ")
             val = _keep_trailing_breaks(raw, val)
+            if getattr(self, "_in_quote", False):
+                # leading <br> runs inside a blockquote survive as blank
+                # hard-break quote lines (blogger `<hr><br><br>` shape)
+                m = re.match(r"((?:  \n)+)", raw)
+                if m and val:
+                    val = m.group(1) + val
             if val.startswith("$") and not val.startswith("$$"):
                 # runs opening with inline math get a leading space
                 val = " " + val
@@ -1163,7 +1169,7 @@ class Renderer:
     _STRAY_INLINE = frozenset((
         "img", "span", "a", "em", "i", "strong", "b", "mark", "sub", "sup",
         "u", "small", "abbr", "cite", "kbd", "time", "del", "s", "strike",
-        "ins", "q", "tt", "br",
+        "ins", "q", "tt", "br", "font",
     ))
     # (block-level <math display="block"> still renders as $$ via the
     # dedicated branch in render_block)
@@ -1356,16 +1362,20 @@ class Renderer:
 
     def render_blockquote(self, node: Node, out: _Out) -> None:
         inner_out = _Out()
-        for child in node.children:
-            self.render_block(child, inner_out)
+        prev_q = getattr(self, "_in_quote", False)
+        self._in_quote = True
+        self._render_block_seq(node.children, inner_out)
+        self._in_quote = prev_q
         inner = inner_out.value().strip()
         if not inner:
             return
         out.ensure_nl(2)
         for line in inner.split("\n"):
             # Defuddle emits "> " (trailing space) for blank quoted lines —
-            # every expected-corpus file uses that form
-            out.push("> \n" if not line else "> " + line + "\n")
+            # every expected-corpus file uses that form; hard-break blanks
+            # ("  " from <br><br> flow) keep their two-space marker
+            out.push("> \n" if not line.strip() and not line
+                     else "> " + line + "\n")
         out.ensure_nl(2)
 
     def render_callout(self, node: Node, out: _Out) -> None:
@@ -1512,6 +1522,9 @@ class Renderer:
                         (False, nb.value().rstrip("\n") + "\n"))
 
         body_first = "".join(inline_parts).strip()
+        # collapse double spaces across inline-element boundaries (same
+        # rule as paragraphs), sparing two-space hard-break markers
+        body_first = re.sub(r" {2,}(?=\S)", " ", body_first)
         if not body_first and not any(t.strip() for _, t in nested_parts):
             return
 
@@ -1806,7 +1819,14 @@ def post_process(md: str, footnotes: list[tuple[str, str]], title: str) -> str:
             cleaned.append(line)
         else:
             cleaned.append(line.rstrip())
-    return "\n".join(cleaned).strip()
+    # collapse runs of top-level hard-break blank lines ("  ") to one —
+    # removed chrome between <br> runs leaves stacked blanks (paulgraham)
+    deduped: list[str] = []
+    for line in cleaned:
+        if line == "  " and deduped and deduped[-1] == "  ":
+            continue
+        deduped.append(line)
+    return "\n".join(deduped).strip()
 
 
 def _doc_has_footnote_defs(node: Node) -> bool:

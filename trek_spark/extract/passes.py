@@ -787,29 +787,54 @@ def _is_visually_empty(n: Node) -> bool:
 
 def tables_std(body: Node) -> None:
     """Drop empty tables, unwrap layout tables (`src/standardize/tables.rs`)."""
-    for t in [x for x in body.descendants_snapshot() if x.tag == "table"]:
+    # inner-first: unwrapping a nested layout table lets the outer shell
+    # qualify on the re-count (blogger two-column nest)
+    for t in [x for x in reversed(body.descendants_snapshot())
+              if x.tag == "table"]:
         if t.parent is None:
             continue
         if _is_visually_empty(t):
             t.detach()
             continue
-        cells = [c for c in t.iter_elements() if c.tag in ("td", "th")]
+        def own(tag_names):
+            # direct structural children: nearest table ancestor is t
+            res = []
+            for c in t.iter_elements():
+                if c.tag not in tag_names or c is t:
+                    continue
+                cur = c.parent
+                while cur is not None and cur.tag != "table":
+                    cur = cur.parent
+                if cur is t:
+                    res.append(c)
+            return res
+
+        cells = own(("td", "th"))
         if not cells:
             continue
-        rows = [r for r in t.iter_elements() if r.tag == "tr"]
+        rows = own(("tr",))
         filled = sum(1 for c in cells
                      if c.text_content().strip()
                      or any(d.tag in ("img", "picture", "svg")
                             for d in c.iter_elements()))
+        words = len(t.text_content().split())
         layout = len(cells) == 1 or (
             len(rows) == 1 and not any(c.tag == "th" for c in cells)
-            and filled <= 1)
+            # page-scale two-column shells (content + sidebar) unwrap even
+            # with both cells filled; small presentation tables stay
+            and (filled <= 1 or words > 150))
         if layout:
-            moved = []
-            for cell in cells:
-                moved.extend(list(cell.children))
-            for c in moved:
-                t.insert_before(c)
+            if len(cells) == 1:
+                for c in list(cells[0].children):
+                    t.insert_before(c)
+            else:
+                # keep each column's content grouped so column-level
+                # removals (link-dense sidebar) still see one block
+                for cell in cells:
+                    div = Node.element("div")
+                    for c in list(cell.children):
+                        div.append(c)
+                    t.insert_before(div)
             t.detach()
 
     for d in body.descendants_snapshot():

@@ -264,6 +264,8 @@ def _drop_social_counters(root: Node) -> None:
             continue
         txt = _text(d)
         if _SOCIAL_COUNT_RE.match(txt):
+            if d.has_ancestor_tag("blockquote"):
+                continue  # quoted "18 comments" links are content
             target = d
             tw = _words(txt)
             while target.parent is not None and target.parent.type == ELEMENT:
@@ -414,14 +416,60 @@ def _drop_trailing_related(root: Node) -> None:
                 if kids[j].parent is not None:
                     kids[j].detach()
             return
+    _drop_trailing_related_deep(root)
 
 
-def _drop_link_dense_trailing(root: Node) -> None:
+def _drop_trailing_related_deep(root: Node) -> None:
+    """Nested variant: a "Next steps"/"Related" heading deeper in the tree
+    whose entire document tail is link cards / pagination chrome
+    (codeblocks--mintlify card-group + #pagination)."""
+    order = [x for x in root.iter() if x.type == ELEMENT]
+    for i in range(len(order) - 1, -1, -1):
+        h = order[i]
+        if h.parent is None or h.tag not in _HEADING_TAGS:
+            continue
+        lc = _text(h).strip().lower()
+        if lc not in ("next steps", "related", "related posts",
+                      "related articles", "read next"):
+            continue
+        ancestors = {id(a) for a in h.ancestors()}
+        ancestors.add(id(h))
+        # top-level tail roots: following siblings of h or of its ancestors
+        tail_top = [x for x in order[i + 1:]
+                    if x.parent is not None and id(x) not in ancestors
+                    and id(x.parent) in ancestors]
+        total = sum(_words(_text(t)) for t in tail_top)
+        links = sum(_link_text_length(t) for t in tail_top)
+        chars = sum(len(" ".join(_text(t).split())) for t in tail_top)
+        if total > 120:
+            return
+        if total > 60 and chars and links / chars < 0.5:
+            return
+        h.detach()
+        for t in tail_top:
+            if t.parent is not None:
+                t.detach()
+        return
+
+
+def _drop_link_dense_trailing(root: Node, _depth: int = 0) -> None:
     scope = _scope_of(root)
     kids = [c for c in scope.children
             if c.type == ELEMENT or (c.type == TEXT and c.text.strip())]
     if not kids:
         return
+    # the page's trailing chrome often sits at the END of a big content
+    # wrapper rather than at top level (paulgraham content td) — recurse
+    # into a trailing container that holds the bulk of the text
+    last = kids[-1]
+    if _depth < 3 and last.type == ELEMENT \
+            and last.tag in ("div", "section", "article", "main", "td") \
+            and _words(_text(last)) > 200:
+        _drop_link_dense_trailing(last, _depth + 1)
+        kids = [c for c in scope.children
+                if c.type == ELEMENT or (c.type == TEXT and c.text.strip())]
+        if not kids:
+            return
     removed_junk = False
     for idx in range(len(kids) - 1, -1, -1):
         k = kids[idx]
@@ -442,6 +490,9 @@ def _drop_link_dense_trailing(root: Node) -> None:
         if k.tag == "img" and removed_junk:
             # an image amid already-removed widget junk is part of it
             k.detach()
+            continue
+        if k.tag == "table" and _link_density(k) > 0.8:
+            k.detach()  # pure link-nav table (paulgraham footer)
             continue
         if k.tag not in ("div", "section", "ul", "aside", "p", "span"):
             break
@@ -788,6 +839,22 @@ _SOCIAL_HOST_RE = re.compile(
     r"youtube|pinterest|tiktok|t)\.(?:com|me)(?:/|$)")
 
 
+def _drop_date_headings(root: Node) -> None:
+    """A heading whose entire text is a date ("Thursday, May 27, 2004") is
+    post-metadata chrome, not a section title (table-layout--blogger)."""
+    for h in [n for n in root.descendants_snapshot()
+              if n.tag in _HEADING_TAGS]:
+        if h.parent is None:
+            continue
+        t = _text(h).strip()
+        if t and _words(t) <= 6 and _DATE_PATTERN.search(t) \
+                and not re.search(r"[.!?]$", t) \
+                and re.fullmatch(
+                    r"(?i)(?:[a-z]+,?\s+)?(?:[a-z]+\s+)?\d{1,2}(?:st|nd|rd|th)?"
+                    r",?\s+\d{4}|\d{4}[-/]\d{1,2}[-/]\d{1,2}", t):
+            h.detach()
+
+
 def _drop_social_icon_links(root: Node) -> None:
     """Bare icon links to social profiles (img-only anchor → facebook/
     twitter/…) are site chrome wherever they sit (scp-wiki side bar)."""
@@ -814,6 +881,7 @@ def _drop_dismiss_controls(root: Node) -> None:
 
 def content_patterns(root: Node) -> None:
     _drop_dismiss_controls(root)
+    _drop_date_headings(root)
     _drop_social_icon_links(root)
     _drop_frontmatter_section(root)
     _drop_leading_author_chrome(root)
@@ -1005,6 +1073,44 @@ def content_boundary_cleanup(root: Node, title: str) -> None:
             n.detach()
 
 
+def _drop_leading_nav_images(root: Node, title: str) -> None:
+    """1990s-style chrome before the first prose block: image-map
+    navigation strips (`img[usemap]`), bare logo image-links with no alt,
+    and a title-rendered-as-gif (alt == page title) — paulgraham.com."""
+    tnorm = " ".join(title.split()).lower()
+    for img in [d for d in root.descendants_snapshot() if d.tag == "img"]:
+        if img.parent is None:
+            continue
+        # only chrome BEFORE the first prose text: stop at the first
+        # element that carries a real sentence
+        prior_text = []
+        for x in root.iter():
+            if x is img:
+                break
+            if x.type == TEXT and x.text.strip():
+                prior_text.append(x.text.strip())
+        flat = " ".join(prior_text)
+        if _words(flat) >= 7 and any(c in flat for c in _SENTENCE_PUNCT):
+            break
+        alt = " ".join((img.get("alt") or "").split()).lower()
+        if img.get("usemap") is not None:
+            img.detach()
+        elif tnorm and alt and alt == tnorm:
+            img.detach()
+        elif not alt:
+            a = img.parent
+            if a is not None and a.type == ELEMENT and a.tag == "a" \
+                    and not _text(a).strip() \
+                    and len([d for d in a.iter_elements()
+                             if d.tag == "img"]) == 1:
+                href = (a.get("href") or "").split("?")[0].lower()
+                if not re.search(r"\.(?:jpe?g|png|gif|webp|avif|svg)$",
+                                 href):
+                    # a logo linking to a page is nav; an image linking
+                    # to its full-size self is content (lightbox)
+                    a.detach()
+
+
 def _drop_trailing_disclaimer(root: Node) -> None:
     """A trailing legal-disclaimer block (class *disclaimer*) is boilerplate
     even when it holds most of the page's text, and must go in the
@@ -1058,6 +1164,7 @@ def _drop_contentless_headings(root: Node) -> None:
 
 def run_post(root: Node, title: str = "") -> None:
     small_images(root)
+    _drop_leading_nav_images(root, title)
     content_boundary_cleanup(root, title)
     metadata_block(root)
     content_patterns(root)
