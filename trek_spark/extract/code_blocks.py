@@ -31,7 +31,7 @@ _CHROME_TOKENS = frozenset((
     "copy-button", "copy_button", "copybutton", "code-copy",
     "rehype-pretty-copy", "language-label", "code-toolbar", "code__toolbar",
     "filename", "ec-meta", "expressive-code__header", "code-block__header",
-    "shiki-twoslash__header",
+    "shiki-twoslash__header", "codeblock-header", "codeblock-filename",
 ))
 
 _LINE_CONTAINER_TOKENS = frozenset((
@@ -276,6 +276,13 @@ def extract_text_with_lines(node: Node) -> str:
                     # div/span siblings may be line containers (real code)
                     if nxt is not None and nxt.type == ELEMENT and nxt.tag in (
                             "table", "tbody", "tr", "td", "figure"):
+                        continue
+                    # indentation before the <pre> itself — or before a
+                    # chrome header that gets skipped — is markup layout
+                    if nxt is not None and nxt.type == ELEMENT and (
+                            nxt.tag == "pre"
+                            or nxt.find_first("pre") is not None
+                            or _is_chrome_class(nxt.get("class") or "")):
                         continue
                 out.append(s)
                 total[0] += len(s)

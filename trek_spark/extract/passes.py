@@ -60,6 +60,11 @@ _PARTIAL_RE = re.compile("|".join(re.escape(p) for p in PARTIAL_SELECTORS))
 # Writerside-style structural markers ("h2-related" = belongs to the h2
 # section) — not "related posts" chrome (issues--217 fixture).
 _HEADING_LEVEL_TOKEN_RE = re.compile(r"h\d-related$")
+# Elementor widget classes that ARE chrome (all other elementor-* tokens
+# are structural wrappers around real content)
+_ELEMENTOR_CHROME_RE = re.compile(
+    r"location-header|location-footer|nav-menu|site-logo|jet-ajax-search|"
+    r"jet-engine-maps|jet-listing-grid|jet-search")
 _EXACT_COMPILED = [compile_selector(s) for s in EXACT_SELECTORS]
 
 
@@ -98,6 +103,12 @@ def value_matches_partial(value: str, attr: str) -> bool:
                 continue  # Writerside "h2-related" structural classes
             if tl in ("footnote-footer", "footnotes-footer"):
                 continue  # wikidot footnote definitions are content
+            if tl.startswith("elementor-"):
+                # page builders wrap ALL content in *-widget-* classes —
+                # only explicit chrome widgets remove
+                if _ELEMENTOR_CHROME_RE.search(tl):
+                    return True
+                continue
             if _PARTIAL_RE.search(tl):
                 return True
         return False
@@ -121,6 +132,10 @@ def _class_token_matches_partial(value: str, attr: str) -> bool:
                 continue
             if tl2 in ("footnote-footer", "footnotes-footer"):
                 continue  # wikidot footnote definitions are content
+            if tl2.startswith("elementor-"):
+                if _ELEMENTOR_CHROME_RE.search(tl2):
+                    return True
+                continue
             if has_responsive_show and t in ("hidden", "invisible"):
                 continue
             if _PARTIAL_RE.search(tl2):
@@ -229,6 +244,8 @@ def remove_clutter(body: Node, remove_exact: bool = True,
                     if v is not None and value_matches_partial(v, attr):
                         if _captioned_header_block(n):
                             break
+                        if n.find_first("pre") is not None:
+                            break  # code-tab chrome wrapping real code
                         if attr == "class" and any(
                                 "signature" in (d.get("class") or "")
                                 for d in n.iter_elements()):
@@ -293,6 +310,10 @@ def selectors_pass(body: Node) -> int:
         # e.g. <ads-breadcrumbs> ("breadcrumb"); standard tags never do
         if "-" in n.tag and _PARTIAL_RE.search(n.tag):
             matched = True
+        # interactive ARIA widgets are UI chrome (stripe docs toolbar /
+        # code-language listbox)
+        if (n.get("role") or "").lower() in ("toolbar", "listbox"):
+            matched = True
         for attr in TEST_ATTRIBUTES:
             if matched:
                 break
@@ -311,6 +332,8 @@ def selectors_pass(body: Node) -> int:
         if matched and n.tag not in ("html", "body"):
             if _captioned_header_block(n):
                 continue
+            if n.find_first("pre") is not None:
+                continue  # code-tab chrome wrapping real code blocks
             total = len(body.text_content())
             if total > 500 and len(n.text_content()) / total > 0.5:
                 continue
@@ -457,7 +480,7 @@ _LEGACY_FLATTEN_KEEP_ATTRS = (
 )
 _LEGACY_CLASS_HINTS = ("article", "content", "footnote", "reference",
                        "bibliography", "callout", "footdef", "footpara",
-                       "sidenote")
+                       "sidenote", "codeblock")
 
 
 def _legacy_div_flattenable(n: Node) -> bool:
