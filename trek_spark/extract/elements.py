@@ -623,6 +623,17 @@ def _is_permalink_anchor(node: Node) -> bool:
 
 
 def normalize_headings(root: Node) -> None:
+    # count headings fully wrapped in a link: on a listing/index page
+    # (several card titles) they stay links; a lone embedded article card
+    # inside prose unwraps (figma blog)
+    whole_link_heads = 0
+    for h in [n for n in root.iter_elements() if n.tag in _HEADING_TAGS]:
+        a = h.find_first("a")
+        if a is not None and not (a.get("href") or "").startswith("#"):
+            at = a.text_content().strip()
+            ht = h.text_content().strip()
+            if at and ht and len(at) >= 0.9 * len(ht):
+                whole_link_heads += 1
     for h in [n for n in root.iter_elements() if n.tag in _HEADING_TAGS]:
         for a in [n for n in h.iter_elements() if n.tag == "a"
                   and _is_permalink_anchor(n)]:
@@ -648,10 +659,13 @@ def normalize_headings(root: Node) -> None:
             if not (h_text and a_text):
                 continue
             remainder = h_text.replace(a_text, "", 1)
-            # unwrap only when real words remain outside the link (byline
-            # headings); glyph/arrow suffixes don't count
+            # unwrap when real words remain outside the link (byline
+            # headings) — and also when the link IS the whole heading
+            # (embedded article-card titles, figma blog)
             if len(re.findall(r"\w", remainder)) >= 1 \
                     and len(a_text) < 0.9 * len(h_text):
+                a.unwrap()
+            elif len(a_text) >= 0.9 * len(h_text) and whole_link_heads == 1:
                 a.unwrap()
         for n in [x for x in h.iter_elements()
                   if x.has_class("section-number")

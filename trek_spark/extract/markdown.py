@@ -334,10 +334,21 @@ def _serialize_svg(root: Node) -> str:
     return re.sub(r"</text>(?=<path[ >])", "</text> ", s)
 
 
+def _is_cjk(c: str) -> bool:
+    return ("　" <= c <= "ヿ" or "㐀" <= c <= "鿿"
+            or "가" <= c <= "힯" or "豈" <= c <= "﫿"
+            or "＀" <= c <= "￯")
+
+
 def _escape_url(u: str) -> str:
-    """Parens in markdown link targets must be backslash-escaped."""
+    """Parens in markdown link targets must be backslash-escaped; non-ASCII
+    characters percent-encode (UTF-8), as a URL crate's serializer would."""
     if "(" in u or ")" in u:
         u = u.replace("(", "\\(").replace(")", "\\)")
+    if not u.isascii():
+        u = "".join(c if ord(c) < 128 else
+                    "".join(f"%{b:02X}" for b in c.encode("utf-8"))
+                    for c in u)
     return u
 def is_backref(node: Node) -> bool:
     href = node.get("href") or ""
@@ -813,6 +824,10 @@ class Renderer:
                 if text[:1].isalnum():
                     out.push(" ")
                 self._pad_after_emph = False
+            if getattr(self, "_pad_before_cjk", False):
+                if text[:1] and _is_cjk(text[0]):
+                    out.push(" ")
+                self._pad_before_cjk = False
             out.push(text)
             return
         if node.type != ELEMENT:
@@ -822,6 +837,8 @@ class Renderer:
             self._pad_closing_quote = False
         if node.tag != "span":  # spans are transparent wrappers
             self._pad_after_emph = False
+            if node.tag != "a":
+                self._pad_before_cjk = False
         t = node.tag
         if t == "br":
             # hard break is exactly two trailing spaces — fold any spaces
@@ -841,7 +858,11 @@ class Renderer:
         elif t == "a":
             self.render_anchor(node, out)
         elif t == "img":
-            out.push(self.render_image(node))
+            md = self.render_image(node)
+            if md and out._tail.endswith(")"):
+                # consecutive bare images join with a single space
+                out.push(" ")
+            out.push(md)
         elif t == "sup":
             self.render_sup(node, out)
         elif t == "sub":
@@ -969,6 +990,9 @@ class Renderer:
         elif out._tail.endswith("“") and inner[:1].isalnum():
             # golden corpus sets a link off from a curly opening quote
             out.push(" ")
+        elif out.last_char() and _is_cjk(out.last_char()):
+            # CJK prose sets links off with spaces (obsidian-publish-cjk)
+            out.push(" ")
         title = node.get("title")
         resolved = _escape_url(self.resolve_url(href))
         s = "[" + inner + "](" + decode_html_entities(resolved)
@@ -978,6 +1002,7 @@ class Renderer:
         # mirrored before a closing curly quote, when the link text ends
         # on a word character
         self._pad_closing_quote = inner[-1:].isalnum()
+        self._pad_before_cjk = True
         if inner.startswith("!["):
             # image links butt against following prose in the source;
             # golden corpus separates them
@@ -1050,8 +1075,13 @@ class Renderer:
 
     def render_image(self, node: Node) -> str:
         src = best_img_src(node)
-        if not src or src.startswith("data:"):
+        if not src:
             return ""
+        if src.startswith("data:") and (
+                src.startswith("data:image/svg+xml") or len(src) <= 200
+                or not (node.get("alt") or "").strip()):
+            return ""  # lazy-load placeholder; real base64 LQIPs render
+                       # only when they carry a caption alt (figma hero)
         resolved = _escape_url(self.resolve_url(src))
         alt = node.get("alt") or ""
         title = node.get("title") or ""

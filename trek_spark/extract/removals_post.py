@@ -404,6 +404,7 @@ def _drop_trailing_related(root: Node) -> None:
                 "related" in lc or "read next" in lc or "more from" in lc
                 or "about the author" in lc or "further reading" in lc
                 or lc.strip() in ("subscribe", "newsletter")
+                or ("subscribe" in lc and "newsletter" in lc)
                 or lc.strip().startswith("comments")):
             if "further reading" in lc:
                 # a substantive Further-reading section (reading list with
@@ -430,7 +431,8 @@ def _drop_trailing_related_deep(root: Node) -> None:
             continue
         lc = _text(h).strip().lower()
         if lc not in ("next steps", "related", "related posts",
-                      "related articles", "read next"):
+                      "related articles", "read next") \
+                and not ("subscribe" in lc and "newsletter" in lc):
             continue
         ancestors = {id(a) for a in h.ancestors()}
         ancestors.add(id(h))
@@ -881,6 +883,7 @@ def _drop_dismiss_controls(root: Node) -> None:
 
 def content_patterns(root: Node) -> None:
     _drop_dismiss_controls(root)
+    _drop_skip_links(root)
     _drop_date_headings(root)
     _drop_social_icon_links(root)
     _drop_frontmatter_section(root)
@@ -899,6 +902,7 @@ def content_patterns(root: Node) -> None:
     _drop_link_dense_trailing(root)
     _drop_label_widgets(root)
     _drop_byline_near_start(root)
+    _drop_trailing_author_bio(root)
     _drop_trailing_author_block(root)
 
 
@@ -1109,6 +1113,66 @@ def _drop_leading_nav_images(root: Node, title: str) -> None:
                     # a logo linking to a page is nav; an image linking
                     # to its full-size self is content (lightbox)
                     a.detach()
+
+
+_BIO_SENTENCE_RE = re.compile(r"^[A-Z][\w'’-]+(?: [A-Z][\w'’-]+)? is an? ")
+_PROFILE_HOST_RE = re.compile(
+    r"(?i)^https?://(?:www\.)?(?:linkedin\.com/in/|twitter\.com/|x\.com/|"
+    r"github\.com/[^/]+/?$|mastodon|bsky\.app/)")
+
+
+def _drop_skip_links(root: Node) -> None:
+    """Accessibility skip-navigation links are UI chrome."""
+    for a in [n for n in root.descendants_snapshot() if n.tag == "a"]:
+        if a.parent is None:
+            continue
+        if (a.get("href") or "").startswith("#") \
+                and _text(a).strip().lower().startswith("skip to"):
+            a.detach()
+
+
+def _drop_trailing_author_bio(root: Node) -> None:
+    """A trailing author-bio card: avatar image + "<Name> is a <role>…"
+    paragraph + profile link (figma blog footer)."""
+    scope = _scope_of(root)
+    kids = [c for c in scope.element_children() if c.parent is not None]
+    # descend into a trailing content wrapper (same as link-dense scan)
+    depth = 0
+    while depth < 3 and kids and kids[-1].type == ELEMENT \
+            and kids[-1].tag in ("div", "section", "article", "main") \
+            and _words(_text(kids[-1])) > 200:
+        scope = kids[-1]
+        kids = [c for c in scope.element_children() if c.parent is not None]
+        depth += 1
+    tail = kids[-6:]
+    bio = None
+    for k in tail:
+        t = _text(k).strip()
+        if _BIO_SENTENCE_RE.match(t) and _words(t) <= 60:
+            bio = k
+            break
+    if bio is None:
+        return
+    has_marker = False
+    for k in tail:
+        for a in k.iter_elements():
+            if a.tag == "a" and _PROFILE_HOST_RE.match(a.get("href") or ""):
+                has_marker = True
+    if not has_marker:
+        return
+    idx = kids.index(bio)
+    start = idx
+    # the avatar image block directly above the bio belongs to the card
+    if idx > 0 and _bare_image_block(kids[idx - 1]):
+        start = idx - 1
+    for k in kids[start:]:
+        t = _text(k).strip()
+        if k is bio or not t or _words(t) <= 8 \
+                or any(a.tag == "a" and _PROFILE_HOST_RE.match(
+                    a.get("href") or "") for a in k.iter_elements()) \
+                or _bare_image_block(k):
+            if k.parent is not None:
+                k.detach()
 
 
 def _drop_trailing_disclaimer(root: Node) -> None:

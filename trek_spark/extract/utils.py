@@ -18,7 +18,17 @@ def strip_html_tags(html: str) -> str:
 
 def count_words(html: str) -> int:
     text = strip_html_tags(html)
-    return sum(1 for w in text.split() if w)
+    n = 0
+    for w in text.split():
+        if not w:
+            continue
+        # CJK scripts don't use spaces — count each ideograph/kana/hangul
+        # as a word so the low-content-retry threshold behaves for zh/ja/ko
+        cjk = sum(1 for c in w
+                  if "぀" <= c <= "ヿ" or "㐀" <= c <= "鿿"
+                  or "가" <= c <= "힯" or "豈" <= c <= "﫿")
+        n += cjk if cjk else 1
+    return n
 
 
 def decode_html_entities(text: str) -> str:
