@@ -169,8 +169,69 @@ def reddit_extract(html: str, url, collected, metadata):
 # ------------------------------------------------------------ hacker news
 
 def hn_can(url: str, html: str) -> bool:
-    # item pages only — listing pages (front page) fall through to generic
-    return _host(url) == "news.ycombinator.com" and "item" in url
+    return _host(url) == "news.ycombinator.com"
+
+
+def _esc(s: str) -> str:
+    return (s.replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;").replace('"', "&quot;"))
+
+
+def _hn_listing(body: Node, collected):
+    """Front-page/`/newest` listing: `tr.athing` story rows + subtext rows
+    → an ordered list (ref `src/extractors/hackernews.rs:98-211`)."""
+    items = []
+    for row in _find_all_class(body, "athing", "tr"):
+        titleline = _find_class(row, "titleline")
+        if titleline is None:
+            continue
+        link = titleline.find_first("a")
+        if link is None:
+            continue
+        title = link.text_content().strip()
+        story_url = link.get("href") or ""
+        sitestr = _find_class(row, "sitestr")
+        site_str = sitestr.text_content().strip() if sitestr is not None \
+            else ""
+        rid = row.get("id") or ""
+        sub = row.next_element_sibling()
+        score = author = comments = ""
+        if sub is not None:
+            sc = _find_class(sub, "score")
+            if sc is not None:
+                score = sc.text_content().strip()
+            hu = _find_class(sub, "hnuser", "a")
+            if hu is not None:
+                author = hu.text_content().strip()
+            td = _find_class(sub, "subtext", "td") or sub
+            anchors = [a for a in td.iter_elements() if a.tag == "a"]
+            if anchors:
+                last = anchors[-1].text_content().replace(" ", " ")
+                if "comment" in last:
+                    comments = last.strip()
+        li = [f'<a href="{_esc(story_url)}">{_esc(title)}</a>']
+        if site_str:
+            li.append(f" <small>({_esc(site_str)})</small>")
+        meta = []
+        if score:
+            meta.append(_esc(score))
+        if author:
+            meta.append("by " + _esc(author))
+        if comments and rid:
+            curl = f"https://news.ycombinator.com/item?id={rid}"
+            meta.append(f'<a href="{_esc(curl)}">{_esc(comments)}</a>')
+        if meta:
+            li.append("<br><small>" + " · ".join(meta) + "</small>")
+        items.append("<li>" + "".join(li) + "</li>")
+    html = "<ol>" + "".join(items) + "</ol>"
+    more = _find_class(body, "morelink", "a")
+    if more is not None:
+        murl = urljoin("https://news.ycombinator.com/", more.get("href") or "")
+        mtext = more.text_content().strip() or "More"
+        html += f'<p><a href="{_esc(murl)}">{_esc(mtext)}</a></p>'
+    title = (getattr(collected, "title", None) or "") \
+        .replace(" | Hacker News", "").strip() or "Hacker News"
+    return html, {"site": "Hacker News", "title": title}
 
 
 def _hn_comment_page(body: Node):
@@ -203,6 +264,9 @@ def _hn_comment_page(body: Node):
 
 def hn_extract(html: str, url, collected, metadata):
     body = body_of(parse_html(html))
+    if _find_class(body, "fatitem", "table") is None \
+            and len(_find_all_class(body, "athing", "tr")) > 1:
+        return _hn_listing(body, collected)
     titleline = _find_class(body, "titleline")
     if titleline is None:
         return _hn_comment_page(body)

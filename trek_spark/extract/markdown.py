@@ -1555,6 +1555,10 @@ class Renderer:
         # collapse double spaces across inline-element boundaries (same
         # rule as paragraphs), sparing two-space hard-break markers
         body_first = re.sub(r" {2,}(?=\S)", " ", body_first)
+        # continuation lines after a hard break indent to the content
+        # column (HN listing subtext lines)
+        body_first = body_first.replace(
+            "  \n", "  \n" + "\t" * (depth + 1))
         if not body_first and not any(t.strip() for _, t in nested_parts):
             return
 
