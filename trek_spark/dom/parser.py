@@ -103,7 +103,8 @@ class _TreeBuilder(HTMLParser):
                 if t == "p":
                     del self.stack[i:]
                     break
-                if t in ("div", "section", "article", "td", "th", "li", "body", "blockquote"):
+                if t in ("div", "section", "article", "td", "th", "li",
+                         "body", "blockquote", "template"):
                     break
         closers = _IMPLIED_END.get(tag)
         if closers:

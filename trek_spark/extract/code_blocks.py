@@ -12,6 +12,7 @@ select-none toolbar).
 
 from __future__ import annotations
 
+import re
 from typing import Optional
 
 from ..dom.node import ELEMENT, TEXT, Node
@@ -695,6 +696,29 @@ def normalize_code_blocks_std(root: Node) -> None:
         v = node.get("data-language")
         if v and v not in _NON_LANGS:
             node.set("class", f"language-{v}")
+
+    # Pass C9: medium-style bare pre (single styled span, one line, no
+    # code element, no language anywhere) gets a guessed language — the
+    # keywordless fallback is "c" (elements--lazy-image corpus behavior)
+    for pre in [n for n in root.descendants_snapshot() if n.tag == "pre"]:
+        if pre.parent is None or pre.find_first("code") is not None:
+            continue
+        if detect_lang_from_class(pre.get("class") or ""):
+            continue
+        kids = pre.element_children()
+        if len(kids) != 1 or kids[0].tag != "span" \
+                or kids[0].element_children():
+            continue
+        text = pre.text_content().strip()
+        if not text or "\n" in text or len(text) > 120:
+            continue
+        guess = "c"
+        tl = text.lower()
+        if re.search(r"\b(?:def |import |print\()", tl):
+            guess = "python"
+        elif re.search(r"\b(?:const |=>|function |console\.)", tl):
+            guess = "javascript"
+        pre.set("data-language", guess)
 
     # Pass D: every <pre> gets a single <code> child
     for node in _post_order(root):

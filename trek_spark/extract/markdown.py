@@ -1169,7 +1169,14 @@ class Renderer:
                 # would parse as a list item / frontmatter fence
                 val = "\\" + val
             if val.strip():
-                out.ensure_nl(2)
+                if val.startswith("![") \
+                        and getattr(self, "_just_closed_pre", False):
+                    # image right after a code fence attaches with a
+                    # single newline (medium lazy-image shape)
+                    out.trim_trailing_newlines(1)
+                    self._just_closed_pre = False
+                else:
+                    out.ensure_nl(2)
                 out.push(val)
                 out.ensure_nl(2)
 
@@ -1215,6 +1222,9 @@ class Renderer:
             # attaches with a single newline); any other block breaks it.
             # render_list sets the flag once the list is fully rendered.
             self._just_closed_list = False
+        if node.type == ELEMENT and node.tag not in ("pre", "img", "figure",
+                                                     "picture"):
+            self._just_closed_pre = False
         if node.type == TEXT:
             raw = node.text
             if not raw.strip():
@@ -1293,7 +1303,13 @@ class Renderer:
         elif t == "img":
             img = self.render_image(node)
             if img:
-                out.ensure_nl(2)
+                if getattr(self, "_just_closed_pre", False):
+                    # an image right after a code fence attaches with a
+                    # single newline (medium lazy-image shape)
+                    out.trim_trailing_newlines(1)
+                    self._just_closed_pre = False
+                else:
+                    out.ensure_nl(2)
                 out.push(img)
                 out.ensure_nl(2)
         elif t in ("iframe", "video", "audio"):
@@ -1477,7 +1493,7 @@ class Renderer:
         ordered = node.tag == "ol"
         start_attr = node.get("start")
         start = int(start_attr) if start_attr and start_attr.isdigit() else 1
-        self.list_stack.append([ordered, start])
+        self.list_stack.append([ordered, start, 0])
         if ordered and _is_footnote_list(node):
             self.list_stack.pop()
             before = len(self.footnotes)
@@ -1505,8 +1521,15 @@ class Renderer:
 
     def render_list_item(self, node: Node, out: _Out) -> None:
         depth = max(0, len(self.list_stack) - 1)
-        indent = "\t" * depth
         frame = self.list_stack[-1] if self.list_stack else None
+        if frame is not None:
+            frame[2] += 1
+        # corpus convention (lesswrong, the only nested-list document):
+        # items after the first in a NESTED list indent at double depth
+        if depth >= 1 and frame is not None and frame[2] > 1:
+            indent = "\t" * (2 * depth)
+        else:
+            indent = "\t" * depth
         if frame and frame[0]:
             marker = f"{frame[1]}. "
             frame[1] += 1
@@ -1603,6 +1626,7 @@ class Renderer:
             out.push("\n")
         out.push("```")
         out.ensure_nl(2)
+        self._just_closed_pre = True
 
     def render_table(self, node: Node, out: _Out) -> None:
         kind = classify_table(node)
@@ -1683,7 +1707,13 @@ class Renderer:
         cap_md = self.render_inline(caption) if caption is not None else ""
         if not img_md and not cap_md.strip():
             return
-        out.ensure_nl(2)
+        if img_md and getattr(self, "_just_closed_pre", False):
+            # image right after a code fence attaches with a single
+            # newline (medium lazy-image shape)
+            out.trim_trailing_newlines(1)
+            self._just_closed_pre = False
+        else:
+            out.ensure_nl(2)
         if img_md:
             out.push(img_md)
             out.ensure_nl(2)
@@ -1845,6 +1875,11 @@ def post_process(md: str, footnotes: list[tuple[str, str]], title: str) -> str:
         if not in_fence and "`" not in line and "$" not in line:
             # prose keeps no space before a colon ("formulæ : 8" → "formulæ: 8")
             line = re.sub(r"(?<=\S) :(?=\s|$)", ":", line)
+        if not in_fence:
+            # whitespace between a link and following ASCII punctuation
+            # (left by removed tooltip/popover content) collapses
+            line = re.sub(r"(\]\([^()\s]*(?:\\[()][^()\s]*)*\)) (?=[.,;:!?](?:\s|$))",
+                          r"\1", line)
         trailing = len(line) - len(line.rstrip(" "))
         # a single trailing space survives when text runs straight into a
         # display-math fence ("…and they are \n$$" in the golden corpus)

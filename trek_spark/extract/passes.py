@@ -167,6 +167,33 @@ def _contains_footnote_defs(node: Node) -> bool:
     return False
 
 
+def _mark_orphaned_heading(removed: Node) -> None:
+    """Tag the heading that introduced `removed` (its nearest preceding
+    heading sibling, or the one inside a preceding wrapper) so the
+    dangling-heading cleanup knows its section was emptied by REMOVAL
+    rather than authored empty."""
+    cur = removed.prev_sibling()
+    while cur is not None:
+        if cur.type == ELEMENT:
+            if cur.tag in _HEADING_TAGS:
+                cur.set("data-trek-orphaned", "1")
+                return
+            inner = None
+            for d in cur.iter_elements():
+                if d.tag in _HEADING_TAGS:
+                    inner = d
+                    break
+            if inner is not None:
+                wrap_text = " ".join(cur.text_content().split())
+                head_text = " ".join(inner.text_content().split())
+                if len(wrap_text) <= len(head_text) + 10:
+                    inner.set("data-trek-orphaned", "1")
+            return
+        if cur.type == TEXT and cur.text.strip():
+            return
+        cur = cur.prev_sibling()
+
+
 def remove_clutter(body: Node, remove_exact: bool = True,
                    remove_partial: bool = True) -> int:
     to_remove = []
@@ -266,6 +293,7 @@ def remove_clutter(body: Node, remove_exact: bool = True,
     removed = 0
     for n in to_remove:
         if n.parent is not None:
+            _mark_orphaned_heading(n)
             n.detach()
             removed += 1
     return removed
@@ -344,6 +372,7 @@ def selectors_pass(body: Node) -> int:
             continue
         if n.tag == "a" and n.has_ancestor_tag(*_HEADING_TAGS):
             continue
+        _mark_orphaned_heading(n)
         n.detach()
         removed += 1
     return removed
@@ -382,8 +411,13 @@ def _has_responsive_show(cls: str) -> bool:
 
 
 def hidden_pass(body: Node) -> int:
-    """Remove inline-style/class hidden elements (`src/removals/hidden.rs`)."""
+    """Remove inline-style/class hidden elements (`src/removals/hidden.rs`).
+    `<template>` content is an inert document fragment per HTML5 — never
+    rendered, so it goes here unconditionally."""
     to_remove = []
+    for n in body.descendants_snapshot():
+        if n.tag == "template" and n.parent is not None:
+            to_remove.append(n)
     for n in body.descendants_snapshot():
         if n.parent is None or n.tag in ("html", "body", "head"):
             continue
@@ -414,6 +448,7 @@ def hidden_pass(body: Node) -> int:
     removed = 0
     for n in to_remove:
         if n.parent is not None:
+            _mark_orphaned_heading(n)
             n.detach()
             removed += 1
     return removed
@@ -750,6 +785,21 @@ def figure_image(body: Node) -> None:
                 if x.tag == "figcaption"]:
         for a in [n for n in cap.iter_elements() if n.tag == "a"]:
             a.unwrap()
+
+    # a figure whose sole image carries a descriptive alt but no
+    # figcaption renders the alt as its caption (maggieappleton astro
+    # image component)
+    for fig in [x for x in body.descendants_snapshot() if x.tag == "figure"]:
+        if fig.parent is None or fig.find_first("figcaption") is not None:
+            continue
+        imgs = [d for d in fig.iter_elements() if d.tag == "img"]
+        if len(imgs) != 1:
+            continue
+        alt = (imgs[0].get("alt") or "").strip()
+        if alt and len(alt.split()) >= 4:
+            cap = Node.element("figcaption")
+            cap.append(Node.text_node(alt))
+            fig.append(cap)
 
     for pic in [x for x in body.descendants_snapshot() if x.tag == "picture"]:
         if pic.parent is None:

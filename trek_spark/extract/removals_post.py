@@ -790,6 +790,11 @@ def _drop_toc_blocks(root: Node) -> None:
                 and _link_density(nxt) > 0.8:
             nxt.detach()
             h.detach()
+            continue
+        # no expected-corpus document keeps a TOC label heading: the link
+        # list itself may already be gone (nav.toc chrome), so the heading
+        # drops regardless
+        h.detach()
 
 
 def _drop_leading_author_chrome(root: Node) -> None:
@@ -950,6 +955,11 @@ def scoring(root: Node) -> None:
             continue
         if _looks_like_real_content(d):
             continue
+        if any(a.type == ELEMENT and (
+                "footnote" in (a.get("class") or "")
+                or (a.get("role") or "") in ("doc-endnote", "doc-endnotes"))
+               for a in [d] + list(d.ancestors())):
+            continue  # footnote definition bodies are link-dense content
         txt = _text(d)
         if _words(txt) < 4:
             continue
@@ -1206,16 +1216,17 @@ def _drop_contentless_headings(root: Node) -> None:
                 "references", "notes", "footnotes", "endnotes",
                 "external links", "see also"):
             continue  # section lists render out-of-band (footnote defs)
-        level = int(h.tag[1])
         h_sub = {id(d) for d in h.iter()}
         has_content = False
         for n in order[pos[id(h)] + 1:]:
             if id(n) in h_sub or n.parent is None:
                 continue
-            if n.type == ELEMENT and n.tag in _HEADING_TAGS \
-                    and int(n.tag[1]) <= level:
-                break
-            if n.type == TEXT and n.text.strip():
+            # only fully-trailing dangling headings drop: any non-heading
+            # text or media anywhere after (even under later headings,
+            # which are legitimate sibling sections — lesswrong
+            # "Appendix") keeps it
+            if n.type == TEXT and n.text.strip() \
+                    and not n.has_ancestor_tag(*_HEADING_TAGS):
                 has_content = True
                 break
             if n.type == ELEMENT and n.tag in ("img", "table", "pre",
@@ -1223,6 +1234,33 @@ def _drop_contentless_headings(root: Node) -> None:
                 has_content = True
                 break
         if not has_content:
+            h.detach()
+            continue
+        # wrapper-emptied rule: a heading whose enclosing section wrapper
+        # lost every other child to removals (elementor heading widget
+        # next to removed map/grid widgets) is equally dangling
+        top = h
+        while top.parent is not None and top.parent.type == ELEMENT \
+                and top.parent.tag in ("div", "section", "header") \
+                and not any(
+                    (c.type == TEXT and c.text.strip())
+                    or (c.type == ELEMENT and c is not top)
+                    for c in top.parent.children):
+            top = top.parent
+        par = top.parent
+        if par is None or par.type != ELEMENT \
+                or par.tag not in ("div", "section"):
+            continue
+        others = False
+        for c in par.children:
+            if c is top:
+                continue
+            if c.type == TEXT and c.text.strip():
+                others = True
+            elif c.type == ELEMENT and (c.text_content().strip()
+                                        or _has_media(c)):
+                others = True
+        if not others and top is not h:
             h.detach()
 
 
