@@ -1217,14 +1217,21 @@ def _drop_contentless_headings(root: Node) -> None:
                 "external links", "see also"):
             continue  # section lists render out-of-band (footnote defs)
         h_sub = {id(d) for d in h.iter()}
+        # a heading tagged `data-trek-orphaned` had its section emptied by a
+        # REMOVAL pass (elementor heading widget whose sibling map/grid
+        # widgets were stripped) — judge it by its own section only, i.e.
+        # content up to the next heading of same-or-higher level.  Unmarked
+        # headings were authored that way (lesswrong "Appendix" introduces
+        # later sibling sections) and only drop when fully trailing.
+        orphaned = h.get("data-trek-orphaned") == "1"
+        level = int(h.tag[1])
         has_content = False
         for n in order[pos[id(h)] + 1:]:
             if id(n) in h_sub or n.parent is None:
                 continue
-            # only fully-trailing dangling headings drop: any non-heading
-            # text or media anywhere after (even under later headings,
-            # which are legitimate sibling sections — lesswrong
-            # "Appendix") keeps it
+            if orphaned and n.type == ELEMENT and n.tag in _HEADING_TAGS \
+                    and int(n.tag[1]) <= level:
+                break
             if n.type == TEXT and n.text.strip() \
                     and not n.has_ancestor_tag(*_HEADING_TAGS):
                 has_content = True
