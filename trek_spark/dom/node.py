@@ -34,6 +34,14 @@ RAWTEXT_ELEMENTS = frozenset(("script", "style"))
 _TICK = 0
 
 
+def bump_tick() -> None:
+    """Invalidate all snapshot/text caches. Must be called by any code
+    that mutates a TEXT node's ``.text`` in place (tree-shape mutations
+    bump the tick themselves)."""
+    global _TICK
+    _TICK += 1
+
+
 class Node:
     __slots__ = ("type", "tag", "attrs", "children", "parent", "text",
                  "_snap_tick", "_snap_all", "_snap_el")
@@ -286,6 +294,8 @@ class Node:
 
     # -- text ------------------------------------------------------------
     def text_content(self) -> str:
+        if self.type == TEXT:
+            return self.text
         parts = []
         stack = [self]
         while stack:

@@ -13,7 +13,7 @@ from __future__ import annotations
 import re
 from typing import Optional
 
-from ..dom.node import ELEMENT, TEXT, Node
+from ..dom.node import ELEMENT, TEXT, Node, bump_tick
 from ..dom.select import compile_selector
 
 _HEADING_TAGS = ("h1", "h2", "h3", "h4", "h5", "h6")
@@ -73,6 +73,7 @@ def _strip_alert_marker(root: Node) -> None:
         if m:
             leading = raw[: len(raw) - len(trimmed)]
             node.text = leading + (m.group(2) or "").lstrip()
+            bump_tick()
         return
 
 
@@ -1399,6 +1400,7 @@ def _trim_ws_around_footnote_refs(root: Node) -> None:
             prev = sup.prev_sibling()
             if prev is not None and prev.type == TEXT and not prev.text.strip():
                 prev.text = ""
+                bump_tick()
 
 
 def _drop_trailing_bare_period(root: Node) -> None:
@@ -1509,6 +1511,7 @@ def _convert_wikidot_footnotes(root: Node) -> None:
         for c in fd.children:
             if c.type == TEXT and c.text.strip():
                 c.text = re.sub(r"^\s*\d*\s*\.?\s*", "", c.text, count=1)
+                bump_tick()
                 break
         for c in list(fd.children):
             li.append(c)
@@ -1585,6 +1588,7 @@ def _convert_note_id_paragraphs(root: Node) -> None:
             if c.type == TEXT and c.text.strip():
                 c.text = re.sub(r"^\s*" + re.escape(num) + r"\.\s*", "",
                                 c.text, count=1)
+                bump_tick()
                 break
         wrap = Node.element("p")
         for c in list(p.children):

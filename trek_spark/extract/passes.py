@@ -421,8 +421,6 @@ def hidden_pass(body: Node) -> int:
     for n in body.descendants_snapshot():
         if n.parent is None or n.tag in ("html", "body", "head"):
             continue
-        if _contains_math(n):
-            continue
         style = n.get("style")
         if style and _HIDDEN_STYLE_RE.search(style):
             # hidden-until-hover footnote bodies are content: the footnote
@@ -445,6 +443,12 @@ def hidden_pass(body: Node) -> int:
                 continue
             if _class_marks_hidden(cls):
                 to_remove.append(n)
+    # math-bearing subtrees survive hidden removal (katex renders the
+    # visible half from the "hidden" MathML). Checked here on the few
+    # candidates, not on every node — the scan above is read-only, so the
+    # result is identical and the subtree walk runs ~100x less often.
+    to_remove = [n for n in to_remove
+                 if n.tag == "template" or not _contains_math(n)]
     removed = 0
     for n in to_remove:
         if n.parent is not None:
