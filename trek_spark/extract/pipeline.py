@@ -23,6 +23,7 @@ from ..dom.node import ELEMENT, TEXT, Node, inner_html, serialize
 from ..dom.parser import body_of, parse_html
 from . import elements, passes, removals_post
 from .head_scan import collect_initial_data
+from .html_to_text import html_to_text, node_to_text
 from .markdown import node_to_markdown
 from .metadata import extract_metadata
 from .utils import count_words
@@ -199,15 +200,25 @@ def trek_parse(html: str, url: Optional[str] = None,
         metadata["image"] = _first_image_from_dom(body)
 
     md = node_to_markdown(body, metadata.get("title", ""), url)
-    return _response(md, content_html, metadata, collected, None, start)
+    return _response(md, content_html, metadata, collected, None, start,
+                     body=body)
 
 
 def _response(md: str, content_html: str, metadata: dict, collected,
-              extractor_type: Optional[str], start: float) -> dict:
+              extractor_type: Optional[str], start: float,
+              body: Optional[Node] = None) -> dict:
+    # plain-text rendering (reference public surface `src/html_to_text.rs`):
+    # reuse the final DOM when the generic path provides it; extractor paths
+    # pass body=None and we parse their (small, already-cleaned) HTML.
+    if body is not None:
+        text = node_to_text(body)
+    else:
+        text = html_to_text(content_html or "")
     return {
         "content": md,
         "content_markdown": md,
         "content_html": content_html,
+        "content_text": text,
         "extractor_type": extractor_type,
         "meta_tags": collected.meta_tags,
         "title": metadata.get("title", ""),

@@ -37,6 +37,7 @@ from ..extract.pipeline import trek_parse
 RESULT_SCHEMA = StructType([
     StructField("extracted_text", StringType()),    # markdown (primary)
     StructField("content_html", StringType()),
+    StructField("plain_text", StringType()),        # src/html_to_text.rs
     StructField("title", StringType()),
     StructField("author", StringType()),
     StructField("site", StringType()),
@@ -107,6 +108,7 @@ def extract_one(text: Optional[str], url: Optional[str] = None,
         return {
             "extracted_text": md,
             "content_html": r["content_html"],
+            "plain_text": r.get("content_text"),
             "title": r["title"], "author": r["author"], "site": r["site"],
             "published": r["published"], "description": r["description"],
             "domain": r["domain"], "image": r["image"],
