@@ -89,15 +89,67 @@ def test_checkpoint_resume(spark, tmp_path_factory):
     r1 = run_extraction_job(spark, transcripts, out, num_partitions=8,
                             part_buckets=8)
     assert r1["rows"] == 40 and r1["failures"] == 0
-    ledger = json.load(open(os.path.join(out, "ledger.json")))
-    assert ledger["completed_buckets"]
-    # second run resumes: everything already in the ledger → no new rows
+    # table-native checkpoint: no driver-local state, buckets derived from
+    # the output table itself
+    assert not os.path.exists(os.path.join(out, "ledger.json"))
+    from trek_spark.spark.job import _completed_buckets
+    assert _completed_buckets(spark, os.path.join(out, "turns"))
+    # second run resumes: every bucket already committed → no new rows
     r2 = run_extraction_job(spark, transcripts, out, num_partitions=8,
                             part_buckets=8)
     assert r2["rows"] == 0
     # output readable and complete
     turns = spark.read.parquet(os.path.join(out, "turns"))
     assert turns.count() == 40
+
+
+def test_resume_after_partial_crash(spark, tmp_path_factory):
+    """Kill-mid-job equivalence: run only the first wave (waves are the
+    crash-loss granularity), then rerun the full job — the rerun must
+    produce the complete, non-duplicated output with no driver-local
+    state carried between the runs."""
+    out = str(tmp_path_factory.mktemp("jobcrash"))
+    transcripts = build_transcripts(spark).limit(40)
+    import trek_spark.spark.job as jobmod
+
+    # simulate a crash after the first wave's commit: patch the wave loop
+    # by running with part_buckets=8, waves=4 and aborting via an exception
+    # raised from the metrics write of wave 2
+    calls = {"n": 0}
+    orig = jobmod.extract_turns
+
+    def crashing_extract(df, num_partitions=None, salt_buckets=16):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated executor loss")
+        return orig(df, num_partitions, salt_buckets)
+
+    jobmod.extract_turns = crashing_extract
+    try:
+        import pytest as _pytest
+        with _pytest.raises(Exception):
+            run_extraction_job(spark, transcripts, out, num_partitions=8,
+                               part_buckets=8, waves=4)
+    finally:
+        jobmod.extract_turns = orig
+
+    # wave 1 committed; buckets from waves 2-4 absent
+    done_after_crash = jobmod._completed_buckets(
+        spark, os.path.join(out, "turns"))
+    assert 0 < len(done_after_crash) < 8
+
+    # full rerun completes the table idempotently
+    r = run_extraction_job(spark, transcripts, out, num_partitions=8,
+                           part_buckets=8, waves=4)
+    turns = spark.read.parquet(os.path.join(out, "turns"))
+    assert turns.count() == 40
+    assert turns.select("conv_id", "turn_idx").distinct().count() == 40
+    # every NON-EMPTY bucket is committed (buckets no conversation hashes
+    # into never materialize a partition directory)
+    non_empty = (transcripts
+                 .select(F.pmod(F.hash("conv_id"), F.lit(8)).alias("b"))
+                 .distinct().count())
+    assert r["completed_buckets"] == non_empty
 
 
 def test_salting_spreads_conversations(spark):

@@ -1,5 +1,5 @@
 """The extraction job: scan → salt/repartition → extract → write, with
-per-partition lineage/metrics and an idempotent checkpoint ledger.
+per-partition lineage/metrics and a table-native checkpoint.
 
 Physical plan (SURVEY.md §3.4):
 
@@ -14,19 +14,28 @@ Physical plan (SURVEY.md §3.4):
   is partition-local.
 * ONE action end-to-end: the full frame (data + lineage) is written once,
   partitioned by ``part_bucket``; row counts, the metrics side-table and
-  the ledger derive from the written files with column pruning (reading
+  the checkpoint derive from the written files with column pruning (reading
   four int columns of freshly-written parquet, not re-extracting). No
   ``persist()`` of extracted HTML+markdown — at 100 TB caching the full
   output is a memory cliff (round-1 VERDICT).
-* Resume: ``part_bucket`` is a stable hash bucket of conv_id (NOT the
-  physical partition id). The ledger anti-joins completed buckets away and
-  both tables use dynamic partition overwrite, so a crashed half-finished
-  bucket is replaced — never duplicated — on the next run.
+* Resume is TABLE-NATIVE (round-2 VERDICT #5): ``part_bucket`` is a stable
+  hash bucket of conv_id (NOT the physical partition id). The set of
+  completed buckets is derived from the output table itself — partition
+  directories committed by a finished write job — with no driver-local
+  state. The work is executed in WAVES (bucket groups), one write job per
+  wave: Spark's FileOutputCommitter moves task output into the table only
+  at job commit, so a kill -9 mid-wave leaves previously committed waves
+  intact and nothing partial, and the next run re-derives exactly the
+  missing buckets. Both tables use dynamic partition overwrite, so a
+  re-run wave replaces — never duplicates — its buckets. Cost model: each
+  wave re-scans the input (the bucket predicate is a computed hash, not
+  prunable on generic parquet); extraction is Python-CPU-bound at ~100x
+  the scan cost, so N_waves extra scans are noise at 100 TB, and on an
+  Iceberg input bucketed by conv_id the scan prunes too.
 """
 
 from __future__ import annotations
 
-import json
 import os
 import time
 from contextlib import contextmanager
@@ -98,6 +107,36 @@ def _spark_type(df: DataFrame, col: str) -> str:
     return dict(df.dtypes)[col]
 
 
+def _completed_buckets(spark: SparkSession, turns_dir: str) -> set[int]:
+    """Buckets already committed to the output table. Committed means the
+    ``part_bucket=N`` partition directory exists with at least one data
+    file: the parquet committer only moves task files into the table at
+    job commit, so a killed wave leaves no partial committed buckets.
+    Uses the Hadoop FileSystem API so the same code works on HDFS/S3A,
+    not just local disk — this replaces the round-2 driver-local
+    ledger.json (the checkpoint now lives WITH the table)."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(turns_dir)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    done = set()
+    if not fs.exists(path):
+        return done
+    for st in fs.listStatus(path):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("part_bucket=")):
+            continue
+        try:
+            bucket = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        for f in fs.listStatus(st.getPath()):
+            fname = f.getPath().getName()
+            if not fname.startswith((".", "_")) and f.getLen() > 0:
+                done.add(bucket)
+                break
+    return done
+
+
 def run_extraction_job(
     spark: SparkSession,
     transcripts: DataFrame,
@@ -106,94 +145,92 @@ def run_extraction_job(
     salt_buckets: int = 16,
     part_buckets: int = 64,
     resume: bool = True,
+    waves: int = 4,
 ) -> dict:
     """Full checkpointed job. Returns a metrics summary dict.
 
     Layout under output_dir:
-      turns/        parquet partitioned by part_bucket (data + lineage cols)
-      metrics/      per-(bucket, partition) metrics, partitioned by
-                    part_bucket with dynamic overwrite (idempotent on
-                    resume — no append duplication)
-      ledger.json   completed part_bucket ids (the checkpoint)
-    """
+      turns/    parquet partitioned by part_bucket (data + lineage cols)
+      metrics/  per-(bucket, partition) metrics, partitioned by
+                part_bucket with dynamic overwrite (idempotent on resume)
+
+    The checkpoint is the turns table itself: completed part_bucket
+    partitions are discovered by listing it (``_completed_buckets``), and
+    the remaining buckets run in ``waves`` write jobs so a crash loses at
+    most one wave of work. No driver-local state."""
     t0 = time.time()
     turns_dir = os.path.join(output_dir, "turns")
     metrics_dir = os.path.join(output_dir, "metrics")
-    ledger_path = os.path.join(output_dir, "ledger.json")
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     df = transcripts.withColumn(
         "part_bucket", F.pmod(F.hash("conv_id"), F.lit(part_buckets)))
 
-    done: set[int] = set()
-    if resume and os.path.exists(ledger_path):
-        with open(ledger_path) as f:
-            done = set(json.load(f)["completed_buckets"])
-        if done:
-            df = df.filter(~F.col("part_bucket").isin(sorted(done)))
-    prev_done = frozenset(done)
+    done = _completed_buckets(spark, turns_dir) if resume else set()
+    todo = [b for b in range(part_buckets) if b not in done]
+    n_waves = max(1, min(waves, len(todo))) if todo else 0
+    wave_groups = [todo[i::n_waves] for i in range(n_waves)] if todo else []
 
-    # single extraction pass, single write — no persist of the full output
+    rows_out = 0
+    finished_buckets = set()
     with scoped_conf(spark, "spark.sql.adaptive.coalescePartitions.enabled",
                      "false"):
-        extracted = extract_turns(df, num_partitions, salt_buckets)
-        (extracted.write.mode("overwrite")
-         .partitionBy("part_bucket").parquet(turns_dir))
+        for wave in wave_groups:
+            wave_df = df.filter(F.col("part_bucket").isin(wave))
+            extracted = extract_turns(wave_df, num_partitions, salt_buckets)
+            # one write job per wave == one durable checkpoint per wave
+            (extracted.write.mode("overwrite")
+             .partitionBy("part_bucket").parquet(turns_dir))
 
-    # derive counts/metrics from the written files (column-pruned scan of
-    # the lineage columns only)
-    try:
-        all_turns = spark.read.parquet(turns_dir)
-    except Exception:
-        # empty first run: nothing was written, no schema to infer
-        return {"rows": 0, "wall_sec": time.time() - t0,
-                "turns_per_sec": 0.0, "failures": 0,
-                "completed_buckets": len(done), "output": turns_dir}
-    new_turns = all_turns
-    if prev_done:
-        new_turns = all_turns.filter(
-            ~F.col("part_bucket").isin(sorted(prev_done)))
-    rows_out = new_turns.count()
+            # derive counts/metrics from the written files (column-pruned,
+            # partition-pruned scan of this wave's buckets only). Explicit
+            # schema: skips footer inference and keeps an all-empty wave
+            # (0 files yet) readable.
+            wave_turns = (spark.read.schema(extracted.schema)
+                          .parquet(turns_dir)
+                          .filter(F.col("part_bucket").isin(wave)))
+            wave_rows = wave_turns.count()
+            rows_out += wave_rows
+            if not wave_rows:
+                continue
+            finished_buckets.update(
+                r.part_bucket for r in
+                wave_turns.select("part_bucket").distinct().collect())
+            # one row per (bucket, batch): per-row facts aggregate
+            # directly; wall_ms is batch-level and deduped with first()
+            per_batch = (
+                wave_turns
+                .select("part_bucket", "part_id", "batch_idx", "doc_bytes",
+                        "wall_ms",
+                        F.col("error").isNotNull().cast("long")
+                        .alias("failed"))
+                .groupBy("part_bucket", "part_id", "batch_idx")
+                .agg(F.count("*").alias("docs_in"),
+                     F.sum("failed").alias("failures"),
+                     F.sum("doc_bytes").alias("bytes_in"),
+                     F.first("wall_ms").alias("wall_ms"))
+            )
+            metrics = (
+                per_batch.groupBy("part_bucket", "part_id")
+                .agg(F.sum("docs_in").alias("docs_in"),
+                     F.sum("failures").alias("failures"),
+                     F.sum("bytes_in").alias("bytes_in"),
+                     F.sum("wall_ms").alias("wall_ms"),
+                     F.count("*").alias("batches"))
+            )
+            (metrics.write.mode("overwrite")
+             .partitionBy("part_bucket").parquet(metrics_dir))
 
-    if rows_out:
-        # one row per (bucket, batch): per-row facts aggregate directly;
-        # wall_ms is batch-level and deduped with first()
-        per_batch = (
-            new_turns
-            .select("part_bucket", "part_id", "batch_idx", "doc_bytes",
-                    "wall_ms",
-                    F.col("error").isNotNull().cast("long").alias("failed"))
-            .groupBy("part_bucket", "part_id", "batch_idx")
-            .agg(F.count("*").alias("docs_in"),
-                 F.sum("failed").alias("failures"),
-                 F.sum("doc_bytes").alias("bytes_in"),
-                 F.first("wall_ms").alias("wall_ms"))
-        )
-        metrics = (
-            per_batch.groupBy("part_bucket", "part_id")
-            .agg(F.sum("docs_in").alias("docs_in"),
-                 F.sum("failures").alias("failures"),
-                 F.sum("bytes_in").alias("bytes_in"),
-                 F.sum("wall_ms").alias("wall_ms"),
-                 F.count("*").alias("batches"))
-        )
-        (metrics.write.mode("overwrite")
-         .partitionBy("part_bucket").parquet(metrics_dir))
-
-        finished = [r.part_bucket for r in
-                    new_turns.select("part_bucket").distinct().collect()]
-        done.update(finished)
-        os.makedirs(output_dir, exist_ok=True)
-        with open(ledger_path, "w") as f:
-            json.dump({"completed_buckets": sorted(done),
-                       "updated_at": time.time()}, f)
-
+    done.update(finished_buckets)
     wall = time.time() - t0
     failures = 0
-    if os.path.isdir(metrics_dir):
-        failures = (spark.read.parquet(metrics_dir)
-                    .agg(F.sum("failures")).collect()[0][0] or 0)
+    if _completed_buckets(spark, metrics_dir):
+        try:
+            failures = (spark.read.parquet(metrics_dir)
+                        .agg(F.sum("failures")).collect()[0][0] or 0)
+        except Exception:
+            failures = 0
     return {
         "rows": rows_out,
         "wall_sec": wall,
