@@ -10,6 +10,7 @@ author paragraphs, title from the first user message (≤80 chars).
 from __future__ import annotations
 
 import html as _html
+import re
 from dataclasses import dataclass
 from typing import Optional
 from urllib.parse import urlsplit
@@ -197,3 +198,136 @@ def register_all() -> None:
     register("chatgpt", chatgpt_can, chatgpt_extract)
     register("claude", claude_can, claude_extract)
     register("gemini", gemini_can, gemini_extract)
+
+
+def register_x_family() -> None:
+    """X/Twitter family minus x-article (which lives in sites.py);
+    reference priority: x-article > twitter > x-oembed
+    (`src/extractors/mod.rs:49-52`)."""
+    from .extractors import register
+    register("twitter", twitter_can, twitter_extract)
+    register("x-oembed", x_oembed_can, x_oembed_extract)
+
+
+# ------------------------------------------------------------ twitter / X
+
+_TW_STATUS_RE = re.compile(
+    r"(?i)^https?://(?:www\.|mobile\.)?(?:x|twitter)\.com/"
+    r"[A-Za-z0-9_]{1,15}/status/\d+")
+_TW_ARTICLE_RE = re.compile(
+    r"(?i)^https?://(?:www\.|mobile\.)?(?:x|twitter)\.com/"
+    r"(?:[A-Za-z0-9_]{1,15}|i)/article/\d+")
+_TW_HANDLE_RE = re.compile(r"/([A-Za-z0-9_]{1,15})/status/\d+")
+
+
+def _find_testid_all(root: Node, testid: str) -> list[Node]:
+    return [d for d in root.iter_elements()
+            if d.get("data-testid") == testid]
+
+
+def _find_testid_first(root: Node, testid: str) -> Optional[Node]:
+    for d in root.iter_elements():
+        if d.get("data-testid") == testid:
+            return d
+    return None
+
+
+def twitter_can(url: str, html: str) -> bool:
+    """Status URLs only — Article URLs are claimed by the X-Article
+    extractor registered before this one (`src/extractors/twitter.rs:46-52`)."""
+    u = url or ""
+    if _TW_ARTICLE_RE.match(u):
+        return False
+    return bool(_TW_STATUS_RE.match(u))
+
+
+def _tweet_text(article: Node) -> str:
+    t = _find_testid_first(article, "tweetText")
+    if t is None:
+        return ""
+    return " ".join(t.text_content().replace("\n", " ")
+                    .replace("\r", " ").split())
+
+
+def _tweet_handle(article: Node) -> str:
+    """Second anchor in the User-Name block is the `@handle`
+    (`src/extractors/twitter.rs:94-110`)."""
+    block = _find_testid_first(article, "User-Name")
+    if block is None:
+        return ""
+    anchors = [d for d in block.iter_elements() if d.tag == "a"]
+    if len(anchors) < 2:
+        return ""
+    return anchors[1].text_content().strip()
+
+
+def _tweet_datetime(article: Node) -> Optional[str]:
+    t = article.find_first("time")
+    if t is None:
+        return None
+    dt = t.get("datetime")
+    return dt.split("T")[0] if dt else None
+
+
+def twitter_extract(html: str, url, collected, metadata):
+    """Tweet thread → conversation (`src/extractors/twitter.rs:126-232`):
+    every `article[data-testid=tweet]`, first-author posts stay depth 0
+    (self-reply threads), other authors nest one level deeper per switch."""
+    root = body_of(parse_html(html))
+    articles = [d for d in root.iter_elements()
+                if d.tag == "article" and d.get("data-testid") == "tweet"]
+    messages = []
+    first_handle = None
+    depth = 0
+    for article in articles:
+        handle = _tweet_handle(article)
+        text = _tweet_text(article)
+        ts = _tweet_datetime(article)
+        if first_handle is None:
+            first_handle = handle
+            depth = 0
+        elif handle == first_handle:
+            depth = 0
+        else:
+            depth += 1
+        messages.append(ConversationMessage(
+            author=handle or None, timestamp=ts,
+            html="<p>" + _html.escape(text) + "</p>", depth=depth))
+    if not messages:
+        return None  # no tweet article in DOM -> generic fallback
+
+    main_handle = messages[0].author
+    if not main_handle:
+        m = _TW_HANDLE_RE.search(url or "")
+        main_handle = f"@{m.group(1)}" if m else "Unknown"
+    overrides = {
+        "title": f"{main_handle} on X",
+        "author": main_handle,
+        "site": "X (Twitter)",
+        "description": messages[0].html[:140],
+    }
+    if messages[0].timestamp:
+        overrides["published"] = messages[0].timestamp
+    return render_conversation(messages), overrides
+
+
+# ------------------------------------------------------------- x-oembed
+
+_X_OEMBED_RE = re.compile(
+    r"(?i)^https?://(?:www\.|mobile\.)?(?:x|twitter)\.com/"
+    r"[A-Za-z0-9_]{1,15}/(?:status|article)/\d+")
+
+
+def x_oembed_can(url: str, html: str) -> bool:
+    """Async-only FxTwitter/publish.twitter.com oEmbed fallback
+    (`src/extractors/x_oembed.rs`). The URL gate mirrors the reference."""
+    return bool(_X_OEMBED_RE.match(url or ""))
+
+
+def x_oembed_extract(html: str, url, collected, metadata):
+    """Sync path has no fetcher — always falls through to generic
+    extraction, exactly like the reference's
+    `ExtractError::Failed("x-oembed", "no fetcher available")`
+    (`src/extractors/x_oembed.rs:66-81`). A batch Spark pipeline never
+    performs per-document network fetches, so this stays a declared stub."""
+    return None

@@ -31,10 +31,18 @@ def _bootstrap() -> None:
     if _BOOTSTRAPPED:
         return
     _BOOTSTRAPPED = True
-    from .conversations import register_all
-    register_all()
+    # reference priority order (`src/extractors/mod.rs:46-96`):
+    # X-Article > Twitter > X-Oembed > Reddit > YouTube > HackerNews >
+    # AI chat > dev/code > social timelines > news/knowledge >
+    # generator-meta > long-tail > BBCode catch-all
+    from .sites import register_x_article
+    register_x_article()
+    from .conversations import register_x_family
+    register_x_family()
     from .comments import register_comment_extractors
     register_comment_extractors()
+    from .conversations import register_all
+    register_all()
     from .sites import register_site_extractors
     register_site_extractors()
     # catch-all BBCode detection registered LAST (`src/extractors/mod.rs:94`)

@@ -142,10 +142,37 @@ def _parse_once(html: str, metadata: dict, url: Optional[str],
     return body, content_html, gated_removed
 
 
+class RecursionLimitError(RuntimeError):
+    """Re-entrant parse depth exceeded (`src/extractor.rs:112-170`
+    `RecursionDepth` / `ExtractError::RecursionLimit`)."""
+
+
+# Re-entrancy guard state. Extractors that re-feed embedded HTML through
+# trek_parse (X-Article quote-tweets, nested conversation messages) cannot
+# infinite-loop on malicious or pathologically nested input: the cap is
+# shared across the whole outer trek_parse invocation, mirroring the
+# reference's ctx-carried RecursionDepth (DEFAULT_MAX = 3 nested calls).
+_RECURSION_MAX = 3
+_parse_depth = 0
+
+
 def trek_parse(html: str, url: Optional[str] = None,
                options: Optional[dict] = None) -> dict:
     """One document in → response dict out (shape of `TrekResponse`,
     `src/types.rs:120-138`)."""
+    global _parse_depth
+    if _parse_depth > _RECURSION_MAX:
+        raise RecursionLimitError(
+            f"recursion limit exceeded: max depth {_RECURSION_MAX}")
+    _parse_depth += 1
+    try:
+        return _trek_parse_inner(html, url, options)
+    finally:
+        _parse_depth -= 1
+
+
+def _trek_parse_inner(html: str, url: Optional[str] = None,
+                      options: Optional[dict] = None) -> dict:
     opts = dict(DEFAULT_OPTIONS)
     if options:
         opts.update(options)

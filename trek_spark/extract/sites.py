@@ -674,8 +674,12 @@ def bbcode_extract(html: str, url, collected, metadata):
     return content_html, overrides
 
 
-def register_site_extractors() -> None:
+def register_x_article() -> None:
     from .extractors import register
     register("x-article", x_article_can, x_article_extract)
+
+
+def register_site_extractors() -> None:
+    from .extractors import register
     register("github", github_can, github_extract)
     register("substack", substack_can, substack_extract)
