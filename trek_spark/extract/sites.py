@@ -682,4 +682,469 @@ def register_x_article() -> None:
 def register_site_extractors() -> None:
     from .extractors import register
     register("github", github_can, github_extract)
+    # news / knowledge family (`src/extractors/mod.rs:78-84` order:
+    # medium > c2_wiki > substack > nytimes > wikipedia)
+    register("medium", medium_can, medium_extract)
+    register("c2_wiki", c2_wiki_can, c2_wiki_extract)
     register("substack", substack_can, substack_extract)
+    register("nytimes", nytimes_can, nytimes_extract)
+    register("wikipedia", wikipedia_can, wikipedia_extract)
+    # long-tail dev / publishing (`src/extractors/mod.rs:90-92`)
+    register("leetcode", leetcode_can, leetcode_extract)
+    register("lwn", lwn_can, lwn_extract)
+
+
+# ------------------------------------------------- selector-based helpers
+# (shared by the P2C news/knowledge family; mirror the reference helpers
+# `src/extractors/mod.rs:100-264`)
+
+from ..dom.select import compile_selector as _compile_selector  # noqa: E402
+from ..dom.node import inner_html as _inner_html  # noqa: E402
+
+
+def _select_all(root: Node, selector: str) -> list[Node]:
+    sel = _compile_selector(selector)
+    return [d for d in root.iter_elements() if sel.matches(d)]
+
+
+def _find_first(root: Node, selector: str) -> Optional[Node]:
+    sel = _compile_selector(selector)
+    for d in root.iter_elements():
+        if sel.matches(d):
+            return d
+    return None
+
+
+def _remove_all(root: Node, selector: str) -> None:
+    for n in _select_all(root, selector):
+        if n.parent is not None:
+            n.detach()
+
+
+def _elem_text(node: Node) -> str:
+    return " ".join(node.text_content().split())
+
+
+def _esc_html(s: str) -> str:
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def _host_exact(url: str, target: str) -> bool:
+    return _host(url) == target
+
+
+def _host_suffix(url: str, suffix: str) -> bool:
+    h = _host(url)
+    return h == suffix or h.endswith("." + suffix)
+
+
+# ---------------------------------------------------------------- wikipedia
+
+_WIKI_STRIP_SELECTORS = (
+    ".toc", ".reflist", ".references", ".navbox", ".infobox", "#toc",
+    ".mw-editsection", ".reference", ".mw-empty-elt", ".hatnote",
+    ".mbox-small", ".sistersitebox", ".portalbox", ".thumbcaption .magnify",
+)
+
+
+def wikipedia_can(url: str, html: str) -> bool:
+    return _host_suffix(url or "", "wikipedia.org")
+
+
+def wikipedia_extract(html: str, url, collected, metadata):
+    """`src/extractors/wikipedia.rs:53-106`: body = .mw-parser-output (or
+    #mw-content-text), strip wiki scaffolding, title = og:title minus the
+    " - Wikipedia" suffix (h1#firstHeading fallback)."""
+    root = body_of(parse_html(html))
+    body = _find_first(root, ".mw-parser-output") \
+        or _find_first(root, "#mw-content-text")
+    if body is None:
+        return None
+    for sel in _WIKI_STRIP_SELECTORS:
+        _remove_all(body, sel)
+    content_html = _inner_html(body)
+    title = _strip_site_suffix(_meta(collected, "og:title"), "Wikipedia")
+    if not title:
+        h1 = _find_first(root, "h1#firstHeading")
+        if h1 is not None:
+            title = _elem_text(h1)
+    overrides = {"site": "Wikipedia"}
+    if title:
+        overrides["title"] = title
+    return content_html, overrides
+
+
+def _strip_site_suffix(s: str, site: str) -> str:
+    for dash in (" - ", " \u2013 ", " \u2014 "):
+        sfx = dash + site
+        if s.endswith(sfx):
+            return s[: -len(sfx)].strip()
+    return s.strip()
+
+
+# ------------------------------------------------------------------- medium
+
+def medium_can(url: str, html: str) -> bool:
+    return _host_suffix(url or "", "medium.com")
+
+
+def medium_extract(html: str, url, collected, metadata):
+    """`src/extractors/medium.rs:56-125`: article.meteredContent (or first
+    <article>), Medium-verified via og:site_name / al:android:app_name /
+    meteredContent class; UI chrome stripped; publication = og:site_name
+    when it isn't the bare "Medium" brand."""
+    root = body_of(parse_html(html))
+    article = _find_first(root, "article.meteredContent") \
+        or _find_first(root, "article")
+    if article is None:
+        return None
+    site_name = _meta(collected, "og:site_name")
+    if site_name != "Medium":
+        app_name = _meta(collected, "al:android:app_name")
+        metered = "meteredContent" in article.classes()
+        if not metered and app_name != "Medium":
+            return None
+    for sel in ('[data-testid="post-preview"]', '[data-testid="authorPhoto"]',
+                '[data-testid="storyReadTime"]', 'figure [role="button"]'):
+        _remove_all(article, sel)
+    author_el = _find_first(root, '[data-testid="authorName"]')
+    author = _elem_text(author_el) if author_el is not None else ""
+    _remove_all(article, '[data-testid="authorName"]')
+
+    h1 = _find_first(article, "h1")
+    title = _elem_text(h1) if h1 is not None else ""
+    publication = site_name if site_name and site_name != "Medium" else ""
+    desc_el = _find_first(root, ".pw-subtitle-paragraph")
+    description = _elem_text(desc_el) if desc_el is not None \
+        else _meta(collected, "og:description")
+
+    overrides = {"site": publication or "Medium"}
+    if title:
+        overrides["title"] = title
+    if author:
+        overrides["author"] = author
+    if description:
+        overrides["description"] = description
+    return serialize(article), overrides
+
+
+# ----------------------------------------------------------------- leetcode
+
+def leetcode_can(url: str, html: str) -> bool:
+    return _host_exact(url or "", "leetcode.com")
+
+
+def leetcode_extract(html: str, url, collected, metadata):
+    """`src/extractors/leetcode.rs:52-88`: SSR problem description from
+    [data-track-load=description_content], premium upsell stripped, title
+    from og:title minus the " - LeetCode" suffix."""
+    root = body_of(parse_html(html))
+    body = _find_first(root, '[data-track-load="description_content"]')
+    if body is None:
+        return None
+    for sel in (".premium-content", '[data-track-load="premium_paywall"]',
+                ".lock-icon", '[class*="premium"]'):
+        _remove_all(body, sel)
+    title = _strip_site_suffix(_meta(collected, "og:title"), "LeetCode")
+    overrides = {"site": "LeetCode"}
+    if title:
+        overrides["title"] = title
+    return serialize(body), overrides
+
+
+# ---------------------------------------------------------------------- lwn
+
+_LWN_DATE_RE = re.compile(r"Posted\s+(\w+)\s+(\d+),\s+(\d{4})")
+_MONTHS = {"jan": "01", "feb": "02", "mar": "03", "apr": "04", "may": "05",
+           "jun": "06", "jul": "07", "aug": "08", "sep": "09", "oct": "10",
+           "nov": "11", "dec": "12"}
+
+
+def _lwn_date(text: str) -> str:
+    m = _LWN_DATE_RE.search(text)
+    if not m:
+        return ""
+    month = _MONTHS.get(m.group(1)[:3].lower(), "")
+    day = int(m.group(2))
+    if not month or not day:
+        return ""
+    return f"{m.group(3)}-{month}-{day:02d}"
+
+
+def _lwn_author(byline: str) -> str:
+    idx = byline.lower().find("by ")
+    if idx < 0:
+        return ""
+    rest = byline[idx + 3:]
+    out = []
+    for ch in rest:
+        if ch.isalnum() or ch == "_":
+            out.append(ch)
+        else:
+            break
+    return "".join(out)
+
+
+def lwn_can(url: str, html: str) -> bool:
+    return _host_exact(url or "", "lwn.net")
+
+
+def lwn_extract(html: str, url, collected, metadata):
+    """`src/extractors/lwn.rs:44-103`: .PageHeadline h1 title, "by NAME /
+    Posted Mon D, YYYY" byline, article body from `.ArticleText main`,
+    flat comment tree from `details.CommentBox` with ancestor-depth
+    blockquote nesting."""
+    root = body_of(parse_html(html))
+    if _find_first(root, ".PageHeadline") is None \
+            or _find_first(root, ".ArticleText") is None:
+        return None
+    h1 = _find_first(root, ".PageHeadline h1")
+    title = _elem_text(h1) if h1 is not None else ""
+    byline_el = _find_first(root, ".Byline")
+    byline = _elem_text(byline_el) if byline_el is not None else ""
+    author = _lwn_author(byline)
+    published = _lwn_date(byline)
+    description = _meta(collected, "og:description")
+
+    main = _find_first(root, ".ArticleText main") \
+        or _find_first(root, ".ArticleText")
+
+    boxes = _select_all(main, "details.CommentBox")
+    comments = []
+    for b in boxes:
+        depth = 0
+        cur = b.parent
+        while cur is not None and cur is not main:
+            if getattr(cur, "tag", "") == "details" \
+                    and "CommentBox" in (cur.classes() if cur.type == 1 else []):
+                depth += 1
+            cur = cur.parent
+        poster_el = _find_first(b, ".CommentPoster")
+        poster = _elem_text(poster_el) if poster_el is not None else ""
+        c_author = poster.split()[0] if poster.split() else ""
+        c_date = _lwn_date(poster)
+        formatted = _find_first(b, ".FormattedComment")
+        body_html = serialize(formatted) if formatted is not None else ""
+        part = ["<blockquote>" * depth, "<blockquote>",
+                f"<p><strong>{_esc_html(c_author)}</strong>"]
+        if c_date:
+            part.append(f" \u00b7 {_esc_html(c_date)}")
+        part.append("</p>")
+        part.append(body_html)
+        part.append("</blockquote>")
+        part.append("</blockquote>" * depth)
+        comments.append("".join(part))
+    # comment boxes render out-of-band; remove before serializing article
+    for b in boxes:
+        if b.parent is not None:
+            b.detach()
+    article_html = _inner_html(main)
+    full = article_html
+    if comments:
+        full += "<hr><h2>Comments</h2>" + "".join(comments)
+
+    overrides = {"site": "LWN.net"}
+    if title:
+        overrides["title"] = title
+    if author:
+        overrides["author"] = author
+    if published:
+        overrides["published"] = published
+    if description:
+        overrides["description"] = description
+    return full, overrides
+
+
+# ------------------------------------------------------------------ nytimes
+
+def _scan_balanced_object(s: str) -> Optional[str]:
+    """First balanced `{...}` object in `s`, string-aware
+    (`src/extractors/nytimes.rs:396-437`)."""
+    depth = 0
+    in_str = False
+    escape = False
+    start = None
+    for i, ch in enumerate(s):
+        if escape:
+            escape = False
+            continue
+        if in_str:
+            if ch == "\\":
+                escape = True
+            elif ch == '"':
+                in_str = False
+            continue
+        if ch == '"':
+            in_str = True
+        elif ch == "{":
+            if depth == 0:
+                start = i
+            depth += 1
+        elif ch == "}":
+            depth -= 1
+            if depth == 0 and start is not None:
+                return s[start:i + 1]
+    return None
+
+
+def _nyt_preload_article(root: Node) -> Optional[dict]:
+    import json as _json
+    for s in [d for d in root.iter_elements() if d.tag == "script"]:
+        if s.get("src") is not None:
+            continue
+        text = s.text_content()
+        needle = "window.__preloadedData"
+        idx = text.find(needle)
+        if idx < 0:
+            continue
+        after = text[idx + len(needle):]
+        brace = after.find("{")
+        if brace < 0:
+            continue
+        raw = _scan_balanced_object(after[brace:])
+        if raw is None:
+            continue
+        cleaned = (raw.replace(":undefined,", ":null,")
+                   .replace(":undefined}", ":null}")
+                   .replace(":undefined]", ":null]"))
+        try:
+            v = _json.loads(cleaned)
+        except ValueError:
+            continue
+        article = (v.get("initialData") or {}).get("data", {}).get("article")
+        if article:
+            return article
+    return None
+
+
+def _nyt_inlines(inlines) -> str:
+    if not isinstance(inlines, list):
+        return ""
+    out = []
+    for inl in inlines:
+        text = _esc_html(inl.get("text") or "")
+        for fmt in inl.get("formats") or []:
+            kind = fmt.get("__typename") or ""
+            if kind == "BoldFormat":
+                text = f"<strong>{text}</strong>"
+            elif kind == "ItalicFormat":
+                text = f"<em>{text}</em>"
+            elif kind == "LinkFormat" and fmt.get("url"):
+                text = f'<a href="{_esc_attr(fmt["url"])}">{text}</a>'
+        out.append(text)
+    return "".join(out)
+
+
+def _nyt_best_image(media) -> Optional[str]:
+    crops = media.get("crops")
+    if not isinstance(crops, list):
+        return None
+    for name in ("superJumbo", "jumbo", "articleLarge"):
+        for crop in crops:
+            for r in crop.get("renditions") or []:
+                if r.get("name") == name and r.get("url"):
+                    return r["url"]
+    for crop in crops:
+        rends = crop.get("renditions") or []
+        if rends and rends[0].get("url"):
+            return rends[0]["url"]
+    return None
+
+
+def _nyt_render_blocks(blocks) -> str:
+    parts = []
+    for block in blocks:
+        tn = block.get("__typename") or ""
+        if tn == "ParagraphBlock":
+            parts.append(f"<p>{_nyt_inlines(block.get('content'))}</p>")
+        elif tn in ("Heading2Block", "Heading3Block", "Heading4Block"):
+            lvl = tn[7]
+            parts.append(
+                f"<h{lvl}>{_nyt_inlines(block.get('content'))}</h{lvl}>")
+        elif tn == "ImageBlock":
+            media = block.get("media") or {}
+            src = _nyt_best_image(media)
+            if not src:
+                continue
+            caption = ((media.get("caption") or {}).get("text")) or ""
+            alt = media.get("altText") or caption or ""
+            credit = media.get("credit") or ""
+            figcap = " ".join(x for x in (caption, credit) if x)
+            if figcap:
+                parts.append(
+                    f'<figure><img src="{_esc_attr(src)}" '
+                    f'alt="{_esc_attr(alt)}"><figcaption>'
+                    f"{_esc_html(figcap)}</figcaption></figure>")
+            else:
+                parts.append(f'<img src="{_esc_attr(src)}" '
+                             f'alt="{_esc_attr(alt)}">')
+        elif tn in ("HeaderBasicBlock", "Dropzone"):
+            continue
+        elif block.get("content"):
+            parts.append(f"<p>{_nyt_inlines(block.get('content'))}</p>")
+    return "\n".join(parts)
+
+
+def nytimes_can(url: str, html: str) -> bool:
+    return _host_suffix(url or "", "nytimes.com")
+
+
+def nytimes_extract(html: str, url, collected, metadata):
+    """`src/extractors/nytimes.rs:42-117`: window.__preloadedData JSON →
+    article.sprinkledBody.content blocks rendered to HTML; headline /
+    summary / firstPublished / bylines creators as metadata."""
+    root = body_of(parse_html(html))
+    article = _nyt_preload_article(root)
+    if article is None:
+        return None
+    body = (article.get("sprinkledBody") or {}).get("content") \
+        or (article.get("body") or {}).get("content") or []
+    if not body:
+        return None
+    content_html = _nyt_render_blocks(body)
+    title = (article.get("headline") or {}).get("default") or ""
+    summary = article.get("summary") or ""
+    published = article.get("firstPublished") or ""
+    authors = ""
+    bylines = article.get("bylines") or []
+    if bylines:
+        creators = bylines[0].get("creators") or []
+        authors = ", ".join(c.get("displayName") for c in creators
+                            if c.get("displayName"))
+    overrides = {"site": "The New York Times"}
+    if title:
+        overrides["title"] = title
+    if authors:
+        overrides["author"] = authors
+    if published:
+        overrides["published"] = published
+    if summary:
+        overrides["description"] = summary
+    return content_html, overrides
+
+
+# ------------------------------------------------------------------ c2 wiki
+
+def _c2_split_camel(s: str) -> str:
+    """"WelcomeVisitors" -> "Welcome Visitors"
+    (`src/extractors/c2_wiki.rs:49-63`)."""
+    out = []
+    prev = " "
+    for ch in s:
+        if ch.isupper() and prev.islower():
+            out.append(" ")
+        out.append(ch)
+        prev = ch
+    return "".join(out)
+
+
+def c2_wiki_can(url: str, html: str) -> bool:
+    """Async-only (`src/extractors/c2_wiki.rs:72-80`): the page body lives
+    at c2.com/wiki/remodel/pages/<PageName>, fetchable only with a network
+    fetcher the sync/batch pipeline doesn't have — so the sync registry
+    never selects it and generic extraction runs instead."""
+    return False
+
+
+def c2_wiki_extract(html: str, url, collected, metadata):
+    return None
