@@ -41,6 +41,10 @@ def _bootstrap() -> None:
     register_x_family()
     from .comments import register_comment_extractors
     register_comment_extractors()
+    # youtube: prefers_async in the reference -> sync registry never
+    # selects it (can_extract always False); registered for parity
+    from .youtube import youtube_can, youtube_extract
+    register("youtube", youtube_can, youtube_extract)
     from .conversations import register_all
     register_all()
     from .sites import register_site_extractors
