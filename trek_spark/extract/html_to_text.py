@@ -102,12 +102,19 @@ def clean_text(text: str) -> str:
     return "\n".join(result)
 
 
+def _unescape_sentinels(s: str) -> str:
+    from .markdown import SPACE_SENTINEL
+    if SPACE_SENTINEL in s:
+        s = s.replace(SPACE_SENTINEL, " ")
+    return s
+
+
 def node_to_text(node: Node) -> str:
     """Render an already-parsed (sub)tree — lets the pipeline reuse the
     final cleaned DOM instead of re-parsing ``content_html``."""
     parts: list[str] = []
     _walk(node, parts)
-    return clean_text("".join(parts))
+    return clean_text(_unescape_sentinels("".join(parts)))
 
 
 def html_to_text(html: str) -> str:
@@ -119,4 +126,4 @@ def html_to_text(html: str) -> str:
     doc = parse_html(html)
     parts: list[str] = []
     _walk(doc, parts)
-    return clean_text("".join(parts))
+    return clean_text(_unescape_sentinels("".join(parts)))

@@ -191,16 +191,12 @@ def _trek_parse_inner(html: str, url: Optional[str] = None,
     extracted = try_extractors(html, url, collected, metadata)
     if extracted is not None:
         content_html, extractor_type, overrides = extracted
-        md_fixes = overrides.pop("__md_fixes__", None)
         for k, v in overrides.items():
             if v is not None:
                 metadata[k] = v
         word_count = count_words(content_html)
         md = node_to_markdown(body_of(parse_html(content_html)),
                               metadata.get("title", ""), url)
-        if md_fixes:
-            for old, new in md_fixes:
-                md = md.replace(old, new)
         metadata["word_count"] = word_count
         return _response(md, content_html, metadata, collected,
                          extractor_type, start)

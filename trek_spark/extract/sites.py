@@ -156,7 +156,7 @@ _X_ARTICLE_URL_RE = re.compile(
     r"(?i)^https?://(?:www\.|mobile\.)?(?:x|twitter)\.com/"
     r"(?:[A-Za-z0-9_]{1,15}|i)/article/\d+")
 _NAME_PARAM_RE = re.compile(r"([?&]name=)[A-Za-z0-9_]+")
-_SPACE_SENTINEL = "\x02XSPACE\x02"
+from .markdown import SPACE_SENTINEL as _SPACE_SENTINEL  # noqa: E402
 
 
 def _upgrade_media_name(src: str) -> str:
@@ -302,10 +302,7 @@ def x_article_extract(html: str, url, collected, metadata):
         t = _find_testid(root, "twitter-article-title")
         if t is not None:
             title_text = " ".join(t.text_content().split())
-    overrides = {
-        "site": "X (Twitter)",
-        "__md_fixes__": [(_SPACE_SENTINEL, " ")],
-    }
+    overrides = {"site": "X (Twitter)"}
     if title_text:
         overrides["title"] = title_text
     if author:
