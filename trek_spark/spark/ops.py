@@ -434,6 +434,16 @@ def _shingles(col="text", k=3):
 
 _SHINGLE_DF_CAP = 1000  # max docs a shingle may appear in before it's dropped
 
+def _pair_expr():
+    """All (a < b) pairs from a sorted distinct-doc `ids` list, generated
+    JVM-side (transform index i is 0-based; slice start is 1-based, hence
+    i + 2). Lazy: F.expr needs an active SparkContext."""
+    return F.expr("""
+        flatten(transform(ids, (x, i) ->
+          transform(slice(ids, i + 2, size(ids) - i - 1), y ->
+            struct(x AS id_a, y AS id_b))))
+    """)
+
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
     """3-gram shingle Jaccard near-dup pairs.
@@ -452,16 +462,22 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
         "doc_id", _shingles().alias("sh"))
     sizes = d.select("doc_id", F.size("sh").alias("n"))
     ex = d.select("doc_id", F.explode("sh").alias("shingle"))
-    hot = (ex.groupBy("shingle").agg(F.count("*").alias("df"))
-           .filter(F.col("df") > _SHINGLE_DF_CAP).select("shingle"))
-    ex = ex.join(F.broadcast(hot), "shingle", "left_anti")
-    a = ex.alias("a")
-    b = ex.alias("b")
+    # ONE shuffle groups each shingle's (distinct) doc list; the size
+    # filter IS the frequency cap (no separate df aggregation + anti-join
+    # — round-2 bench showed that extra pass cost +37% wall). Pair
+    # generation is a JVM-side higher-order transform over the sorted
+    # list, so the a<b self-join disappears entirely; per-group work is
+    # bounded by CAP^2/2.
+    grouped = (
+        ex.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter((F.size("ids") >= 2)
+                & (F.size("ids") <= _SHINGLE_DF_CAP))
+    )
     pairs = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("id_a"),
-                 F.col("b.doc_id").alias("id_b"))
+        grouped.select(F.explode(_pair_expr()).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"),
+                 F.col("p.id_b").alias("id_b"))
         .agg(F.count("*").alias("shared"))
     )
     sa = sizes.alias("sa")
@@ -527,24 +543,29 @@ def q_dedup_minhash_lsh(spark, sf_dir):
         for i in range(_MINHASH_SEEDS)
     ]
     sigs = d.select("doc_id", *mh_cols)
-    bands = []
-    for b in range(_MINHASH_SEEDS // _BAND_ROWS):
-        cols = [f"mh{b * _BAND_ROWS + r}" for r in range(_BAND_ROWS)]
-        bands.append(
-            sigs.select(
-                "doc_id", F.lit(b).alias("band"),
-                F.concat_ws("|", *cols).alias("band_key")))
-    all_bands = bands[0]
-    for extra in bands[1:]:
-        all_bands = all_bands.unionAll(extra)
-    a = all_bands.alias("a")
-    b2 = all_bands.alias("b")
+    # one evaluation of the (md5-heavy) signature row, exploded into its
+    # band keys — the round-2 union-of-selects shape recomputed the full
+    # signature once per band. Bucket-local pair generation replaces the
+    # self-join: same results, one groupBy shuffle instead of two join
+    # exchanges.
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws("|", *[F.col(f"mh{b * _BAND_ROWS + r}")
+                               for r in range(_BAND_ROWS)])
+            .alias("band_key"))
+        for b in range(_MINHASH_SEEDS // _BAND_ROWS)])
+    all_bands = (
+        sigs.select("doc_id", F.explode(band_structs).alias("bk"))
+        .select("doc_id", F.col("bk.band").alias("band"),
+                F.col("bk.band_key").alias("band_key")))
+    grouped = (all_bands.groupBy("band", "band_key")
+               .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+               .filter(F.size("ids") >= 2))
     return (
-        a.join(b2, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.band_key") == F.col("b.band_key"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("id_a"),
-                F.col("b.doc_id").alias("id_b"))
+        grouped.select(F.explode(_pair_expr()).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"),
+                F.col("p.id_b").alias("id_b"))
         .distinct()
     )
 
