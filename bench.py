@@ -107,21 +107,22 @@ def _query_timings() -> dict:
 def main() -> None:
     queries = _query_timings()
 
-    # two passes over the (low, high) pair; keep the better efficiency.
-    # The pipeline is deterministic — the variance is co-tenant load on
-    # this shared KVM host (+/-10% run-to-run), which a real dedicated
-    # cluster does not have.
-    best = None
+    # two passes over the (low, high) pair. The pipeline is deterministic —
+    # the variance is co-tenant load on this shared KVM host (+/-10%
+    # run-to-run). Selection is CONSERVATIVE: keep the attempt whose LOW
+    # (baseline) throughput is highest — a degraded baseline would inflate
+    # the efficiency ratio, so we pick the cleanest baseline, not the best
+    # ratio. All attempts are reported for transparency.
+    attempts = []
     for attempt in range(2):
         low = _extraction_run(SCALE_N, PAIR_TILES, PAIR_PARTITIONS)
         high = _extraction_run(SCALE_N * 4, PAIR_TILES, PAIR_PARTITIONS)
         speedup = high["turns_per_sec"] / low["turns_per_sec"] \
             if low["turns_per_sec"] else 0.0
-        if best is None or speedup > best[0]:
-            best = (speedup, low, high)
-        if speedup / 4.0 >= 0.85:
+        attempts.append((low, high, speedup))
+        if low["turns_per_sec"] and speedup / 4.0 >= 0.85:
             break
-    speedup, low, high = best
+    low, high, speedup = max(attempts, key=lambda a: a[0]["turns_per_sec"])
     efficiency = speedup / 4.0
     full = _extraction_run(CPUS, FULL_TILES)
 
@@ -145,7 +146,12 @@ def main() -> None:
             "criterion": f"local[{SCALE_N}] vs local[{SCALE_N * 4}] on the "
                          "same input, same partition count "
                          f"({PAIR_PARTITIONS}) at both levels; target "
-                         ">= 0.8 over 4x cores; best of 2 pair runs",
+                         ">= 0.8 over 4x cores; of 2 pair runs the one "
+                         "with the cleanest (fastest) baseline is kept",
+            "attempts": [
+                {"low_tps": a[0]["turns_per_sec"],
+                 "high_tps": a[1]["turns_per_sec"],
+                 "efficiency": round(a[2] / 4.0, 3)} for a in attempts],
             "full_width": full,
             "note": "plain multiprocessing (no Spark) on this shared KVM "
                     "box scales HTML extraction ~linearly to 4 workers "

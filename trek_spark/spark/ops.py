@@ -604,35 +604,66 @@ FROM bands a JOIN bands b
 SQL_DEDUP_MINHASH = _sql_minhash_bands()
 
 
-def q_dedup_simhash(spark, sf_dir):
-    """64-bit SimHash per document (no SQL oracle — bit-twiddling is not
-    portably expressible; driver records a rows-only check).
+def _simhash_half(offset: int):
+    """32 simhash bits from md5-hex chars [offset, offset+8): per-token
+    32-bit hash -> per-bit vote (+1/-1) -> majority bit set. md5 instead of
+    xxhash64 keeps the op engine-portable so DuckDB can verify it (the
+    round-2 xxhash64 version was rows-only)."""
+    return F.expr(f"""
+      aggregate(
+        zip_with(
+          aggregate(
+            transform(split(lower(trim(text)), '\\\\s+'),
+                      t -> cast(conv(substr(md5(t), {offset}, 8), 16, 10)
+                                as bigint)),
+            array_repeat(0, 32),
+            (acc, h) -> zip_with(acc, sequence(0, 31),
+                                 (a, i) -> a + IF(((h >> i) & 1) = 1,
+                                                  1, -1))),
+          sequence(0, 31),
+          (v, i) -> IF(v > 0, shiftleft(cast(1 as bigint), i),
+                       cast(0 as bigint))),
+        cast(0 as bigint), (acc, x) -> acc | x)
+    """)
 
-    Implementation stays JVM-side: per-token 64-bit xxhash, bit-vote
-    aggregation via array arithmetic in higher-order functions.
+
+def q_dedup_simhash(spark, sf_dir):
+    """64-bit SimHash per document as two 32-bit halves (hi/lo — two
+    bigints sidestep signed-64 overflow in both engines).
+
+    JVM-side throughout: token hash, bit votes and majority fold are
+    higher-order array functions inside whole-stage codegen; no shuffle,
+    no Python. Near-dup candidates then come from hamming-distance
+    banding on the halves (the LSH op covers the pair stage).
     """
     d = _t(spark, sf_dir, "documents")
     tokens = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    # votes[i] = sum over tokens of (bit i set ? 1 : -1)
-    votes = F.expr("""
-      aggregate(
-        transform(split(lower(trim(text)), '\\\\s+'), t -> xxhash64(t)),
-        array_repeat(0L, 64),
-        (acc, h) -> zip_with(acc, sequence(0, 63),
-                             (a, i) -> a + CASE WHEN ((h >> i) & 1) = 1
-                                            THEN 1 ELSE -1 END))
-    """)
-    sim = F.expr("""
-      aggregate(zip_with(simhash_votes, sequence(0, 63),
-                         (v, i) -> CASE WHEN v > 0 THEN shiftleft(1L, i)
-                                        ELSE 0L END),
-                0L, (acc, x) -> acc | x)
-    """)
-    return (
-        d.select("doc_id", F.size(tokens).alias("n_tokens"),
-                 votes.alias("simhash_votes"))
-        .select("doc_id", "n_tokens", sim.alias("simhash"))
-    )
+    return d.select(
+        "doc_id", F.size(tokens).alias("n_tokens"),
+        _simhash_half(1).alias("simhash_hi"),
+        _simhash_half(9).alias("simhash_lo"))
+
+
+SQL_DEDUP_SIMHASH = """
+WITH h AS (
+  SELECT doc_id,
+    regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+), hh AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+    list_transform(toks, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS h_hi,
+    list_transform(toks, t -> ('0x' || substr(md5(t), 9, 8))::BIGINT) AS h_lo
+  FROM h
+)
+SELECT doc_id, n_tokens,
+  CAST(list_aggregate(list_transform(range(0, 32), i ->
+    CASE WHEN len(list_filter(h_hi, x -> ((x >> i) & 1) = 1)) * 2 > len(h_hi)
+         THEN (1::BIGINT << i) ELSE 0 END), 'sum') AS BIGINT) AS simhash_hi,
+  CAST(list_aggregate(list_transform(range(0, 32), i ->
+    CASE WHEN len(list_filter(h_lo, x -> ((x >> i) & 1) = 1)) * 2 > len(h_lo)
+         THEN (1::BIGINT << i) ELSE 0 END), 'sum') AS BIGINT) AS simhash_lo
+FROM hh
+"""
 
 
 # --------------------------------------------------------------------------
@@ -814,7 +845,7 @@ OPS: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),
-    "dedup_simhash": (q_dedup_simhash, None),
+    "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "embedding_norms": (q_embedding_norms, SQL_EMBEDDING_NORMS),
     "ann_topk_cosine": (q_ann_topk_cosine, SQL_ANN_TOPK),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
