@@ -1271,6 +1271,88 @@ def _drop_contentless_headings(root: Node) -> None:
             h.detach()
 
 
+def _is_footnote_ref_sup(n: Node) -> bool:
+    if n.tag != "sup":
+        return False
+    for a in [d for d in n.iter_elements() if d.tag == "a"]:
+        href = a.get("href") or ""
+        if href.startswith("#") and (
+                "cite_note" in href or href.startswith("#fn")
+                or "footnote" in href):
+            return True
+    return False
+
+
+def _ref_targets(n: Node) -> list[str]:
+    return [a.get("href") for a in n.iter_elements()
+            if a.tag == "a" and (a.get("href") or "").startswith("#")]
+
+
+def _drop_trailing_duplicate_citation_paragraph(root: Node) -> None:
+    """A trailing stub paragraph whose ONLY citation re-cites an
+    already-cited source is reference-section commentary, not body prose —
+    the golden corpus (Defuddle behavior, footnotes--wikipedia-references)
+    drops it. Strictly scoped: the paragraph must (a) be the last body
+    block before the reference list / end of document, (b) be short
+    (< 20 words), (c) end with a footnote ref, and (d) cite only targets
+    an EARLIER paragraph already cited."""
+    order = [n for n in root.iter_elements()]
+    last = None
+    for n in reversed(order):
+        if n.tag == "p" and n.parent is not None:
+            last = n
+            break
+    if last is None:
+        return
+    # (a) nothing but reference-list material (or empty wrappers that
+    # merely contain it) may follow the candidate in document order
+    own = {id(d) for d in last.iter()}
+    pos = {id(n): i for i, n in enumerate(order)}
+    def _is_ref_container(k: Node) -> bool:
+        cls = (k.get("class") or "").lower()
+        return ("references" in cls or "footnote" in cls
+                or "reflist" in cls)
+    for n in order[pos[id(last)] + 1:]:
+        if id(n) in own or n.parent is None:
+            continue
+        if _is_ref_container(n):
+            continue
+        if any(a.type == ELEMENT and _is_ref_container(a)
+               for a in n.ancestors()):
+            continue
+        if n.type == ELEMENT and not n.text_content().strip():
+            continue  # empty wrapper / hr / br
+        return
+    sups = [d for d in last.iter_elements() if _is_footnote_ref_sup(d)]
+    if not sups:
+        return
+    # (c) the paragraph must END with the ref (no trailing prose)
+    tail = last.text_content().strip()
+    sup_txt = sups[-1].text_content().strip()
+    if sup_txt and not tail.endswith(sup_txt):
+        return
+    # (b) short, citation-stub length
+    words = _words(tail)
+    if words >= 20:
+        return
+    # (d) every citation target already cited by an earlier element
+    own = {id(d) for d in last.iter()}
+    earlier_targets = set()
+    for n in root.iter_elements():
+        if id(n) in own:
+            continue
+        if n is last:
+            break
+        if _is_footnote_ref_sup(n):
+            earlier_targets.update(_ref_targets(n))
+    targets = set()
+    for s in sups:
+        targets.update(_ref_targets(s))
+    if not targets or not targets <= earlier_targets:
+        return
+    last.detach()
+
+
 def run_post(root: Node, title: str = "") -> None:
     small_images(root)
     _drop_leading_nav_images(root, title)
@@ -1281,4 +1363,5 @@ def run_post(root: Node, title: str = "") -> None:
     # after scoring removes embed cards, label-between-hrs shapes surface
     _drop_hr_label_widgets(root)
     _drop_trailing_disclaimer(root)
+    _drop_trailing_duplicate_citation_paragraph(root)
     _drop_contentless_headings(root)
