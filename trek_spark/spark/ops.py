@@ -742,6 +742,78 @@ QUALIFY rank <= 3
 """
 
 
+def q_ann_topk_ivf(spark, sf_dir):
+    """IVF-style ANN top-k — the scale path next to the exact
+    ``ann_topk_cosine`` baseline.
+
+    A deterministic coarse quantizer (sign pattern of the first 8 dims =
+    256 cells, an LSH stand-in for trained k-means centroids) assigns
+    every corpus vector to a cell; each query probes ONLY its own cell
+    (nprobe=1) and ranks candidates by cosine. The probe is an EQUI-JOIN
+    on the cell key, so per-query work is proportional to one cell's
+    population instead of the corpus — the property that matters at
+    10^9+ vectors, where the broadcast brute-force baseline stops being
+    an option. Recall tradeoff (neighbors in adjacent cells are missed)
+    is the standard IVF nprobe knob; raise it by unioning probes over
+    neighboring sign patterns. Rank-only output, ties by vec_id, so
+    engine float noise can't flip the value-hash.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    cell = F.expr(
+        "concat_ws('', transform(slice(embedding, 1, 8),"
+        " x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END))")
+    d = emb.select("vec_id", "embedding", cell.alias("cell"))
+    queries = (d.filter(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("qv"),
+                       F.col("cell").alias("qcell")))
+    dot = F.expr(
+        "aggregate(zip_with(embedding, qv,"
+        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " CAST(0 AS DOUBLE), (s, x) -> s + x)")
+    norm = (lambda c: F.sqrt(F.expr(
+        f"aggregate({c}, CAST(0 AS DOUBLE),"
+        f" (s, x) -> s + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("vec_id"))
+    return (
+        d.join(F.broadcast(queries), F.col("cell") == F.col("qcell"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos", dot / (norm("embedding") * norm("qv")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank")
+    )
+
+
+SQL_ANN_TOPK_IVF = """
+WITH cells AS (
+  SELECT vec_id, embedding,
+         array_to_string(list_transform(list_slice(embedding, 1, 8),
+            x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS cell
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qv, cell AS qcell
+  FROM cells WHERE vec_id < 5
+), scored AS (
+  SELECT q.query_id, c.vec_id,
+         list_sum(list_transform(range(1, len(c.embedding) + 1),
+            i -> CAST(c.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(c.embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(q.qv,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+  FROM cells c JOIN q ON c.cell = q.qcell
+  WHERE c.vec_id != q.query_id
+)
+SELECT query_id, vec_id AS neighbor_id,
+       row_number() OVER (PARTITION BY query_id
+           ORDER BY cos DESC, vec_id ASC) AS rank
+FROM scored
+QUALIFY rank <= 3
+"""
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs (cos > 0.95) via LSH-style bucketing:
     sign of the first 24 dims forms the bucket key; only same-bucket pairs
@@ -848,6 +920,7 @@ OPS: dict[str, tuple] = {
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "embedding_norms": (q_embedding_norms, SQL_EMBEDDING_NORMS),
     "ann_topk_cosine": (q_ann_topk_cosine, SQL_ANN_TOPK),
+    "ann_topk_ivf": (q_ann_topk_ivf, SQL_ANN_TOPK_IVF),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
 }
