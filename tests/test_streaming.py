@@ -1,0 +1,69 @@
+"""Structured Streaming extraction tests: file source → fused extraction →
+parquet sink with checkpoint; watermarked windowed metrics."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from trek_spark.spark.corpus import build_transcripts
+from trek_spark.spark.session import get_spark
+from trek_spark.spark.streaming import (
+    read_transcript_stream, stream_extract_turns, stream_turn_rate,
+)
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = get_spark("pytest-streaming", master="local[4]",
+                  shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="module")
+def input_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("stream_in"))
+    # two files so the source has more than one split to track
+    t = build_transcripts(spark).limit(24)
+    t.filter(F.col("turn_idx") % 2 == 0).write.mode("append").parquet(d)
+    t.filter(F.col("turn_idx") % 2 == 1).write.mode("append").parquet(d)
+    return d
+
+
+def test_stream_extract_end_to_end(spark, input_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("stream_out"))
+    ckpt = str(tmp_path_factory.mktemp("stream_ckpt"))
+    q = stream_extract_turns(spark, input_dir, out, ckpt, num_partitions=4)
+    q.awaitTermination(300)
+    n_in = spark.read.parquet(input_dir).count()
+    result = spark.read.parquet(out)
+    assert result.count() == n_in
+    assert result.filter(F.col("error").isNotNull()).count() == 0
+    # streaming output matches the batch plan on the same input
+    row = (result.filter(F.col("extracted_text").isNotNull())
+           .orderBy("conv_id", "turn_idx").select("extracted_text").first())
+    assert row is not None and len(row.extracted_text) > 0
+
+    # restart with the same checkpoint: nothing new to process, nothing
+    # duplicated (exactly-once across restarts)
+    q2 = stream_extract_turns(spark, input_dir, out, ckpt, num_partitions=4)
+    q2.awaitTermination(300)
+    assert spark.read.parquet(out).count() == n_in
+
+
+def test_stream_turn_rate_windows(spark, input_dir, tmp_path_factory):
+    ckpt = str(tmp_path_factory.mktemp("rate_ckpt"))
+    stream = read_transcript_stream(spark, input_dir)
+    rate = stream_turn_rate(stream, window="10 minutes",
+                            watermark="5 minutes")
+    q = (rate.writeStream.format("memory").queryName("turn_rate")
+         .outputMode("complete")
+         .trigger(availableNow=True).option("checkpointLocation", ckpt)
+         .start())
+    q.awaitTermination(300)
+    rows = spark.sql(
+        "SELECT role, sum(turns) AS turns FROM turn_rate GROUP BY role"
+    ).collect()
+    assert sum(r.turns for r in rows) == spark.read.parquet(input_dir).count()
+    assert {r.role for r in rows} <= {"user", "assistant", "system", "tool"}
