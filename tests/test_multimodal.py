@@ -47,3 +47,66 @@ def test_attach_media_meta_spark():
         assert types <= {"image", "audio", "video"}
     finally:
         spark.stop()
+
+
+def test_decode_headers_real_formats():
+    """Header decode is real, not a fake: hand-built payloads of each
+    format parse to their exact declared dimensions/durations."""
+    import struct
+    from trek_spark.spark.multimodal import (
+        decode_headers, synth_bmp, synth_wav,
+    )
+    # PNG
+    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+           + struct.pack(">II", 640, 480) + b"\x08\x06\x00\x00\x00")
+    assert decode_headers(png) == {"mime": "image/png", "width": 640,
+                                   "height": 480, "duration_ms": None}
+    # GIF
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 6
+    assert decode_headers(gif)["width"] == 320
+    assert decode_headers(gif)["mime"] == "image/gif"
+    # BMP (via the synthesizer)
+    bmp = synth_bmp(100, 50, b"pixels")
+    out = decode_headers(bmp)
+    assert (out["mime"], out["width"], out["height"]) == ("image/bmp", 100, 50)
+    # JPEG with SOF0
+    jpeg = (b"\xff\xd8"
+            + b"\xff\xe0" + struct.pack(">H", 15) + b"JFIF\x00" + b"\x00" * 8
+            + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+            + struct.pack(">HH", 768, 1024) + b"\x03" + b"\x00" * 9
+            + b"\xff\xd9")
+    out = decode_headers(jpeg)
+    assert (out["mime"], out["width"], out["height"]) == ("image/jpeg", 1024, 768)
+    # WAV (via the synthesizer)
+    wav = synth_wav(duration_ms=1500, byte_rate=8000)
+    out = decode_headers(wav)
+    assert out["mime"] == "audio/wav"
+    assert out["duration_ms"] == 1500
+    # unrecognized bytes -> None (stub fallback path)
+    assert decode_headers(b"not a media file") is None
+
+
+def test_media_corpus_exercises_real_decoder():
+    from pyspark.sql import functions as F
+    from trek_spark.spark.multimodal import (
+        attach_media_meta, media_corpus_from_documents,
+    )
+    from trek_spark.spark.session import get_spark
+    spark = get_spark("pytest-mm", master="local[4]", shuffle_partitions=8)
+    try:
+        media = media_corpus_from_documents(spark, "/root/testdata/sf0.001")
+        meta = attach_media_meta(media)
+        rows = meta.groupBy("media_type", "mime").count().collect()
+        by_type = {(r.media_type, r.mime) for r in rows}
+        assert ("image", "image/bmp") in by_type   # real BMP header decode
+        assert ("audio", "audio/wav") in by_type   # real WAV header decode
+        # image dims come from the header, derived from doc_id
+        img = meta.filter(F.col("media_type") == "image") \
+            .select("media_id", "width", "height").first()
+        assert img.width == 16 + img.media_id % 64
+        assert img.height == 16 + img.media_id % 48
+        # audio duration from the RIFF data chunk
+        aud = meta.filter(F.col("media_type") == "audio").first()
+        assert aud.duration_ms is not None and aud.duration_ms >= 100
+    finally:
+        spark.stop()
