@@ -93,7 +93,10 @@ class Node:
             self.attrs.pop(name, None)
 
     def classes(self) -> list[str]:
-        c = self.get("class")
+        a = self.attrs
+        if a is None:
+            return []
+        c = a.get("class")
         return c.split() if c else []
 
     def has_class(self, name: str) -> bool:

@@ -124,7 +124,7 @@ class _Out:
         return "".join(self.parts)
 
 
-def escape_md_text(s: str) -> str:
+def _escape_md_slow(s: str) -> str:
     out = []
     n = len(s)
     for i, c in enumerate(s):
@@ -145,6 +145,27 @@ def escape_md_text(s: str) -> str:
         else:
             out.append(c)
     return "".join(out)
+
+
+def escape_md_text(s: str) -> str:
+    # fast path: most text nodes contain none of the six specials, and the
+    # per-character Python loop was ~3% of total pipeline self-time. The
+    # C-level containment scans cost ~nothing; the slow loop only runs for
+    # strings that actually contain `_` (its escaping is context-dependent
+    # on isalnum neighbours, which regex \w does not reproduce exactly).
+    if "_" in s:
+        return _escape_md_slow(s)
+    if "\\" in s:
+        s = s.replace("\\", "\\\\")
+    if "`" in s:
+        s = s.replace("`", "\\`")
+    if "[" in s:
+        s = s.replace("[", "\\[")
+    if "]" in s:
+        s = s.replace("]", "\\]")
+    if "*" in s:
+        s = s.replace("*", "\\*")
+    return s
 
 
 def escape_table_cell(s: str) -> str:
