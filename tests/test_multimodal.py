@@ -110,3 +110,33 @@ def test_media_corpus_exercises_real_decoder():
         assert aud.duration_ms is not None and aud.duration_ms >= 100
     finally:
         spark.stop()
+
+
+def test_resize_and_frame_sample_plumbing():
+    from pyspark.sql import functions as F
+    from trek_spark.spark.multimodal import (
+        decode_headers, media_corpus_from_documents, resize_images,
+        sample_video_frames,
+    )
+    from trek_spark.spark.session import get_spark
+    spark = get_spark("pytest-mm2", master="local[4]", shuffle_partitions=8)
+    try:
+        media = media_corpus_from_documents(spark, "/root/testdata/sf0.001") \
+            .limit(60)
+        resized = resize_images(media, 224, 224)
+        img = resized.filter(F.col("media_type") == "image") \
+            .select("resized").first()
+        meta = decode_headers(bytes(img.resized))
+        assert (meta["width"], meta["height"]) == (224, 224)
+        # non-images pass through with resized = null
+        assert resized.filter((F.col("media_type") != "image")
+                              & F.col("resized").isNotNull()).count() == 0
+
+        frames = sample_video_frames(media, n_frames=3)
+        n_videos = media.filter(F.col("media_type") == "video").count()
+        assert frames.count() == 3 * n_videos
+        fr = frames.first()
+        fm = decode_headers(bytes(fr.frame))
+        assert fm is not None and fm["mime"] == "image/bmp"
+    finally:
+        spark.stop()

@@ -165,6 +165,82 @@ def feature_stub(payload: bytes, dim: int = 16) -> list[float]:
     return [v / norm for v in vals]
 
 
+def resize_stub(payload: bytes, target_w: int, target_h: int) -> bytes:
+    """STUB resize → bytes. Real impl: PIL/libvips behind this signature.
+    The deterministic fake re-headers the payload as a BMP of the target
+    size so downstream header-decode sees the new dimensions (exercises
+    the full decode→resize→re-decode loop without a codec)."""
+    if _STRICT:
+        _codec_unavailable("resize")
+    return synth_bmp(target_w, target_h,
+                     hashlib.sha256(payload).digest())
+
+
+def frame_sample_stub(payload: bytes, n_frames: int = 4) -> list[bytes]:
+    """STUB video frame sampling → n_frames image payloads. Real impl:
+    libav keyframe extraction. The fake derives per-frame BMPs from the
+    payload hash chain (deterministic, header-decodable)."""
+    if _STRICT:
+        _codec_unavailable("frame-sample")
+    frames = []
+    h = hashlib.sha256(payload).digest()
+    for i in range(n_frames):
+        h = hashlib.sha256(h + bytes([i])).digest()
+        w = 64 + h[0] % 64
+        ht = 64 + h[1] % 64
+        frames.append(synth_bmp(w, ht, h))
+    return frames
+
+
+def resize_images(df: DataFrame, target_w: int = 224,
+                  target_h: int = 224) -> DataFrame:
+    """df(media_id, payload, media_type) → + resized binary column.
+    Arrow-batched; binary in, binary out — the standard pre-processing
+    stage shape for a vision training pipeline."""
+    cols = [f"{c} {dict(df.dtypes)[c]}" for c in df.columns]
+
+    def worker(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            resized = [
+                resize_stub(p if isinstance(p, (bytes, bytearray)) else b"",
+                            target_w, target_h)
+                if mt == "image" else None
+                for p, mt in zip(pdf["payload"], pdf["media_type"])]
+            out = pdf.reset_index(drop=True)
+            out["resized"] = resized
+            yield out
+
+    return df.mapInPandas(worker, schema=", ".join(cols + ["resized binary"]))
+
+
+def sample_video_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """df(media_id, payload, media_type) → exploded (media_id, frame_idx,
+    frame: binary) rows for video payloads. One row in, n rows out — the
+    mapInPandas shape for frame-level training data."""
+
+    def worker(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for mid, p, mt in zip(pdf["media_id"], pdf["payload"],
+                                  pdf["media_type"]):
+                if mt != "video":
+                    continue
+                fs = frame_sample_stub(
+                    p if isinstance(p, (bytes, bytearray)) else b"",
+                    n_frames)
+                for i, fr in enumerate(fs):
+                    ids.append(int(mid))
+                    idxs.append(i)
+                    frames.append(fr)
+            yield pd.DataFrame(
+                {"media_id": pd.Series(ids, dtype="int64"),
+                 "frame_idx": pd.Series(idxs, dtype="int32"),
+                 "frame": pd.Series(frames, dtype=object)})
+
+    return df.mapInPandas(
+        worker, schema="media_id long, frame_idx int, frame binary")
+
+
 def decode_map_in_pandas(iterator: Iterator[pd.DataFrame]
                          ) -> Iterator[pd.DataFrame]:
     """mapInPandas worker: (id, payload, media_type) → + meta struct columns.
