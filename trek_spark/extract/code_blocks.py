@@ -143,9 +143,12 @@ def _ancestor_lang(node: Node) -> Optional[str]:
                 lang = detect_lang_from_class(cls)
                 if lang:
                     return lang
-            v = cur.get("lang")
-            if v and all(c.isalnum() or c in "+-#" for c in v):
-                return v
+            # `lang` on html/body is a BCP-47 natural-language tag
+            # (<html lang="en">), never a code language
+            if cur.tag not in ("html", "body"):
+                v = cur.get("lang")
+                if v and all(c.isalnum() or c in "+-#" for c in v):
+                    return v
         cur = cur.parent
     return None
 

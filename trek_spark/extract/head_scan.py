@@ -110,3 +110,57 @@ def collect_initial_data(html: str) -> CollectedData:
     except Exception:
         pass
     return c.data
+
+
+def collect_from_dom(doc) -> CollectedData:
+    """Tree-walk equivalent of the streaming collector, for callers that
+    already hold the parsed document (the pipeline's single-parse path).
+    Verified byte-identical to ``collect_initial_data`` across the whole
+    golden corpus — both ride the same stdlib tokenizer, so the same meta/
+    link/title/ld+json elements exist in both views. Semantics preserved:
+    LAST <title> wins, FIRST canonical wins, rel="icon" beats shortcut
+    variants, @graph flattens."""
+    import json as _json
+    d = CollectedData()
+    for n in doc.iter_elements():
+        tag = n.tag
+        if tag == "meta":
+            a = n.attrs or {}
+            content = a.get("content")
+            if content is None:
+                continue
+            name = a.get("name")
+            prop = a.get("property")
+            if name is None and prop is None:
+                continue
+            if name == "fc:frame":
+                d.mini_app_embed = content
+            d.meta_tags.append(
+                {"name": name, "property": prop, "content": content})
+        elif tag == "link":
+            a = n.attrs or {}
+            rel = a.get("rel") or ""
+            href = a.get("href")
+            if not href:
+                continue
+            rel_tokens = rel.split()
+            if rel == "canonical" and d.canonical is None:
+                d.canonical = href
+            if "icon" in rel_tokens or "shortcut" in rel_tokens:
+                if d.favicon is None or rel == "icon":
+                    d.favicon = href
+        elif tag == "title":
+            d.title = n.text_content().strip()
+        elif tag == "script":
+            if (n.get("type") or "").strip().lower() == "application/ld+json":
+                raw = n.text_content()
+                try:
+                    val = _json.loads(raw)
+                except (ValueError, RecursionError):
+                    continue
+                graph = val.get("@graph") if isinstance(val, dict) else None
+                if isinstance(graph, list):
+                    d.schema_org_data.extend(graph)
+                else:
+                    d.schema_org_data.append(val)
+    return d

@@ -22,7 +22,7 @@ from typing import Optional
 from ..dom.node import ELEMENT, TEXT, Node, inner_html, serialize
 from ..dom.parser import body_of, parse_html
 from . import elements, passes, removals_post
-from .head_scan import collect_initial_data
+from .head_scan import collect_from_dom
 from .html_to_text import html_to_text, node_to_text
 from .markdown import node_to_markdown
 from .metadata import extract_metadata
@@ -122,11 +122,16 @@ def _run_cleanup(body: Node, url: Optional[str], title: str,
 
 
 def _parse_once(html: str, metadata: dict, url: Optional[str],
-                remove_exact: bool, remove_partial: bool
-                ) -> tuple[Node, str, int]:
-    body_html = passes.extract_body_substring(html)
-    body_html = promote_noscript_html(body_html)
-    doc = parse_html(body_html)
+                remove_exact: bool, remove_partial: bool,
+                doc: Optional[Node] = None) -> tuple[Node, str, int]:
+    """One cleanup pass. ``doc`` lets the caller hand in the single
+    full-document parse (head-scan fusion — the document is tokenized
+    once, not twice); the retry path re-parses because the first pass
+    mutated the tree."""
+    if doc is None:
+        body_html = passes.extract_body_substring(html)
+        body_html = promote_noscript_html(body_html)
+        doc = parse_html(body_html)
     body = body_of(doc)
     entry = passes.find_entry_point(body)
     if entry is not None:
@@ -183,7 +188,15 @@ def _trek_parse_inner(html: str, url: Optional[str] = None,
     start = time.time()
     html = html or ""
 
-    collected = collect_initial_data(html)
+    # ONE tokenization per document: parse the full document, collect the
+    # head signals from the tree (byte-identical to the streaming
+    # collector on the whole corpus — both ride the same stdlib
+    # tokenizer), and reuse the same tree for the generic cleanup pass.
+    # The reference tokenizes 2-3x (lol_html head scan, lol_html clutter,
+    # kuchikiki DOM) because its passes are engine-separated; ours are
+    # not, and tokenization was ~30% of pipeline self-time.
+    doc = parse_html(promote_noscript_html(html))
+    collected = collect_from_dom(doc)
     metadata = extract_metadata(collected, url)
 
     # site-specific extractors (ported incrementally; falls back to generic)
@@ -205,7 +218,7 @@ def _trek_parse_inner(html: str, url: Optional[str] = None,
     remove_partial = opts["remove_partial_selectors"]
 
     body, content_html, gated_removed = _parse_once(
-        html, metadata, url, remove_exact, remove_partial)
+        html, metadata, url, remove_exact, remove_partial, doc=doc)
     word_count = count_words(content_html)
 
     # low-content retry (`src/lib.rs:199-237`); skipped when the gated
