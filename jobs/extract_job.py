@@ -35,6 +35,8 @@ def main() -> None:
     ap.add_argument("--salt-buckets", type=int, default=16)
     ap.add_argument("--part-buckets", type=int, default=64)
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--waves", type=int, default=4,
+                    help="checkpoint granularity: bucket groups per run")
     ap.add_argument("--tile-copies", type=int, default=1,
                     help="fixture-corpus tiling factor (smoke mode only)")
     args = ap.parse_args()
@@ -59,6 +61,7 @@ def main() -> None:
             salt_buckets=args.salt_buckets,
             part_buckets=args.part_buckets,
             resume=not args.no_resume,
+            waves=args.waves,
         )
         print(json.dumps(summary))
     finally:
