@@ -1882,7 +1882,7 @@ def _contains_latex_command(sv: str) -> bool:
 
 
 def _wrap_raw_latex(root: Node) -> None:
-    """Raw `$…$` / `$$…$$` / `\(...\)` / `\[...\]` text → <math>
+    r"""Raw `$…$` / `$$…$$` / `\(...\)` / `\[...\]` text → <math>
     elements (`src/elements/math/base.rs:503-…`); $-forms require a LaTeX
     command/structure char so currency text stays intact."""
     for n in root.iter_elements():
