@@ -60,16 +60,43 @@ def _words(s: str) -> int:
     return len(s.split())
 
 
+# Tick-invalidated memos: the ~22 content-pattern sub-passes re-ask for
+# the same nodes' text (72% repeat rate measured on the corpus). Keyed by
+# the node OBJECT (identity hash; strong ref prevents id-reuse aliasing)
+# and cleared whenever the global mutation tick moves — including in-place
+# text edits, which call bump_tick().
+_text_memo: dict = {}
+_ltl_memo: dict = {}
+_memo_tick = [-1]
+
+
+def _memo_fresh() -> None:
+    from ..dom import node as _nodemod
+    if _nodemod._TICK != _memo_tick[0]:
+        _text_memo.clear()
+        _ltl_memo.clear()
+        _memo_tick[0] = _nodemod._TICK
+
+
 def _text(n: Node) -> str:
-    return n.text_content()
+    _memo_fresh()
+    r = _text_memo.get(n)
+    if r is None:
+        r = n.text_content()
+        _text_memo[n] = r
+    return r
 
 
 def _link_text_length(n: Node) -> int:
-    total = 0
-    for d in n.iter_elements():
-        if d.tag == "a":
-            total += len(" ".join(d.text_content().split()))
-    return total
+    _memo_fresh()
+    r = _ltl_memo.get(n)
+    if r is None:
+        r = 0
+        for d in n.iter_elements():
+            if d.tag == "a":
+                r += len(" ".join(d.text_content().split()))
+        _ltl_memo[n] = r
+    return r
 
 
 def _link_density(n: Node) -> float:
