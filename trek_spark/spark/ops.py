@@ -639,7 +639,7 @@ def q_dedup_simhash(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     tokens = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     return d.select(
-        "doc_id", F.size(tokens).alias("n_tokens"),
+        "doc_id", F.size(tokens).cast("bigint").alias("n_tokens"),
         _simhash_half(1).alias("simhash_hi"),
         _simhash_half(9).alias("simhash_lo"))
 
