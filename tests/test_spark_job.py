@@ -159,3 +159,40 @@ def test_salting_spreads_conversations(spark):
     parts = df.withColumn("pid", F.spark_partition_id()) \
         .groupBy("pid").count().collect()
     assert len(parts) > 1  # one conversation cannot pin a single partition
+
+
+def test_giant_conversation_skew(spark, tmp_path_factory):
+    """North-rule skew clause: a single conversation holding most of the
+    corpus must not pin one partition. The salt includes turn_idx, so one
+    conv_id spreads across salt_buckets partitions; verify the spread and
+    that the job completes with correct output."""
+    from pyspark.sql import functions as F
+
+    base = build_transcripts(spark).limit(8)
+    # one conversation with 400 turns (vs 8 normal rows)
+    giant = (spark.range(400)
+             .select(F.lit("conv-giant").alias("conv_id"),
+                     F.col("id").cast("int").alias("turn_idx"),
+                     F.lit("assistant").alias("role"),
+                     F.concat(F.lit("<html><body><article><p>turn body "),
+                              F.col("id").cast("string"),
+                              F.lit(" with enough prose to extract.</p>"
+                                    "</article></body></html>")).alias("text"),
+                     F.lit(None).cast("string").alias("tool"),
+                     F.current_timestamp().alias("ts"),
+                     F.lit(None).cast("string").alias("url")))
+    skewed = base.unionByName(giant)
+
+    from trek_spark.spark.job import salted
+    parts = (salted(skewed, 8, salt_buckets=16)
+             .filter(F.col("conv_id") == "conv-giant")
+             .withColumn("pid", F.spark_partition_id())
+             .select("pid").distinct().count())
+    assert parts >= 4, f"giant conversation pinned to {parts} partition(s)"
+
+    out = str(tmp_path_factory.mktemp("skewjob"))
+    r = run_extraction_job(spark, skewed, out, num_partitions=8,
+                           part_buckets=8, waves=2)
+    assert r["rows"] == 408 and r["failures"] == 0
+    turns = spark.read.parquet(os.path.join(out, "turns"))
+    assert turns.filter(F.col("conv_id") == "conv-giant").count() == 400
