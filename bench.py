@@ -16,9 +16,10 @@ limited — 2->8 = 0.73-0.82, 4->16 = 0.68, 8->32 = 0.73 across runs —
 so any pair touching >=8 concurrent parse workers measures this shared
 KVM host's memory bus and co-tenants, not the pipeline. Separate
 executors on a real cluster each have their own bus. The full-width
-32-thread throughput is still reported for transparency, and the pair is
-measured twice with the better run kept (shared-host noise is +/-10%
-run-to-run; the pipeline itself is deterministic).
+32-thread throughput is still reported for transparency. The pair is
+measured up to twice and the attempt with the FASTEST BASELINE is kept —
+a co-tenant-degraded baseline would inflate the efficiency ratio, so the
+selection is conservative; every attempt is reported in the JSON.
 
 Prints ONE JSON line:
   {"metric": "extract_turns_per_sec", "value": <turns/sec at local[CPUS]>,

@@ -8,7 +8,7 @@ Usage (north-rule launch mode):
         --input  /path/to/transcripts            \
         --output /path/to/out                    \
         [--input-format parquet|iceberg]         \
-        [--partitions N] [--salt-buckets S] [--no-resume]
+        [--partitions N] [--salt-buckets S] [--waves W] [--no-resume]
 
 Reads the transcript table (conv_id, turn_idx, role, text, tool, ts[, url]),
 runs the salted, checkpointed extraction job, writes the turns + metrics
