@@ -57,6 +57,23 @@ _TW_EMBED_SRC_RE = re.compile(
 # Precompile the partial-selector list into one alternation regex for speed
 # (matching ~529 substrings against every attribute value).
 _PARTIAL_RE = re.compile("|".join(re.escape(p) for p in PARTIAL_SELECTORS))
+
+# The partial-selector alternation is ~300 branches and runs once per class
+# token per candidate node; tokens ("container", "row", "post-content", …)
+# repeat across every document a worker processes, so a pure-function cache
+# has a near-total hit rate in steady state. Bounded to stop adversarial
+# unique-token streams from growing it without limit.
+_partial_hit_cache: dict = {}
+
+
+def _partial_hit(tl: str) -> bool:
+    r = _partial_hit_cache.get(tl)
+    if r is None:
+        if len(_partial_hit_cache) > 200_000:
+            _partial_hit_cache.clear()
+        r = _PARTIAL_RE.search(tl) is not None
+        _partial_hit_cache[tl] = r
+    return r
 # Writerside-style structural markers ("h2-related" = belongs to the h2
 # section) — not "related posts" chrome (issues--217 fixture).
 _HEADING_LEVEL_TOKEN_RE = re.compile(r"h\d-related$")
@@ -109,10 +126,10 @@ def value_matches_partial(value: str, attr: str) -> bool:
                 if _ELEMENTOR_CHROME_RE.search(tl):
                     return True
                 continue
-            if _PARTIAL_RE.search(tl):
+            if _partial_hit(tl):
                 return True
         return False
-    return _PARTIAL_RE.search(value.lower()) is not None
+    return _partial_hit(value.lower())
 
 
 def _class_token_matches_partial(value: str, attr: str) -> bool:
@@ -138,10 +155,10 @@ def _class_token_matches_partial(value: str, attr: str) -> bool:
                 continue
             if has_responsive_show and t in ("hidden", "invisible"):
                 continue
-            if _PARTIAL_RE.search(tl2):
+            if _partial_hit(tl2):
                 return True
         return False
-    return _PARTIAL_RE.search(value.lower()) is not None
+    return _partial_hit(value.lower())
 
 
 def _captioned_header_block(node: Node) -> bool:
