@@ -342,6 +342,9 @@ def remove_exact_selectors(body: Node) -> None:
 def selectors_pass(body: Node) -> int:
     """Long-tail partial-selector removal (`src/removals/selectors.rs:88-142`)."""
     to_remove = []
+    # hoisted: the scan phase never mutates, and recomputing the full body
+    # text per matched candidate was quadratic on widget-heavy documents
+    total = len(body.text_content())
     for n in body.descendants_snapshot():
         if n.parent is None:
             continue
@@ -379,7 +382,6 @@ def selectors_pass(body: Node) -> int:
                 continue
             if n.find_first("pre") is not None:
                 continue  # code-tab chrome wrapping real code blocks
-            total = len(body.text_content())
             if total > 500 and len(n.text_content()) / total > 0.5:
                 continue
             to_remove.append(n)
