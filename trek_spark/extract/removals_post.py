@@ -1236,6 +1236,24 @@ def _drop_contentless_headings(root: Node) -> None:
         return
     order = [n for n in root.iter() if n.type in (ELEMENT, TEXT)]
     pos = {id(n): i for i, n in enumerate(order)}
+    # Suffix precompute — content_next[i] = smallest j >= i holding real
+    # content. Makes the common (non-orphan) path O(nodes) total instead
+    # of O(headings x nodes), which mattered on TOC-heavy documents (a
+    # page with thousands of headings re-scanned the tail per heading).
+    # The predicate is stable under this pass's own detaches: a detached
+    # heading keeps its internal parent chain, so text under it still
+    # counts — exactly the behavior of the previous lazy scan.
+    n_nodes = len(order)
+    content_next = [n_nodes] * (n_nodes + 1)
+    nxt = n_nodes
+    for i in range(n_nodes - 1, -1, -1):
+        n = order[i]
+        if (n.type == TEXT and n.text.strip()
+                and not n.has_ancestor_tag(*_HEADING_TAGS)) or \
+           (n.type == ELEMENT and n.tag in ("img", "table", "pre",
+                                            "iframe", "video", "math")):
+            nxt = i
+        content_next[i] = nxt
     for h in reversed(heads):
         if h.parent is None or id(h) not in pos:
             continue
@@ -1243,7 +1261,6 @@ def _drop_contentless_headings(root: Node) -> None:
                 "references", "notes", "footnotes", "endnotes",
                 "external links", "see also"):
             continue  # section lists render out-of-band (footnote defs)
-        h_sub = {id(d) for d in h.iter()}
         # a heading tagged `data-trek-orphaned` had its section emptied by a
         # REMOVAL pass (elementor heading widget whose sibling map/grid
         # widgets were stripped) — judge it by its own section only, i.e.
@@ -1252,21 +1269,30 @@ def _drop_contentless_headings(root: Node) -> None:
         # later sibling sections) and only drop when fully trailing.
         orphaned = h.get("data-trek-orphaned") == "1"
         level = int(h.tag[1])
-        has_content = False
-        for n in order[pos[id(h)] + 1:]:
-            if id(n) in h_sub or n.parent is None:
-                continue
-            if orphaned and n.type == ELEMENT and n.tag in _HEADING_TAGS \
-                    and int(n.tag[1]) <= level:
-                break
-            if n.type == TEXT and n.text.strip() \
-                    and not n.has_ancestor_tag(*_HEADING_TAGS):
-                has_content = True
-                break
-            if n.type == ELEMENT and n.tag in ("img", "table", "pre",
-                                               "iframe", "video", "math"):
-                has_content = True
-                break
+        h_end = max((pos[id(d)] for d in h.iter() if id(d) in pos),
+                    default=pos[id(h)])
+        if orphaned:
+            # bounded scan: the orphan rule stops at the next
+            # same-or-higher heading, so this walk is section-local
+            h_sub = {id(d) for d in h.iter()}
+            has_content = False
+            for n in order[h_end + 1:]:
+                if id(n) in h_sub or n.parent is None:
+                    continue
+                if n.type == ELEMENT and n.tag in _HEADING_TAGS \
+                        and int(n.tag[1]) <= level:
+                    break
+                if n.type == TEXT and n.text.strip() \
+                        and not n.has_ancestor_tag(*_HEADING_TAGS):
+                    has_content = True
+                    break
+                if n.type == ELEMENT and n.tag in ("img", "table", "pre",
+                                                   "iframe", "video",
+                                                   "math"):
+                    has_content = True
+                    break
+        else:
+            has_content = content_next[h_end + 1] < n_nodes
         if not has_content:
             h.detach()
             continue
