@@ -433,16 +433,44 @@ def _shingles(col="text", k=3):
 
 
 _SHINGLE_DF_CAP = 1000  # max docs a shingle may appear in before it's dropped
+_LSH_BUCKET_CAP = 1000  # max docs an LSH band bucket may hold before drop
 
-def _pair_expr():
-    """All (a < b) pairs from a sorted distinct-doc `ids` list, generated
-    JVM-side (transform index i is 0-based; slice start is 1-based, hence
-    i + 2). Lazy: F.expr needs an active SparkContext."""
-    return F.expr("""
-        flatten(transform(ids, (x, i) ->
-          transform(slice(ids, i + 2, size(ids) - i - 1), y ->
-            struct(x AS id_a, y AS id_b))))
-    """)
+
+def _drop_hot_keys(df: DataFrame, keys: list[str], cap: int) -> DataFrame:
+    """Remove rows whose key appears more than ``cap`` times — BEFORE any
+    collect_list, so no aggregation buffer ever holds an unbounded list.
+
+    ``count`` is map-side combinable: the pre-aggregation shuffle carries at
+    most one row per (partition, key), and the post-filter hot set is tiny
+    (only keys above cap), so the anti-join side is broadcastable by
+    construction. This is the shape that survives a boilerplate shingle or a
+    10^7×-duplicated spam page at 100 TB, where a plain
+    ``collect_list → size filter`` would materialize a multi-GB array in ONE
+    aggregation buffer before dropping it (executor OOM on a skewed key).
+    """
+    hot = df.groupBy(*keys).count().filter(F.col("count") > cap).drop("count")
+    return df.join(F.broadcast(hot), keys, "left_anti")
+
+
+def _explode_pairs(grouped: DataFrame) -> DataFrame:
+    """All (a < b) pairs from a sorted distinct-doc ``ids`` column, as
+    ``id_a``/``id_b`` rows.
+
+    Two-stage explode: posexplode picks each left element, then a second
+    explode over the tail slice emits its partners — per-row intermediate
+    state is O(|ids|) (≤ the group cap), never the O(|ids|²) full pair set
+    a single flatten would buffer in one array value. Both explodes run
+    inside one codegen stage (no shuffle between them), so rows stream
+    through one at a time. slice() start is 1-based and posexplode's index
+    is 0-based, hence ``i + 2``.
+    """
+    return (
+        grouped.select("ids", F.posexplode("ids").alias("i", "id_a"))
+        .select(
+            "id_a",
+            F.explode(
+                F.expr("slice(ids, i + 2, size(ids) - i - 1)")).alias("id_b"))
+    )
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
@@ -462,22 +490,22 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
         "doc_id", _shingles().alias("sh"))
     sizes = d.select("doc_id", F.size("sh").alias("n"))
     ex = d.select("doc_id", F.explode("sh").alias("shingle"))
-    # ONE shuffle groups each shingle's (distinct) doc list; the size
-    # filter IS the frequency cap (no separate df aggregation + anti-join
-    # — round-2 bench showed that extra pass cost +37% wall). Pair
-    # generation is a JVM-side higher-order transform over the sorted
-    # list, so the a<b self-join disappears entirely; per-group work is
-    # bounded by CAP^2/2.
+    # Hot-shingle document-frequency cap runs BEFORE collect_list (map-side
+    # combinable count + broadcast anti-join): no aggregation buffer ever
+    # holds more than CAP doc ids, so a 10^8-frequency boilerplate shingle
+    # costs one tiny hot-set row instead of a multi-GB single-group list.
+    # Then ONE groupBy shuffle collects each surviving shingle's doc list
+    # and pairs are generated JVM-side; per-group work ≤ CAP²/2 rows with
+    # O(CAP) per-row state (see _explode_pairs).
+    safe = _drop_hot_keys(ex, ["shingle"], _SHINGLE_DF_CAP)
     grouped = (
-        ex.groupBy("shingle")
+        safe.groupBy("shingle")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter((F.size("ids") >= 2)
-                & (F.size("ids") <= _SHINGLE_DF_CAP))
+        .filter(F.size("ids") >= 2)
     )
     pairs = (
-        grouped.select(F.explode(_pair_expr()).alias("p"))
-        .groupBy(F.col("p.id_a").alias("id_a"),
-                 F.col("p.id_b").alias("id_b"))
+        _explode_pairs(grouped)
+        .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("shared"))
     )
     sa = sizes.alias("sa")
@@ -533,7 +561,30 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     engine-portable) → band keys (r minhashes concatenated) → bucket
     self-join. Only documents sharing a full band collide, so the join is
     band-bucket-local: the 100 TB-scale strategy (no pairwise scan).
+
+    Degenerate buckets (a spam page duplicated 10^7× puts 10^7 ids in one
+    band bucket) are dropped by a count-gated cap BEFORE collect_list —
+    same map-side-combinable pre-filter as the jaccard op, so no buffer
+    ever holds an unbounded list. Dropped buckets are not silent: audit
+    them with :func:`q_dedup_lsh_dropped_buckets`, which returns each
+    over-cap (band, band_key) with its population so a job can count/log
+    what the pair stage skipped.
     """
+    safe = _drop_hot_keys(
+        _lsh_bands(spark, sf_dir), ["band", "band_key"], _LSH_BUCKET_CAP)
+    grouped = (safe.groupBy("band", "band_key")
+               .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+               .filter(F.size("ids") >= 2))
+    return _explode_pairs(grouped).select("id_a", "id_b").distinct()
+
+
+def _lsh_bands(spark, sf_dir) -> DataFrame:
+    """(doc_id, band, band_key) rows for the LSH op — shared by the pair
+    stage and the dropped-bucket audit.
+
+    One evaluation of the (md5-heavy) signature row, exploded into its band
+    keys — a union-of-selects shape would recompute the full signature once
+    per band."""
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", _shingles().alias("sh")).filter(F.size("sh") > 0)
     mh_cols = [
@@ -543,11 +594,6 @@ def q_dedup_minhash_lsh(spark, sf_dir):
         for i in range(_MINHASH_SEEDS)
     ]
     sigs = d.select("doc_id", *mh_cols)
-    # one evaluation of the (md5-heavy) signature row, exploded into its
-    # band keys — the round-2 union-of-selects shape recomputed the full
-    # signature once per band. Bucket-local pair generation replaces the
-    # self-join: same results, one groupBy shuffle instead of two join
-    # exchanges.
     band_structs = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
@@ -555,22 +601,29 @@ def q_dedup_minhash_lsh(spark, sf_dir):
                                for r in range(_BAND_ROWS)])
             .alias("band_key"))
         for b in range(_MINHASH_SEEDS // _BAND_ROWS)])
-    all_bands = (
+    return (
         sigs.select("doc_id", F.explode(band_structs).alias("bk"))
         .select("doc_id", F.col("bk.band").alias("band"),
                 F.col("bk.band_key").alias("band_key")))
-    grouped = (all_bands.groupBy("band", "band_key")
-               .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-               .filter(F.size("ids") >= 2))
+
+
+def q_dedup_lsh_dropped_buckets(spark, sf_dir):
+    """Audit surface for the LSH cap: every band bucket whose population
+    exceeds ``_LSH_BUCKET_CAP`` (and was therefore excluded from the pair
+    stage), with its size. Empty on healthy corpora; a job logs/metrics
+    this count so cap drops are never silent truncation."""
+    bands = _lsh_bands(spark, sf_dir)
     return (
-        grouped.select(F.explode(_pair_expr()).alias("p"))
-        .select(F.col("p.id_a").alias("id_a"),
-                F.col("p.id_b").alias("id_b"))
-        .distinct()
+        bands.groupBy("band", "band_key")
+        .agg(F.count("*").alias("bucket_docs"))
+        .filter(F.col("bucket_docs") > _LSH_BUCKET_CAP)
+        .orderBy("band", "band_key")
     )
 
 
-def _sql_minhash_bands() -> str:
+def _sql_minhash_prefix() -> tuple[str, str]:
+    """(mh column list, band UNION selects) shared by the LSH pair oracle
+    and the dropped-bucket audit oracle."""
     mh = ",\n    ".join(
         "list_min(list_transform(shingles, "
         f"s -> substr(md5(concat('{i}:', s)), 1, 16))) AS mh{i}"
@@ -581,6 +634,11 @@ def _sql_minhash_bands() -> str:
             f"mh{b * _BAND_ROWS + r}" for r in range(_BAND_ROWS))
         + " AS band_key FROM sigs"
         for b in range(_MINHASH_SEEDS // _BAND_ROWS))
+    return mh, band_selects
+
+
+def _sql_minhash_bands() -> str:
+    mh, band_selects = _sql_minhash_prefix()
     return f"""
 WITH sh AS (
   SELECT doc_id, list_distinct(list_transform(
@@ -592,8 +650,14 @@ WITH sh AS (
   SELECT doc_id,
     {mh}
   FROM sh WHERE length(shingles) > 0
-), bands AS (
+), bands_all AS (
 {band_selects}
+), hot AS (
+  SELECT band, band_key FROM bands_all
+  GROUP BY 1, 2 HAVING count(*) > {_LSH_BUCKET_CAP}
+), bands AS (
+  SELECT bands_all.* FROM bands_all
+  ANTI JOIN hot USING (band, band_key)
 )
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM bands a JOIN bands b
@@ -602,6 +666,32 @@ FROM bands a JOIN bands b
 
 
 SQL_DEDUP_MINHASH = _sql_minhash_bands()
+
+
+def _sql_lsh_dropped_buckets() -> str:
+    mh, band_selects = _sql_minhash_prefix()
+    return f"""
+WITH sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+           range(1, greatest(length(regexp_split_to_array(trim(text), '\\s+')) - 2, 0) + 1),
+           i -> array_to_string(list_slice(regexp_split_to_array(trim(text), '\\s+'), i, i + 2), ' ')
+         )) AS shingles
+  FROM documents
+), sigs AS (
+  SELECT doc_id,
+    {mh}
+  FROM sh WHERE length(shingles) > 0
+), bands_all AS (
+{band_selects}
+)
+SELECT band, band_key, count(*) AS bucket_docs
+FROM bands_all
+GROUP BY 1, 2 HAVING count(*) > {_LSH_BUCKET_CAP}
+ORDER BY band, band_key
+"""
+
+
+SQL_LSH_DROPPED_BUCKETS = _sql_lsh_dropped_buckets()
 
 
 def _simhash_half(offset: int):
@@ -663,6 +753,110 @@ SELECT doc_id, n_tokens,
     CASE WHEN len(list_filter(h_lo, x -> ((x >> i) & 1) = 1)) * 2 > len(h_lo)
          THEN (1::BIGINT << i) ELSE 0 END), 'sum') AS BIGINT) AS simhash_lo
 FROM hh
+"""
+
+
+_SIMHASH_MAX_HAMMING = 3  # 4 × 16-bit bands ⇒ exact for distance ≤ 3
+
+
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs: Hamming distance ≤ 3 over the 64-bit
+    signature, found WITHOUT a pairwise scan.
+
+    Pigeonhole banding: the 64 bits split into four 16-bit bands; any two
+    signatures within Hamming distance 3 agree exactly on at least one
+    band (3 differing bits can dirty at most 3 of the 4 bands). So
+    candidates = documents sharing a (band, key) bucket — an equi-join
+    shape, work ∝ bucket co-occupancy. The verify stage then computes the
+    exact distance via xor + bit_count (JVM codegen) and filters ≤ 3; the
+    banding is exact (no recall loss) for this radius.
+
+    Scale: same count-gated hot-bucket cap as the LSH op before any
+    collect_list (a degenerate 16-bit band key shared by 10^7 short docs
+    can't OOM a buffer), pair gen is the two-stage explode, and the final
+    signature joins shuffle on doc_id — all bounded, no O(n²) anywhere.
+    """
+    sigs = q_dedup_simhash(spark, sf_dir).drop("n_tokens")
+    bands = sigs.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(
+                    F.col("simhash_hi" if b < 2 else "simhash_lo"),
+                    (b % 2) * 16).bitwiseAND(F.lit(0xFFFF))
+                .alias("band_key"))
+            for b in range(4)])).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"),
+             F.col("bk.band_key").alias("band_key"))
+    safe = _drop_hot_keys(bands, ["band", "band_key"], _LSH_BUCKET_CAP)
+    grouped = (safe.groupBy("band", "band_key")
+               .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+               .filter(F.size("ids") >= 2))
+    cand = _explode_pairs(grouped).distinct()
+    sa = sigs.select(F.col("doc_id").alias("id_a"),
+                     F.col("simhash_hi").alias("hi_a"),
+                     F.col("simhash_lo").alias("lo_a"))
+    sb = sigs.select(F.col("doc_id").alias("id_b"),
+                     F.col("simhash_hi").alias("hi_b"),
+                     F.col("simhash_lo").alias("lo_b"))
+    return (
+        cand.join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "hamming",
+            (F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+             + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b"))))
+            .cast("int"))
+        .filter(F.col("hamming") <= _SIMHASH_MAX_HAMMING)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+SQL_DEDUP_SIMHASH_PAIRS = f"""
+WITH h AS (
+  SELECT doc_id,
+    regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+), hh AS (
+  SELECT doc_id,
+    list_transform(toks, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS h_hi,
+    list_transform(toks, t -> ('0x' || substr(md5(t), 9, 8))::BIGINT) AS h_lo
+  FROM h
+), sigs AS (
+  SELECT doc_id,
+    CAST(list_aggregate(list_transform(range(0, 32), i ->
+      CASE WHEN len(list_filter(h_hi, x -> ((x >> i) & 1) = 1)) * 2 > len(h_hi)
+           THEN (1::BIGINT << i) ELSE 0 END), 'sum') AS BIGINT) AS simhash_hi,
+    CAST(list_aggregate(list_transform(range(0, 32), i ->
+      CASE WHEN len(list_filter(h_lo, x -> ((x >> i) & 1) = 1)) * 2 > len(h_lo)
+           THEN (1::BIGINT << i) ELSE 0 END), 'sum') AS BIGINT) AS simhash_lo
+  FROM hh
+), bands_all AS (
+  SELECT doc_id, b AS band,
+    CASE b WHEN 0 THEN simhash_hi & 65535
+           WHEN 1 THEN (simhash_hi >> 16) & 65535
+           WHEN 2 THEN simhash_lo & 65535
+           ELSE (simhash_lo >> 16) & 65535 END AS band_key
+  FROM sigs, (SELECT unnest(range(0, 4)) AS b)
+), hot AS (
+  SELECT band, band_key FROM bands_all
+  GROUP BY 1, 2 HAVING count(*) > {_LSH_BUCKET_CAP}
+), bands AS (
+  SELECT bands_all.* FROM bands_all
+  ANTI JOIN hot USING (band, band_key)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+  CAST(bit_count(xor(sa.simhash_hi, sb.simhash_hi))
+       + bit_count(xor(sa.simhash_lo, sb.simhash_lo)) AS INT) AS hamming
+FROM cand
+JOIN sigs sa ON id_a = sa.doc_id
+JOIN sigs sb ON id_b = sb.doc_id
+WHERE bit_count(xor(sa.simhash_hi, sb.simhash_hi))
+      + bit_count(xor(sa.simhash_lo, sb.simhash_lo)) <= {_SIMHASH_MAX_HAMMING}
 """
 
 
@@ -917,7 +1111,10 @@ OPS: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),
+    "dedup_lsh_dropped_buckets": (
+        q_dedup_lsh_dropped_buckets, SQL_LSH_DROPPED_BUCKETS),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_DEDUP_SIMHASH_PAIRS),
     "embedding_norms": (q_embedding_norms, SQL_EMBEDDING_NORMS),
     "ann_topk_cosine": (q_ann_topk_cosine, SQL_ANN_TOPK),
     "ann_topk_ivf": (q_ann_topk_ivf, SQL_ANN_TOPK_IVF),
