@@ -153,3 +153,15 @@ def test_c2_wiki_sync_path_never_claims():
     assert not c2_wiki_can("https://wiki.c2.com/?WelcomeVisitors", "")
     assert _c2_split_camel("WelcomeVisitors") == "Welcome Visitors"
     assert _c2_split_camel("SomeWikiPage") == "Some Wiki Page"
+
+
+def test_registry_priority_order_matches_reference():
+    """First-match-wins dispatch requires the exact reference order
+    (src/extractors/mod.rs:50-93); a drifted order can route a document
+    claimed by two extractors differently."""
+    from trek_spark.extract import extractors as ex
+    ex._bootstrap()
+    assert [n for n, _, _ in ex._REGISTRY] == ex.PRIORITY_ORDER
+    assert ex.PRIORITY_ORDER[0] == "x-article"
+    assert ex.PRIORITY_ORDER[-1] == "bbcode-data"
+    assert ex.PRIORITY_ORDER.index("mastodon") == 19  # after news/knowledge

@@ -118,8 +118,10 @@ def test_recursion_guard_depth_limit():
         # exceeds the cap
         r = trek_parse(doc, "https://recurse.example/x")
         assert r is not None
-        assert calls["max_seen"] <= pl._RECURSION_MAX + 1
-        assert calls["n"] <= pl._RECURSION_MAX + 1
+        # at most _RECURSION_MAX live parses (the enter that would exceed
+        # the cap raises — reference RecursionDepth DEFAULT_MAX=3)
+        assert calls["max_seen"] <= pl._RECURSION_MAX
+        assert calls["n"] <= pl._RECURSION_MAX
     finally:
         reg._REGISTRY.pop(0)
     assert pl._parse_depth == 0
@@ -127,9 +129,17 @@ def test_recursion_guard_depth_limit():
 
 def test_recursion_guard_raises_beyond_cap():
     import trek_spark.extract.pipeline as pl
-    pl._parse_depth = pl._RECURSION_MAX + 1
+    # an enter AT the cap must fail (depth==MAX means MAX parses are
+    # already live; this would be the MAX+1th)
+    pl._parse_depth = pl._RECURSION_MAX
     try:
         with pytest.raises(RecursionLimitError):
             trek_parse("<p>x</p>")
+    finally:
+        pl._parse_depth = 0
+    # and the last allowed depth still succeeds
+    pl._parse_depth = pl._RECURSION_MAX - 1
+    try:
+        assert trek_parse("<p>x</p>") is not None
     finally:
         pl._parse_depth = 0

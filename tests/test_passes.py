@@ -170,3 +170,44 @@ def test_scoring_drops_link_farm():
     html = f'<div class="related">{links}</div><p>real prose</p>'
     out = run(html, removals_post.scoring)
     assert "somewhere link" not in out and "real prose" in out
+
+
+def test_markdown_false_returns_html_content():
+    """output.markdown=False → `content` is the cleaned HTML, not markdown
+    (src/lib.rs:154-181,314-341); separate_markdown still yields markdown."""
+    from trek_spark.extract.pipeline import trek_parse
+    html = ("<html><body><article><h2>Header</h2><p>Some body prose with "
+            "enough words to survive extraction easily.</p></article>"
+            "</body></html>")
+    r = trek_parse(html, "https://ex.example/a",
+                   {"markdown": False, "separate_markdown": True})
+    assert "<p>" in r["content"]          # HTML, not markdown
+    assert "##" not in r["content"]
+    assert r["content_markdown"] and "## Header" in r["content_markdown"]
+
+    r2 = trek_parse(html, "https://ex.example/a",
+                    {"markdown": False, "separate_markdown": False})
+    assert "<p>" in r2["content"]
+    assert r2["content_markdown"] is None
+
+    r3 = trek_parse(html, "https://ex.example/a")
+    assert "## Header" in r3["content"]   # default unchanged
+    assert r3["content_markdown"] == r3["content"]
+
+
+def test_debug_mode_preserves_empty_elements_and_wrappers():
+    """debug=True skips empty-element removal and legacy wrapper flattening
+    (src/standardize_legacy.rs:26-33) so the cleaned HTML keeps structure
+    for inspection."""
+    from trek_spark.extract.pipeline import trek_parse
+    probe = '<div class="gap-xx"></div>'
+    html = (f"<html><body><article><p>Real content paragraph with plenty "
+            f"of words for the scorer to keep around.</p>{probe}"
+            f"<p>Another real paragraph with further words to keep scoring "
+            f"above every removal threshold comfortably.</p></article>"
+            f"</body></html>")
+    dbg = trek_parse(html, "https://ex.example/d",
+                     {"debug": True, "markdown": False})
+    std = trek_parse(html, "https://ex.example/d", {"markdown": False})
+    assert probe in dbg["content"]       # empty element preserved
+    assert probe not in std["content"]   # default removes it

@@ -25,16 +25,31 @@ def register(name: str, can_extract: Callable, extract: Callable) -> None:
 
 _BOOTSTRAPPED = False
 
+# EXACT reference priority order (`src/extractors/mod.rs:50-93`). Dispatch is
+# first-match-wins, so this list — not the per-module registration order — is
+# behavioral: a document claimed by two extractors must dispatch to the one
+# the reference would pick (e.g. mastodon's generator-meta match sits AFTER
+# the news/knowledge family, at position 20).
+PRIORITY_ORDER = [
+    "x-article", "twitter", "x-oembed",          # X/Twitter family
+    "reddit",
+    "youtube",                                   # prefers_async placeholder
+    "hackernews",
+    "chatgpt", "claude", "grok", "gemini",       # AI chat assistants
+    "github", "linkedin",                        # dev / code-hosting
+    "threads", "bluesky",                        # other social timelines
+    "medium", "c2_wiki", "substack", "nytimes", "wikipedia",  # news/knowledge
+    "mastodon", "discourse",                     # generator-meta-matched
+    "leetcode", "lwn",                           # long-tail dev/publishing
+    "bbcode-data",                               # catch-all, LAST
+]
+
 
 def _bootstrap() -> None:
-    global _BOOTSTRAPPED
+    global _BOOTSTRAPPED, _REGISTRY
     if _BOOTSTRAPPED:
         return
     _BOOTSTRAPPED = True
-    # reference priority order (`src/extractors/mod.rs:46-96`):
-    # X-Article > Twitter > X-Oembed > Reddit > YouTube > HackerNews >
-    # AI chat > dev/code > social timelines > news/knowledge >
-    # generator-meta > long-tail > BBCode catch-all
     from .sites import register_x_article
     register_x_article()
     from .conversations import register_x_family
@@ -49,9 +64,14 @@ def _bootstrap() -> None:
     register_all()
     from .sites import register_site_extractors
     register_site_extractors()
-    # catch-all BBCode detection registered LAST (`src/extractors/mod.rs:94`)
     from .sites import bbcode_can, bbcode_extract
     register("bbcode-data", bbcode_can, bbcode_extract)
+    # normalize to the reference order regardless of module import layout
+    by_name = {name: entry for entry in _REGISTRY for name in [entry[0]]}
+    missing = set(by_name) ^ set(PRIORITY_ORDER)
+    if missing:  # a rename/addition must update PRIORITY_ORDER explicitly
+        raise RuntimeError(f"extractor registry out of sync: {missing}")
+    _REGISTRY[:] = [by_name[n] for n in PRIORITY_ORDER]
 
 
 def try_extractors(html: str, url: Optional[str], collected, metadata):

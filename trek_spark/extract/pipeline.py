@@ -71,7 +71,8 @@ def _first_image_from_dom(body: Node) -> str:
 
 
 def _run_cleanup(body: Node, url: Optional[str], title: str,
-                 remove_exact: bool, remove_partial: bool) -> int:
+                 remove_exact: bool, remove_partial: bool,
+                 debug: bool = False) -> int:
     """Clutter removal + full DOM pass chain, in reference order.
 
     Returns the number of nodes removed by the GATED removal passes (clutter
@@ -91,12 +92,15 @@ def _run_cleanup(body: Node, url: Optional[str], title: str,
     # convert before wrapper flattening splits them
     elements._convert_margin_footnotes(body)
 
-    # legacy standardize (`src/standardize_legacy.rs:9-36`)
+    # legacy standardize (`src/standardize_legacy.rs:9-36`); debug keeps
+    # empty elements and wrappers for inspection (`:26-33` gates them
+    # behind `if !debug`)
     passes.remove_comments(body)
     passes.rewrite_embed_iframes(body)
-    passes.remove_empty_elements(body)
-    passes.flatten_wrapper_elements_legacy(body)
-    passes.flatten_wrapper_elements_legacy(body)
+    if not debug:
+        passes.remove_empty_elements(body)
+        passes.flatten_wrapper_elements_legacy(body)
+        passes.flatten_wrapper_elements_legacy(body)
 
     # DOM pass chain (`src/lib.rs:350-387`)
     if remove_exact or remove_partial:
@@ -123,7 +127,8 @@ def _run_cleanup(body: Node, url: Optional[str], title: str,
 
 def _parse_once(html: str, metadata: dict, url: Optional[str],
                 remove_exact: bool, remove_partial: bool,
-                doc: Optional[Node] = None) -> tuple[Node, str, int]:
+                doc: Optional[Node] = None,
+                debug: bool = False) -> tuple[Node, str, int]:
     """One cleanup pass. ``doc`` lets the caller hand in the single
     full-document parse (head-scan fusion — the document is tokenized
     once, not twice); the retry path re-parses because the first pass
@@ -142,7 +147,7 @@ def _parse_once(html: str, metadata: dict, url: Optional[str],
         wrapper.append(entry)
         body = wrapper
     gated_removed = _run_cleanup(body, url, metadata.get("title", ""),
-                                 remove_exact, remove_partial)
+                                 remove_exact, remove_partial, debug=debug)
     content_html = inner_html(body)
     return body, content_html, gated_removed
 
@@ -166,7 +171,10 @@ def trek_parse(html: str, url: Optional[str] = None,
     """One document in → response dict out (shape of `TrekResponse`,
     `src/types.rs:120-138`)."""
     global _parse_depth
-    if _parse_depth > _RECURSION_MAX:
+    # >= so the enter that would EXCEED the cap errors (reference
+    # RecursionDepth, src/extractor.rs:113-160: DEFAULT_MAX=3 means at most
+    # 3 live parses; the 4th enter fails)
+    if _parse_depth >= _RECURSION_MAX:
         raise RecursionLimitError(
             f"recursion limit exceeded: max depth {_RECURSION_MAX}")
     _parse_depth += 1
@@ -208,24 +216,25 @@ def _trek_parse_inner(html: str, url: Optional[str] = None,
             if v is not None:
                 metadata[k] = v
         word_count = count_words(content_html)
-        md = node_to_markdown(body_of(parse_html(content_html)),
-                              metadata.get("title", ""), url)
         metadata["word_count"] = word_count
-        return _response(md, content_html, metadata, collected,
-                         extractor_type, start)
+        return _response(content_html, metadata, collected,
+                         extractor_type, start, opts=opts)
 
     remove_exact = opts["remove_exact_selectors"]
     remove_partial = opts["remove_partial_selectors"]
+    debug = bool(opts.get("debug"))
 
     body, content_html, gated_removed = _parse_once(
-        html, metadata, url, remove_exact, remove_partial, doc=doc)
+        html, metadata, url, remove_exact, remove_partial, doc=doc,
+        debug=debug)
     word_count = count_words(content_html)
 
     # low-content retry (`src/lib.rs:199-237`); skipped when the gated
     # removal passes removed nothing — the retry output would be identical
     if word_count < 200 and gated_removed > 0 \
             and (remove_exact or remove_partial):
-        body2, content2, _ = _parse_once(html, metadata, url, False, False)
+        body2, content2, _ = _parse_once(html, metadata, url, False, False,
+                                         debug=debug)
         retry_count = count_words(content2)
         if retry_count > word_count * 2 or (word_count < 30
                                             and retry_count > word_count):
@@ -235,14 +244,29 @@ def _trek_parse_inner(html: str, url: Optional[str] = None,
     if not metadata.get("image"):
         metadata["image"] = _first_image_from_dom(body)
 
-    md = node_to_markdown(body, metadata.get("title", ""), url)
-    return _response(md, content_html, metadata, collected, None, start,
-                     body=body)
+    return _response(content_html, metadata, collected, None, start,
+                     body=body, opts=opts)
 
 
-def _response(md: str, content_html: str, metadata: dict, collected,
+def _response(content_html: str, metadata: dict, collected,
               extractor_type: Optional[str], start: float,
-              body: Optional[Node] = None) -> dict:
+              body: Optional[Node] = None,
+              opts: Optional[dict] = None) -> dict:
+    opts = opts if opts is not None else DEFAULT_OPTIONS
+    url = opts.get("url")
+    want_md = bool(opts.get("markdown", True))
+    want_separate = bool(opts.get("separate_markdown", True))
+    # markdown is rendered only when an output mode asks for it
+    # (`src/lib.rs:154-181,314-341`): `content` is markdown when
+    # output.markdown else the cleaned HTML; `content_markdown` is populated
+    # only under separate_markdown.
+    md = None
+    if want_md or want_separate:
+        if body is not None:
+            md = node_to_markdown(body, metadata.get("title", ""), url)
+        else:
+            md = node_to_markdown(body_of(parse_html(content_html or "")),
+                                  metadata.get("title", ""), url)
     # plain-text rendering (reference public surface `src/html_to_text.rs`):
     # reuse the final DOM when the generic path provides it; extractor paths
     # pass body=None and we parse their (small, already-cleaned) HTML.
@@ -251,8 +275,8 @@ def _response(md: str, content_html: str, metadata: dict, collected,
     else:
         text = html_to_text(content_html or "")
     return {
-        "content": md,
-        "content_markdown": md,
+        "content": (md or "") if want_md else content_html,
+        "content_markdown": md if want_separate else None,
         "content_html": content_html,
         "content_text": text,
         "extractor_type": extractor_type,

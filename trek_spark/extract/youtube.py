@@ -127,7 +127,10 @@ def youtube_extract_sync(html: str, url, collected, metadata):
             f'referrerpolicy="strict-origin-when-cross-origin" '
             f'allowfullscreen></iframe>')
     if description:
-        parts.append("<p>" + description.replace("\n", "<br>") + "</p>")
+        # escape BEFORE inserting <br>: the entity-decoded attribute text is
+        # untrusted page content and must not inject markup
+        parts.append("<p>" + _html.escape(description).replace("\n", "<br>")
+                     + "</p>")
     if chapters:
         parts.append("<h2>Chapters</h2><ul>" + "".join(
             "<li>" + _html.escape(c) + "</li>" for c in chapters) + "</ul>")
