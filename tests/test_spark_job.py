@@ -89,11 +89,12 @@ def test_checkpoint_resume(spark, tmp_path_factory):
     r1 = run_extraction_job(spark, transcripts, out, num_partitions=8,
                             part_buckets=8)
     assert r1["rows"] == 40 and r1["failures"] == 0
-    # table-native checkpoint: no driver-local state, buckets derived from
-    # the output table itself
+    # table-colocated checkpoint: no driver-local state; completion is
+    # recorded by post-commit marker files, not inferred from data files
     assert not os.path.exists(os.path.join(out, "ledger.json"))
     from trek_spark.spark.job import _completed_buckets
-    assert _completed_buckets(spark, os.path.join(out, "turns"))
+    done = _completed_buckets(spark, os.path.join(out, "_committed"))
+    assert len(done) == 8  # every bucket marked, including empty ones
     # second run resumes: every bucket already committed → no new rows
     r2 = run_extraction_job(spark, transcripts, out, num_partitions=8,
                             part_buckets=8)
@@ -133,9 +134,9 @@ def test_resume_after_partial_crash(spark, tmp_path_factory):
     finally:
         jobmod.extract_turns = orig
 
-    # wave 1 committed; buckets from waves 2-4 absent
+    # wave 1 marked committed; buckets from waves 2-4 absent
     done_after_crash = jobmod._completed_buckets(
-        spark, os.path.join(out, "turns"))
+        spark, os.path.join(out, "_committed"))
     assert 0 < len(done_after_crash) < 8
 
     # full rerun completes the table idempotently
@@ -144,12 +145,61 @@ def test_resume_after_partial_crash(spark, tmp_path_factory):
     turns = spark.read.parquet(os.path.join(out, "turns"))
     assert turns.count() == 40
     assert turns.select("conv_id", "turn_idx").distinct().count() == 40
-    # every NON-EMPTY bucket is committed (buckets no conversation hashes
-    # into never materialize a partition directory)
-    non_empty = (transcripts
-                 .select(F.pmod(F.hash("conv_id"), F.lit(8)).alias("b"))
-                 .distinct().count())
-    assert r["completed_buckets"] == non_empty
+    # every bucket is now marked committed (markers cover empty ones too)
+    assert r["completed_buckets"] == 8
+
+
+def test_partial_commit_without_marker_is_reextracted(spark,
+                                                      tmp_path_factory):
+    """A bucket directory holding data files but NO marker (crash during
+    the committer's file-by-file job commit) must be treated as
+    incomplete: the rerun re-extracts it and dynamic overwrite replaces
+    the partial files, so no rows are silently dropped."""
+    out = str(tmp_path_factory.mktemp("jobcommitcrash"))
+    transcripts = build_transcripts(spark).limit(40)
+    run_extraction_job(spark, transcripts, out, num_partitions=8,
+                       part_buckets=8)
+    from trek_spark.spark.job import _completed_buckets
+    committed = os.path.join(out, "_committed")
+    done = sorted(_completed_buckets(spark, committed))
+    # simulate the torn commit: delete one bucket's marker AND one of its
+    # data files — resume must not trust the remaining data files
+    victim = None
+    for b in done:
+        bdir = os.path.join(out, "turns", f"part_bucket={b}")
+        files = [f for f in os.listdir(bdir)
+                 if not f.startswith((".", "_"))] if os.path.isdir(bdir) \
+            else []
+        if files:
+            victim = b
+            os.remove(os.path.join(bdir, files[0]))
+            break
+    assert victim is not None
+    os.remove(os.path.join(committed, f"bucket-{victim:05d}"))
+
+    r = run_extraction_job(spark, transcripts, out, num_partitions=8,
+                           part_buckets=8)
+    assert r["rows"] > 0  # the torn bucket was re-extracted
+    turns = spark.read.parquet(os.path.join(out, "turns"))
+    assert turns.count() == 40  # complete again, no dropped rows
+    assert turns.select("conv_id", "turn_idx").distinct().count() == 40
+
+
+def test_empty_buckets_not_reextracted(spark, tmp_path_factory):
+    """Buckets no conversation hashes into create no partition directory;
+    markers must still record them so resume does zero work instead of
+    re-scanning them on every run."""
+    out = str(tmp_path_factory.mktemp("jobempty"))
+    transcripts = build_transcripts(spark).limit(6)  # few convs, 64 buckets
+    run_extraction_job(spark, transcripts, out, num_partitions=8,
+                       part_buckets=64)
+    from trek_spark.spark.job import _completed_buckets
+    assert len(_completed_buckets(
+        spark, os.path.join(out, "_committed"))) == 64
+    r2 = run_extraction_job(spark, transcripts, out, num_partitions=8,
+                            part_buckets=64)
+    assert r2["rows"] == 0
+    assert r2["completed_buckets"] == 64
 
 
 def test_salting_spreads_conversations(spark):

@@ -20,14 +20,18 @@ Physical plan (SURVEY.md §3.4):
   output is a memory cliff (round-1 VERDICT).
 * Resume is TABLE-NATIVE (round-2 VERDICT #5): ``part_bucket`` is a stable
   hash bucket of conv_id (NOT the physical partition id). The set of
-  completed buckets is derived from the output table itself — partition
-  directories committed by a finished write job — with no driver-local
-  state. The work is executed in WAVES (bucket groups), one write job per
-  wave: Spark's FileOutputCommitter moves task output into the table only
-  at job commit, so a kill -9 mid-wave leaves previously committed waves
-  intact and nothing partial, and the next run re-derives exactly the
-  missing buckets. Both tables use dynamic partition overwrite, so a
-  re-run wave replaces — never duplicates — its buckets. Cost model: each
+  completed buckets is recorded in per-bucket marker files written only
+  AFTER the wave's write job returns (``_committed/bucket-N``, colocated
+  with the table) — no driver-local state. Data-file presence is NOT
+  trusted as a completion signal: FileOutputCommitter moves task output
+  file-by-file at job commit (non-atomic rename on S3A), so a crash
+  during commit can leave a partially populated bucket directory. The
+  work is executed in WAVES (bucket groups), one write job per wave; a
+  kill -9 anywhere before the markers re-runs that wave, and dynamic
+  partition overwrite makes the re-run replace — never duplicate — its
+  buckets. Zero-row buckets get markers too (they create no partition
+  directory, so a listing-based checkpoint would re-extract them every
+  run). Cost model: each
   wave re-scans the input (the bucket predicate is a computed hash, not
   prunable on generic parquet); extraction is Python-CPU-bound at ~100x
   the scan cost, so N_waves extra scans are noise at 100 TB, and on an
@@ -107,34 +111,55 @@ def _spark_type(df: DataFrame, col: str) -> str:
     return dict(df.dtypes)[col]
 
 
-def _completed_buckets(spark: SparkSession, turns_dir: str) -> set[int]:
-    """Buckets already committed to the output table. Committed means the
-    ``part_bucket=N`` partition directory exists with at least one data
-    file: the parquet committer only moves task files into the table at
-    job commit, so a killed wave leaves no partial committed buckets.
-    Uses the Hadoop FileSystem API so the same code works on HDFS/S3A,
-    not just local disk — this replaces the round-2 driver-local
-    ledger.json (the checkpoint now lives WITH the table)."""
+def _fs_and_path(spark: SparkSession, dir_: str):
     jvm = spark._jvm
-    path = jvm.org.apache.hadoop.fs.Path(turns_dir)
-    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    path = jvm.org.apache.hadoop.fs.Path(dir_)
+    return path.getFileSystem(spark._jsc.hadoopConfiguration()), path, jvm
+
+
+def _completed_buckets(spark: SparkSession, committed_dir: str) -> set[int]:
+    """Buckets recorded as committed by a finished wave.
+
+    The record is an explicit per-bucket marker file written AFTER the
+    wave's write job returns — NOT the presence of data files in the
+    partition directory. FileOutputCommitter moves task files into the
+    table one by one at job commit (and rename is not atomic on S3A), so
+    a crash DURING job commit can leave a partially populated
+    ``part_bucket=N`` directory; inferring completion from data files
+    would then silently drop the missing rows on resume. Markers also make
+    legitimately empty buckets (zero rows ⇒ no partition directory)
+    resume-stable instead of re-extracting forever. Uses the Hadoop
+    FileSystem API so the same code works on HDFS/S3A, not just local
+    disk; the checkpoint still lives WITH the table, no driver-local
+    state."""
+    fs, path, _ = _fs_and_path(spark, committed_dir)
     done = set()
     if not fs.exists(path):
         return done
     for st in fs.listStatus(path):
         name = st.getPath().getName()
-        if not (st.isDirectory() and name.startswith("part_bucket=")):
+        if st.isDirectory() or not name.startswith("bucket-"):
             continue
         try:
-            bucket = int(name.split("=", 1)[1])
+            done.add(int(name.split("-", 1)[1]))
         except ValueError:
             continue
-        for f in fs.listStatus(st.getPath()):
-            fname = f.getPath().getName()
-            if not fname.startswith((".", "_")) and f.getLen() > 0:
-                done.add(bucket)
-                break
     return done
+
+
+def _mark_buckets_committed(spark: SparkSession, committed_dir: str,
+                            buckets: list[int]) -> None:
+    """Write one empty marker file per bucket. Called only after the
+    wave's write job has returned (= job commit finished), so a marker's
+    existence implies every data file of that bucket is in the table.
+    Single-file creates are atomic-visibility operations on both HDFS and
+    S3, unlike the committer's multi-file rename sequence."""
+    fs, path, jvm = _fs_and_path(spark, committed_dir)
+    fs.mkdirs(path)
+    for b in buckets:
+        marker = jvm.org.apache.hadoop.fs.Path(
+            f"{committed_dir}/bucket-{b:05d}")
+        fs.create(marker, True).close()
 
 
 def run_extraction_job(
@@ -150,24 +175,27 @@ def run_extraction_job(
     """Full checkpointed job. Returns a metrics summary dict.
 
     Layout under output_dir:
-      turns/    parquet partitioned by part_bucket (data + lineage cols)
-      metrics/  per-(bucket, partition) metrics, partitioned by
-                part_bucket with dynamic overwrite (idempotent on resume)
+      turns/      parquet partitioned by part_bucket (data + lineage cols)
+      metrics/    per-(bucket, partition) metrics, partitioned by
+                  part_bucket with dynamic overwrite (idempotent on resume)
+      _committed/ one marker file per completed bucket, written after the
+                  wave's write jobs return (the resume checkpoint)
 
-    The checkpoint is the turns table itself: completed part_bucket
-    partitions are discovered by listing it (``_completed_buckets``), and
-    the remaining buckets run in ``waves`` write jobs so a crash loses at
-    most one wave of work. No driver-local state."""
+    The checkpoint lives with the table: completed buckets are the marked
+    ones (``_completed_buckets``), and the remaining buckets run in
+    ``waves`` write jobs so a crash loses at most one wave of work. No
+    driver-local state."""
     t0 = time.time()
     turns_dir = os.path.join(output_dir, "turns")
     metrics_dir = os.path.join(output_dir, "metrics")
+    committed_dir = os.path.join(output_dir, "_committed")
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     df = transcripts.withColumn(
         "part_bucket", F.pmod(F.hash("conv_id"), F.lit(part_buckets)))
 
-    done = _completed_buckets(spark, turns_dir) if resume else set()
+    done = _completed_buckets(spark, committed_dir) if resume else set()
     todo = [b for b in range(part_buckets) if b not in done]
     n_waves = max(1, min(waves, len(todo))) if todo else 0
     wave_groups = [todo[i::n_waves] for i in range(n_waves)] if todo else []
@@ -192,40 +220,43 @@ def run_extraction_job(
                           .filter(F.col("part_bucket").isin(wave)))
             wave_rows = wave_turns.count()
             rows_out += wave_rows
-            if not wave_rows:
-                continue
-            finished_buckets.update(
-                r.part_bucket for r in
-                wave_turns.select("part_bucket").distinct().collect())
-            # one row per (bucket, batch): per-row facts aggregate
-            # directly; wall_ms is batch-level and deduped with first()
-            per_batch = (
-                wave_turns
-                .select("part_bucket", "part_id", "batch_idx", "doc_bytes",
-                        "wall_ms",
-                        F.col("error").isNotNull().cast("long")
-                        .alias("failed"))
-                .groupBy("part_bucket", "part_id", "batch_idx")
-                .agg(F.count("*").alias("docs_in"),
-                     F.sum("failed").alias("failures"),
-                     F.sum("doc_bytes").alias("bytes_in"),
-                     F.first("wall_ms").alias("wall_ms"))
-            )
-            metrics = (
-                per_batch.groupBy("part_bucket", "part_id")
-                .agg(F.sum("docs_in").alias("docs_in"),
-                     F.sum("failures").alias("failures"),
-                     F.sum("bytes_in").alias("bytes_in"),
-                     F.sum("wall_ms").alias("wall_ms"),
-                     F.count("*").alias("batches"))
-            )
-            (metrics.write.mode("overwrite")
-             .partitionBy("part_bucket").parquet(metrics_dir))
+            if wave_rows:
+                # one row per (bucket, batch): per-row facts aggregate
+                # directly; wall_ms is batch-level and deduped with first()
+                per_batch = (
+                    wave_turns
+                    .select("part_bucket", "part_id", "batch_idx",
+                            "doc_bytes", "wall_ms",
+                            F.col("error").isNotNull().cast("long")
+                            .alias("failed"))
+                    .groupBy("part_bucket", "part_id", "batch_idx")
+                    .agg(F.count("*").alias("docs_in"),
+                         F.sum("failed").alias("failures"),
+                         F.sum("doc_bytes").alias("bytes_in"),
+                         F.first("wall_ms").alias("wall_ms"))
+                )
+                metrics = (
+                    per_batch.groupBy("part_bucket", "part_id")
+                    .agg(F.sum("docs_in").alias("docs_in"),
+                         F.sum("failures").alias("failures"),
+                         F.sum("bytes_in").alias("bytes_in"),
+                         F.sum("wall_ms").alias("wall_ms"),
+                         F.count("*").alias("batches"))
+                )
+                (metrics.write.mode("overwrite")
+                 .partitionBy("part_bucket").parquet(metrics_dir))
+            # markers LAST — after turns AND metrics job commits have
+            # returned. A crash anywhere earlier re-runs the whole wave
+            # (dynamic overwrite keeps that idempotent); zero-row buckets
+            # get markers too, so they are never perpetually re-extracted.
+            _mark_buckets_committed(spark, committed_dir, wave)
+            finished_buckets.update(wave)
 
     done.update(finished_buckets)
     wall = time.time() - t0
     failures = 0
-    if _completed_buckets(spark, metrics_dir):
+    fs, mpath, _ = _fs_and_path(spark, metrics_dir)
+    if fs.exists(mpath):
         try:
             failures = (spark.read.parquet(metrics_dir)
                         .agg(F.sum("failures")).collect()[0][0] or 0)
