@@ -35,6 +35,11 @@ def main() -> None:
     ap.add_argument("--salt-buckets", type=int, default=16)
     ap.add_argument("--part-buckets", type=int, default=64)
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--output-table", default=None,
+                    help="Iceberg table for the turns output "
+                         "(catalog.db.table); requires the Iceberg runtime "
+                         "on the classpath, else falls back to the parquet "
+                         "sink under --output")
     ap.add_argument("--waves", type=int, default=4,
                     help="checkpoint granularity: bucket groups per run")
     ap.add_argument("--tile-copies", type=int, default=1,
@@ -62,6 +67,7 @@ def main() -> None:
             part_buckets=args.part_buckets,
             resume=not args.no_resume,
             waves=args.waves,
+            output_table=args.output_table,
         )
         print(json.dumps(summary))
     finally:

@@ -1,0 +1,56 @@
+"""Invariant tests for compute_content_spans (north-star surface: per-turn
+content-span offsets). The spans are best-effort, but their structure is
+contractual: source-measured offsets, in-bounds, non-overlapping,
+monotonic."""
+
+from trek_spark.fixtures import load_fixtures
+from trek_spark.spark.udf import compute_content_spans, extract_one
+
+
+def _assert_invariants(source: str, spans: list[dict]) -> None:
+    prev_end = 0
+    for s in spans:
+        assert 0 <= s["start"] < s["end"] <= len(source), s
+        assert s["start"] >= prev_end, f"overlap: {s} after end={prev_end}"
+        prev_end = s["end"]
+
+
+def test_spans_simple_document():
+    src = ("<html><body><p>First paragraph with enough words to probe "
+           "reliably here.</p><p>Second paragraph also has plenty of "
+           "words to match against.</p></body></html>")
+    r = extract_one(src, "https://ex.example/s")
+    spans = r["content_spans"]
+    assert len(spans) >= 2
+    _assert_invariants(src, spans)
+    # offsets are source offsets: the matched lead text is at span start
+    assert src[spans[0]["start"]:].startswith("First paragraph")
+    # end is source-measured and covers the paragraph's tail text
+    assert "reliably here" in src[spans[0]["start"]:spans[0]["end"]]
+
+
+def test_spans_end_measured_in_source_not_markdown():
+    """A block whose markdown is much shorter than its source form (tags
+    stripped) must still get an end inside the source text, found via the
+    trailing fragment — not start + len(markdown)."""
+    filler = "".join(f'<span class="w w{i}">word{i} </span>' for i in range(60))
+    src = ("<html><body><p>Leading sentence for the probe to anchor on "
+           f"solidly. {filler} closing words to find the end with.</p>"
+           "</body></html>")
+    r = extract_one(src, "https://ex.example/t")
+    spans = r["content_spans"]
+    assert spans
+    _assert_invariants(src, spans)
+    covered = src[spans[0]["start"]:spans[0]["end"]]
+    assert "closing words to find the end with" in covered
+
+
+def test_spans_invariants_over_corpus():
+    """Every fixture document yields spans satisfying the invariants."""
+    checked = 0
+    for fx in load_fixtures():
+        r = extract_one(fx.html, fx.url)
+        spans = r["content_spans"] or []
+        _assert_invariants(fx.html, spans)
+        checked += 1 if spans else 0
+    assert checked > 100  # spans are produced for most of the corpus

@@ -246,3 +246,24 @@ def test_giant_conversation_skew(spark, tmp_path_factory):
     assert r["rows"] == 408 and r["failures"] == 0
     turns = spark.read.parquet(os.path.join(out, "turns"))
     assert turns.filter(F.col("conv_id") == "conv-giant").count() == 400
+
+
+def test_iceberg_gate_and_parquet_fallback(spark, tmp_path_factory):
+    """This container has no Iceberg runtime: the capability check must say
+    so, and a job asked for a table sink must fall back to the parquet
+    sink with identical output + resume semantics."""
+    from trek_spark.spark.job import iceberg_available
+    assert iceberg_available(spark) is False
+
+    out = str(tmp_path_factory.mktemp("jobtable"))
+    transcripts = build_transcripts(spark).limit(20)
+    r1 = run_extraction_job(spark, transcripts, out, num_partitions=8,
+                            part_buckets=8,
+                            output_table="cat.db.turns")
+    assert r1["rows"] == 20 and r1["failures"] == 0
+    assert r1["output"].endswith("turns")  # parquet dir, not the table
+    assert spark.read.parquet(os.path.join(out, "turns")).count() == 20
+    r2 = run_extraction_job(spark, transcripts, out, num_partitions=8,
+                            part_buckets=8,
+                            output_table="cat.db.turns")
+    assert r2["rows"] == 0  # resume unchanged under the fallback

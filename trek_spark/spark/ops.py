@@ -440,16 +440,24 @@ def _drop_hot_keys(df: DataFrame, keys: list[str], cap: int) -> DataFrame:
     """Remove rows whose key appears more than ``cap`` times — BEFORE any
     collect_list, so no aggregation buffer ever holds an unbounded list.
 
-    ``count`` is map-side combinable: the pre-aggregation shuffle carries at
-    most one row per (partition, key), and the post-filter hot set is tiny
-    (only keys above cap), so the anti-join side is broadcastable by
-    construction. This is the shape that survives a boilerplate shingle or a
-    10^7×-duplicated spam page at 100 TB, where a plain
-    ``collect_list → size filter`` would materialize a multi-GB array in ONE
-    aggregation buffer before dropping it (executor OOM on a skewed key).
+    Implemented as a window count over ``partitionBy(keys)`` + filter, NOT
+    a second aggregation branch: the (expensive: shingling/md5) upstream is
+    evaluated ONCE and shuffled ONCE, and the caller's follow-up
+    ``groupBy(keys)`` aggregation reuses the window's hashpartitioning —
+    no extra exchange (a separate count branch re-evaluates the scan:
+    measured, and Catalyst refuses ReusedExchange because the anti-join
+    sits between the two exchanges). Memory safety at the skew point:
+    WindowExec buffers each key group in a spill-to-disk row array
+    (ExternalAppendOnlyUnsafeRowArray), so a 10^7-row boilerplate shingle
+    or spam LSH bucket costs disk bytes, never an in-memory aggregation
+    buffer — unlike a plain ``collect_list → size filter``, which
+    materializes the whole multi-GB array in ONE buffer before dropping it
+    (executor OOM on a skewed key). Hot rows are filtered out before any
+    collect_list sees them.
     """
-    hot = df.groupBy(*keys).count().filter(F.col("count") > cap).drop("count")
-    return df.join(F.broadcast(hot), keys, "left_anti")
+    w = Window.partitionBy(*keys)
+    return (df.withColumn("_key_count", F.count(F.lit(1)).over(w))
+            .filter(F.col("_key_count") <= cap).drop("_key_count"))
 
 
 def _explode_pairs(grouped: DataFrame) -> DataFrame:
@@ -980,6 +988,111 @@ def q_ann_topk_ivf(spark, sf_dir):
     )
 
 
+_IVF_FLIPS = 3  # multi-probe: own cell + 3 least-confident bit flips
+
+
+def q_ann_topk_ivf_mp(spark, sf_dir):
+    """Multi-probe IVF ANN top-k (nprobe = 1 + ``_IVF_FLIPS``).
+
+    Same 256-cell sign quantizer as ``q_ann_topk_ivf``, but each query also
+    probes the cells reached by flipping its LEAST-CONFIDENT sign bits —
+    the dims with the smallest |value|, where the true neighbor most
+    plausibly sits on the other side of the hyperplane. That is the
+    standard multi-probe LSH/IVF recall knob: recall rises toward the
+    exact baseline (measured as recall@3 in bench.py) while per-query work
+    stays ∝ nprobe cells, not the corpus. Plan shape is unchanged — probe
+    cells explode to (query, cell) rows and candidates come from the same
+    equi-join on the cell key; every vector lives in exactly one cell so
+    probes never duplicate a candidate. Deterministic and
+    engine-portable: flip order is (|value|, dim) lexicographic, ranks
+    tie-break by vec_id.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    base = ("transform(slice(embedding, 1, 8),"
+            " x -> IF(x >= 0, '1', '0'))")
+    # dims of the first 8, ordered by ascending |value| (ties by dim index
+    # via lexicographic struct sort)
+    order = ("transform(array_sort(zip_with(slice(embedding, 1, 8),"
+             " sequence(0, 7), (x, i) ->"
+             " struct(CAST(abs(x) AS DOUBLE) AS a, i AS i))), s -> s.i)")
+    probes = F.expr(f"""
+      concat(
+        array(concat_ws('', {base})),
+        transform(slice({order}, 1, {_IVF_FLIPS}), fi ->
+          concat_ws('', transform(sequence(0, 7), j ->
+            IF(j = fi,
+               IF(element_at({base}, j + 1) = '1', '0', '1'),
+               element_at({base}, j + 1))))))
+    """)
+    cell = F.expr(
+        "concat_ws('', transform(slice(embedding, 1, 8),"
+        " x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END))")
+    d = emb.select("vec_id", "embedding", cell.alias("cell"))
+    queries = (emb.filter(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("qv"),
+                       F.explode(probes).alias("qcell")))
+    dot = F.expr(
+        "aggregate(zip_with(embedding, qv,"
+        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " CAST(0 AS DOUBLE), (s, x) -> s + x)")
+    norm = (lambda c: F.sqrt(F.expr(
+        f"aggregate({c}, CAST(0 AS DOUBLE),"
+        f" (s, x) -> s + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("vec_id"))
+    return (
+        d.join(F.broadcast(queries), F.col("cell") == F.col("qcell"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos", dot / (norm("embedding") * norm("qv")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank")
+    )
+
+
+SQL_ANN_TOPK_IVF_MP = f"""
+WITH cells AS (
+  SELECT vec_id, embedding,
+         array_to_string(list_transform(list_slice(embedding, 1, 8),
+            x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS cell
+  FROM embeddings
+), qbase AS (
+  SELECT vec_id AS query_id, embedding AS qv,
+         list_transform(list_slice(embedding, 1, 8),
+            x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END) AS bits,
+         list_transform(list_sort(list_transform(range(1, 9),
+            i -> {{'a': abs(CAST(embedding[i] AS DOUBLE)), 'i': i - 1}})),
+            s -> s.i) AS flip_order
+  FROM embeddings WHERE vec_id < 5
+), q AS (
+  SELECT query_id, qv, array_to_string(bits, '') AS qcell FROM qbase
+  UNION ALL
+  SELECT query_id, qv,
+         array_to_string(list_transform(range(0, 8), j ->
+            CASE WHEN j = fi
+                 THEN (CASE WHEN bits[j + 1] = '1' THEN '0' ELSE '1' END)
+                 ELSE bits[j + 1] END), '') AS qcell
+  FROM qbase, unnest(list_slice(flip_order, 1, {_IVF_FLIPS})) AS t(fi)
+), scored AS (
+  SELECT q.query_id, c.vec_id,
+         list_sum(list_transform(range(1, len(c.embedding) + 1),
+            i -> CAST(c.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(c.embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(q.qv,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY cos DESC, c.vec_id ASC) AS rank
+  FROM cells c JOIN q ON c.cell = q.qcell
+  WHERE c.vec_id != q.query_id
+)
+SELECT query_id, vec_id AS neighbor_id, rank
+FROM scored
+WHERE rank <= 3
+"""
+
+
 SQL_ANN_TOPK_IVF = """
 WITH cells AS (
   SELECT vec_id, embedding,
@@ -1118,6 +1231,7 @@ OPS: dict[str, tuple] = {
     "embedding_norms": (q_embedding_norms, SQL_EMBEDDING_NORMS),
     "ann_topk_cosine": (q_ann_topk_cosine, SQL_ANN_TOPK),
     "ann_topk_ivf": (q_ann_topk_ivf, SQL_ANN_TOPK_IVF),
+    "ann_topk_ivf_mp": (q_ann_topk_ivf_mp, SQL_ANN_TOPK_IVF_MP),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
 }

@@ -65,33 +65,61 @@ RESULT_SCHEMA = StructType([
 _EMPTY = {f.name: None for f in RESULT_SCHEMA.fields}
 
 
+_SPAN_TRIM = "#>-*`_ \t"
+
+
 def compute_content_spans(source: str, markdown: str) -> list[dict]:
     """Best-effort offsets of retained content in the source text.
 
     For each markdown block, locate its leading text fragment in the source
-    (monotonic cursor, so offsets are non-decreasing). Blocks whose text
-    can't be located (rewritten by normalization) are skipped. This gives
-    the per-turn span offsets the north star asks for without a full
-    source-map through ~30 DOM passes.
+    to get ``start``, then its trailing fragment (searched after the lead)
+    to get ``end`` — both offsets are positions IN THE SOURCE, never
+    markdown lengths (markdown length has no meaning as a source offset).
+    Invariants, enforced structurally and pytest-checked over the corpus:
+
+    * ``0 <= start < end <= len(source)`` for every span;
+    * spans are non-overlapping and strictly monotonic — the cursor
+      advances to each span's ``end``, so span *i+1* starts at or after
+      span *i* ends.
+
+    Blocks whose text can't be located (rewritten by normalization) are
+    skipped; when only the lead matches, the span conservatively covers
+    just the matched lead. This gives the per-turn span offsets the north
+    star asks for without a full source-map through ~30 DOM passes.
     """
-    spans = []
+    spans: list[dict] = []
     cursor = 0
     if not source or not markdown:
         return spans
+    n = len(source)
     for block in markdown.split("\n\n"):
-        probe = block.strip().lstrip("#>-*` \t")[:40]
+        stripped = block.strip()
+        probe = stripped.lstrip(_SPAN_TRIM)[:40]
         if len(probe) < 8:
             continue
         idx = source.find(probe, cursor)
+        matched = len(probe)
         if idx < 0:
             # entity/escape differences — try a shorter probe
-            idx = source.find(probe[:16], cursor)
+            probe = probe[:16]
+            matched = len(probe)
+            idx = source.find(probe, cursor)
             if idx < 0:
                 continue
-        end = idx + len(block)
-        spans.append({"start": idx, "end": min(end, len(source)),
-                      "kind": "block"})
-        cursor = idx
+        # end: locate the block's trailing text fragment after the lead
+        end = idx + matched
+        tail = stripped.rstrip(_SPAN_TRIM + ".)]")[-40:].lstrip(_SPAN_TRIM)
+        if len(tail) >= 8:
+            for t in (tail, tail[-16:]):
+                tidx = source.find(t, idx)
+                if tidx >= 0:
+                    end = max(end, tidx + len(t))
+                    break
+        end = min(end, n)
+        if end <= idx:
+            continue
+        spans.append({"start": idx, "end": end, "kind": "block"})
+        cursor = end  # non-overlap: next span starts at or after this end
     return spans
 
 
