@@ -174,6 +174,13 @@ def _ann_recall(spark) -> dict:
         hits = sum(len(got.get(q, set()) & t) for q, t in truth.items())
         total = sum(len(t) for t in truth.values())
         res[name] = round(hits / total, 3) if total else None
+    res["note"] = (
+        "testdata embeddings are i.i.d. random — no cluster structure, so "
+        "the information-theoretic recall of ANY nprobe-of-256-cell scheme "
+        "is ~nprobe/256 (~0.4-1.6%) regardless of implementation; on "
+        "real-world (clustered) embeddings cell occupancy follows the "
+        "clusters and recall rises with nprobe, which is the knob "
+        "ann_topk_ivf_mp adds (1 -> 4 probed cells)")
     return res
 
 

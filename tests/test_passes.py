@@ -211,3 +211,25 @@ def test_debug_mode_preserves_empty_elements_and_wrappers():
     std = trek_parse(html, "https://ex.example/d", {"markdown": False})
     assert probe in dbg["content"]       # empty element preserved
     assert probe not in std["content"]   # default removes it
+
+
+def test_trek_c_skip_disables_named_passes(monkeypatch):
+    """TREK_C_SKIP=name1,name2 disables standardize passes by their
+    reference names (src/standardize/mod.rs:29-49); read per call."""
+    from trek_spark.extract.pipeline import trek_parse
+    html = ("<html><body><article><h2>Header<a href='#h'>#</a></h2>"
+            "<p>Content paragraph with plenty of words to keep the "
+            "extraction pipeline from retrying anything here.</p>"
+            "<p><a href='/rel'>relative link</a> inside text.</p>"
+            "</article></body></html>")
+    url = "https://ex.example/base/page"
+    std = trek_parse(html, url, {"markdown": False})
+    assert "https://ex.example/rel" in std["content"]  # relative_urls ran
+
+    monkeypatch.setenv("TREK_C_SKIP", "relative_urls, headings")
+    skipped = trek_parse(html, url, {"markdown": False})
+    assert 'href="/rel"' in skipped["content"]  # pass disabled
+
+    monkeypatch.delenv("TREK_C_SKIP")
+    again = trek_parse(html, url, {"markdown": False})
+    assert "https://ex.example/rel" in again["content"]  # re-enabled

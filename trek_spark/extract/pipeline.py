@@ -15,6 +15,7 @@ while parsing each document at most twice — head scan + body).
 
 from __future__ import annotations
 
+import os
 import re
 import time
 from typing import Optional
@@ -109,15 +110,26 @@ def _run_cleanup(body: Node, url: Optional[str], title: str,
     # low-content retry too (hidden--nodes fixture)
     passes.hidden_pass(body)
     elements.normalize_callouts(body)
-    # standardize::run_all order (`src/standardize/mod.rs:29-49`)
-    elements.code_blocks(body)
-    passes.flatten_wrappers(body)
-    passes.promote_semantics(body)
-    passes.relative_urls(body, url)
-    passes.figure_image(body)
-    passes.footnotes_std(body)
-    passes.tables_std(body)
-    passes.headings_std(body)
+    # standardize::run_all order (`src/standardize/mod.rs:29-49`);
+    # TREK_C_SKIP=name1,name2 disables passes by their reference names
+    # (dev/bisection tool, read per-call like the reference's
+    # default_passes())
+    skip = {s.strip()
+            for s in os.environ.get("TREK_C_SKIP", "").split(",")
+            if s.strip()}
+    std_passes = (
+        ("code_blocks", lambda: elements.code_blocks(body)),
+        ("flatten_wrappers", lambda: passes.flatten_wrappers(body)),
+        ("promote_semantics", lambda: passes.promote_semantics(body)),
+        ("relative_urls", lambda: passes.relative_urls(body, url)),
+        ("figure_image", lambda: passes.figure_image(body)),
+        ("footnotes", lambda: passes.footnotes_std(body)),
+        ("tables", lambda: passes.tables_std(body)),
+        ("headings", lambda: passes.headings_std(body)),
+    )
+    for pass_name, run in std_passes:
+        if pass_name not in skip:
+            run()
     # elements::normalize_all order (`src/elements/mod.rs:31-39`)
     elements.normalize_all(body)
     # removals post (`src/removals/mod.rs:18-25`)
