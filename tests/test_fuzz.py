@@ -65,3 +65,17 @@ def test_parse_serialize_fixpoint(s):
 @given(_markupish)
 def test_html_to_text_never_raises(s):
     assert isinstance(html_to_text(s), str)
+
+
+@settings(max_examples=40, deadline=None)
+@given(_nested_html(), st.booleans(), st.booleans(), st.booleans())
+def test_option_modes_never_raise(s, md, sep, dbg):
+    """Every combination of output/debug options upholds the
+    never-raises contract and the content-field typing rules."""
+    r = trek_parse(s, "https://fuzz.example/opts",
+                   {"markdown": md, "separate_markdown": sep, "debug": dbg})
+    assert isinstance(r["content"], str)
+    if sep:
+        assert isinstance(r["content_markdown"], str)
+    else:
+        assert r["content_markdown"] is None

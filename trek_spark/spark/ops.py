@@ -731,8 +731,8 @@ def q_dedup_simhash(spark, sf_dir):
 
     JVM-side throughout: token hash, bit votes and majority fold are
     higher-order array functions inside whole-stage codegen; no shuffle,
-    no Python. Near-dup candidates then come from hamming-distance
-    banding on the halves (the LSH op covers the pair stage).
+    no Python. Near-dup candidates come from :func:`q_dedup_simhash_pairs`
+    (exact Hamming ≤ 3 via 16-bit pigeonhole banding on these halves).
     """
     d = _t(spark, sf_dir, "documents")
     tokens = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
