@@ -3,10 +3,11 @@
 The hazard these guard against (VERDICT r3 items 1–2): a hot key — a
 boilerplate shingle in 10^7 documents, or a spam page duplicated 10^7×
 landing every copy in one LSH band bucket — must be dropped by a
-map-side-combinable count BEFORE any ``collect_list``, so no aggregation
-buffer ever materializes an unbounded doc list. These tests inject exactly
-those degenerate corpora at a size above the cap and assert the ops stay
-bounded and correct.
+spill-safe window count BEFORE any ``collect_list`` or bucket self-join,
+so no aggregation buffer ever materializes an unbounded doc list and no
+join group goes quadratic. These tests inject exactly those degenerate
+corpora at a size above the cap and assert the ops stay bounded and
+correct.
 """
 
 import pytest
@@ -136,3 +137,30 @@ def test_simhash_pairs_respects_hamming_radius(spark, tmp_path):
     rows = O.q_dedup_simhash_pairs(spark, sf).collect()
     assert rows, "near-identical docs must produce candidate pairs"
     assert all(0 <= r.hamming <= O._SIMHASH_MAX_HAMMING for r in rows)
+
+
+def _write_embeddings(spark, path: str, vecs: list[list[float]]) -> str:
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    (spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+     .write.mode("overwrite").parquet(f"{path}/embeddings.parquet"))
+    return path
+
+
+def test_embedding_near_dup_identical_vectors(spark, tmp_path):
+    """Identical vectors share a bucket and pair with cos=1; a dissimilar
+    vector pairs with nobody."""
+    base = [1.0] * 8 + [0.5] * 24
+    other = [-1.0] * 16 + [1.0] * 16
+    sf = _write_embeddings(spark, str(tmp_path), [base, base, base, other])
+    pairs = {(r.id_a, r.id_b)
+             for r in O.q_embedding_near_dup(spark, sf).collect()}
+    assert pairs == {(0, 1), (0, 2), (1, 2)}
+
+
+def test_embedding_near_dup_hot_bucket_capped(spark, tmp_path):
+    """1,050 copies of one vector (> cap): the bucket is excluded — the
+    self-join never materializes the 550k-pair group (at 10^7 copies that
+    group is 10^14 rows)."""
+    base = [0.25] * 32
+    sf = _write_embeddings(spark, str(tmp_path), [base] * 1050)
+    assert O.q_embedding_near_dup(spark, sf).count() == 0

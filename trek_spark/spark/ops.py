@@ -1130,12 +1130,20 @@ def q_embedding_near_dup(spark, sf_dir):
     tradeoff: a 0.95-cosine pair that flips one of the first 24 signs is
     missed; for recall-critical workloads use q_ann_topk_cosine (exact) or
     add rotated probe keys.
+
+    Degenerate buckets are capped like the text-dedup ops: a
+    mass-duplicated embedding (zero vectors from a failed embedding job,
+    boilerplate docs) would otherwise make one bucket's self-join group
+    |bucket|²/2 rows — 10^14 at 10^7 copies. Buckets above the cap are
+    excluded (window count, spill-safe) in BOTH engines.
     """
     emb = _t(spark, sf_dir, "embeddings")
     bucket = F.expr(
         "concat_ws('', transform(slice(embedding, 1, 24),"
         " x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END))")
-    d = emb.select("vec_id", "embedding", bucket.alias("bucket"))
+    d = _drop_hot_keys(
+        emb.select("vec_id", "embedding", bucket.alias("bucket")),
+        ["bucket"], _LSH_BUCKET_CAP)
     a = d.alias("a")
     b = d.alias("b")
     dot = F.expr(
@@ -1155,12 +1163,16 @@ def q_embedding_near_dup(spark, sf_dir):
     )
 
 
-SQL_EMBEDDING_NEAR_DUP = """
-WITH d AS (
+SQL_EMBEDDING_NEAR_DUP = f"""
+WITH d_all AS (
   SELECT vec_id, embedding,
          array_to_string(list_transform(list_slice(embedding, 1, 24),
              x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
   FROM embeddings
+), hot AS (
+  SELECT bucket FROM d_all GROUP BY 1 HAVING count(*) > {_LSH_BUCKET_CAP}
+), d AS (
+  SELECT d_all.* FROM d_all ANTI JOIN hot USING (bucket)
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM d a JOIN d b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
