@@ -498,11 +498,13 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
         "doc_id", _shingles().alias("sh"))
     sizes = d.select("doc_id", F.size("sh").alias("n"))
     ex = d.select("doc_id", F.explode("sh").alias("shingle"))
-    # Hot-shingle document-frequency cap runs BEFORE collect_list (map-side
-    # combinable count + broadcast anti-join): no aggregation buffer ever
-    # holds more than CAP doc ids, so a 10^8-frequency boilerplate shingle
-    # costs one tiny hot-set row instead of a multi-GB single-group list.
-    # Then ONE groupBy shuffle collects each surviving shingle's doc list
+    # Hot-shingle document-frequency cap runs BEFORE collect_list (window
+    # count over the one shingle shuffle, spill-safe — see _drop_hot_keys):
+    # no aggregation buffer ever holds more than CAP doc ids, so a
+    # 10^8-frequency boilerplate shingle costs spilled disk bytes instead
+    # of a multi-GB single-group list.
+    # The groupBy then reuses the window's partitioning (no second
+    # exchange) and collects each surviving shingle's doc list
     # and pairs are generated JVM-side; per-group work ≤ CAP²/2 rows with
     # O(CAP) per-row state (see _explode_pairs).
     safe = _drop_hot_keys(ex, ["shingle"], _SHINGLE_DF_CAP)
@@ -572,7 +574,7 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 
     Degenerate buckets (a spam page duplicated 10^7× puts 10^7 ids in one
     band bucket) are dropped by a count-gated cap BEFORE collect_list —
-    same map-side-combinable pre-filter as the jaccard op, so no buffer
+    the same spill-safe window pre-filter as the jaccard op, so no buffer
     ever holds an unbounded list. Dropped buckets are not silent: audit
     them with :func:`q_dedup_lsh_dropped_buckets`, which returns each
     over-cap (band, band_key) with its population so a job can count/log
