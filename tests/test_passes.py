@@ -233,3 +233,44 @@ def test_trek_c_skip_disables_named_passes(monkeypatch):
     monkeypatch.delenv("TREK_C_SKIP")
     again = trek_parse(html, url, {"markdown": False})
     assert "https://ex.example/rel" in again["content"]  # re-enabled
+
+
+def test_short_turns_survive_extraction():
+    """Transcript turns are often tiny fragments; the trailing-chrome
+    walker must not treat the document's ONLY content block as trailing
+    junk (whole-content guard in _drop_link_dense_trailing)."""
+    from trek_spark.extract.pipeline import trek_parse
+    cases = {
+        "<p>deep content paragraph here</p>": "deep content paragraph here",
+        "<p>sounds good thanks</p>": "sounds good thanks",
+        "<p>ok</p>": "ok",
+        "<p>how do I do this?</p>": "how do I do this?",
+        "<ul><li>alpha</li><li>beta</li></ul>": "- alpha\n- beta",
+        "<pre><code>x = 1</code></pre>": "```\nx = 1\n```",
+    }
+    for frag, want in cases.items():
+        r = trek_parse(f"<html><body>{frag}</body></html>",
+                       "https://ex.example/s")
+        assert r["content"] == want, (frag, r["content"])
+
+
+def test_pathological_documents_bounded_time():
+    """Guard against O(n²) reintroduction in heading/link/widget passes:
+    4-8k-element pathological docs must complete in bounded time."""
+    import time
+    from trek_spark.extract.pipeline import trek_parse
+    docs = [
+        "<article>" + "".join(
+            f"<h2>Section {i}</h2><p>body {i} words</p>"
+            for i in range(3000)) + "</article>",
+        "<article><p>intro prose</p>" + "".join(
+            f'<a href="/l{i}">link {i}</a> ' for i in range(6000))
+        + "</article>",
+        "<div>" * 300 + "<p>deep content paragraph with words</p>"
+        + "</div>" * 300,
+    ]
+    for html in docs:
+        t0 = time.time()
+        trek_parse(f"<html><body>{html}</body></html>",
+                   "https://ex.example/p")
+        assert time.time() - t0 < 15, "pathological doc exceeded time bound"

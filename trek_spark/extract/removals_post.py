@@ -499,6 +499,10 @@ def _drop_link_dense_trailing(root: Node, _depth: int = 0) -> None:
                 if c.type == ELEMENT or (c.type == TEXT and c.text.strip())]
         if not kids:
             return
+    # whole-content guard: a "trailing widget" that carries ALL of the
+    # scope's text is not trailing anything — it IS the document (a short
+    # transcript turn like "<p>sounds good thanks</p>" must survive)
+    scope_words = _words(_text(scope))
     removed_junk = False
     for idx in range(len(kids) - 1, -1, -1):
         k = kids[idx]
@@ -509,6 +513,8 @@ def _drop_link_dense_trailing(root: Node, _depth: int = 0) -> None:
             # no sentence punctuation → chrome
             t = k.text.strip()
             if _words(t) < 6 and not any(c in t for c in _SENTENCE_PUNCT):
+                if _words(t) and _words(t) >= scope_words:
+                    break
                 k.detach()
                 continue
             break
@@ -532,6 +538,8 @@ def _drop_link_dense_trailing(root: Node, _depth: int = 0) -> None:
                     break  # math/img-only trailing block is content
                 k.detach()
                 continue
+            if words >= scope_words:
+                break  # the whole document's text — content, not chrome
             t = _text(k).strip()
             # trailing short non-prose widget ("You might also enjoy",
             # "FPS: --") — no sentence-ending punctuation → drop
