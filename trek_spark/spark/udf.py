@@ -158,13 +158,62 @@ def extract_one(text: Optional[str], url: Optional[str] = None,
         return out
 
 
-def _extract_series(texts: pd.Series, urls: Optional[pd.Series]) -> pd.DataFrame:
+def extract_pdf_one(text: Optional[str]) -> dict:
+    """PDF-branch result for a ``tool == 'pdf'`` turn (north-star "embedded
+    PDFs via layout parse"; the reference has no PDF path — SURVEY §2 note).
+    The string payload is the PDF bytes as Latin-1 (binary-safe in a string
+    column) or base64. Never raises."""
+    import base64
+    import binascii
+
+    from ..extract.pdf_text import looks_like_pdf, pdf_to_text
+    from ..extract.utils import count_words
+
+    if text is None or not text.strip():
+        out = dict(_EMPTY)
+        out["error"] = "empty_input"
+        return out
+    try:
+        data = text.encode("latin-1", errors="replace")
+        if not looks_like_pdf(data):
+            try:
+                decoded = base64.b64decode(text, validate=True)
+            except (binascii.Error, ValueError):
+                decoded = b""
+            if looks_like_pdf(decoded):
+                data = decoded
+        t0 = time.time()
+        plain = pdf_to_text(data) if looks_like_pdf(data) else ""
+        out = dict(_EMPTY)
+        out.update({
+            "extracted_text": plain,
+            "content_html": "",
+            "plain_text": plain,
+            "title": "", "author": "", "site": "", "published": "",
+            "description": "", "domain": "", "image": "", "favicon": "",
+            "word_count": count_words(plain),
+            "extractor_type": "pdf-layout",
+            "parse_time_ms": int((time.time() - t0) * 1000),
+            "error": None if looks_like_pdf(data) else "not_a_pdf",
+            "content_spans": [],
+            "meta_tags": [],
+        })
+        return out
+    except Exception:
+        out = dict(_EMPTY)
+        out["error"] = traceback.format_exc(limit=3)
+        return out
+
+
+def _extract_series(texts: pd.Series, urls: Optional[pd.Series],
+                    tools: Optional[pd.Series] = None) -> pd.DataFrame:
     rows = []
-    if urls is None:
-        for t in texts:
-            rows.append(extract_one(t))
-    else:
-        for t, u in zip(texts, urls):
+    url_list = (list(urls) if urls is not None else [None] * len(texts))
+    tool_list = (list(tools) if tools is not None else [None] * len(texts))
+    for t, u, tool in zip(texts, url_list, tool_list):
+        if tool == "pdf":
+            rows.append(extract_pdf_one(t))
+        else:
             rows.append(extract_one(t, u if isinstance(u, str) else None))
     return pd.DataFrame(rows, columns=[f.name for f in RESULT_SCHEMA.fields])
 
@@ -206,12 +255,13 @@ def extract_map_in_pandas(iterator: Iterator[pd.DataFrame]
     for batch_idx, pdf in enumerate(iterator):
         t0 = time.time()
         urls = pdf["url"] if "url" in pdf.columns else None
+        tools = pdf["tool"] if "tool" in pdf.columns else None
         # DOM trees are parent<->child reference cycles: the cycle collector
         # pays bandwidth mid-parse for garbage we can free in one sweep at
         # batch end. One collect per batch, zero during.
         gc.disable()
         try:
-            res = _extract_series(pdf["text"], urls)
+            res = _extract_series(pdf["text"], urls, tools)
         finally:
             gc.enable()
             gc.collect()
