@@ -10,9 +10,11 @@ table-ish nesting tolerance. Entity decoding is handled by html.parser
 
 from __future__ import annotations
 
+import os
 from html.parser import HTMLParser
 
 from .node import COMMENT, DOCUMENT, ELEMENT, Node, VOID_ELEMENTS
+from .tokenizer import scan
 
 # Tags whose open implies closing an open <p> (HTML5 "closes a p element").
 _P_CLOSERS = frozenset(
@@ -193,18 +195,29 @@ class _TreeBuilder(HTMLParser):
         pass
 
 
+_USE_STDLIB_TOKENIZER = bool(os.environ.get("TREK_DOM_STDLIB"))
+
+
 def parse_html(html: str) -> Node:
     """Parse an HTML document/fragment into a DOCUMENT Node.
 
     Ensures html/body structure exists so passes can rely on ``body()``.
+
+    Tokenization runs through :mod:`trek_spark.dom.tokenizer` — a one-shot
+    fast path with byte-parity to html.parser (enforced by
+    tests/test_tokenizer_parity.py). ``TREK_DOM_STDLIB=1`` switches back to
+    the stdlib driver (A/B lever, belt-and-braces escape hatch).
     """
     tb = _TreeBuilder()
     try:
-        tb.feed(html)
-        tb.close()
+        if _USE_STDLIB_TOKENIZER:
+            tb.feed(html)
+            tb.close()
+        else:
+            scan(html, tb)
     except Exception:
-        # html.parser is already tolerant; belt-and-braces so one hostile doc
-        # never kills a whole Arrow batch.
+        # the tokenizer is already tolerant; belt-and-braces so one hostile
+        # doc never kills a whole Arrow batch.
         pass
     return tb.root
 
