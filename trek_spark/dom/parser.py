@@ -81,6 +81,11 @@ _SVG_ATTR_ADJUST = {a.lower(): a for a in (
 ).split()}
 
 
+# tags whose open can trigger implied closes — everything else skips the
+# _close_implied call entirely (the common case: span/a/b/em/…)
+_CLOSE_TRIGGERS = _P_CLOSERS | frozenset(_IMPLIED_END)
+
+
 class _TreeBuilder(HTMLParser):
     def __init__(self):
         super().__init__(convert_charrefs=True)
@@ -123,7 +128,8 @@ class _TreeBuilder(HTMLParser):
 
     # -- HTMLParser hooks ------------------------------------------------
     def handle_starttag(self, tag, attrs):
-        self._close_implied(tag)
+        if tag in _CLOSE_TRIGGERS:
+            self._close_implied(tag)
         # HTML5 implied <tr>: a cell opening directly inside a row-group
         # (or table) gets a synthesized row.
         if tag in ("td", "th") and self.stack[-1].tag in (

@@ -119,7 +119,9 @@ def scan(rawdata: str, h) -> None:
         k = tm.end()
         tag = tm.group(1).lower()
         attrs = []
-        while k < endpos:
+        # fast path: `<div>` / `<div >` — k already sits on the closing
+        # char(s); skip the (guaranteed-failing) attrfind attempt
+        while k < endpos - 1:
             am = attrfind_tolerant.match(rawdata, k)
             if not am:
                 break

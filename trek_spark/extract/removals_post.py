@@ -109,17 +109,20 @@ def _link_density(n: Node) -> float:
 
 
 def _post_order_elements(root: Node) -> list[Node]:
-    out = []
-    stack = [(root, False)]
+    # reversed pre-order == this post-order (children before parent,
+    # right-to-left siblings — the historical order callers were tuned
+    # against); ~half the stack ops of the (node, visited) two-push walk
+    out = [root]
+    stack = [c for c in reversed(root.children) if c.type == ELEMENT]
+    pop = stack.pop
+    append = out.append
     while stack:
-        n, visited = stack.pop()
-        if visited:
-            out.append(n)
-            continue
-        stack.append((n, True))
-        for c in n.children:
-            if c.type == ELEMENT:
-                stack.append((c, False))
+        n = pop()
+        append(n)
+        cs = n.children
+        if cs:
+            stack.extend(c for c in reversed(cs) if c.type == ELEMENT)
+    out.reverse()
     return out
 
 
