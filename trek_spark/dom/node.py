@@ -299,6 +299,15 @@ class Node:
     def text_content(self) -> str:
         if self.type == TEXT:
             return self.text
+        cs = self.children
+        # fast paths for the two dominant shapes: leaf elements and
+        # single-text-child elements (most inline nodes)
+        if not cs:
+            return ""
+        if len(cs) == 1:
+            c = cs[0]
+            if c.type == TEXT:
+                return c.text
         parts = []
         stack = [self]
         while stack:

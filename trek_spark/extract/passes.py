@@ -644,7 +644,7 @@ def _post_order(root: Node) -> list[Node]:
         append(n)
         cs = n.children
         if cs:
-            stack.extend(c for c in reversed(cs) if c.type == ELEMENT)
+            stack.extend([c for c in reversed(cs) if c.type == ELEMENT])
     out.reverse()
     return out
 
