@@ -96,6 +96,33 @@ def _multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("media_id"))
 
 
+def _extract_pdf_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF branch op (rows-only): deterministic embedded-PDF turns through
+    the same fused extraction stage (north-star "embedded PDFs via layout
+    parse"; no SQL oracle — DuckDB has no PDF codec)."""
+    from trek_spark.extract.pdf_text import make_simple_pdf
+    from trek_spark.spark.job import extract_turns
+
+    rows = []
+    for i in range(8):
+        payload = make_simple_pdf(
+            [f"Report {i} heading", f"Body line one of report {i}",
+             f"Body line two of report {i}"],
+            compress=(i % 2 == 1)).decode("latin-1")
+        rows.append((f"pdfconv{i % 3}", i, "tool", payload, "pdf",
+                     f"https://pdf.example/{i}"))
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, url string")
+    return (
+        extract_turns(df, num_partitions=4)
+        .select("conv_id", "turn_idx", "extractor_type", "word_count",
+                F.substring(F.md5(F.coalesce("extracted_text", F.lit(""))),
+                            1, 16).alias("md_hash"))
+        .orderBy("conv_id", "turn_idx")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from trek_spark.spark.ops import OPS
 
@@ -104,6 +131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[name] = fn
     out["extract_fixture_turns"] = _extract_fixture_turns
     out["extract_content_spans"] = _extract_spans
+    out["extract_pdf_turns"] = _extract_pdf_turns
     out["multimodal_decode"] = _multimodal_decode
     return out
 
