@@ -31,13 +31,36 @@ from __future__ import annotations
 import re
 from html import unescape
 
-# the stdlib's own tolerant automatons — public module-level names
-from html.parser import (
-    attrfind_tolerant,
-    charref,  # noqa: F401  (kept importable for parity tests)
-    locatestarttagend_tolerant,
-    tagfind_tolerant,
-)
+# the stdlib's own tolerant automatons — module-level names since 3.5;
+# local copies (same patterns, CPython Lib/html/parser.py) as fallback so
+# a stdlib layout change degrades to identical behavior, not ImportError
+try:
+    from html.parser import (
+        attrfind_tolerant,
+        locatestarttagend_tolerant,
+        tagfind_tolerant,
+    )
+except ImportError:  # pragma: no cover - future-stdlib guard
+    tagfind_tolerant = re.compile(
+        r"([a-zA-Z][^\t\n\r\f />\x00]*)(?:\s|/(?!>))*")
+    attrfind_tolerant = re.compile(
+        r"((?<=[\'\"\s/])[^\s/>][^\s/=>]*)(\s*=+\s*"
+        r"(\'[^\']*\'|\"[^\"]*\"|(?![\'\"])[^>\s]*))?(?:\s|/(?!>))*")
+    locatestarttagend_tolerant = re.compile(r"""
+      <[a-zA-Z][^\t\n\r\f />\x00]*       # tag name
+      (?:[\s/]*                          # optional whitespace before attribute name
+        (?:(?<=['"\s/])[^\s/>][^\s/=>]*  # attribute name
+          (?:\s*=+\s*                    # value indicator
+            (?:'[^']*'                   # LITA-enclosed value
+              |"[^"]*"                   # LIT-enclosed value
+              |(?!['"])[^>\s]*           # bare value
+             )
+            \s*                          # possibly followed by a space
+           )?(?:\s|/(?!>))*
+         )*
+       )?
+      \s*                                # trailing whitespace
+    """, re.VERBOSE)
 
 _commentclose = re.compile(r"--\s*>")
 _markedsectionclose = re.compile(r"]\s*]\s*>")
