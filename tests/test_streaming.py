@@ -67,3 +67,35 @@ def test_stream_turn_rate_windows(spark, input_dir, tmp_path_factory):
     ).collect()
     assert sum(r.turns for r in rows) == spark.read.parquet(input_dir).count()
     assert {r.role for r in rows} <= {"user", "assistant", "system", "tool"}
+
+
+def test_stream_pdf_turns_dispatch(spark, tmp_path_factory):
+    """tool == 'pdf' turns dispatch to the PDF layout branch through the
+    STREAMING surface too — the same fused UDF runs under readStream, so
+    the schema must carry the tool column through."""
+    import datetime as dt
+
+    from trek_spark.extract.pdf_text import make_simple_pdf
+
+    d = str(tmp_path_factory.mktemp("stream_pdf_in"))
+    payload = make_simple_pdf(["Streamed report", "With body text"],
+                              compress=True).decode("latin-1")
+    rows = [
+        ("sc1", 0, "user",
+         "<html><body><p>please check the attached report for anything "
+         "unusual today</p></body></html>", None,
+         dt.datetime(2024, 1, 1), "https://ex.example/a"),
+        ("sc1", 1, "tool", payload, "pdf", dt.datetime(2024, 1, 1), None),
+    ]
+    from trek_spark.spark.corpus import TRANSCRIPT_SCHEMA
+    spark.createDataFrame(rows, TRANSCRIPT_SCHEMA) \
+        .write.mode("append").parquet(d)
+
+    out = str(tmp_path_factory.mktemp("stream_pdf_out"))
+    ckpt = str(tmp_path_factory.mktemp("stream_pdf_ckpt"))
+    q = stream_extract_turns(spark, d, out, ckpt, num_partitions=4)
+    q.awaitTermination(300)
+    got = {r.turn_idx: r for r in spark.read.parquet(out).collect()}
+    assert got[1].extractor_type == "pdf-layout"
+    assert got[1].extracted_text == "Streamed report\nWith body text"
+    assert "attached report" in got[0].extracted_text
