@@ -11,10 +11,18 @@ Codec status (this container ships no image/audio libraries):
   audio duration with nothing but ``struct`` (these are fixed binary
   layouts, no codec needed). The synthetic media corpus emits genuine
   BMP/WAV payloads so this path is exercised end-to-end.
-* **Pixel/sample-level steps remain STUBS** (resize, frame-sample,
-  feature-extract over compressed codecs): each raises
-  ``NotImplementedError`` in strict mode or produces a deterministic fake
-  derived from the payload hash, so the pipeline shape stays testable.
+* **Pixel/sample-level ops are REAL for the uncompressed formats** —
+  nearest-neighbor resize over 24-bit uncompressed BMP pixel arrays,
+  PCM WAV clipping on block boundaries, and feature extraction (BMP mean
+  color + luminance histogram; WAV windowed RMS energy) run on the actual
+  bytes with nothing but ``struct``/``memoryview``. The synthetic corpus
+  emits genuine BMP pixel arrays and PCM WAV sample data so these paths
+  are exercised end-to-end.
+* **Compressed codecs remain STUBS** (JPEG/PNG pixel decode, video frame
+  extraction): each raises ``NotImplementedError`` in strict mode or
+  produces a deterministic fake derived from the payload hash, so the
+  pipeline shape stays testable. Plug PIL/libvips/libav behind the same
+  signatures in a real deployment.
 """
 
 from __future__ import annotations
@@ -114,6 +122,173 @@ def decode_headers(payload: bytes) -> dict | None:
     return None
 
 
+# ---------------------------------------------------------------- REAL ops
+# (uncompressed formats only — BMP 24-bit, PCM WAV — pure stdlib)
+
+def _bmp_pixel_geometry(payload: bytes):
+    """(width, height_abs, top_down, data_offset, row_stride) for a 24-bit
+    uncompressed BMP with a complete pixel array, else None."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    data_offset = struct.unpack("<I", payload[10:14])[0]
+    hdr_size = struct.unpack("<I", payload[14:18])[0]
+    if hdr_size < 40:
+        return None
+    w, h = struct.unpack("<ii", payload[18:26])
+    bpp = struct.unpack("<H", payload[28:30])[0]
+    comp = struct.unpack("<I", payload[30:34])[0]
+    if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        return None
+    habs = abs(h)
+    stride = (w * 3 + 3) & ~3
+    if len(payload) < data_offset + stride * habs:
+        return None  # header-only BMP (no full pixel array): stub path
+    return w, habs, h < 0, data_offset, stride
+
+
+def resize_bmp(payload: bytes, target_w: int, target_h: int) -> bytes | None:
+    """REAL nearest-neighbor resize of a 24-bit uncompressed BMP — actual
+    pixel-array work via memoryview slicing (row scaling precomputes the
+    source-x map once). Returns None when the payload is not a complete
+    24-bit BMP (the caller falls back to the stub)."""
+    geo = _bmp_pixel_geometry(payload)
+    if geo is None or target_w <= 0 or target_h <= 0:
+        return None
+    w, habs, top_down, off, stride = geo
+    mv = memoryview(payload)
+    new_stride = (target_w * 3 + 3) & ~3
+    pad = b"\x00" * (new_stride - target_w * 3)
+    xmap = [(x * w // target_w) * 3 for x in range(target_w)]
+    rows = []
+    for y in range(target_h):
+        sy = y * habs // target_h
+        rstart = off + sy * stride
+        row = mv[rstart:rstart + w * 3]
+        rows.append(b"".join(
+            [bytes(row[sx:sx + 3]) for sx in xmap]) + pad)
+    body = b"".join(rows)
+    height_field = -target_h if top_down else target_h
+    header_size = 54
+    return (b"BM"
+            + struct.pack("<IHHI", header_size + len(body), 0, 0,
+                          header_size)
+            + struct.pack("<IiiHHIIiiII", 40, target_w, height_field, 1,
+                          24, 0, len(body), 2835, 2835, 0, 0)
+            + body)
+
+
+def bmp_features(payload: bytes, dim: int = 16) -> list[float] | None:
+    """REAL image features from a 24-bit BMP: [mean B, mean G, mean R] +
+    (dim-3)-bin luminance histogram, L1-normalized. Samples at most ~4096
+    pixels with a deterministic stride. None for non-BMP payloads."""
+    geo = _bmp_pixel_geometry(payload)
+    if geo is None or dim < 4:
+        return None
+    w, habs, _td, off, stride = geo
+    total = w * habs
+    step = max(1, total // 4096)
+    sb = sg = sr = 0
+    nbins = dim - 3
+    hist = [0] * nbins
+    count = 0
+    for idx in range(0, total, step):
+        y, x = divmod(idx, w)
+        o = off + y * stride + x * 3
+        b, g, r = payload[o], payload[o + 1], payload[o + 2]
+        sb += b
+        sg += g
+        sr += r
+        lum = (2126 * r + 7152 * g + 722 * b) // 10000  # BT.709, 0-255
+        hist[min(nbins - 1, lum * nbins // 256)] += 1
+        count += 1
+    if not count:
+        return None
+    feats = [sb / (255.0 * count), sg / (255.0 * count),
+             sr / (255.0 * count)] + [c / count for c in hist]
+    return [round(f, 6) for f in feats]
+
+
+def _wav_chunks(payload: bytes):
+    """(fmt: dict, data_start, data_size) for a PCM RIFF/WAVE, else None."""
+    if len(payload) < 44 or payload[:4] != b"RIFF" \
+            or payload[8:12] != b"WAVE":
+        return None
+    fmt = None
+    data = None
+    i = 12
+    n = len(payload)
+    while i + 8 <= n:
+        cid = payload[i:i + 4]
+        size = struct.unpack("<I", payload[i + 4:i + 8])[0]
+        if cid == b"fmt " and i + 8 + 16 <= n:
+            audio_fmt, channels, sample_rate, byte_rate, block_align, bits \
+                = struct.unpack("<HHIIHH", payload[i + 8:i + 24])
+            fmt = {"audio_fmt": audio_fmt, "channels": channels,
+                   "sample_rate": sample_rate, "byte_rate": byte_rate,
+                   "block_align": block_align, "bits": bits}
+        elif cid == b"data":
+            data = (i + 8, min(size, n - i - 8))
+        i += 8 + size + (size & 1)
+    if fmt is None or data is None or fmt["audio_fmt"] != 1 \
+            or fmt["block_align"] == 0 or fmt["byte_rate"] == 0:
+        return None
+    return fmt, data[0], data[1]
+
+
+def clip_wav(payload: bytes, start_ms: int, end_ms: int) -> bytes | None:
+    """REAL PCM WAV clip: slice the data chunk on block boundaries and
+    rebuild a valid RIFF container. None for non-PCM payloads."""
+    parsed = _wav_chunks(payload)
+    if parsed is None or end_ms <= start_ms:
+        return None
+    fmt, dstart, dsize = parsed
+    ba = fmt["block_align"]
+    s = (fmt["byte_rate"] * start_ms // 1000) // ba * ba
+    e = (fmt["byte_rate"] * end_ms // 1000) // ba * ba
+    s, e = min(s, dsize), min(e, dsize)
+    data = payload[dstart + s:dstart + e]
+    fmt_body = struct.pack(
+        "<HHIIHH", 1, fmt["channels"], fmt["sample_rate"],
+        fmt["byte_rate"], ba, fmt["bits"])
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def wav_features(payload: bytes, dim: int = 16) -> list[float] | None:
+    """REAL audio features: RMS energy over ``dim`` equal windows of the
+    PCM data (8-bit unsigned or 16-bit signed), each in [0, 1]. None for
+    non-PCM payloads."""
+    parsed = _wav_chunks(payload)
+    if parsed is None or dim <= 0:
+        return None
+    fmt, dstart, dsize = parsed
+    bits = fmt["bits"]
+    if bits not in (8, 16) or dsize == 0:
+        return None
+    feats = []
+    win = dsize // dim or 1
+    for k in range(dim):
+        a = dstart + k * win
+        b = min(dstart + (k + 1) * win, dstart + dsize)
+        if a >= b:
+            feats.append(0.0)
+            continue
+        if bits == 8:
+            seg = payload[a:b]
+            step = max(1, len(seg) // 2048)
+            vals = [(s - 128) / 128.0 for s in seg[::step]]
+        else:
+            cnt = (b - a) // 2
+            step = max(1, cnt // 2048)
+            vals = [
+                struct.unpack_from("<h", payload, a + 2 * i)[0] / 32768.0
+                for i in range(0, cnt, step)]
+        feats.append(round(
+            (sum(v * v for v in vals) / len(vals)) ** 0.5, 6))
+    return feats
+
+
 def _fake_dims(payload: bytes) -> tuple[int, int, int]:
     """Deterministic fake decode: dimensions derived from the content hash
     (stable across runs/executors — usable in tests)."""
@@ -155,7 +330,14 @@ def decode_stub(payload: bytes, media_type: str) -> dict:
 
 
 def feature_stub(payload: bytes, dim: int = 16) -> list[float]:
-    """STUB feature extraction → unit-norm vector from the payload hash."""
+    """Feature extraction. REAL for 24-bit BMP (mean color + luminance
+    histogram) and PCM WAV (windowed RMS); compressed codecs fall back to
+    the stub (raise in strict mode, hash-derived unit vector otherwise)."""
+    real = bmp_features(payload, dim)
+    if real is None:
+        real = wav_features(payload, dim)
+    if real is not None:
+        return real
     if _STRICT:
         _codec_unavailable("feature-extract")
     h = hashlib.sha256(payload).digest()
@@ -166,10 +348,13 @@ def feature_stub(payload: bytes, dim: int = 16) -> list[float]:
 
 
 def resize_stub(payload: bytes, target_w: int, target_h: int) -> bytes:
-    """STUB resize → bytes. Real impl: PIL/libvips behind this signature.
-    The deterministic fake re-headers the payload as a BMP of the target
-    size so downstream header-decode sees the new dimensions (exercises
-    the full decode→resize→re-decode loop without a codec)."""
+    """Resize. REAL nearest-neighbor for 24-bit uncompressed BMP pixel
+    arrays; compressed codecs fall back to the stub (raise in strict mode;
+    the deterministic fake re-headers the payload as a BMP of the target
+    size so downstream header-decode sees the new dimensions)."""
+    real = resize_bmp(payload, target_w, target_h)
+    if real is not None:
+        return real
     if _STRICT:
         _codec_unavailable("resize")
     return synth_bmp(target_w, target_h,
@@ -211,6 +396,49 @@ def resize_images(df: DataFrame, target_w: int = 224,
             yield out
 
     return df.mapInPandas(worker, schema=", ".join(cols + ["resized binary"]))
+
+
+def attach_features(df: DataFrame, dim: int = 16) -> DataFrame:
+    """df(media_id, payload, media_type) → + ``features array<float>``:
+    REAL content features for BMP/PCM-WAV payloads (mean color + luminance
+    histogram / windowed RMS), hash-stub for compressed codecs — the
+    embedding-precursor stage shape of a multimodal training pipeline.
+    Arrow-batched; binary in, fixed-dim float vector out."""
+    cols = [f"{c} {dict(df.dtypes)[c]}" for c in df.columns]
+
+    def worker(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [
+                feature_stub(
+                    p if isinstance(p, (bytes, bytearray)) else b"", dim)
+                for p in pdf["payload"]]
+            out = pdf.reset_index(drop=True)
+            out["features"] = feats
+            yield out
+
+    return df.mapInPandas(
+        worker, schema=", ".join(cols + ["features array<float>"]))
+
+
+def clip_audio(df: DataFrame, start_ms: int, end_ms: int) -> DataFrame:
+    """df(media_id, payload, media_type) → + ``clipped binary`` for audio
+    rows: REAL PCM WAV clipping on block boundaries (None for non-audio /
+    non-PCM rows) — the segment-extraction stage shape for audio training
+    data."""
+    cols = [f"{c} {dict(df.dtypes)[c]}" for c in df.columns]
+
+    def worker(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            clipped = [
+                clip_wav(p if isinstance(p, (bytes, bytearray)) else b"",
+                         start_ms, end_ms)
+                if mt == "audio" else None
+                for p, mt in zip(pdf["payload"], pdf["media_type"])]
+            out = pdf.reset_index(drop=True)
+            out["clipped"] = clipped
+            yield out
+
+    return df.mapInPandas(worker, schema=", ".join(cols + ["clipped binary"]))
 
 
 def sample_video_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
@@ -280,7 +508,9 @@ def attach_media_meta(df: DataFrame) -> DataFrame:
 
 def synth_bmp(width: int, height: int, body: bytes) -> bytes:
     """Genuine BMP header (BITMAPINFOHEADER) wrapping arbitrary body bytes
-    — valid for header-level decode (the only level this module decodes)."""
+    — valid for header-level decode. When ``body`` is shorter than the
+    pixel array the image is header-only (pixel-level ops fall back to the
+    stub); use :func:`synth_bmp_pixels` for a complete image."""
     header_size = 54
     size = header_size + len(body)
     return (b"BM" + struct.pack("<IHHI", size, 0, 0, header_size)
@@ -289,11 +519,27 @@ def synth_bmp(width: int, height: int, body: bytes) -> bytes:
             + body)
 
 
-def synth_wav(duration_ms: int, byte_rate: int = 16000) -> bytes:
-    """Genuine RIFF/WAVE header with a data chunk sized for duration_ms."""
+def synth_bmp_pixels(width: int, height: int, seed: bytes) -> bytes:
+    """Genuine COMPLETE 24-bit BMP: a full padded pixel array with
+    deterministic content derived from ``seed`` — the real resize/feature
+    ops run on it."""
+    stride = (width * 3 + 3) & ~3
+    need = stride * height
+    pattern = (seed or b"\x5a") * (need // max(1, len(seed or b"\x5a")) + 1)
+    return synth_bmp(width, height, pattern[:need])
+
+
+def synth_wav(duration_ms: int, byte_rate: int = 16000,
+              samples: bytes | None = None) -> bytes:
+    """Genuine RIFF/WAVE (PCM 8-bit mono) with a data chunk sized for
+    ``duration_ms``; ``samples`` seeds real sample content (tiled/truncated
+    to size), default silence."""
     data_size = int(byte_rate * duration_ms / 1000)
     fmt = struct.pack("<HHIIHH", 1, 1, byte_rate, byte_rate, 1, 8)
-    data = b"\x00" * data_size
+    if samples:
+        data = (samples * (data_size // len(samples) + 1))[:data_size]
+    else:
+        data = b"\x80" * data_size  # 8-bit PCM silence is 0x80, not 0x00
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt \
         + b"data" + struct.pack("<I", data_size) + data
     return b"RIFF" + struct.pack("<I", 4 + len(body) - 4) + body
@@ -317,11 +563,14 @@ def media_corpus_from_documents(spark, sf_dir: str) -> DataFrame:
                 if kind == 0:
                     w = 16 + int(doc_id) % 64
                     h = 16 + int(doc_id) % 48
-                    rows.append((int(doc_id), synth_bmp(w, h, body),
+                    rows.append((int(doc_id),
+                                 synth_bmp_pixels(w, h, body[:256]),
                                  "image"))
                 elif kind == 1:
                     dur = 100 + (len(body) % 5000)
-                    rows.append((int(doc_id), synth_wav(dur), "audio"))
+                    rows.append((int(doc_id),
+                                 synth_wav(dur, samples=body[:1024]),
+                                 "audio"))
                 else:
                     rows.append((int(doc_id), body, "video"))
             yield pd.DataFrame(rows,
