@@ -96,6 +96,26 @@ def _multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("media_id"))
 
 
+def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature op (rows-only): REAL content features for the
+    BMP/PCM-WAV payloads of the synthetic corpus (mean color + luminance
+    histogram / windowed RMS), hash-stub for the raw "video" rows; no SQL
+    oracle — DuckDB has no image/audio codec."""
+    from trek_spark.spark.multimodal import (
+        attach_features,
+        media_corpus_from_documents,
+    )
+
+    media = media_corpus_from_documents(spark, sf_dir)
+    return (attach_features(media)
+            .select("media_id", "media_type",
+                    F.round(F.element_at("features", 1), 4).alias("f0"),
+                    F.round(F.element_at("features", 2), 4).alias("f1"),
+                    F.round(F.element_at("features", 16), 4).alias("f15"),
+                    F.size("features").alias("dim"))
+            .orderBy("media_id"))
+
+
 def _extract_pdf_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF branch op (rows-only): deterministic embedded-PDF turns through
     the same fused extraction stage (north-star "embedded PDFs via layout
@@ -133,6 +153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["extract_content_spans"] = _extract_spans
     out["extract_pdf_turns"] = _extract_pdf_turns
     out["multimodal_decode"] = _multimodal_decode
+    out["multimodal_features"] = _multimodal_features
     return out
 
 
