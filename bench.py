@@ -118,16 +118,24 @@ def _mp_control(levels: tuple[int, ...] = (1, 4, 8, 32),
     for workers in levels:
         n = workers * docs_per_worker
         work = [docs[i % len(docs)] for i in range(n)]
-        with ctx.Pool(workers) as pool:
-            pool.map(_mp_parse_doc, work[:workers])  # warm the workers
-            t0 = time.time()
-            pool.map(_mp_parse_doc, work, chunksize=1)
-            wall = time.time() - t0
-        out[str(workers)] = {"docs": n, "wall_sec": round(wall, 3),
-                             "docs_per_sec": round(n / wall, 1)}
+        # same estimator discipline as the Spark pairs: FIXED 2 attempts,
+        # keep the best per level (one-sided co-tenant noise)
+        best = None
+        for _attempt in range(2):
+            with ctx.Pool(workers) as pool:
+                pool.map(_mp_parse_doc, work[:workers])  # warm the workers
+                t0 = time.time()
+                pool.map(_mp_parse_doc, work, chunksize=1)
+                wall = time.time() - t0
+            if best is None or wall < best:
+                best = wall
+        out[str(workers)] = {"docs": n, "wall_sec": round(best, 3),
+                             "docs_per_sec": round(n / best, 1)}
 
-    def eff(lo: int, hi: int) -> float:
-        a, b = out[str(lo)], out[str(hi)]
+    def eff(lo: int, hi: int) -> float | None:
+        a, b = out.get(str(lo)), out.get(str(hi))
+        if not a or not b:
+            return None
         return round((b["docs_per_sec"] / a["docs_per_sec"]) / (hi / lo), 3)
 
     out["efficiency_1_4"] = eff(1, 4)
