@@ -1354,9 +1354,16 @@ def _convert_anchored_definitions(root: Node) -> None:
 
 
 def _renumber_named_ids(root: Node) -> None:
+    # collect every (old name → new number) across all footnote lists,
+    # then rewrite referers in ONE element pass with dict lookups — the
+    # per-mapping rescan was O(footnotes × elements), a real cost on
+    # footnote-heavy pages (renamed names are numeric, original names are
+    # not, so sequential per-mapping application cannot chain and the
+    # fused single pass is behavior-identical)
+    href_map: dict[str, str] = {}
+    id_map: dict[str, str] = {}
     for ol in [n for n in root.iter_elements()
                if n.tag == "ol" and n.has_class("footnotes-list")]:
-        mapping = []
         start = ol.get("start")
         idx = int(start) if start and start.isdigit() else 1
         for li in ol.children:
@@ -1371,20 +1378,28 @@ def _renumber_named_ids(root: Node) -> None:
                 idx = int(stripped) + 1
                 continue
             li.set("id", f"fn:{idx}")
-            mapping.append((stripped, str(idx)))
+            n = str(idx)
+            href_map.setdefault(f"#fn:{stripped}", f"#fn:{n}")
+            href_map.setdefault(f"#{stripped}", f"#fn:{n}")
+            href_map.setdefault(f"#fnref:{stripped}", f"#fnref:{n}")
+            href_map.setdefault(f"#{stripped}-link", f"#fnref:{n}")
+            id_map.setdefault(f"fnref:{stripped}", f"fnref:{n}")
+            id_map.setdefault(f"{stripped}-link", f"fnref:{n}")
             idx += 1
-        if not mapping:
-            continue
-        for name, n in mapping:
-            for el in root.iter_elements():
-                if el.tag == "a":
-                    href = el.get("href")
-                    if href in (f"#fn:{name}", f"#{name}"):
-                        el.set("href", f"#fn:{n}")
-                    elif href in (f"#fnref:{name}", f"#{name}-link"):
-                        el.set("href", f"#fnref:{n}")
-                if el.get("id") in (f"fnref:{name}", f"{name}-link"):
-                    el.set("id", f"fnref:{n}")
+    if not href_map:
+        return
+    for el in root.iter_elements():
+        if el.tag == "a":
+            href = el.get("href")
+            if href is not None:
+                new = href_map.get(href)
+                if new is not None:
+                    el.set("href", new)
+        ident = el.get("id")
+        if ident is not None:
+            new = id_map.get(ident)
+            if new is not None:
+                el.set("id", new)
 
 
 def _trim_ws_around_footnote_refs(root: Node) -> None:

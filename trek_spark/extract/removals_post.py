@@ -1318,6 +1318,10 @@ def _drop_contentless_headings(root: Node) -> None:
                     or (c.type == ELEMENT and c is not top)
                     for c in top.parent.children):
             top = top.parent
+        if top is h:
+            # the detach below requires top is not h — skip the (costly)
+            # sibling text walks entirely for the common unwrapped case
+            continue
         par = top.parent
         if par is None or par.type != ELEMENT \
                 or par.tag not in ("div", "section"):
@@ -1328,10 +1332,12 @@ def _drop_contentless_headings(root: Node) -> None:
                 continue
             if c.type == TEXT and c.text.strip():
                 others = True
-            elif c.type == ELEMENT and (c.text_content().strip()
-                                        or _has_media(c)):
+                break
+            if c.type == ELEMENT and (c.text_content().strip()
+                                      or _has_media(c)):
                 others = True
-        if not others and top is not h:
+                break
+        if not others:
             h.detach()
 
 
