@@ -123,3 +123,30 @@ def test_pdf_turns_through_spark_job(compress, tmp_path_factory):
     assert got[1].extractor_type == "pdf-layout"
     assert got[1].extracted_text == "Quarterly report\nRevenue went up"
     assert "summarize the attached" in got[0].extracted_text
+
+
+def test_pdf_fuzz_never_raises():
+    """Random PDF-shaped garbage (headers, stream markers, flate-ish
+    bodies, truncations) must never raise — crawled PDFs are routinely
+    malformed."""
+    import random
+    import zlib
+
+    random.seed(7)
+    pieces = [b"%PDF-1.4\n", b"stream\n", b"endstream", b"obj", b"endobj",
+              b"<< /Filter /FlateDecode >>", b"<< /Length 99 >>",
+              b"BT ", b"ET", b"(text) Tj", b"[(a) -300 (b)] TJ",
+              b"1 0 0 1 72 700 Tm", b"T*", b"xref", b"%%EOF",
+              zlib.compress(b"BT (z) Tj ET"), bytes(range(256))]
+    for _ in range(500):
+        n = random.randint(1, 12)
+        doc = b"".join(random.choice(pieces) for _ in range(n))
+        if random.random() < 0.5:
+            doc = b"%PDF-" + doc
+        if random.random() < 0.3:
+            doc = doc[:random.randint(0, len(doc))]
+        out = P.pdf_to_text(doc)
+        assert isinstance(out, str)
+        r = extract_pdf_one(doc.decode("latin-1"))
+        assert r["error"] in (None, "not_a_pdf", "empty_input") \
+            or "Traceback" not in (r["error"] or "")
