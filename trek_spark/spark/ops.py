@@ -177,6 +177,68 @@ SQL_DISTINCT_PRIORITIES = \
     "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders"
 
 
+def q_orders_rollup(spark, sf_dir):
+    """ROLLUP aggregation (subtotal + grand-total rows): one shuffle, the
+    rollup expansion happens inside the aggregation (Spark Expand node) —
+    no extra pass per grouping set. NULL group keys mark subtotal rows in
+    both engines identically."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("order_cnt"),
+             F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+SQL_ORDERS_ROLLUP = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS order_cnt, round(sum(o_totalprice), 2) AS revenue
+FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+"""
+
+
+def q_customers_with_orders(spark, sf_dir):
+    """LEFT SEMI join (EXISTS shape): customers having at least one
+    high-value order. Semi-join short-circuits on first match and never
+    duplicates left rows — the scalable EXISTS strategy (the orders side
+    shuffles once on the join key; no fan-out)."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment")
+    big = (_t(spark, sf_dir, "orders")
+           .filter(F.col("o_totalprice") > 250000)
+           .select("o_custkey"))
+    return cust.join(big, cust.c_custkey == big.o_custkey, "left_semi")
+
+
+SQL_CUSTOMERS_WITH_ORDERS = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 250000)
+"""
+
+
+def q_orders_above_avg(spark, sf_dir):
+    """Scalar-subquery filter: orders above the global average price. The
+    scalar aggregates in one tiny job and broadcasts as a literal-like
+    single-row cross input — no per-row recomputation. Threshold rounded
+    in BOTH engines so the float boundary can't flip a row."""
+    o = _t(spark, sf_dir, "orders")
+    avg_df = o.agg(F.round(F.avg("o_totalprice"), 2).alias("avg_price"))
+    return (
+        o.crossJoin(F.broadcast(avg_df))
+        .filter(F.col("o_totalprice") > F.col("avg_price") * 1.5)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+SQL_ORDERS_ABOVE_AVG = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_totalprice > (SELECT round(avg(o_totalprice), 2) * 1.5 FROM orders)
+"""
+
+
 def q_orders_except(spark, sf_dir):
     """Set op: mid-value orders = >100k EXCEPT ALL >200k."""
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
@@ -1226,6 +1288,10 @@ OPS: dict[str, tuple] = {
     "latest_order_per_customer": (q_latest_order_per_customer, SQL_LATEST_ORDER),
     "distinct_priorities": (q_distinct_priorities, SQL_DISTINCT_PRIORITIES),
     "orders_except": (q_orders_except, SQL_ORDERS_EXCEPT),
+    "orders_rollup": (q_orders_rollup, SQL_ORDERS_ROLLUP),
+    "customers_with_orders": (
+        q_customers_with_orders, SQL_CUSTOMERS_WITH_ORDERS),
+    "orders_above_avg": (q_orders_above_avg, SQL_ORDERS_ABOVE_AVG),
     "part_strings": (q_part_strings, SQL_PART_STRINGS),
     "orders_by_month": (q_orders_by_month, SQL_ORDERS_BY_MONTH),
     "events_stats": (q_events_stats, SQL_EVENTS_STATS),
