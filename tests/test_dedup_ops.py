@@ -164,3 +164,26 @@ def test_embedding_near_dup_hot_bucket_capped(spark, tmp_path):
     base = [0.25] * 32
     sf = _write_embeddings(spark, str(tmp_path), [base] * 1050)
     assert O.q_embedding_near_dup(spark, sf).count() == 0
+
+
+def test_dedup_clusters_transitive_chain(spark, tmp_path):
+    """A~B and B~C above the Jaccard threshold but A~C below it: cluster
+    resolution must still unite all three (connected components, not just
+    pair groups), labeled by the minimum doc id."""
+    words = [f"w{i:03d}" for i in range(60)]
+    texts = [
+        " ".join(words[0:40]),    # A: w0..w39
+        " ".join(words[10:50]),   # B: w10..w49  (J(A,B)=28/48≈0.58)
+        " ".join(words[20:60]),   # C: w20..w59  (J(B,C)≈0.58, J(A,C)≈0.31)
+        "completely unrelated text about gardens and weather patterns",
+    ]
+    sf = _write_documents(spark, str(tmp_path), texts)
+    # precondition: the A~C edge really is absent
+    pairs = {(r.id_a, r.id_b)
+             for r in O.q_dedup_ngram_jaccard(spark, sf).collect()}
+    assert ("d00000", "d00001") in pairs and ("d00001", "d00002") in pairs
+    assert ("d00000", "d00002") not in pairs
+    clusters = {r.doc_id: r.cluster_id
+                for r in O.q_dedup_clusters(spark, sf).collect()}
+    assert clusters == {"d00000": "d00000", "d00001": "d00000",
+                        "d00002": "d00000"}  # united through B; D absent

@@ -622,6 +622,66 @@ WHERE round(shared / (sa.n + sb.n - shared), 4) >= 0.5
 """
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Duplicate-cluster resolution: connected components over the Jaccard
+    near-dup pair graph — (doc_id, cluster_id = min doc_id reachable).
+    Pairs alone aren't the usable dedup product; a pipeline keeps one
+    canonical doc per CLUSTER (A~B, B~C must collapse to one group even
+    when A~C was never emitted).
+
+    Min-label propagation, the scalable CC strategy: each round is one
+    join + min-aggregation on the edge list (both shuffles on doc ids),
+    converging in O(component diameter) rounds — near-dup clusters are
+    small-diameter by construction, and rounds are driver-checked for a
+    fixpoint with a hard cap. ``localCheckpoint`` truncates the per-round
+    lineage so the plan does not grow unboundedly. Deterministic: the
+    fixpoint (min reachable id) is unique, so the DuckDB recursive-CTE
+    oracle hash-matches.
+    """
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    edges = pairs.union(
+        pairs.select(F.col("id_b").alias("id_a"),
+                     F.col("id_a").alias("id_b"))).distinct() \
+        .localCheckpoint(eager=True)
+    labels = (edges.select(F.col("id_a").alias("doc_id")).distinct()
+              .withColumn("cluster_id", F.col("doc_id")))
+    for _round in range(20):  # cap >> any real near-dup cluster diameter
+        neighbor_min = (
+            edges.join(labels, edges.id_a == labels.doc_id)
+            .groupBy(F.col("id_b").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min")))
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select("doc_id",
+                    F.least("cluster_id", F.coalesce("nbr_min",
+                                                     F.col("cluster_id")))
+                    .alias("cluster_id"))
+            .localCheckpoint(eager=True))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "doc_id")
+                   .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+                   .count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", "cluster_id")
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE dedup_pairs AS (
+  SELECT id_a, id_b FROM ({SQL_DEDUP_NGRAM}) t
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM dedup_pairs
+  UNION SELECT id_b, id_a FROM dedup_pairs
+), reach(src, dst) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+)
+SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY 1
+"""
+
+
 _MINHASH_SEEDS = 8
 _BAND_ROWS = 2  # 4 bands × 2 rows
 
@@ -1303,6 +1363,7 @@ OPS: dict[str, tuple] = {
     "fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),
     "dedup_lsh_dropped_buckets": (
         q_dedup_lsh_dropped_buckets, SQL_LSH_DROPPED_BUCKETS),
