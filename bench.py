@@ -53,7 +53,8 @@ FULL_TILES = int(os.environ.get("SPARK_GRAFT_FULL_TILES", "100"))
 BENCH_QUERIES = [
     "pricing_summary", "region_revenue", "latest_order_per_customer",
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "ann_topk_cosine", "ann_topk_ivf", "token_counts", "lang_heuristic",
+    "dedup_simhash_pairs", "ann_topk_cosine", "ann_topk_ivf",
+    "ann_topk_ivf_mp", "orders_rollup", "token_counts", "lang_heuristic",
 ]
 
 
