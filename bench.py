@@ -26,12 +26,20 @@ Protocol (pre-registered, no pass-dependent branches):
   a degraded 8->32 Spark ratio reflects the host, not the pipeline —
   separate executors on a real cluster each have their own bus.
 
-Prints ONE JSON line:
-  {"metric": "extract_turns_per_sec", "value": <turns/sec at local[CPUS]>,
+Artifact discipline (round-4 verdict #1: the driver captures the LAST
+~2,000 chars of stdout — a long JSON line tears and records parsed:null):
+stdout gets exactly ONE compact JSON line (~1.2 kB ceiling, no prose
+fields), printed LAST; every verbose structure (per-attempt runs, notes,
+protocol prose) goes to BENCH/DETAILS.json and the line points at it.
+
+Compact line shape:
+  {"metric": "extract_turns_per_sec", "value": <tps at local[CPUS]>,
    "unit": "sec", "queries": {...}, "sf": ...,
-   "scaling": {"n": .., "low": {...}, "high": {...}, "efficiency": E,
-               "pair_8_32": {...}, "mp_control": {...},
-               "full_width": {...}}}
+   "ann_recall_at_3": {...}, "cc_rounds": N,
+   "scaling": {"n": .., "low_tps": .., "high_tps": .., "efficiency": E,
+               "saturated": bool, "attempts": [...],
+               "pair_8_32": {...}, "mp_eff": {...}, "full_width_tps": ..,
+               "details": "BENCH/DETAILS.json"}}
 """
 
 from __future__ import annotations
@@ -53,8 +61,9 @@ FULL_TILES = int(os.environ.get("SPARK_GRAFT_FULL_TILES", "100"))
 BENCH_QUERIES = [
     "pricing_summary", "region_revenue", "latest_order_per_customer",
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "dedup_simhash_pairs", "ann_topk_cosine", "ann_topk_ivf",
-    "ann_topk_ivf_mp", "orders_rollup", "token_counts", "lang_heuristic",
+    "dedup_simhash_pairs", "dedup_clusters", "ann_topk_cosine",
+    "ann_topk_ivf", "ann_topk_ivf_mp", "orders_rollup", "token_counts",
+    "lang_heuristic", "render_conversations",
 ]
 
 
@@ -130,6 +139,7 @@ def _mp_control(levels: tuple[int, ...] = (1, 4, 8, 32),
                 wall = time.time() - t0
             if best is None or wall < best:
                 best = wall
+        best = max(best, 1e-6)  # degenerate ~0-wall run must not divide-by-0
         out[str(workers)] = {"docs": n, "wall_sec": round(best, 3),
                              "docs_per_sec": round(n / best, 1)}
 
@@ -144,12 +154,14 @@ def _mp_control(levels: tuple[int, ...] = (1, 4, 8, 32),
     return out
 
 
-def _query_timings() -> tuple[dict, dict]:
+def _query_timings() -> tuple[dict, dict, dict]:
+    from trek_spark.spark import ops as ops_mod
     from trek_spark.spark.ops import OPS
     from trek_spark.spark.session import get_spark
 
     spark = get_spark("bench-queries", master=f"local[{CPUS}]")
     timings = {}
+    cc_audit = {}
     try:
         spark.range(1).count()
         for name in BENCH_QUERIES:
@@ -157,10 +169,12 @@ def _query_timings() -> tuple[dict, dict]:
             t0 = time.time()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             timings[name] = round(time.time() - t0, 3)
+            if name == "dedup_clusters":
+                cc_audit = dict(ops_mod.LAST_CC_AUDIT)
         recall = _ann_recall(spark)
     finally:
         spark.stop()
-    return timings, recall
+    return timings, recall, cc_audit
 
 
 def _ann_recall(spark) -> dict:
@@ -193,39 +207,76 @@ def _ann_recall(spark) -> dict:
     return res
 
 
-def main() -> None:
-    queries, ann_recall = _query_timings()
+_PROTOCOL_NOTES = {
+    "criterion": (
+        f"gate pair local[N] vs local[4N] (N from SPARK_GRAFT_SCALE_N) on "
+        "the same input, same partition count at both levels; target >= "
+        "0.8 over 4x cores; FIXED attempt counts (no pass-dependent early "
+        "exit): 3 low-leg + 2 high-leg attempts (the slow low leg "
+        "dominates ratio variance, round-4 verdict #4); estimator is "
+        "best-per-level (max turns/sec at each level, symmetric): "
+        "deterministic pipeline + one-sided co-tenant noise means max is "
+        "the least-contaminated estimate per level — rule independent of "
+        "whether the gate passed. Efficiency > 1.0 is physically "
+        "implausible for this pipeline and is reported clamped to 1.0 "
+        "with saturated:true (it means every low-leg attempt was "
+        "co-tenant-degraded; the raw value is in DETAILS)."),
+    "pair_8_32": (
+        "protocol's original levels, reported not gated, now 2 fixed "
+        "attempts per level with the same best-per-level estimator as the "
+        "gate (round-4 verdict #3); see mp_control — the no-Spark control "
+        "shows the same degradation at these worker counts, so a "
+        "shortfall is the shared host (memory bus + co-tenants), not the "
+        "pipeline; separate executors on a real cluster have their own "
+        "bus"),
+    "ann_recall": (
+        "testdata embeddings are i.i.d. random — no cluster structure, so "
+        "the information-theoretic recall of ANY nprobe-of-256-cell "
+        "scheme is ~nprobe/256 (~0.4-1.6%) regardless of implementation; "
+        "on real-world (clustered) embeddings recall rises with nprobe "
+        "(the knob ann_topk_ivf_mp adds). ann_recall_clustered is the "
+        "same recall@3 measured on a synthetic CLUSTERED corpus where "
+        "the knob's effect is visible."),
+}
 
-    # FIXED 2 attempts over the gate (low, high) pair — no pass-dependent
-    # early exit (a retry-until-pass loop would bias the reported number
-    # upward). Estimator, pre-registered and independent of the gate:
-    # BEST-PER-LEVEL — the pipeline is deterministic and co-tenant noise on
-    # this shared box is strictly one-sided (it only ever slows a run), so
-    # the max throughput observed at each level is the least-contaminated
-    # estimate of that level's true capacity, applied symmetrically to both
-    # levels. (The previous fastest-baseline rule could pair a clean
-    # baseline with a degraded high run and report noise as inefficiency.)
-    # All attempts are reported.
-    attempts = []
-    for _attempt in range(2):
-        low = _extraction_run(SCALE_N, PAIR_TILES, PAIR_PARTITIONS)
-        high = _extraction_run(SCALE_N * 4, PAIR_TILES, PAIR_PARTITIONS)
-        speedup = high["turns_per_sec"] / low["turns_per_sec"] \
-            if low["turns_per_sec"] else 0.0
-        attempts.append((low, high, speedup))
-    low = max((a[0] for a in attempts), key=lambda r: r["turns_per_sec"])
-    high = max((a[1] for a in attempts), key=lambda r: r["turns_per_sec"])
-    speedup = high["turns_per_sec"] / low["turns_per_sec"] \
+
+def _gate_pair(attempts_low: list, attempts_high: list):
+    """Best-per-level estimator + saturation flag (efficiency > 1.0 means
+    the low leg never ran clean; clamp and flag rather than report
+    super-linear scaling as fact)."""
+    low = max(attempts_low, key=lambda r: r["turns_per_sec"])
+    high = max(attempts_high, key=lambda r: r["turns_per_sec"])
+    raw_eff = (high["turns_per_sec"] / low["turns_per_sec"]) / 4.0 \
         if low["turns_per_sec"] else 0.0
-    efficiency = speedup / 4.0
+    saturated = raw_eff > 1.0
+    return low, high, round(min(raw_eff, 1.0), 3), round(raw_eff, 3), \
+        saturated
 
-    # the protocol's original 8 -> 32 pair, reported (not gated) with the
-    # live mp control that contextualizes it
-    low8 = _extraction_run(8, FULL_TILES, PAIR_PARTITIONS * 4)
-    high32 = _extraction_run(32, FULL_TILES, PAIR_PARTITIONS * 4)
-    eff_8_32 = round(
-        (high32["turns_per_sec"] / low8["turns_per_sec"]) / 4.0, 3) \
-        if low8["turns_per_sec"] else 0.0
+
+def main() -> None:
+    queries, ann_recall, cc_audit = _query_timings()
+    ann_note = ann_recall.pop("note", None)
+
+    # Gate pair: FIXED 3 low-leg + 2 high-leg attempts (pre-registered; the
+    # low leg is the slow one and dominates ratio variance). See
+    # _PROTOCOL_NOTES["criterion"] for the full protocol prose — it lives
+    # in BENCH/DETAILS.json, NOT in the stdout line (round-4 verdict #1).
+    attempts_low = [_extraction_run(SCALE_N, PAIR_TILES, PAIR_PARTITIONS)
+                    for _ in range(3)]
+    attempts_high = [
+        _extraction_run(SCALE_N * 4, PAIR_TILES, PAIR_PARTITIONS)
+        for _ in range(2)]
+    low, high, efficiency, raw_eff, saturated = \
+        _gate_pair(attempts_low, attempts_high)
+
+    # the protocol's original 8 -> 32 pair: 2 fixed attempts per level,
+    # same best-per-level estimator (symmetric with the gate)
+    attempts_low8 = [_extraction_run(8, FULL_TILES, PAIR_PARTITIONS * 4)
+                     for _ in range(2)]
+    attempts_high32 = [_extraction_run(32, FULL_TILES, PAIR_PARTITIONS * 4)
+                       for _ in range(2)]
+    low8, high32, eff_8_32, raw_eff_8_32, sat_8_32 = \
+        _gate_pair(attempts_low8, attempts_high32)
     mp_control = _mp_control()
 
     full = _extraction_run(CPUS, FULL_TILES)
@@ -235,6 +286,30 @@ def main() -> None:
     queries["extract_full_width"] = full["wall_sec"]
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+
+    details = {
+        "protocol": _PROTOCOL_NOTES,
+        "ann_recall_note": ann_note,
+        "cc_audit": cc_audit,
+        "gate": {"attempts_low": attempts_low,
+                 "attempts_high": attempts_high,
+                 "raw_efficiency": raw_eff, "saturated": saturated},
+        "pair_8_32": {"attempts_low": attempts_low8,
+                      "attempts_high": attempts_high32,
+                      "raw_efficiency": raw_eff_8_32,
+                      "saturated": sat_8_32},
+        "mp_control": mp_control,
+        "full_width": full,
+    }
+    details_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "DETAILS.json")
+    try:
+        os.makedirs(os.path.dirname(details_path), exist_ok=True)
+        with open(details_path, "w") as fh:
+            json.dump(details, fh, indent=1)
+    except OSError:
+        pass  # details are best-effort; the stdout line must still print
+
     result = {
         "metric": "extract_turns_per_sec",
         "value": full["turns_per_sec"],
@@ -242,40 +317,42 @@ def main() -> None:
         "queries": queries,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "ann_recall_at_3": ann_recall,
+        "cc_rounds": cc_audit.get("rounds"),
         "scaling": {
             "n": SCALE_N,
-            "low": low,
-            "high": high,
-            "speedup": round(speedup, 3),
-            "efficiency": round(efficiency, 3),
-            "criterion": f"local[{SCALE_N}] vs local[{SCALE_N * 4}] on the "
-                         "same input, same partition count "
-                         f"({PAIR_PARTITIONS}) at both levels; target "
-                         ">= 0.8 over 4x cores; FIXED 2 attempts (no "
-                         "pass-dependent early exit); estimator is "
-                         "best-per-level (max turns/sec at each level, "
-                         "symmetric): deterministic pipeline + one-sided "
-                         "co-tenant noise means max is the "
-                         "least-contaminated estimate per level — rule "
-                         "independent of whether the gate passed",
-            "attempts": [
-                {"low_tps": a[0]["turns_per_sec"],
-                 "high_tps": a[1]["turns_per_sec"],
-                 "efficiency": round(a[2] / 4.0, 3)} for a in attempts],
+            "low_tps": low["turns_per_sec"],
+            "high_tps": high["turns_per_sec"],
+            "efficiency": efficiency,
+            "saturated": saturated,
+            "attempts_low_tps": [a["turns_per_sec"] for a in attempts_low],
+            "attempts_high_tps": [a["turns_per_sec"]
+                                  for a in attempts_high],
             "pair_8_32": {
-                "low": low8, "high": high32, "efficiency": eff_8_32,
-                "note": "protocol's original levels, reported not gated; "
-                        "see mp_control — the no-Spark control shows the "
-                        "same degradation at these worker counts, so the "
-                        "shortfall is the shared host (memory bus + "
-                        "co-tenants), not the pipeline; separate "
-                        "executors on a real cluster have their own bus",
+                "low_tps": low8["turns_per_sec"],
+                "high_tps": high32["turns_per_sec"],
+                "efficiency": eff_8_32,
+                "attempts_low_tps": [a["turns_per_sec"]
+                                     for a in attempts_low8],
+                "attempts_high_tps": [a["turns_per_sec"]
+                                      for a in attempts_high32],
             },
-            "mp_control": mp_control,
-            "full_width": full,
+            "mp_eff": {"eff_1_4": mp_control.get("efficiency_1_4"),
+                       "eff_8_32": mp_control.get("efficiency_8_32")},
+            "full_width_tps": full["turns_per_sec"],
+            "details": "BENCH/DETAILS.json",
         },
     }
-    print(json.dumps(result))
+    # hard artifact invariant: the driver's tail window is ~2000 chars and
+    # the line must survive it whole (round-4 failure mode). Shed the
+    # per-attempt arrays (already in DETAILS.json) before ever tearing.
+    line = json.dumps(result, separators=(",", ":"))
+    if len(line) >= 1800:
+        for key in ("attempts_low_tps", "attempts_high_tps"):
+            result["scaling"].pop(key, None)
+            result["scaling"]["pair_8_32"].pop(key, None)
+        line = json.dumps(result, separators=(",", ":"))
+    assert len(line) < 1800, f"bench line too long: {len(line)} chars"
+    print(line)
 
 
 if __name__ == "__main__":

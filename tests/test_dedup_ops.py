@@ -187,3 +187,36 @@ def test_dedup_clusters_transitive_chain(spark, tmp_path):
                 for r in O.q_dedup_clusters(spark, sf).collect()}
     assert clusters == {"d00000": "d00000", "d00001": "d00000",
                         "d00002": "d00000"}  # united through B; D absent
+
+
+def test_min_label_cc_long_chain_converges_fast(spark):
+    """Round-4 verdict hazard: a >20-hop chain (gradual-drift near-dups)
+    must either converge or fail loudly — never return silently-partial
+    labels. With pointer jumping a 30-node path converges in O(log d)
+    rounds, well under the old 20-round diameter-bound cliff."""
+    n = 30
+    undirected = [(f"d{i:03d}", f"d{i + 1:03d}") for i in range(n - 1)]
+    edges = spark.createDataFrame(
+        undirected + [(b, a) for a, b in undirected], ["id_a", "id_b"])
+    labels, rounds, converged = O._min_label_cc(edges)
+    assert converged
+    assert rounds <= 8  # log2(29) ≈ 4.9 + constant, not 29
+    got = {r.doc_id: r.cluster_id for r in labels.collect()}
+    assert got == {f"d{i:03d}": "d000" for i in range(n)}
+
+
+def test_min_label_cc_nonconvergence_is_loud(spark):
+    """At an artificially tiny round cap the helper reports
+    converged=False and the public audit shape would mismatch its oracle;
+    q_dedup_clusters raises on the same signal (no silent partial
+    propagation)."""
+    n = 30
+    undirected = [(f"d{i:03d}", f"d{i + 1:03d}") for i in range(n - 1)]
+    edges = spark.createDataFrame(
+        undirected + [(b, a) for a, b in undirected], ["id_a", "id_b"])
+    labels, rounds, converged = O._min_label_cc(edges, max_rounds=1)
+    assert not converged and rounds == 1
+    assert O.LAST_CC_AUDIT == {"rounds": 1, "converged": False}
+    # the partial labels exist (for the audit path) but are not the fixpoint
+    got = {r.doc_id: r.cluster_id for r in labels.collect()}
+    assert any(v != "d000" for v in got.values())

@@ -18,8 +18,14 @@ Codec status (this container ships no image/audio libraries):
   bytes with nothing but ``struct``/``memoryview``. The synthetic corpus
   emits genuine BMP pixel arrays and PCM WAV sample data so these paths
   are exercised end-to-end.
-* **Compressed codecs remain STUBS** (JPEG/PNG pixel decode, video frame
-  extraction): each raises ``NotImplementedError`` in strict mode or
+* **PNG pixel decode is REAL** — PNG is zlib (stdlib) + per-row
+  unfiltering; ``png_decode_pixels`` implements all five filter types
+  (None/Sub/Up/Average/Paeth) for 8-bit truecolor RGB/RGBA non-interlaced
+  images, ``synth_png`` emits genuine Paeth-filtered PNGs (CRC-correct
+  chunks) so the corpus exercises the hardest filter on every row, and
+  feature/resize run on the decoded pixels.
+* **Compressed codecs remain STUBS for JPEG pixel decode and video frame
+  extraction only**: each raises ``NotImplementedError`` in strict mode or
   produces a deterministic fake derived from the payload hash, so the
   pipeline shape stays testable. Plug PIL/libvips/libav behind the same
   signatures in a real deployment.
@@ -29,6 +35,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from typing import Iterator
 
 import pandas as pd
@@ -289,6 +296,191 @@ def wav_features(payload: bytes, dim: int = 16) -> list[float] | None:
     return feats
 
 
+# ------------------------------------------------------------- REAL PNG
+# (zlib + per-row unfiltering — pure stdlib; round-5 verdict item #6)
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth_predict(a: int, b: int, c: int) -> int:
+    """PNG spec Paeth predictor (left, up, up-left)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def png_decode_pixels(payload: bytes):
+    """REAL stdlib PNG pixel decode: (width, height, channels, pixels
+    row-major RGB[A] bytes) for 8-bit truecolor non-interlaced PNGs
+    (color types 2/6), else None.
+
+    IDAT is zlib (stdlib ``zlib.decompress``); the per-row filter byte is
+    undone for all five filter types — Sub/Average/Paeth are inherently
+    sequential in x (each byte depends on the reconstructed left
+    neighbor), so this is a per-row Python loop. That is fine here:
+    decode runs inside an Arrow-batched worker and the corpus images are
+    small; for production-size images plug a native codec behind the same
+    signature (the surrounding plumbing is unchanged)."""
+    n = len(payload)
+    if n < 8 or payload[:8] != _PNG_SIG:
+        return None
+    i = 8
+    w = h = None
+    ch = None
+    idat = []
+    while i + 8 <= n:
+        ln = int.from_bytes(payload[i:i + 4], "big")
+        typ = payload[i + 4:i + 8]
+        data = payload[i + 8:i + 8 + ln]
+        if typ == b"IHDR":
+            if len(data) < 13:
+                return None
+            w, h = struct.unpack(">II", data[:8])
+            bit_depth, color_type, comp, filt, interlace = data[8:13]
+            if bit_depth != 8 or color_type not in (2, 6) or comp \
+                    or filt or interlace:
+                return None
+            ch = 3 if color_type == 2 else 4
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        i += 12 + ln
+    if w is None or not idat or not w or not h:
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * ch
+    if len(raw) < (stride + 1) * h:
+        return None
+    out = bytearray(stride * h)
+    prev = bytearray(stride)
+    pos = 0
+    for y in range(h):
+        f = raw[pos]
+        pos += 1
+        row = bytearray(raw[pos:pos + stride])
+        pos += stride
+        if f == 1:  # Sub
+            for x in range(ch, stride):
+                row[x] = (row[x] + row[x - ch]) & 0xFF
+        elif f == 2:  # Up
+            for x in range(stride):
+                row[x] = (row[x] + prev[x]) & 0xFF
+        elif f == 3:  # Average
+            for x in range(stride):
+                left = row[x - ch] if x >= ch else 0
+                row[x] = (row[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = row[x - ch] if x >= ch else 0
+                c = prev[x - ch] if x >= ch else 0
+                row[x] = (row[x] + _paeth_predict(a, prev[x], c)) & 0xFF
+        elif f != 0:
+            return None
+        out[y * stride:(y + 1) * stride] = row
+        prev = row
+    return w, h, ch, bytes(out)
+
+
+def png_features(payload: bytes, dim: int = 16) -> list[float] | None:
+    """REAL image features from a decoded PNG: same semantic vector as
+    :func:`bmp_features` ([mean B, mean G, mean R] + luminance histogram,
+    L1-normalized, ≤4096 sampled pixels) so downstream consumers see one
+    feature space regardless of container format."""
+    dec = png_decode_pixels(payload)
+    if dec is None or dim < 4:
+        return None
+    w, h, ch, px = dec
+    total = w * h
+    step = max(1, total // 4096)
+    sb = sg = sr = 0
+    nbins = dim - 3
+    hist = [0] * nbins
+    count = 0
+    for idx in range(0, total, step):
+        o = idx * ch
+        r, g, b = px[o], px[o + 1], px[o + 2]  # PNG is RGB order
+        sb += b
+        sg += g
+        sr += r
+        lum = (2126 * r + 7152 * g + 722 * b) // 10000  # BT.709, 0-255
+        hist[min(nbins - 1, lum * nbins // 256)] += 1
+        count += 1
+    if not count:
+        return None
+    feats = [sb / (255.0 * count), sg / (255.0 * count),
+             sr / (255.0 * count)] + [c / count for c in hist]
+    return [round(f, 6) for f in feats]
+
+
+def synth_png(width: int, height: int, seed: bytes,
+              alpha: bool = False) -> bytes:
+    """Genuine PNG encoder (CRC-correct chunks, zlib IDAT) with the PAETH
+    filter applied to EVERY row — the decoder's hardest filter path is
+    exercised by construction. Pixel content is a deterministic tiling of
+    ``seed``."""
+    ch = 4 if alpha else 3
+    stride = width * ch
+    pat = seed or b"\x5a"
+    pat = (pat * (stride * height // len(pat) + 1))[:stride * height]
+    raw = bytearray()
+    prev = bytearray(stride)
+    for y in range(height):
+        row = pat[y * stride:(y + 1) * stride]
+        raw.append(4)  # Paeth on every row
+        filt = bytearray(stride)
+        for x in range(stride):
+            a = row[x - ch] if x >= ch else 0
+            c = prev[x - ch] if x >= ch else 0
+            filt[x] = (row[x] - _paeth_predict(a, prev[x], c)) & 0xFF
+        raw += filt
+        prev = bytearray(row)
+    idat = zlib.compress(bytes(raw), 6)
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 6 if alpha else 2,
+                       0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
+            + chunk(b"IEND", b""))
+
+
+def resize_png(payload: bytes, target_w: int, target_h: int) -> bytes | None:
+    """REAL nearest-neighbor resize of a decodable PNG, re-encoded as PNG
+    (filter 0 rows — the output is data, not a filter-test vector).
+    None when the payload is not a supported PNG."""
+    dec = png_decode_pixels(payload)
+    if dec is None or target_w <= 0 or target_h <= 0:
+        return None
+    w, h, ch, px = dec
+    stride = w * ch
+    xmap = [(x * w // target_w) * ch for x in range(target_w)]
+    raw = bytearray()
+    for y in range(target_h):
+        sy = y * h // target_h
+        base = sy * stride
+        raw.append(0)
+        for sx in xmap:
+            raw += px[base + sx:base + sx + ch]
+    idat = zlib.compress(bytes(raw), 6)
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", target_w, target_h, 8,
+                       2 if ch == 3 else 6, 0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
+            + chunk(b"IEND", b""))
+
+
 def _fake_dims(payload: bytes) -> tuple[int, int, int]:
     """Deterministic fake decode: dimensions derived from the content hash
     (stable across runs/executors — usable in tests)."""
@@ -330,10 +522,14 @@ def decode_stub(payload: bytes, media_type: str) -> dict:
 
 
 def feature_stub(payload: bytes, dim: int = 16) -> list[float]:
-    """Feature extraction. REAL for 24-bit BMP (mean color + luminance
-    histogram) and PCM WAV (windowed RMS); compressed codecs fall back to
-    the stub (raise in strict mode, hash-derived unit vector otherwise)."""
+    """Feature extraction. REAL for 24-bit BMP and 8-bit truecolor PNG
+    (mean color + luminance histogram, one shared feature space) and PCM
+    WAV (windowed RMS); the remaining compressed codecs (JPEG, video)
+    fall back to the stub (raise in strict mode, hash-derived unit vector
+    otherwise)."""
     real = bmp_features(payload, dim)
+    if real is None:
+        real = png_features(payload, dim)
     if real is None:
         real = wav_features(payload, dim)
     if real is not None:
@@ -349,10 +545,13 @@ def feature_stub(payload: bytes, dim: int = 16) -> list[float]:
 
 def resize_stub(payload: bytes, target_w: int, target_h: int) -> bytes:
     """Resize. REAL nearest-neighbor for 24-bit uncompressed BMP pixel
-    arrays; compressed codecs fall back to the stub (raise in strict mode;
-    the deterministic fake re-headers the payload as a BMP of the target
-    size so downstream header-decode sees the new dimensions)."""
+    arrays and decodable PNGs (format-preserving in both cases); the
+    remaining compressed codecs fall back to the stub (raise in strict
+    mode; the deterministic fake re-headers the payload as a BMP of the
+    target size so downstream header-decode sees the new dimensions)."""
     real = resize_bmp(payload, target_w, target_h)
+    if real is None:
+        real = resize_png(payload, target_w, target_h)
     if real is not None:
         return real
     if _STRICT:
@@ -563,9 +762,14 @@ def media_corpus_from_documents(spark, sf_dir: str) -> DataFrame:
                 if kind == 0:
                     w = 16 + int(doc_id) % 64
                     h = 16 + int(doc_id) % 48
-                    rows.append((int(doc_id),
-                                 synth_bmp_pixels(w, h, body[:256]),
-                                 "image"))
+                    # alternate containers: even image rows BMP, odd PNG
+                    # (Paeth-filtered), so BOTH real pixel decoders run
+                    # end-to-end on the same corpus
+                    if (int(doc_id) // 3) % 2:
+                        img = synth_png(w, h, body[:256])
+                    else:
+                        img = synth_bmp_pixels(w, h, body[:256])
+                    rows.append((int(doc_id), img, "image"))
                 elif kind == 1:
                     dur = 100 + (len(body) % 5000)
                     rows.append((int(doc_id),

@@ -622,6 +622,91 @@ WHERE round(shared / (sa.n + sb.n - shared), 4) >= 0.5
 """
 
 
+#: Audit record of the most recent ``_min_label_cc`` run in this process
+#: ({"rounds": int, "converged": bool, "n_nodes": int}); bench.py reads it
+#: after timing dedup_clusters so the round count lands in the artifact.
+LAST_CC_AUDIT: dict = {}
+
+
+def _min_label_cc(edges: DataFrame, max_rounds: int = 50,
+                  reliable_checkpoint: bool = False):
+    """Connected components by min-label propagation with pointer jumping.
+
+    ``edges`` is a directed edge list (id_a, id_b) that must already contain
+    both orientations of every undirected edge. Returns
+    ``(labels_df, rounds_used, converged)`` where labels is
+    (doc_id, cluster_id = min doc_id reachable).
+
+    Each round is (1) a min-over-neighbors step (one join + min-agg on the
+    edge list) and (2) a pointer-jumping step (adopt the label of the node
+    the current label points at — the large-star/small-star family's
+    shortcut). Step (2) squares the distance a label has propagated per
+    round, so convergence is O(log diameter) rounds instead of O(diameter):
+    a 50-round cap covers diameters up to ~2^50, i.e. any graph that fits
+    in storage. The per-round fixpoint check is a driver-side count;
+    non-convergence at the cap is NEVER silent — callers get
+    ``converged=False`` and the public op raises (round-4 verdict: silent
+    partial propagation was the one wrong-at-scale hazard).
+
+    ``localCheckpoint`` truncates per-round lineage so the plan stays flat.
+    It is NOT fault-tolerant (blocks live on executors; an executor loss
+    kills the job rather than recomputing) — fine single-node, but on a
+    real cluster pass ``reliable_checkpoint=True`` to use HDFS-backed
+    ``checkpoint()`` instead (requires ``spark.sparkContext.
+    setCheckpointDir`` to a cluster-visible path).
+    """
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if reliable_checkpoint \
+            else df.localCheckpoint(eager=True)
+
+    labels = (edges.select(F.col("id_a").alias("doc_id")).distinct()
+              .withColumn("cluster_id", F.col("doc_id")))
+    rounds_used, converged, n_nodes = 0, False, None
+    for _round in range(max_rounds):
+        rounds_used += 1
+        neighbor_min = (
+            edges.join(labels, edges.id_a == labels.doc_id)
+            .groupBy(F.col("id_b").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min")))
+        stepped = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select("doc_id",
+                    F.least("cluster_id", F.coalesce("nbr_min",
+                                                     F.col("cluster_id")))
+                    .alias("cluster_id")))
+        # pointer jumping: cluster_id is always some node's doc_id (labels
+        # start as own-id and only ever adopt another node's label), so
+        # label-of-label is total; taking it halves remaining path length.
+        parent = stepped.select(F.col("doc_id").alias("p_id"),
+                                F.col("cluster_id").alias("p_cluster"))
+        new_labels = _ckpt(
+            stepped.join(parent, stepped.cluster_id == parent.p_id, "left")
+            .select("doc_id",
+                    F.least("cluster_id", F.coalesce("p_cluster",
+                                                     F.col("cluster_id")))
+                    .alias("cluster_id")))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "doc_id")
+                   .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+                   .count())
+        labels = new_labels
+        if changed == 0:
+            converged = True
+            break
+    LAST_CC_AUDIT.clear()
+    LAST_CC_AUDIT.update({"rounds": rounds_used, "converged": converged})
+    return labels.select("doc_id", "cluster_id"), rounds_used, converged
+
+
+def _cluster_edges(spark, sf_dir) -> DataFrame:
+    """Symmetrized near-dup edge list feeding cluster resolution."""
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    return pairs.union(
+        pairs.select(F.col("id_b").alias("id_a"),
+                     F.col("id_a").alias("id_b"))).distinct() \
+        .localCheckpoint(eager=True)
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Duplicate-cluster resolution: connected components over the Jaccard
     near-dup pair graph — (doc_id, cluster_id = min doc_id reachable).
@@ -629,42 +714,34 @@ def q_dedup_clusters(spark, sf_dir):
     canonical doc per CLUSTER (A~B, B~C must collapse to one group even
     when A~C was never emitted).
 
-    Min-label propagation, the scalable CC strategy: each round is one
-    join + min-aggregation on the edge list (both shuffles on doc ids),
-    converging in O(component diameter) rounds — near-dup clusters are
-    small-diameter by construction, and rounds are driver-checked for a
-    fixpoint with a hard cap. ``localCheckpoint`` truncates the per-round
-    lineage so the plan does not grow unboundedly. Deterministic: the
-    fixpoint (min reachable id) is unique, so the DuckDB recursive-CTE
-    oracle hash-matches.
+    Strategy: min-label propagation with pointer jumping (see
+    ``_min_label_cc``) — one join + min-agg per round, O(log diameter)
+    rounds, loud failure (raise) if the 50-round cap is ever hit without a
+    fixpoint, so a wrong-but-plausible clustering is impossible.
+    Deterministic: the fixpoint (min reachable id) is unique, so the DuckDB
+    recursive-CTE oracle hash-matches.
     """
-    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
-    edges = pairs.union(
-        pairs.select(F.col("id_b").alias("id_a"),
-                     F.col("id_a").alias("id_b"))).distinct() \
-        .localCheckpoint(eager=True)
-    labels = (edges.select(F.col("id_a").alias("doc_id")).distinct()
-              .withColumn("cluster_id", F.col("doc_id")))
-    for _round in range(20):  # cap >> any real near-dup cluster diameter
-        neighbor_min = (
-            edges.join(labels, edges.id_a == labels.doc_id)
-            .groupBy(F.col("id_b").alias("doc_id"))
-            .agg(F.min("cluster_id").alias("nbr_min")))
-        new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select("doc_id",
-                    F.least("cluster_id", F.coalesce("nbr_min",
-                                                     F.col("cluster_id")))
-                    .alias("cluster_id"))
-            .localCheckpoint(eager=True))
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "doc_id")
-                   .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-                   .count())
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels.select("doc_id", "cluster_id")
+    labels, rounds, converged = _min_label_cc(_cluster_edges(spark, sf_dir))
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters: min-label propagation did not converge in "
+            f"{rounds} rounds — component diameter exceeds 2^{rounds}, "
+            "which indicates corrupt input, not a real near-dup graph")
+    return labels
+
+
+def q_dedup_clusters_audit(spark, sf_dir):
+    """Cluster-resolution audit (pattern: dedup_lsh_dropped_buckets): one
+    row (n_docs, n_clusters, converged). The oracle's recursive CTE is
+    converged by construction, so its ``converged`` is literal true — a
+    Spark run that hit the round cap hash-mismatches here rather than
+    passing on plausible-looking labels."""
+    labels, _rounds, converged = \
+        _min_label_cc(_cluster_edges(spark, sf_dir))
+    return labels.agg(
+        F.count("doc_id").alias("n_docs"),
+        F.countDistinct("cluster_id").alias("n_clusters"),
+        F.lit(bool(converged)).alias("converged"))
 
 
 SQL_DEDUP_CLUSTERS = f"""
@@ -679,6 +756,13 @@ WITH RECURSIVE dedup_pairs AS (
   SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
 )
 SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY 1
+"""
+
+SQL_DEDUP_CLUSTERS_AUDIT = f"""
+SELECT count(doc_id) AS n_docs,
+       count(DISTINCT cluster_id) AS n_clusters,
+       true AS converged
+FROM ({SQL_DEDUP_CLUSTERS}) c
 """
 
 
@@ -1338,6 +1422,89 @@ FROM documents
 # Registry
 # --------------------------------------------------------------------------
 
+def q_render_conversations(spark, sf_dir):
+    """Conversation-level assembly + render (SURVEY §1.2's transcript-native
+    data-model mapping, driver-checkable): documents become deterministic
+    turns (conv_id = doc_id % 50, turn_idx = rank within conversation,
+    role from doc_id % 4), grouped per conversation and rendered through
+    the REAL Python ``render_conversation`` renderer (the one the site
+    extractors use) inside ``applyInPandas``.
+
+    Oracle strength: the renderer's output format is pure concatenation,
+    so DuckDB re-derives the exact rendered string with an ordered
+    ``string_agg`` and both engines md5 the same bytes — a byte-level
+    cross-check of the Python renderer against an independent SQL
+    re-implementation.
+
+    Scale: one shuffle on conv_id; each conversation renders in one Arrow
+    batch (conversations are bounded; the extraction job's salting handles
+    the long-conversation tail upstream).
+    """
+    import hashlib
+
+    import pandas as pd
+
+    from ..extract.conversations import (
+        ConversationMessage,
+        render_conversation,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    turns = docs.select(
+        (F.col("doc_id") % 50).alias("conv_id"),
+        F.row_number().over(
+            Window.partitionBy(F.col("doc_id") % 50).orderBy("doc_id"))
+        .alias("turn_idx"),
+        F.element_at(
+            F.array(F.lit("user"), F.lit("assistant"),
+                    F.lit("system"), F.lit("tool")),
+            (F.col("doc_id") % 4).cast("int") + 1).alias("role"),
+        F.concat(F.lit("<p>"), F.substring("text", 1, 240), F.lit("</p>"))
+        .alias("msg_html"))
+
+    def _render(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("turn_idx")
+        msgs = [ConversationMessage(author=r, html=h)
+                for r, h in zip(pdf["role"], pdf["msg_html"])]
+        html = render_conversation(msgs)
+        return pd.DataFrame({
+            "conv_id": [int(pdf["conv_id"].iloc[0])],
+            "n_turns": [len(msgs)],
+            "html_len": [len(html)],
+            "html_md5": [hashlib.md5(html.encode("utf-8")).hexdigest()],
+        })
+
+    return turns.groupBy("conv_id").applyInPandas(
+        _render,
+        schema="conv_id long, n_turns int, html_len long, html_md5 string")
+
+
+SQL_RENDER_CONVERSATIONS = """
+WITH turns AS (
+  SELECT doc_id % 50 AS conv_id,
+         CAST(row_number() OVER (PARTITION BY doc_id % 50 ORDER BY doc_id)
+              AS INT) AS turn_idx,
+         CASE CAST(doc_id % 4 AS INT)
+           WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+           WHEN 2 THEN 'system' ELSE 'tool' END AS role,
+         '<p>' || substr(text, 1, 240) || '</p>' AS msg_html
+  FROM documents
+), rendered AS (
+  SELECT conv_id, count(*) AS n_turns,
+         '<article class="conversation">' || string_agg(
+           '<div class="conversation-message">'
+           || '<p class="conversation-author"><strong>' || role
+           || '</strong></p>' || msg_html || '</div>', ''
+           ORDER BY turn_idx) || '</article>' AS html
+  FROM turns GROUP BY conv_id
+)
+SELECT conv_id, CAST(n_turns AS INT) AS n_turns,
+       CAST(length(html) AS BIGINT) AS html_len,
+       md5(html) AS html_md5
+FROM rendered
+"""
+
+
 OPS: dict[str, tuple] = {
     # (spark_fn, oracle_sql_or_None)
     "scan_filter_project": (q_scan_filter_project, SQL_SCAN),
@@ -1364,6 +1531,10 @@ OPS: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "dedup_clusters_audit": (
+        q_dedup_clusters_audit, SQL_DEDUP_CLUSTERS_AUDIT),
+    "render_conversations": (
+        q_render_conversations, SQL_RENDER_CONVERSATIONS),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),
     "dedup_lsh_dropped_buckets": (
         q_dedup_lsh_dropped_buckets, SQL_LSH_DROPPED_BUCKETS),
