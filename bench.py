@@ -62,8 +62,9 @@ BENCH_QUERIES = [
     "pricing_summary", "region_revenue", "latest_order_per_customer",
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "dedup_simhash_pairs", "dedup_clusters", "ann_topk_cosine",
-    "ann_topk_ivf", "ann_topk_ivf_mp", "orders_rollup", "token_counts",
-    "lang_heuristic", "render_conversations",
+    "ann_topk_ivf", "ann_topk_ivf_mp", "ann_topk_ivf_kmeans",
+    "orders_rollup", "token_counts", "lang_heuristic",
+    "render_conversations",
 ]
 
 
@@ -253,8 +254,70 @@ def _gate_pair(attempts_low: list, attempts_high: list):
         saturated
 
 
+def _ann_recall_clustered() -> dict:
+    """Trained-quantizer recall probe (round-4 verdict #8): the driver's
+    i.i.d. testdata cannot show ANY quantizer's recall (see protocol
+    notes), so this builds a deterministic synthetic CLUSTERED corpus
+    (10 Gaussian clusters, round-robin vec_ids), trains the real
+    DataFrame-native k-means quantizer on it, and measures recall@3 vs
+    the exact cosine baseline for (a) the trained cells and (b) the
+    data-blind sign quantizer. Expectation: kmeans >> sign."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from trek_spark.spark.ops import (
+        assign_ivf_cells, ivf_topk_from_cells, train_ivf_centroids,
+    )
+    from trek_spark.spark.session import get_spark
+
+    rng = random.Random(20260817)
+    dim, n_clusters, per = 16, 10, 40
+    centers = [[rng.uniform(-1.0, 1.0) for _ in range(dim)]
+               for _ in range(n_clusters)]
+    rows = []
+    for j in range(per):
+        for ci, c in enumerate(centers):
+            rows.append((ci + n_clusters * j,
+                         [c[k] + rng.gauss(0.0, 0.08) for k in range(dim)]))
+
+    spark = get_spark("bench-ann-clustered", master=f"local[{CPUS}]",
+                      shuffle_partitions=16)
+    try:
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>")
+        emb = emb.localCheckpoint(eager=True)
+
+        def neighbor_sets(df):
+            out = {}
+            for r in df.collect():
+                out.setdefault(r.query_id, set()).add(r.neighbor_id)
+            return out
+
+        truth = neighbor_sets(ivf_topk_from_cells(
+            emb.withColumn("cell", F.lit(0)), n_queries=20))
+        sign_cell = F.expr(
+            "concat_ws('', transform(slice(embedding, 1, 8),"
+            " x -> IF(x >= 0, '1', '0')))")
+        got_sign = neighbor_sets(ivf_topk_from_cells(
+            emb.withColumn("cell", sign_cell), n_queries=20))
+        cents = train_ivf_centroids(emb, k=n_clusters, iters=5)
+        got_km = neighbor_sets(ivf_topk_from_cells(
+            assign_ivf_cells(emb, cents), n_queries=20))
+
+        def recall(got):
+            hits = sum(len(got.get(q, set()) & t) for q, t in truth.items())
+            total = sum(len(t) for t in truth.values())
+            return round(hits / total, 3) if total else None
+
+        return {"sign": recall(got_sign), "kmeans": recall(got_km)}
+    finally:
+        spark.stop()
+
+
 def main() -> None:
     queries, ann_recall, cc_audit = _query_timings()
+    ann_clustered = _ann_recall_clustered()
     ann_note = ann_recall.pop("note", None)
 
     # Gate pair: FIXED 3 low-leg + 2 high-leg attempts (pre-registered; the
@@ -317,6 +380,7 @@ def main() -> None:
         "queries": queries,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "ann_recall_at_3": ann_recall,
+        "ann_recall_clustered": ann_clustered,
         "cc_rounds": cc_audit.get("rounds"),
         "scaling": {
             "n": SCALE_N,

@@ -220,3 +220,43 @@ def test_min_label_cc_nonconvergence_is_loud(spark):
     # the partial labels exist (for the audit path) but are not the fixpoint
     got = {r.doc_id: r.cluster_id for r in labels.collect()}
     assert any(v != "d000" for v in got.values())
+
+
+def test_kmeans_ivf_trainer_and_recall_on_clustered(spark):
+    """Round-5 (r4 verdict #8): the DataFrame-native Lloyd trainer is
+    deterministic, and on clustered data its cells give full nprobe=1
+    recall where the data-blind sign quantizer loses neighbors."""
+    import random
+
+    rng = random.Random(7)
+    dim, n_clusters, per = 8, 5, 24
+    centers = [[rng.uniform(-1.0, 1.0) for _ in range(dim)]
+               for _ in range(n_clusters)]
+    rows = [(ci + n_clusters * j,
+             [c[k] + rng.gauss(0.0, 0.06) for k in range(dim)])
+            for j in range(per) for ci, c in enumerate(centers)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    c1 = O.train_ivf_centroids(emb, k=n_clusters, iters=4)
+    c2 = O.train_ivf_centroids(emb, k=n_clusters, iters=4)
+    assert c1 == c2  # deterministic init + ties -> identical model
+
+    assigned = O.assign_ivf_cells(emb, c1)
+    # every cluster collapses to one cell and cells separate the clusters
+    cells = {r.vec_id: r.cell for r in assigned.collect()}
+    by_cluster = {}
+    for vid, cell in cells.items():
+        by_cluster.setdefault(vid % n_clusters, set()).add(cell)
+    assert all(len(s) == 1 for s in by_cluster.values())
+    assert len({next(iter(s)) for s in by_cluster.values()}) == n_clusters
+
+    def neighbor_sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return out
+
+    truth = neighbor_sets(O.ivf_topk_from_cells(
+        emb.withColumn("cell", F.lit(0)), n_queries=10))
+    got = neighbor_sets(O.ivf_topk_from_cells(assigned, n_queries=10))
+    assert got == truth  # nprobe=1 with trained cells: full recall here

@@ -150,3 +150,24 @@ def test_pdf_fuzz_never_raises():
         r = extract_pdf_one(doc.decode("latin-1"))
         assert r["error"] in (None, "not_a_pdf", "empty_input") \
             or "Traceback" not in (r["error"] or "")
+
+
+def test_nested_dict_in_stream_dict_still_inflates():
+    """/DecodeParms << ... >> nests a dictionary inside the stream dict;
+    the balanced-dict backward scan must still see the OUTER dict's
+    /FlateDecode (round-4 advice: the lazy `<<(.*?)>>` capture truncated
+    at the nested dict's `>>` and silently skipped inflation)."""
+    import zlib
+
+    content = b"BT\n/F1 12 Tf\n1 0 0 1 72 760 Tm\n(Nested parms line) Tj\nET"
+    body = zlib.compress(content)
+    pdf = (b"%PDF-1.4\n1 0 obj\n<< /Length " + str(len(body)).encode()
+           + b" /DecodeParms << /Predictor 1 /Columns 4 >>"
+           b" /Filter /FlateDecode >>\nstream\n" + body
+           + b"\nendstream\nendobj\n%%EOF\n")
+    assert P.pdf_to_text(pdf) == "Nested parms line"
+    # and an uncompressed stream with a nested dict still decodes as-is
+    plain = (b"%PDF-1.4\n1 0 obj\n<< /Resources << /Font << /F1 5 0 R >>"
+             b" >> /Length 40 >>\nstream\nBT (Plain nested) Tj ET"
+             b"\nendstream\nendobj\n")
+    assert P.pdf_to_text(plain) == "Plain nested"

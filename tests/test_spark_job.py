@@ -267,3 +267,25 @@ def test_iceberg_gate_and_parquet_fallback(spark, tmp_path_factory):
                             part_buckets=8,
                             output_table="cat.db.turns")
     assert r2["rows"] == 0  # resume unchanged under the fallback
+
+
+def test_table_sink_markers_not_trusted_without_table(spark, tmp_path_factory):
+    """Round-5 (r4 advice): markers + a dropped/re-pointed Iceberg table
+    must NOT resume-skip — markers are honored only while their table
+    exists; the parquet sink keeps trusting markers as before."""
+    from trek_spark.spark.job import (
+        _mark_buckets_committed, _trusted_completed_buckets,
+    )
+
+    out = str(tmp_path_factory.mktemp("markers"))
+    committed = f"{out}/_committed"
+    _mark_buckets_committed(spark, committed, [0, 3, 7])
+
+    # parquet sink (table=None): markers trusted
+    assert _trusted_completed_buckets(spark, committed, True, None) \
+        == {0, 3, 7}
+    # table sink, table missing: markers ignored (restart from scratch)
+    assert _trusted_completed_buckets(
+        spark, committed, True, "nosuch.dropped_table") == set()
+    # resume off: always empty
+    assert _trusted_completed_buckets(spark, committed, False, None) == set()

@@ -30,7 +30,7 @@ from __future__ import annotations
 import re
 import zlib
 
-_STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n", re.S)
+_STREAM_KW_RE = re.compile(rb">>\s*stream\r?\n")
 
 # spacing threshold for TJ kerning: offsets more negative than this (in
 # thousandths of em) represent an inter-word gap
@@ -41,11 +41,38 @@ def looks_like_pdf(data: bytes) -> bool:
     return data[:5] == b"%PDF-"
 
 
+def _balanced_dict_start(data: bytes, close_pos: int) -> int:
+    """Index just past the ``<<`` that balances the ``>>`` at
+    ``close_pos``, or -1. A lazy ``<<(.*?)>>`` capture misaligns on stream
+    dicts containing a NESTED dictionary (``/DecodeParms << ... >>``): the
+    captured slice can exclude the outer dict's ``/FlateDecode`` and the
+    stream silently decodes as plain bytes — so walk backward with a depth
+    counter instead."""
+    depth = 1
+    j = close_pos - 1
+    while j >= 0:
+        pair = data[j:j + 2]
+        if pair == b">>":
+            depth += 1
+            j -= 2
+        elif pair == b"<<":
+            depth -= 1
+            if depth == 0:
+                return j + 2
+            j -= 2
+        else:
+            j -= 1
+    return -1
+
+
 def _content_streams(data: bytes) -> list[bytes]:
     """Every decodable stream body, in document order."""
     out = []
-    for m in _STREAM_RE.finditer(data):
-        sdict = m.group(1)
+    for m in _STREAM_KW_RE.finditer(data):
+        dict_start = _balanced_dict_start(data, m.start())
+        if dict_start < 0:
+            continue
+        sdict = data[dict_start:m.start()]
         start = m.end()
         end = data.find(b"endstream", start)
         if end < 0:

@@ -162,6 +162,29 @@ def _mark_buckets_committed(spark: SparkSession, committed_dir: str,
         fs.create(marker, True).close()
 
 
+def _trusted_completed_buckets(spark: SparkSession, committed_dir: str,
+                               resume: bool,
+                               table: str | None) -> set[int]:
+    """Resume checkpoint read with the table-sink cross-check (round-4
+    advice): with an Iceberg sink the data lives in the catalog table but
+    the ``_committed`` markers live under output_dir — if the table was
+    dropped or re-pointed while the marker directory persisted, trusting
+    the markers would "resume" into a table missing those buckets. So
+    markers are only honored when their table still exists; otherwise the
+    job restarts from scratch (``overwritePartitions`` keeps the redo
+    idempotent). Parquet sinks don't need this: data and markers live
+    under the same output_dir and travel together."""
+    if not resume:
+        return set()
+    done = _completed_buckets(spark, committed_dir)
+    if done and table is not None and not spark.catalog.tableExists(table):
+        print(f"[job] resume markers found under {committed_dir} but "
+              f"table {table} does not exist; ignoring markers and "
+              "re-extracting all buckets", flush=True)
+        return set()
+    return done
+
+
 def iceberg_available(spark: SparkSession) -> bool:
     """True when the Iceberg Spark runtime is on the classpath (the
     capability gate for the ``writeTo`` table output path)."""
@@ -234,7 +257,9 @@ def run_extraction_job(
     df = transcripts.withColumn(
         "part_bucket", F.pmod(F.hash("conv_id"), F.lit(part_buckets)))
 
-    done = _completed_buckets(spark, committed_dir) if resume else set()
+    done = _trusted_completed_buckets(
+        spark, committed_dir, resume,
+        output_table if use_table else None)
     todo = [b for b in range(part_buckets) if b not in done]
     n_waves = max(1, min(waves, len(todo))) if todo else 0
     wave_groups = [todo[i::n_waves] for i in range(n_waves)] if todo else []

@@ -1329,6 +1329,178 @@ QUALIFY rank <= 3
 """
 
 
+def train_ivf_centroids(emb: DataFrame, k: int = 8,
+                        iters: int = 8) -> list[list[float]]:
+    """DataFrame-native Lloyd k-means for the IVF coarse quantizer
+    (round-4 verdict #8: a TRAINED quantizer makes nprobe recall
+    meaningful on clustered data, unlike the sign-bit stand-in).
+
+    Deterministic end to end: init = the k vectors with the smallest
+    vec_id; assignment ties break on the lowest centroid id; empty
+    clusters keep their previous centroid. Each iteration is the
+    standard distributed k-means shape (what MLlib does): broadcast the
+    k centroids (tiny), assign via an argmin scan (no shuffle), recompute
+    per-cluster means with ONE groupBy over k groups × dim avg columns —
+    the only shuffle, over k rows of output. The per-iteration collect is
+    the k×dim model parameters, not data. Scales: corpus passes are
+    O(n·k·dim) map-side work; nothing driver-side grows with n."""
+    spark = emb.sparkSession
+    dim = len(emb.select("embedding").first()[0])
+    cents = [[float(x) for x in r.embedding]
+             for r in emb.orderBy("vec_id").limit(k).collect()]
+    emb = emb.select("vec_id", "embedding").localCheckpoint(eager=True)
+    for _it in range(iters):
+        cent_df = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)],
+            "cid int, c array<double>")
+        dist = F.expr(
+            "aggregate(zip_with(embedding, c,"
+            " (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
+            " CAST(0 AS DOUBLE), (s, x) -> s + x)")
+        rn = F.row_number().over(
+            Window.partitionBy("vec_id").orderBy("d", "cid"))
+        assigned = (emb.crossJoin(F.broadcast(cent_df))
+                    .withColumn("d", dist)
+                    .withColumn("rn", rn).filter(F.col("rn") == 1))
+        means = (assigned.groupBy("cid")
+                 .agg(*[F.avg(F.element_at("embedding", i + 1)).alias(f"m{i}")
+                        for i in range(dim)])
+                 .collect())
+        new_cents = list(cents)
+        for r in means:
+            new_cents[r.cid] = [float(r[f"m{i}"]) for i in range(dim)]
+        if new_cents == cents:
+            break
+        cents = new_cents
+    return cents
+
+
+def assign_ivf_cells(df: DataFrame, centroids: list[list[float]],
+                     vec_col: str = "embedding") -> DataFrame:
+    """+ ``cell`` column: id of the nearest centroid (L2, first-minimum =
+    lowest cid on exact ties — mirrors DuckDB ``list_position(d,
+    list_min(d))``). Centroids are literals in the plan: the assignment is
+    a pure map over the scan, codegen'd, zero shuffle."""
+    dists = F.array(*[
+        F.expr(
+            "aggregate(zip_with({v}, array({cs}),"
+            " (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
+            " CAST(0 AS DOUBLE), (s, x) -> s + x)".format(
+                v=vec_col, cs=",".join(f"CAST({x!r} AS DOUBLE)"
+                                       for x in c)))
+        for c in centroids])
+    return (df.withColumn("_dists", dists)
+            .withColumn("cell", F.expr(
+                "CAST(array_position(_dists, array_min(_dists)) AS INT)"))
+            .drop("_dists"))
+
+
+# Coarse quantizer for q_ann_topk_ivf_kmeans: 8 centroids trained by
+# tools/train_ivf.py (train_ivf_centroids over sf0.01 embeddings, Lloyd
+# ×8, deterministic init, rounded to 4dp). FIXED LITERALS so the DuckDB
+# oracle assigns with bit-identical arithmetic — the pretrained-quantizer
+# deployment shape: train once, ship centroids to every engine.
+try:
+    from .ivf_centroids import IVF_KMEANS_CENTROIDS
+except ImportError:  # pragma: no cover - regenerate with tools/train_ivf.py
+    IVF_KMEANS_CENTROIDS = None
+
+
+def q_ann_topk_ivf_kmeans(spark, sf_dir):
+    """IVF ANN top-k over a TRAINED coarse quantizer (k-means centroids as
+    pretrained literals — see ``train_ivf_centroids`` for the trainer and
+    ``tools/train_ivf.py`` for provenance).
+
+    Same probe shape as ``q_ann_topk_ivf`` (equi-join on the cell key,
+    per-query work ∝ cell population), but cells follow the DATA: on
+    clustered embeddings a trained quantizer puts true neighbors in the
+    query's cell with high probability, so nprobe=1 recall is meaningful
+    (measured against the sign quantizer in bench.py's clustered-recall
+    probe). Assignment is a literal-centroid argmin — a codegen'd map over
+    the scan, no shuffle, no Python."""
+    if IVF_KMEANS_CENTROIDS is None:
+        raise RuntimeError("run tools/train_ivf.py to generate "
+                           "trek_spark/spark/ivf_centroids.py")
+    emb = _t(spark, sf_dir, "embeddings")
+    d = assign_ivf_cells(emb, IVF_KMEANS_CENTROIDS)
+    return ivf_topk_from_cells(d)
+
+
+def ivf_topk_from_cells(d: DataFrame, n_queries: int = 5,
+                        k: int = 3) -> DataFrame:
+    """(vec_id, embedding, cell) → per-query cosine top-k WITHIN the
+    query's cell: the shared probe stage of every IVF variant (equi-join
+    on the cell key, broadcast queries, window rank — per-query work ∝
+    cell population, never the corpus)."""
+    queries = (d.filter(F.col("vec_id") < n_queries)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("qv"),
+                       F.col("cell").alias("qcell")))
+    dot = F.expr(
+        "aggregate(zip_with(embedding, qv,"
+        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " CAST(0 AS DOUBLE), (s, x) -> s + x)")
+    norm = (lambda c: F.sqrt(F.expr(
+        f"aggregate({c}, CAST(0 AS DOUBLE),"
+        f" (s, x) -> s + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("vec_id"))
+    return (
+        d.join(F.broadcast(queries), F.col("cell") == F.col("qcell"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos", dot / (norm("embedding") * norm("qv")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank")
+    )
+
+
+def _sql_ann_topk_ivf_kmeans() -> str:
+    """Oracle from the SAME centroid literals (single source of truth)."""
+    if IVF_KMEANS_CENTROIDS is None:
+        return None
+    rows = ",\n    ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            i, ",".join(repr(x) for x in c))
+        for i, c in enumerate(IVF_KMEANS_CENTROIDS))
+    return f"""
+WITH cent(cid, c) AS (VALUES
+    {rows}
+), dists AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         list_sum(list_transform(range(1, len(e.embedding) + 1),
+            i -> (CAST(e.embedding[i] AS DOUBLE) - c.c[i])
+                 * (CAST(e.embedding[i] AS DOUBLE) - c.c[i]))) AS d
+  FROM embeddings e CROSS JOIN cent c
+), assigned AS (
+  SELECT vec_id, embedding, cid AS cell
+  FROM dists
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qv, cell AS qcell
+  FROM assigned WHERE vec_id < 5
+), scored AS (
+  SELECT q.query_id, a.vec_id,
+         list_sum(list_transform(range(1, len(a.embedding) + 1),
+            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(a.embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(q.qv,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+  FROM assigned a JOIN q ON a.cell = q.qcell
+  WHERE a.vec_id != q.query_id
+)
+SELECT query_id, vec_id AS neighbor_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY cos DESC, vec_id ASC) AS rank
+FROM scored
+QUALIFY rank <= 3
+"""
+
+
+SQL_ANN_TOPK_IVF_KMEANS = _sql_ann_topk_ivf_kmeans()
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs (cos > 0.95) via LSH-style bucketing:
     sign of the first 24 dims forms the bucket key; only same-bucket pairs
@@ -1544,6 +1716,8 @@ OPS: dict[str, tuple] = {
     "ann_topk_cosine": (q_ann_topk_cosine, SQL_ANN_TOPK),
     "ann_topk_ivf": (q_ann_topk_ivf, SQL_ANN_TOPK_IVF),
     "ann_topk_ivf_mp": (q_ann_topk_ivf_mp, SQL_ANN_TOPK_IVF_MP),
+    "ann_topk_ivf_kmeans": (
+        q_ann_topk_ivf_kmeans, SQL_ANN_TOPK_IVF_KMEANS),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
 }
