@@ -82,6 +82,44 @@ AUDITS = {
         ("* Project", "codegen'd projection (the * prefix marks "
                       "whole-stage codegen) — JVM-side, no Python UDF"),
     ],
+    "customers_without_orders": [
+        ("LeftAnti", "NOT EXISTS planned as an anti-join — no null-trap, "
+                     "no fan-out"),
+        ("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice",
+         "the order-value predicate reaches the orders scan"),
+    ],
+    "orders_pivot": [
+        ("Scan parquet", "explicit pivot values ⇒ ONE scan (no "
+                         "key-discovery pre-pass over the data)", 1),
+        ("HashAggregate", "two-phase pivot aggregation: per-(status,"
+                          "priority) counts first, then the pivot agg — "
+                          "the second exchange carries only the grouped "
+                          "cells (|status|×|priority| rows), not data"),
+    ],
+    "lineitem_quantiles": [
+        ("ObjectHashAggregate", "exact percentile aggregates per group "
+                                "with map-side partials"),
+    ],
+    "revenue_moving_avg": [
+        ("Window", "frame-bounded window over the tiny month series"),
+        ("HashAggregate", "monthly rollup aggregates map-side first"),
+    ],
+    "ann_topk_ivf_kmeans": [
+        ("BroadcastHashJoin", "trained-cell probe stays an equi-join with "
+                              "broadcast queries"),
+        ("Scan parquet", "two scans total — corpus + the pruned/pushed "
+                         "query side (same shape as the other IVF ops); "
+                         "literal-centroid assignment adds NO extra scan "
+                         "and no shuffle", 2),
+    ],
+    "render_conversations": [
+        ("FlatMapGroupsInPandas", "conversation assembly renders in one "
+                                  "Arrow batch per group"),
+        ("Exchange", "single shuffle on conv_id"),
+    ],
+    "dedup_clusters_audit": [
+        ("HashAggregate", "audit is one tiny aggregate over the labels"),
+    ],
 }
 
 

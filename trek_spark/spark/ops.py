@@ -239,6 +239,120 @@ WHERE o_totalprice > (SELECT round(avg(o_totalprice), 2) * 1.5 FROM orders)
 """
 
 
+def q_customers_without_orders(spark, sf_dir):
+    """LEFT ANTI join (NOT EXISTS shape): customers with no high-value
+    order (the all-orders variant is empty on this testdata — the value
+    filter keeps the check non-degenerate). Anti-join is the scalable
+    negation strategy — one shuffle on the key, no fan-out, no null-trap
+    (unlike NOT IN). The probe side is filtered and projected to the key
+    column before the join so the shuffle carries 8 bytes a row."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal")
+    keys = (_t(spark, sf_dir, "orders")
+            .filter(F.col("o_totalprice") > 450000)
+            .select("o_custkey"))
+    return cust.join(keys, cust.c_custkey == keys.o_custkey, "left_anti")
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+"""
+
+
+_PIVOT_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM",
+                     "4-NOT SPECIFIED", "5-LOW"]
+
+
+def q_orders_pivot(spark, sf_dir):
+    """PIVOT: order counts per status × priority, priorities as columns.
+    Explicit pivot values ⇒ single-pass aggregation (no extra distinct
+    job to discover keys) and a plan identical to conditional counts —
+    one shuffle on the groupBy key, map-side partials intact."""
+    df = (_t(spark, sf_dir, "orders")
+          .groupBy("o_orderstatus")
+          .pivot("o_orderpriority", _PIVOT_PRIORITIES)
+          .agg(F.count(F.lit(1))))  # count("*") is invalid inside pivot
+    renames = {p: f"p{p[0]}" for p in _PIVOT_PRIORITIES}
+    return df.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(renames[p])
+          for p in _PIVOT_PRIORITIES])
+
+
+SQL_ORDERS_PIVOT = """
+SELECT o_orderstatus,
+       count(*) FILTER (WHERE o_orderpriority = '1-URGENT')        AS p1,
+       count(*) FILTER (WHERE o_orderpriority = '2-HIGH')          AS p2,
+       count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM')        AS p3,
+       count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS p4,
+       count(*) FILTER (WHERE o_orderpriority = '5-LOW')           AS p5
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def q_lineitem_quantiles(spark, sf_dir):
+    """EXACT interpolated percentiles (p25/p50/p75 of extended price per
+    return flag). ``percentile`` (not approx) keeps the DuckDB
+    ``quantile_cont`` oracle byte-comparable; rounded in both engines.
+    Scale note: exact percentile buffers each group's values — fine for
+    a handful of groups; at web scale with high-cardinality groups switch
+    to ``percentile_approx`` (t-digest, bounded memory) and drop the
+    oracle to tolerance-based."""
+    pct = F.expr(
+        "percentile(l_extendedprice, array(0.25, 0.5, 0.75))")
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(pct.alias("pcts"), F.count("*").alias("n_items"))
+        .select("l_returnflag",
+                F.round(F.element_at("pcts", 1), 2).alias("p25"),
+                F.round(F.element_at("pcts", 2), 2).alias("p50"),
+                F.round(F.element_at("pcts", 3), 2).alias("p75"),
+                "n_items")
+    )
+
+
+SQL_LINEITEM_QUANTILES = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
+       round(quantile_cont(l_extendedprice, 0.50), 2) AS p50,
+       round(quantile_cont(l_extendedprice, 0.75), 2) AS p75,
+       count(*) AS n_items
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_revenue_moving_avg(spark, sf_dir):
+    """Frame-bounded window aggregate: 3-month moving average of monthly
+    revenue. The monthly rollup shuffles once; the window runs over the
+    tiny month series (single partition is fine at any scale — months,
+    not rows). Rounded in both engines."""
+    monthly = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+    w = Window.orderBy("month").rowsBetween(-2, 0)
+    return monthly.select(
+        "month", "revenue",
+        F.round(F.avg("revenue").over(w), 2).alias("moving_avg_3m"))
+
+
+SQL_REVENUE_MOVING_AVG = """
+WITH monthly AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         round(sum(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT month, revenue,
+       round(avg(revenue) OVER (ORDER BY month
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS moving_avg_3m
+FROM monthly
+"""
+
+
 def q_orders_except(spark, sf_dir):
     """Set op: mid-value orders = >100k EXCEPT ALL >200k."""
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
@@ -1691,6 +1805,11 @@ OPS: dict[str, tuple] = {
     "customers_with_orders": (
         q_customers_with_orders, SQL_CUSTOMERS_WITH_ORDERS),
     "orders_above_avg": (q_orders_above_avg, SQL_ORDERS_ABOVE_AVG),
+    "customers_without_orders": (
+        q_customers_without_orders, SQL_CUSTOMERS_WITHOUT_ORDERS),
+    "orders_pivot": (q_orders_pivot, SQL_ORDERS_PIVOT),
+    "lineitem_quantiles": (q_lineitem_quantiles, SQL_LINEITEM_QUANTILES),
+    "revenue_moving_avg": (q_revenue_moving_avg, SQL_REVENUE_MOVING_AVG),
     "part_strings": (q_part_strings, SQL_PART_STRINGS),
     "orders_by_month": (q_orders_by_month, SQL_ORDERS_BY_MONTH),
     "events_stats": (q_events_stats, SQL_EVENTS_STATS),
