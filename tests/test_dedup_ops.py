@@ -260,3 +260,48 @@ def test_kmeans_ivf_trainer_and_recall_on_clustered(spark):
         emb.withColumn("cell", F.lit(0)), n_queries=10))
     got = neighbor_sets(O.ivf_topk_from_cells(assigned, n_queries=10))
     assert got == truth  # nprobe=1 with trained cells: full recall here
+
+
+def test_benchmark_contamination_flags_planted_leak(spark, tmp_path):
+    """A corpus doc embedding a benchmark passage (≥3 shared 5-gram
+    shingles) is flagged; clean docs are not; benchmark docs themselves
+    are never in the output."""
+    bench_text = ("the quick brown fox jumps over the lazy dog while "
+                  "seventeen astronauts compare navigation checklists")
+    clean = "entirely different material about pottery glazes and kilns"
+    texts = [bench_text] + [f"benchmark filler row {i} unique" for i in
+                            range(24)]  # doc_id 0..24 = benchmark set
+    texts += [f"leaky document prefix {bench_text} trailing words",  # 25
+              clean, "more clean text about orchards and irrigation"]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    (spark.createDataFrame(rows, "doc_id long, text string")
+     .write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet"))
+    got = {r.doc_id: r.n_shared_shingles
+           for r in O.q_benchmark_contamination(spark,
+                                                str(tmp_path)).collect()}
+    assert set(got) == {25}
+    assert got[25] >= 3
+
+
+def test_stratified_sample_is_deterministic_pure_function(spark, tmp_path):
+    """The sample is a pure function of doc_id: identical across runs and
+    partitionings, and each kept doc's md5 tick is below its language's
+    ceiling."""
+    import hashlib
+
+    rows = [(i, f"text {i}", ["en", "zh", "es"][i % 3], f"s{i % 4}", 10)
+            for i in range(300)]
+    (spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long")
+     .write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet"))
+    a = {r.doc_id for r in O.q_stratified_sample(spark,
+                                                 str(tmp_path)).collect()}
+    b = {r.doc_id
+         for r in O.q_stratified_sample(spark, str(tmp_path))
+         .repartition(13).collect()}
+    assert a == b and a  # same set under any partitioning, non-empty
+    for i in sorted(a):
+        lang = ["en", "zh", "es"][i % 3]
+        tick = hashlib.md5(f"sample:{i}".encode()).hexdigest()[:4]
+        assert tick < O._SAMPLE_RATES[lang]

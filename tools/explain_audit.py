@@ -121,6 +121,28 @@ AUDITS = {
     "dedup_clusters_audit": [
         ("HashAggregate", "audit is one tiny aggregate over the labels"),
     ],
+    "stratified_sample": [
+        ("Scan parquet", "pure-function sample = ONE codegen'd filter "
+                         "over one scan — no sampling pass, no shuffle",
+         1),
+        ("* Filter", "the md5-tick keep decision runs inside whole-stage "
+                     "codegen (JVM, no Python)"),
+    ],
+    "benchmark_contamination": [
+        ("BroadcastHashJoin", "benchmark shingles broadcast (eval sets "
+                              "are small); corpus shingles never shuffle "
+                              "against each other"),
+        ("Window", "hot-shingle cap before the join"),
+    ],
+    "tfidf_top_terms": [
+        ("BroadcastHashJoin", "doc-count scalar and df table join without "
+                              "shuffling the tf side twice"),
+        ("Window", "per-doc top-k via window rank"),
+    ],
+    "source_mix_weights": [
+        ("BroadcastNestedLoopJoin", "corpus totals broadcast as one row — "
+                                    "computed once, not per group"),
+    ],
 }
 
 

@@ -1680,6 +1680,217 @@ WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
 
 
 # --------------------------------------------------------------------------
+# Corpus-curation ops (sampling / mixing / decontamination / term stats)
+# --------------------------------------------------------------------------
+
+# per-language keep thresholds as 4-hex-digit md5-prefix ceilings:
+# lexicographic comparison of fixed-width hex == numeric comparison, and
+# md5 is the one hash Spark and DuckDB share bit-for-bit (Spark's hash()
+# is murmur3-with-seed, not portable). fraction ≈ value/65536.
+_SAMPLE_RATES = {"en": "1999",  # ~10% — downsample the majority language
+                 "zh": "8000",  # ~50%
+                 "es": "8000",
+                 "de": "8000",
+                 "fr": "8000"}
+_SAMPLE_DEFAULT = "4000"        # ~25% for unlisted languages
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling — the training-mix curation
+    staple (downsample dominant languages, keep the tail). The keep
+    decision is a pure function of doc_id (md5-prefix < per-language
+    ceiling), so the sample is reproducible across runs, engines, and
+    cluster sizes — no RNG state, no seed-per-partition coupling, and
+    resuming a job re-derives the identical sample. Scale: a codegen'd
+    filter over the scan; no shuffle, no sampling pass."""
+    rate = F.lit(_SAMPLE_DEFAULT)
+    for lang, ceil in _SAMPLE_RATES.items():
+        rate = F.when(F.col("lang") == lang, F.lit(ceil)).otherwise(rate)
+    return (
+        _t(spark, sf_dir, "documents")
+        .withColumn("_tick", F.substring(
+            F.md5(F.concat(F.lit("sample:"),
+                           F.col("doc_id").cast("string"))), 1, 4))
+        .filter(F.col("_tick") < rate)
+        .select("doc_id", "lang", "source")
+    )
+
+
+def _sql_stratified_sample() -> str:
+    cases = " ".join(
+        f"WHEN '{lang}' THEN '{ceil}'"
+        for lang, ceil in _SAMPLE_RATES.items())
+    return f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 4)
+      < (CASE lang {cases} ELSE '{_SAMPLE_DEFAULT}' END)
+"""
+
+
+SQL_STRATIFIED_SAMPLE = _sql_stratified_sample()
+
+
+def q_source_mix_weights(spark, sf_dir):
+    """Training-mix weights per source: document/char counts and each
+    source's fraction of the corpus — the input to mixture reweighting.
+    One groupBy shuffle over |sources| groups; the corpus totals join back
+    as a broadcast single row (computed once, not per group)."""
+    docs = _t(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"))
+    totals = docs.agg(F.count("*").alias("tot_docs"),
+                      F.sum("n_chars").alias("tot_chars"))
+    return (
+        per_source.crossJoin(F.broadcast(totals))
+        .select("source", "n_docs", "n_chars",
+                F.round(F.col("n_docs") / F.col("tot_docs"), 4)
+                .alias("doc_frac"),
+                F.round(F.col("n_chars") / F.col("tot_chars"), 4)
+                .alias("char_frac"))
+    )
+
+
+SQL_SOURCE_MIX_WEIGHTS = """
+SELECT source, count(*) AS n_docs, sum(n_chars) AS n_chars,
+       round(count(*) / (SELECT CAST(count(*) AS DOUBLE) FROM documents),
+             4) AS doc_frac,
+       round(sum(n_chars)
+             / (SELECT CAST(sum(n_chars) AS DOUBLE) FROM documents),
+             4) AS char_frac
+FROM documents GROUP BY source
+"""
+
+
+_CONTAM_SHINGLE_N = 5   # word n-gram width for decontamination
+_CONTAM_MIN_HITS = 3    # distinct shared shingles to flag a doc
+
+
+def q_benchmark_contamination(spark, sf_dir):
+    """Benchmark decontamination — flag corpus documents sharing ≥ 3
+    distinct 5-gram word shingles with a held-out benchmark set (here:
+    doc_id < 25 stands in for the eval set — sized so the testdata's
+    near-dup pairs actually straddle the boundary and the check is
+    non-degenerate). The train-on-test hygiene
+    pass every LLM data pipeline needs.
+
+    Scale shape: benchmark shingles are DISTINCT'd and broadcast (eval
+    sets are small by definition — MMLU-sized, not corpus-sized), so the
+    corpus side is ONE scan + shingle explode + broadcast semi-ish join +
+    groupBy(doc_id); no shuffle of the corpus shingles against each other
+    and no pair blowup. The same window cap as the dedup family drops
+    degenerate boilerplate shingles before they multiply."""
+    docs = _t(spark, sf_dir, "documents")
+    n = _CONTAM_SHINGLE_N
+    shingle_expr = F.expr(f"""
+      transform(
+        sequence(1, greatest(size(split(trim(text), '\\\\s+')) - {n - 1},
+                             0)),
+        i -> array_join(slice(split(trim(text), '\\\\s+'), i, {n}), ' '))
+    """)
+    bench = (docs.filter(F.col("doc_id") < 25)
+             .select(F.explode(shingle_expr).alias("shingle")).distinct())
+    corpus = (docs.filter(F.col("doc_id") >= 25)
+              .select("doc_id", F.explode(shingle_expr).alias("shingle"))
+              .distinct())
+    corpus = _drop_hot_keys(corpus, ["shingle"], 1000)
+    return (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_shingles"))
+        .filter(F.col("n_shared_shingles") >= _CONTAM_MIN_HITS)
+    )
+
+
+SQL_BENCHMARK_CONTAMINATION = f"""
+WITH sh AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, greatest(len(regexp_split_to_array(trim(text),
+                 '\\s+')) - {_CONTAM_SHINGLE_N - 1}, 0) + 1),
+           i -> array_to_string(list_slice(
+                  regexp_split_to_array(trim(text), '\\s+'),
+                  i, i + {_CONTAM_SHINGLE_N - 1}), ' '))) AS shingle
+  FROM documents
+), bench AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id < 25
+), corpus_all AS (
+  SELECT DISTINCT doc_id, shingle FROM sh WHERE doc_id >= 25
+), hot AS (
+  SELECT shingle FROM corpus_all GROUP BY 1 HAVING count(*) > 1000
+), corpus AS (
+  SELECT * FROM corpus_all ANTI JOIN hot USING (shingle)
+)
+SELECT doc_id, count(*) AS n_shared_shingles
+FROM corpus JOIN bench USING (shingle)
+GROUP BY doc_id
+HAVING count(*) >= {_CONTAM_MIN_HITS}
+"""
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """TF-IDF top-3 terms per document — the classic corpus-statistics op
+    (keyword extraction / topical tagging for training-data analysis).
+
+    Terms: lowercase, non-alphanumerics → space, tokens of length ≥ 3.
+    tf = in-doc count, idf = ln(N / df) with df over distinct docs; score
+    rounded in BOTH engines before ranking so float noise can't flip a
+    rank (ties break on the term). Scale: explode → two aggregations
+    (term×doc, then df over terms) + a window top-k per doc; the doc
+    count joins in as a broadcast scalar. All shuffles are on term/doc
+    keys — no pairwise anything."""
+    docs = _t(spark, sf_dir, "documents")
+    terms = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.regexp_replace(
+                F.lower("text"), "[^a-z0-9]+", " "), " ")).alias("term"))
+        .filter(F.length("term") >= 3))
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", F.round(
+            F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4)))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tfidf", "rank")
+    )
+
+
+SQL_TFIDF_TOP_TERMS = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(
+           regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+           ' ')) AS term
+  FROM documents
+), terms AS (
+  SELECT doc_id, term FROM toks WHERE length(term) >= 3
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln((SELECT CAST(count(*) AS DOUBLE)
+                           FROM documents) / dfreq.df), 4) AS tfidf
+  FROM tf JOIN dfreq USING (term)
+)
+SELECT doc_id, term, tfidf,
+       row_number() OVER (PARTITION BY doc_id
+                          ORDER BY tfidf DESC, term ASC) AS rank
+FROM scored
+QUALIFY rank <= 3
+"""
+
+
+# --------------------------------------------------------------------------
 # Multimodal plumbing (payloads as opaque binary + typed metadata)
 # --------------------------------------------------------------------------
 
@@ -1840,4 +2051,9 @@ OPS: dict[str, tuple] = {
         q_ann_topk_ivf_kmeans, SQL_ANN_TOPK_IVF_KMEANS),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "source_mix_weights": (q_source_mix_weights, SQL_SOURCE_MIX_WEIGHTS),
+    "benchmark_contamination": (
+        q_benchmark_contamination, SQL_BENCHMARK_CONTAMINATION),
+    "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
 }
