@@ -143,6 +143,47 @@ def _extract_pdf_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming op (rows-only): in-stream exact dedup through
+    ``applyInPandasWithState`` over two micro-batches with planted
+    within-batch and cross-batch duplicates — state persistence is what's
+    being checked (no SQL oracle: DuckDB has no streaming state)."""
+    import datetime as dt
+    import tempfile
+
+    from trek_spark.spark.corpus import TRANSCRIPT_SCHEMA
+    from trek_spark.spark.streaming import stream_dedup_exact
+
+    base = tempfile.mkdtemp(prefix="stream_dedup_op_")
+    d, out, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    t0 = dt.datetime(2024, 1, 1)
+
+    def rows(batch):
+        return [(c, i, "user", txt, None,
+                 t0 + dt.timedelta(minutes=m), None)
+                for c, i, txt, m in batch]
+
+    spark.createDataFrame(
+        rows([("c1", 0, "alpha doc", 0), ("c2", 0, "alpha doc", 5),
+              ("c1", 1, "beta doc", 1)]), TRANSCRIPT_SCHEMA) \
+        .coalesce(1).write.mode("append").parquet(d)
+    spark.createDataFrame(
+        rows([("c3", 0, "alpha doc", 9), ("c3", 1, "gamma doc", 10)]),
+        TRANSCRIPT_SCHEMA) \
+        .coalesce(1).write.mode("append").parquet(d)
+
+    stream = (spark.readStream.schema(TRANSCRIPT_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(d))
+    q = (stream_dedup_exact(stream).writeStream
+         .format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    return (spark.read.parquet(out)
+            .select("conv_id", "turn_idx", "text", "content_hash")
+            .orderBy("text"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from trek_spark.spark.ops import OPS
 
@@ -154,6 +195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["extract_pdf_turns"] = _extract_pdf_turns
     out["multimodal_decode"] = _multimodal_decode
     out["multimodal_features"] = _multimodal_features
+    out["stream_dedup_exact"] = _stream_dedup_exact
     return out
 
 

@@ -99,3 +99,50 @@ def test_stream_pdf_turns_dispatch(spark, tmp_path_factory):
     assert got[1].extractor_type == "pdf-layout"
     assert got[1].extracted_text == "Streamed report\nWith body text"
     assert "attached report" in got[0].extracted_text
+
+
+def test_stream_dedup_exact_stateful(spark, tmp_path_factory):
+    """applyInPandasWithState in-stream dedup: the first turn per content
+    hash passes; duplicates are dropped BOTH within a micro-batch and
+    across micro-batches (state persists between batches); unique content
+    always passes."""
+    import datetime as dt
+
+    from trek_spark.spark.corpus import TRANSCRIPT_SCHEMA
+    from trek_spark.spark.streaming import stream_dedup_exact
+
+    d = str(tmp_path_factory.mktemp("dedup_in"))
+    out = str(tmp_path_factory.mktemp("dedup_out"))
+    ckpt = str(tmp_path_factory.mktemp("dedup_ckpt"))
+
+    def rows(batch):
+        t0 = dt.datetime(2024, 1, 1)
+        return [(c, i, "user", txt, None, t0 + dt.timedelta(minutes=m), None)
+                for c, i, txt, m in batch]
+
+    # batch file 1: "AAA" twice (different convs), "BBB" once
+    spark.createDataFrame(rows([("c1", 0, "AAA", 0), ("c2", 0, "AAA", 5),
+                                ("c1", 1, "BBB", 1)]),
+                          TRANSCRIPT_SCHEMA) \
+        .coalesce(1).write.mode("append").parquet(d)
+    # batch file 2: "AAA" again (cross-batch dup) + new "CCC"
+    spark.createDataFrame(rows([("c3", 0, "AAA", 9), ("c3", 1, "CCC", 10)]),
+                          TRANSCRIPT_SCHEMA) \
+        .coalesce(1).write.mode("append").parquet(d)
+
+    stream = (spark.readStream.schema(TRANSCRIPT_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(d))
+    q = (stream_dedup_exact(stream).writeStream
+         .format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out).collect()
+    by_text = {}
+    for r in got:
+        by_text.setdefault(r.text, []).append((r.conv_id, r.turn_idx))
+    assert sorted(by_text) == ["AAA", "BBB", "CCC"]
+    assert all(len(v) == 1 for v in by_text.values())
+    # the earliest-ts AAA won (c1 turn 0 at t+0)
+    assert by_text["AAA"] == [("c1", 0)]

@@ -69,6 +69,59 @@ def stream_extract_turns(
     return writer.start()
 
 
+def stream_dedup_exact(stream: DataFrame,
+                       state_ttl_ms: int = 60 * 60 * 1000) -> DataFrame:
+    """Stateful in-stream exact dedup via ``applyInPandasWithState``: only
+    the FIRST turn with a given content hash (within the state TTL) passes;
+    later duplicates — in the same micro-batch or any later one — are
+    dropped. The streaming counterpart of ``dedup_exact``: a crawl
+    firehose re-delivers the same page endlessly, and dropping dupes
+    before the (expensive, Python-CPU) extraction stage is where the
+    savings are.
+
+    State design for scale: keyed by the 128-bit content hash, state per
+    key is a single marker row, and ``ProcessingTimeTimeout`` evicts keys
+    after ``state_ttl_ms`` — state size is bounded by the unique-content
+    arrival rate × TTL, not by stream history. Within a batch the earliest
+    (ts, conv_id, turn_idx) row wins, so output is deterministic for a
+    deterministic input order."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    hashed = stream.withColumn(
+        "content_hash", F.md5(F.coalesce(F.col("text"), F.lit(""))))
+    out_fields = ("conv_id string, turn_idx int, role string, text string,"
+                  " tool string, ts timestamp, url string,"
+                  " content_hash string")
+
+    def dedup(key: tuple, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        first = None
+        for pdf in pdfs:
+            if state.exists or pdf.empty:
+                continue  # already seen in an earlier batch: drop all
+            pdf = pdf.sort_values(["ts", "conv_id", "turn_idx"])
+            cand = pdf.iloc[[0]]
+            if first is None or tuple(cand.iloc[0][
+                    ["ts", "conv_id", "turn_idx"]]) < tuple(first.iloc[0][
+                    ["ts", "conv_id", "turn_idx"]]):
+                first = cand
+        if first is not None and not state.exists:
+            state.update((1,))
+            yield first
+        if state.exists:  # refresh TTL; cannot set a timeout w/o state
+            state.setTimeoutDuration(state_ttl_ms)
+
+    return hashed.groupBy("content_hash").applyInPandasWithState(
+        dedup,
+        outputStructType=out_fields,
+        stateStructType="seen int",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout)
+
+
 def stream_turn_rate(stream: DataFrame, window: str = "1 minute",
                      slide: str | None = None,
                      watermark: str = "2 minutes") -> DataFrame:
