@@ -64,7 +64,8 @@ BENCH_QUERIES = [
     "dedup_simhash_pairs", "dedup_clusters", "ann_topk_cosine",
     "ann_topk_ivf", "ann_topk_ivf_mp", "ann_topk_ivf_kmeans",
     "orders_rollup", "token_counts", "lang_heuristic",
-    "render_conversations",
+    "render_conversations", "stratified_sample", "tfidf_top_terms",
+    "benchmark_contamination",
 ]
 
 

