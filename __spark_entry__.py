@@ -37,7 +37,8 @@ def entry(spark: SparkSession) -> DataFrame:
         .select(
             "conv_id", "turn_idx", "role", "title", "author", "site",
             "published", "word_count", "extractor_type",
-            (F.col("extracted_text") == F.col("expected_markdown"))
+            (F.regexp_replace("extracted_text", r"^\s+|\s+$", "")
+             == F.col("expected_markdown"))
             .alias("markdown_exact"),
             F.length("extracted_text").alias("md_len"),
         )

@@ -73,8 +73,14 @@ def fixture_rows() -> tuple[list, list]:
                 minutes=idx, hours=zlib.crc32(cat.encode()) % 24)
             t_rows.append((cat, idx, role, fx.html, "", ts, fx.url))
             meta = fx.expected_meta or {}
+            # the corpus-wide equality convention is whitespace-stripped
+            # on BOTH sides (tests/test_fixtures.py, tools/runall.py,
+            # tests/test_spark_job.py): expected files end with a POSIX
+            # trailing newline that the renderer's output doesn't carry
+            expected_md = (fx.expected_markdown.strip()
+                           if fx.expected_markdown is not None else None)
             g_rows.append((
-                cat, idx, fx.name, fx.expected_markdown,
+                cat, idx, fx.name, expected_md,
                 meta.get("title"), meta.get("author"),
                 meta.get("site"), meta.get("published"),
             ))

@@ -844,6 +844,34 @@ def q_dedup_clusters(spark, sf_dir):
     return labels
 
 
+def q_dedup_keep_canonical(spark, sf_dir):
+    """The dedup product itself: the kept (canonical) document set after
+    near-dup collapse — every doc NOT in a cluster plus each cluster's
+    minimum-id representative, with the number of near-dups it absorbed.
+    Completes the pairs → clusters → kept-set chain a pipeline actually
+    ships. Scale: clusters are tiny relative to the corpus (only docs
+    with a near-dup edge appear), so the exclusion join broadcasts the
+    dropped-id set; one scan of documents."""
+    labels, _rounds, converged = \
+        _min_label_cc(_cluster_edges(spark, sf_dir))
+    if not converged:
+        raise RuntimeError("dedup_keep_canonical: clustering did not "
+                           "converge (see q_dedup_clusters)")
+    dropped = labels.filter(F.col("doc_id") != F.col("cluster_id")) \
+        .select("doc_id")
+    absorbed = (labels.groupBy("cluster_id")
+                .agg((F.count("*") - 1).alias("n_absorbed"))
+                .filter(F.col("n_absorbed") > 0))
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        docs.join(F.broadcast(dropped), "doc_id", "left_anti")
+        .join(F.broadcast(absorbed),
+              docs.doc_id == absorbed.cluster_id, "left")
+        .select("doc_id", "lang",
+                F.coalesce("n_absorbed", F.lit(0)).alias("n_absorbed"))
+    )
+
+
 def q_dedup_clusters_audit(spark, sf_dir):
     """Cluster-resolution audit (pattern: dedup_lsh_dropped_buckets): one
     row (n_docs, n_clusters, converged). The oracle's recursive CTE is
@@ -877,6 +905,21 @@ SELECT count(doc_id) AS n_docs,
        count(DISTINCT cluster_id) AS n_clusters,
        true AS converged
 FROM ({SQL_DEDUP_CLUSTERS}) c
+"""
+
+SQL_DEDUP_KEEP_CANONICAL = f"""
+WITH labels AS ({SQL_DEDUP_CLUSTERS}),
+dropped AS (
+  SELECT doc_id FROM labels WHERE doc_id != cluster_id
+), absorbed AS (
+  SELECT cluster_id, count(*) - 1 AS n_absorbed
+  FROM labels GROUP BY 1 HAVING count(*) > 1
+)
+SELECT d.doc_id, d.lang,
+       coalesce(a.n_absorbed, 0) AS n_absorbed
+FROM documents d
+ANTI JOIN dropped USING (doc_id)
+LEFT JOIN absorbed a ON d.doc_id = a.cluster_id
 """
 
 
@@ -2036,6 +2079,8 @@ OPS: dict[str, tuple] = {
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "dedup_clusters_audit": (
         q_dedup_clusters_audit, SQL_DEDUP_CLUSTERS_AUDIT),
+    "dedup_keep_canonical": (
+        q_dedup_keep_canonical, SQL_DEDUP_KEEP_CANONICAL),
     "render_conversations": (
         q_render_conversations, SQL_RENDER_CONVERSATIONS),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),
