@@ -1,0 +1,89 @@
+"""spark-submit entry point for the training-data curation pipeline.
+
+Composes the corpus-curation operators into the pipeline a pretraining
+data team actually ships: near-dup collapse (keep one canonical doc per
+cluster) → deterministic stratified sampling → benchmark decontamination
+→ curated parquet + a one-line JSON stage ledger.
+
+Usage:
+
+    spark-submit --py-files dist/trek_spark.zip jobs/curate_job.py \
+        --input  /path/with/documents.parquet    \
+        --output /path/to/curated                \
+        [--skip-dedup] [--skip-sample] [--skip-decontaminate]
+
+Plan shape (the part that matters at 100 TB): ONE scan of documents with
+a codegen'd sample filter plus two BROADCAST anti-joins — the dropped
+near-dup ids and the contaminated ids are both tiny relative to the
+corpus (only docs with a near-dup edge / benchmark overlap appear), so
+the corpus itself never shuffles. Stage counts come from the side tables
+(small aggregates), not extra corpus passes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", default="/root/testdata/sf0.001",
+                    help="directory containing documents.parquet")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--skip-dedup", action="store_true")
+    ap.add_argument("--skip-sample", action="store_true")
+    ap.add_argument("--skip-decontaminate", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from trek_spark.spark import ops as O
+    from trek_spark.spark.session import get_spark
+
+    spark = get_spark("trek-curate")
+    t0 = time.time()
+    try:
+        docs = spark.read.parquet(f"{args.input}/documents.parquet")
+        n_in = docs.count()
+        ledger = {"docs_in": n_in}
+
+        curated = docs
+        if not args.skip_dedup:
+            labels, _rounds, converged = O._min_label_cc(
+                O._cluster_edges(spark, args.input))
+            if not converged:
+                raise RuntimeError("near-dup clustering did not converge")
+            dropped = labels.filter(
+                F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+            ledger["dedup_dropped"] = dropped.count()
+            curated = curated.join(F.broadcast(dropped), "doc_id",
+                                   "left_anti")
+
+        if not args.skip_sample:
+            curated = curated.filter(O.sample_keep_cond())
+
+        if not args.skip_decontaminate:
+            flagged = O.q_benchmark_contamination(
+                spark, args.input).select("doc_id")
+            ledger["contaminated_flagged"] = flagged.count()
+            curated = curated.join(F.broadcast(flagged), "doc_id",
+                                   "left_anti")
+
+        curated.write.mode("overwrite").parquet(f"{args.output}/documents")
+        out = spark.read.parquet(f"{args.output}/documents")
+        ledger["docs_out"] = out.count()
+        by_lang = {r.lang: r.n for r in
+                   out.groupBy("lang").agg(F.count("*").alias("n"))
+                   .collect()}
+        ledger["out_by_lang"] = dict(sorted(by_lang.items()))
+        ledger["wall_sec"] = round(time.time() - t0, 2)
+        print(json.dumps(ledger))
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -289,3 +289,37 @@ def test_table_sink_markers_not_trusted_without_table(spark, tmp_path_factory):
         spark, committed, True, "nosuch.dropped_table") == set()
     # resume off: always empty
     assert _trusted_completed_buckets(spark, committed, False, None) == set()
+
+
+def test_curate_job_end_to_end(spark, tmp_path_factory):
+    """The composed curation pipeline (dedup -> sample -> decontaminate)
+    through the spark-submit entry's main(), smoke-level: stage ledger is
+    consistent and the output respects the sample's pure-function keep
+    rule."""
+    import hashlib
+    import json
+    import sys
+    from unittest import mock
+
+    from jobs import curate_job
+    from trek_spark.spark import ops as O
+
+    out = str(tmp_path_factory.mktemp("curated"))
+    argv = ["curate_job.py", "--input", "/root/testdata/sf0.001",
+            "--output", out]
+    printed = []
+    with mock.patch.object(sys, "argv", argv), \
+            mock.patch("builtins.print",
+                       side_effect=lambda *a, **k: printed.append(a)):
+        # get_spark returns the active session; stop() is a no-op guard
+        with mock.patch.object(spark, "stop"):
+            curate_job.main()
+    ledger = json.loads(printed[-1][0])
+    assert ledger["docs_in"] > 0
+    assert ledger["docs_out"] <= ledger["docs_in"] - ledger["dedup_dropped"]
+    got = spark.read.parquet(f"{out}/documents").collect()
+    assert len(got) == ledger["docs_out"]
+    rates = dict(O._SAMPLE_RATES)
+    for r in got:
+        tick = hashlib.md5(f"sample:{r.doc_id}".encode()).hexdigest()[:4]
+        assert tick < rates.get(r.lang, O._SAMPLE_DEFAULT)

@@ -1738,6 +1738,19 @@ _SAMPLE_RATES = {"en": "1999",  # ~10% — downsample the majority language
 _SAMPLE_DEFAULT = "4000"        # ~25% for unlisted languages
 
 
+def sample_keep_cond() -> F.Column:
+    """The stratified-sample keep condition as a reusable Column — a pure
+    function of (doc_id, lang), so any stage (query or curation job) can
+    apply it as a plain filter with no join and no RNG state."""
+    rate = F.lit(_SAMPLE_DEFAULT)
+    for lang, ceil in _SAMPLE_RATES.items():
+        rate = F.when(F.col("lang") == lang, F.lit(ceil)).otherwise(rate)
+    tick = F.substring(
+        F.md5(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))),
+        1, 4)
+    return tick < rate
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic stratified sampling — the training-mix curation
     staple (downsample dominant languages, keep the tail). The keep
@@ -1746,15 +1759,9 @@ def q_stratified_sample(spark, sf_dir):
     cluster sizes — no RNG state, no seed-per-partition coupling, and
     resuming a job re-derives the identical sample. Scale: a codegen'd
     filter over the scan; no shuffle, no sampling pass."""
-    rate = F.lit(_SAMPLE_DEFAULT)
-    for lang, ceil in _SAMPLE_RATES.items():
-        rate = F.when(F.col("lang") == lang, F.lit(ceil)).otherwise(rate)
     return (
         _t(spark, sf_dir, "documents")
-        .withColumn("_tick", F.substring(
-            F.md5(F.concat(F.lit("sample:"),
-                           F.col("doc_id").cast("string"))), 1, 4))
-        .filter(F.col("_tick") < rate)
+        .filter(sample_keep_cond())
         .select("doc_id", "lang", "source")
     )
 
