@@ -305,3 +305,21 @@ def test_stratified_sample_is_deterministic_pure_function(spark, tmp_path):
         lang = ["en", "zh", "es"][i % 3]
         tick = hashlib.md5(f"sample:{i}".encode()).hexdigest()[:4]
         assert tick < O._SAMPLE_RATES[lang]
+
+
+def test_shingle_family_survives_short_documents(spark, tmp_path):
+    """Docs with < k words must yield ZERO shingles, not crash: Spark's
+    sequence(1, 0) is a descending [1, 0] whose 0 reaches slice(arr, 0, k)
+    and throws — real corpora are full of empty/1-word docs even though
+    the driver testdata isn't."""
+    texts = ["", "one", "one two", "   ",
+             "three word doc here repeated three word doc here repeated",
+             "three word doc here repeated three word doc here repeated!"]
+    sf = _write_documents(spark, str(tmp_path), texts)
+    # every shingle-family op runs to completion
+    pairs = O.q_dedup_ngram_jaccard(spark, sf).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {("d00004", "d00005")}
+    assert O.q_dedup_minhash_lsh(spark, sf).count() >= 0
+    clusters = {r.doc_id: r.cluster_id
+                for r in O.q_dedup_clusters(spark, sf).collect()}
+    assert clusters == {"d00004": "d00004", "d00005": "d00004"}

@@ -598,12 +598,22 @@ GROUP BY h HAVING count(*) > 1
 
 def _shingles(col="text", k=3):
     """k-word shingles as a column expression (JVM-side, no Python UDF):
-    transform over token index → concat_ws of the k-token slice."""
+    transform over token index → concat_ws of the k-token slice.
+
+    The short-document guard is a CASE, not greatest(..., 0): Spark's
+    ``sequence(1, 0)`` is a DESCENDING [1, 0] — its 0 then reaches
+    ``slice(arr, 0, k)``, which throws (array starts are 1-based). Any
+    document with < k words would crash the whole dedup family; real
+    corpora are full of such docs even though the testdata isn't
+    (regression-tested with empty/1/2-word docs)."""
+    words = rf"split(trim({col}), '\\s+')"
     return F.expr(
         rf"""
-        array_distinct(transform(
-          sequence(1, greatest(size(split(trim({col}), '\\s+')) - {k - 1}, 0)),
-          i -> concat_ws(' ', slice(split(trim({col}), '\\s+'), i, {k}))))
+        CASE WHEN size({words}) >= {k}
+        THEN array_distinct(transform(
+          sequence(1, size({words}) - {k - 1}),
+          i -> concat_ws(' ', slice({words}, i, {k}))))
+        ELSE CAST(array() AS ARRAY<STRING>) END
         """
     )
 
@@ -1833,11 +1843,14 @@ def q_benchmark_contamination(spark, sf_dir):
     degenerate boilerplate shingles before they multiply."""
     docs = _t(spark, sf_dir, "documents")
     n = _CONTAM_SHINGLE_N
+    # short-doc guard: see _shingles — sequence(1, 0) descends into a
+    # slice(arr, 0, n) crash, so docs with < n words must CASE to empty
     shingle_expr = F.expr(f"""
-      transform(
-        sequence(1, greatest(size(split(trim(text), '\\\\s+')) - {n - 1},
-                             0)),
+      CASE WHEN size(split(trim(text), '\\\\s+')) >= {n}
+      THEN transform(
+        sequence(1, size(split(trim(text), '\\\\s+')) - {n - 1}),
         i -> array_join(slice(split(trim(text), '\\\\s+'), i, {n}), ' '))
+      ELSE CAST(array() AS ARRAY<STRING>) END
     """)
     bench = (docs.filter(F.col("doc_id") < 25)
              .select(F.explode(shingle_expr).alias("shingle")).distinct())
