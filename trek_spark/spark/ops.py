@@ -2020,7 +2020,12 @@ def q_render_conversations(spark, sf_dir):
             F.array(F.lit("user"), F.lit("assistant"),
                     F.lit("system"), F.lit("tool")),
             (F.col("doc_id") % 4).cast("int") + 1).alias("role"),
-        F.concat(F.lit("<p>"), F.substring("text", 1, 240), F.lit("</p>"))
+        # coalesce: a null text must render as an empty message in BOTH
+        # engines — unguarded, Spark's concat returns null and the Python
+        # join raises, while DuckDB's string_agg silently skips the turn
+        F.concat(F.lit("<p>"),
+                 F.substring(F.coalesce("text", F.lit("")), 1, 240),
+                 F.lit("</p>"))
         .alias("msg_html"))
 
     def _render(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -2048,7 +2053,7 @@ WITH turns AS (
          CASE CAST(doc_id % 4 AS INT)
            WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
            WHEN 2 THEN 'system' ELSE 'tool' END AS role,
-         '<p>' || substr(text, 1, 240) || '</p>' AS msg_html
+         '<p>' || substr(coalesce(text, ''), 1, 240) || '</p>' AS msg_html
   FROM documents
 ), rendered AS (
   SELECT conv_id, count(*) AS n_turns,
