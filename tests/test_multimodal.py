@@ -372,3 +372,33 @@ def test_png_roundtrip_property():
         assert px == expect
 
     prop()
+
+
+def test_png_idat_bomb_capped():
+    """A PNG declaring 4x4 whose IDAT inflates to 100 MB must cost at
+    most the declared pixel-array size, and decode (pixels beyond the
+    declared size are never materialized)."""
+    import struct
+    import zlib
+
+    from trek_spark.spark.multimodal import png_decode_pixels
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    w = h = 4
+    stride = w * 3
+    legit = bytearray()
+    for _y in range(h):
+        legit.append(0)
+        legit += b"\x7f" * stride
+    raw = bytes(legit) + b"\x00" * (100 * 1024 * 1024)  # bomb tail
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(raw, 9))
+           + chunk(b"IEND", b""))
+    dec = png_decode_pixels(png)
+    assert dec is not None
+    gw, gh, ch, px = dec
+    assert (gw, gh, ch) == (4, 4, 3) and px == b"\x7f" * (stride * h)

@@ -171,3 +171,19 @@ def test_nested_dict_in_stream_dict_still_inflates():
              b" >> /Length 40 >>\nstream\nBT (Plain nested) Tj ET"
              b"\nendstream\nendobj\n")
     assert P.pdf_to_text(plain) == "Plain nested"
+
+
+def test_flate_bomb_is_skipped_not_inflated():
+    """A KB-sized stream inflating past the 64 MiB cap is skipped whole
+    (bomb defense) — and must not take executor-scale memory to decide."""
+    import zlib
+
+    bomb = zlib.compress(b"\x00" * (80 * 1024 * 1024), 9)  # ~80 MiB -> tiny
+    ok = b"BT (Survivor text) Tj ET"
+    pdf = (b"%PDF-1.4\n"
+           b"1 0 obj\n<< /Length " + str(len(bomb)).encode()
+           + b" /Filter /FlateDecode >>\nstream\n" + bomb
+           + b"\nendstream\nendobj\n"
+           b"2 0 obj\n<< /Length " + str(len(ok)).encode()
+           + b" >>\nstream\n" + ok + b"\nendstream\nendobj\n")
+    assert P.pdf_to_text(pdf) == "Survivor text"

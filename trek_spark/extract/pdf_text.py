@@ -32,6 +32,13 @@ import zlib
 
 _STREAM_KW_RE = re.compile(rb">>\s*stream\r?\n")
 
+#: Inflation cap per Flate stream: crawled PDFs are hostile input, and an
+#: unbounded ``zlib.decompress`` lets a KB-sized bomb inflate to GBs
+#: inside the extraction UDF (executor OOM). 64 MiB is far above any real
+#: content stream; a stream that still has input left at the cap is a
+#: bomb and is skipped entirely rather than truncated.
+_MAX_STREAM_BYTES = 64 * 1024 * 1024
+
 # spacing threshold for TJ kerning: offsets more negative than this (in
 # thousandths of em) represent an inter-word gap
 _TJ_SPACE_GAP = -180.0
@@ -85,7 +92,10 @@ def _content_streams(data: bytes) -> list[bytes]:
             body = body[:-1]
         if b"FlateDecode" in sdict:
             try:
-                body = zlib.decompress(body)
+                dec = zlib.decompressobj()
+                body = dec.decompress(body, _MAX_STREAM_BYTES)
+                if dec.unconsumed_tail:
+                    continue  # inflation bomb: skip, don't truncate
             except zlib.error:
                 continue
         out.append(body)

@@ -350,12 +350,16 @@ def png_decode_pixels(payload: bytes):
         i += 12 + ln
     if w is None or not idat or not w or not h:
         return None
+    stride = w * ch
+    need = (stride + 1) * h
     try:
-        raw = zlib.decompress(b"".join(idat))
+        # cap inflation at the size the IHDR declares: a malformed
+        # payload whose IDAT inflates to GBs (zip bomb) costs at most
+        # `need` bytes, never executor memory
+        raw = zlib.decompressobj().decompress(b"".join(idat), need)
     except zlib.error:
         return None
-    stride = w * ch
-    if len(raw) < (stride + 1) * h:
+    if len(raw) < need:
         return None
     out = bytearray(stride * h)
     prev = bytearray(stride)
