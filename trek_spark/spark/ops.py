@@ -969,13 +969,10 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return _explode_pairs(grouped).select("id_a", "id_b").distinct()
 
 
-def _lsh_bands(spark, sf_dir) -> DataFrame:
-    """(doc_id, band, band_key) rows for the LSH op — shared by the pair
-    stage and the dropped-bucket audit.
-
-    One evaluation of the (md5-heavy) signature row, exploded into its band
-    keys — a union-of-selects shape would recompute the full signature once
-    per band."""
+def _minhash_sigs(spark, sf_dir) -> DataFrame:
+    """(doc_id, mh0..mh{k-1}) minhash signature columns — shared by the
+    LSH band stage and the similarity-estimate op; the md5-heavy row is
+    evaluated once per doc."""
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", _shingles().alias("sh")).filter(F.size("sh") > 0)
     mh_cols = [
@@ -984,7 +981,17 @@ def _lsh_bands(spark, sf_dir) -> DataFrame:
         .alias(f"mh{i}")
         for i in range(_MINHASH_SEEDS)
     ]
-    sigs = d.select("doc_id", *mh_cols)
+    return d.select("doc_id", *mh_cols)
+
+
+def _lsh_bands(spark, sf_dir) -> DataFrame:
+    """(doc_id, band, band_key) rows for the LSH op — shared by the pair
+    stage and the dropped-bucket audit.
+
+    One evaluation of the (md5-heavy) signature row, exploded into its band
+    keys — a union-of-selects shape would recompute the full signature once
+    per band."""
+    sigs = _minhash_sigs(spark, sf_dir)
     band_structs = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
@@ -1106,6 +1113,59 @@ def _simhash_half(offset: int):
                        cast(0 as bigint))),
         cast(0 as bigint), (acc, x) -> acc | x)
     """)
+
+
+def q_dedup_minhash_estimate(spark, sf_dir):
+    """Estimated Jaccard for the LSH candidate pairs: the fraction of the
+    k minhash positions two documents agree on is an unbiased estimator of
+    their true Jaccard — the standard cheap refinement between candidate
+    generation and (expensive) exact verification. Scale: candidates are
+    the (tiny) LSH output, so the two signature joins shuffle the
+    signature table on doc_id only; no pairwise work beyond candidates."""
+    pairs = q_dedup_minhash_lsh(spark, sf_dir)
+    sig = F.array(*[F.col(f"mh{i}") for i in range(_MINHASH_SEEDS)])
+    sigs = _minhash_sigs(spark, sf_dir).select("doc_id", sig.alias("sig"))
+    a = sigs.select(F.col("doc_id").alias("id_a"),
+                    F.col("sig").alias("sig_a"))
+    b = sigs.select(F.col("doc_id").alias("id_b"),
+                    F.col("sig").alias("sig_b"))
+    return (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .select("id_a", "id_b",
+                F.round(
+                    F.size(F.expr(
+                        "filter(zip_with(sig_a, sig_b, (x, y) -> x = y),"
+                        " v -> v)"))
+                    / float(_MINHASH_SEEDS), 4).alias("est_jaccard"))
+    )
+
+
+def _sql_minhash_estimate() -> str:
+    mh, _bands = _sql_minhash_prefix()
+    agree = " + ".join(
+        f"CAST(a.mh{i} = b.mh{i} AS INT)" for i in range(_MINHASH_SEEDS))
+    return f"""
+WITH candidates AS ({SQL_DEDUP_MINHASH}),
+sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+           range(1, greatest(length(regexp_split_to_array(trim(text), '\\s+')) - 2, 0) + 1),
+           i -> array_to_string(list_slice(regexp_split_to_array(trim(text), '\\s+'), i, i + 2), ' ')
+         )) AS shingles
+  FROM documents
+), sigs AS (
+  SELECT doc_id,
+    {mh}
+  FROM sh WHERE length(shingles) > 0
+)
+SELECT c.id_a, c.id_b,
+       round(({agree}) / {float(_MINHASH_SEEDS)}, 4) AS est_jaccard
+FROM candidates c
+JOIN sigs a ON c.id_a = a.doc_id
+JOIN sigs b ON c.id_b = b.doc_id
+"""
+
+
+SQL_DEDUP_MINHASH_ESTIMATE = _sql_minhash_estimate()
 
 
 def q_dedup_simhash(spark, sf_dir):
@@ -1254,6 +1314,81 @@ WHERE bit_count(xor(sa.simhash_hi, sb.simhash_hi))
 # --------------------------------------------------------------------------
 # Embedding similarity ops
 # --------------------------------------------------------------------------
+
+def q_token_histogram(spark, sf_dir):
+    """Token-count distribution per language (log2 buckets) — the length
+    histogram every dataset card reports and every curation pass filters
+    on. One groupBy over (lang, bucket); the bucket is a codegen'd
+    expression on the scan."""
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    bucket = F.floor(F.log2(F.greatest(n_tokens, F.lit(1)))).cast("int")
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy(F.col("lang"), bucket.alias("log2_tokens"))
+        .agg(F.count("*").alias("n_docs"),
+             F.min(n_tokens).alias("min_tokens"),
+             F.max(n_tokens).alias("max_tokens"))
+    )
+
+
+SQL_TOKEN_HISTOGRAM = """
+WITH t AS (
+  SELECT lang,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+  FROM documents
+)
+SELECT lang,
+       CAST(floor(log2(greatest(n_tokens, 1))) AS INT) AS log2_tokens,
+       count(*) AS n_docs,
+       CAST(min(n_tokens) AS INT) AS min_tokens,
+       CAST(max(n_tokens) AS INT) AS max_tokens
+FROM t GROUP BY 1, 2
+"""
+
+
+def q_embedding_quantize(spark, sf_dir):
+    """Symmetric int8 quantization of the embedding column (per-vector
+    absmax scale) — the storage/serving transform a 100 TB embedding
+    table ships with (4× smaller, dot products in int8). Output is the
+    audit view (scale + L1 mass + first element) rather than the raw
+    int8 array so the cross-engine value-hash compares scalars, not
+    array-rendering conventions. All higher-order JVM expressions, no
+    shuffle, no Python."""
+    scale = F.expr(
+        "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))")
+    q = ("transform(embedding,"
+         " x -> CAST(round(CAST(x AS DOUBLE) / _scale * 127) AS INT))")
+    return (
+        _t(spark, sf_dir, "embeddings")
+        .withColumn("_scale", scale)
+        .filter(F.col("_scale") > 0)
+        .withColumn("_q", F.expr(q))
+        .select("vec_id",
+                F.round("_scale", 6).alias("q_scale"),
+                F.expr("aggregate(_q, 0L, (s, v) -> s + abs(v))")
+                .alias("q_l1"),
+                F.element_at("_q", 1).alias("q0"))
+    )
+
+
+SQL_EMBEDDING_QUANTIZE = """
+WITH s AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding,
+                  x -> abs(CAST(x AS DOUBLE)))) AS scale
+  FROM embeddings
+), q AS (
+  SELECT vec_id, scale,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) / scale * 127) AS INT)) AS qv
+  FROM s WHERE scale > 0
+)
+SELECT vec_id, round(scale, 6) AS q_scale,
+       CAST(list_sum(list_transform(qv, v -> abs(v))) AS BIGINT) AS q_l1,
+       qv[1] AS q0
+FROM q
+"""
+
 
 def q_embedding_norms(spark, sf_dir):
     """L2 norms via higher-order aggregate — JVM-side, vectorizable."""
@@ -2120,8 +2255,12 @@ OPS: dict[str, tuple] = {
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),
     "dedup_lsh_dropped_buckets": (
         q_dedup_lsh_dropped_buckets, SQL_LSH_DROPPED_BUCKETS),
+    "dedup_minhash_estimate": (
+        q_dedup_minhash_estimate, SQL_DEDUP_MINHASH_ESTIMATE),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_DEDUP_SIMHASH_PAIRS),
+    "token_histogram": (q_token_histogram, SQL_TOKEN_HISTOGRAM),
+    "embedding_quantize": (q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
     "embedding_norms": (q_embedding_norms, SQL_EMBEDDING_NORMS),
     "ann_topk_cosine": (q_ann_topk_cosine, SQL_ANN_TOPK),
     "ann_topk_ivf": (q_ann_topk_ivf, SQL_ANN_TOPK_IVF),
