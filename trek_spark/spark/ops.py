@@ -986,12 +986,15 @@ def _minhash_sigs(spark, sf_dir) -> DataFrame:
 
 def _lsh_bands(spark, sf_dir) -> DataFrame:
     """(doc_id, band, band_key) rows for the LSH op — shared by the pair
-    stage and the dropped-bucket audit.
+    stage and the dropped-bucket audit."""
+    return _bands_from_sigs(_minhash_sigs(spark, sf_dir))
 
-    One evaluation of the (md5-heavy) signature row, exploded into its band
-    keys — a union-of-selects shape would recompute the full signature once
-    per band."""
-    sigs = _minhash_sigs(spark, sf_dir)
+
+def _bands_from_sigs(sigs: DataFrame) -> DataFrame:
+    """Band keys from a signature DataFrame. One evaluation of the
+    (md5-heavy) signature row, exploded into its band keys — a
+    union-of-selects shape would recompute the full signature once per
+    band."""
     band_structs = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
@@ -1122,9 +1125,19 @@ def q_dedup_minhash_estimate(spark, sf_dir):
     generation and (expensive) exact verification. Scale: candidates are
     the (tiny) LSH output, so the two signature joins shuffle the
     signature table on doc_id only; no pairwise work beyond candidates."""
-    pairs = q_dedup_minhash_lsh(spark, sf_dir)
+    # materialize the signature table once (docs × 8 hex prefixes —
+    # small); candidates AND both join sides derive from it, so the
+    # md5-heavy signature row is computed exactly once per doc instead
+    # of once per use
+    sigs_cols = _minhash_sigs(spark, sf_dir).localCheckpoint(eager=True)
+    bands = _bands_from_sigs(sigs_cols)
+    safe = _drop_hot_keys(bands, ["band", "band_key"], _LSH_BUCKET_CAP)
+    grouped = (safe.groupBy("band", "band_key")
+               .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+               .filter(F.size("ids") >= 2))
+    pairs = _explode_pairs(grouped).select("id_a", "id_b").distinct()
     sig = F.array(*[F.col(f"mh{i}") for i in range(_MINHASH_SEEDS)])
-    sigs = _minhash_sigs(spark, sf_dir).select("doc_id", sig.alias("sig"))
+    sigs = sigs_cols.select("doc_id", sig.alias("sig"))
     a = sigs.select(F.col("doc_id").alias("id_a"),
                     F.col("sig").alias("sig_a"))
     b = sigs.select(F.col("doc_id").alias("id_b"),
