@@ -323,3 +323,16 @@ def test_shingle_family_survives_short_documents(spark, tmp_path):
     clusters = {r.doc_id: r.cluster_id
                 for r in O.q_dedup_clusters(spark, sf).collect()}
     assert clusters == {"d00004": "d00004", "d00005": "d00004"}
+
+
+def test_minhash_estimate_known_answers(spark, tmp_path):
+    """Identical documents agree on every minhash position (estimate
+    1.0); the estimate only exists for LSH candidates."""
+    words = [f"w{i:03d}" for i in range(40)]
+    same = " ".join(words)
+    other = "entirely different content about lighthouse maintenance logs"
+    sf = _write_documents(spark, str(tmp_path), [same, same, other])
+    got = {(r.id_a, r.id_b): r.est_jaccard
+           for r in O.q_dedup_minhash_estimate(spark, sf).collect()}
+    assert got[("d00000", "d00001")] == 1.0
+    assert all(k == ("d00000", "d00001") for k in got)
