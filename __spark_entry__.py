@@ -37,7 +37,17 @@ def entry(spark: SparkSession) -> DataFrame:
         .select(
             "conv_id", "turn_idx", "role", "title", "author", "site",
             "published", "word_count", "extractor_type",
-            (F.regexp_replace("extracted_text", r"^\s+|\s+$", "")
+            # expected_markdown is stored Python-.strip()ed; Java's \s is
+            # ASCII-only, so the trim class here spells out Python's
+            # Unicode whitespace set (NBSP etc.) — otherwise a trailing
+            # U+00A0 would flip markdown_exact while every .strip()-based
+            # comparator in the repo still passes
+            (F.regexp_replace(
+                "extracted_text",
+                "^[\\s\\x1c-\\x1f\\x85\\u00a0\\u1680\\u2000-\\u200a"
+                "\\u2028\\u2029\\u202f\\u205f\\u3000]+|"
+                "[\\s\\x1c-\\x1f\\x85\\u00a0\\u1680\\u2000-\\u200a"
+                "\\u2028\\u2029\\u202f\\u205f\\u3000]+$", "")
              == F.col("expected_markdown"))
             .alias("markdown_exact"),
             F.length("extracted_text").alias("md_len"),
@@ -179,7 +189,13 @@ def _stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
          .format("parquet").option("path", out)
          .option("checkpointLocation", ckpt)
          .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(180)
+    if not q.awaitTermination(300):
+        # awaitTermination(timeout) RETURNS False on timeout (it does not
+        # raise): reading the sink now would present a partial result as
+        # the op's answer with the query leaked in the background
+        q.stop()
+        raise RuntimeError("stream_dedup_exact: availableNow drain did "
+                           "not finish within 300s")
     return (spark.read.parquet(out)
             .select("conv_id", "turn_idx", "text", "content_hash")
             .orderBy("text"))

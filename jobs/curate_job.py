@@ -59,8 +59,9 @@ def main() -> None:
             dropped = labels.filter(
                 F.col("doc_id") != F.col("cluster_id")).select("doc_id")
             ledger["dedup_dropped"] = dropped.count()
-            curated = curated.join(F.broadcast(dropped), "doc_id",
-                                   "left_anti")
+            # no forced broadcast: the dropped set scales with the corpus
+            # duplicate rate; AQE broadcasts it only when actually small
+            curated = curated.join(dropped, "doc_id", "left_anti")
 
         if not args.skip_sample:
             curated = curated.filter(O.sample_keep_cond())
@@ -69,8 +70,13 @@ def main() -> None:
             flagged = O.q_benchmark_contamination(
                 spark, args.input).select("doc_id")
             ledger["contaminated_flagged"] = flagged.count()
-            curated = curated.join(F.broadcast(flagged), "doc_id",
-                                   "left_anti")
+            curated = curated.join(flagged, "doc_id", "left_anti")
+            # the benchmark documents THEMSELVES must never ship in the
+            # training output — the contamination op only flags corpus
+            # docs (doc_id >= _CONTAM_BENCH_MAX), so without this filter
+            # the held-out set would leak into the curated set verbatim
+            curated = curated.filter(
+                F.col("doc_id") >= O._CONTAM_BENCH_MAX)
 
         curated.write.mode("overwrite").parquet(f"{args.output}/documents")
         out = spark.read.parquet(f"{args.output}/documents")

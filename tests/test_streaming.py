@@ -136,7 +136,7 @@ def test_stream_dedup_exact_stateful(spark, tmp_path_factory):
          .format("parquet").option("path", out)
          .option("checkpointLocation", ckpt)
          .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    assert q.awaitTermination(300)  # False = still running (timed out)
 
     got = spark.read.parquet(out).collect()
     by_text = {}

@@ -48,16 +48,31 @@ def looks_like_pdf(data: bytes) -> bool:
     return data[:5] == b"%PDF-"
 
 
+#: Backward-scan distance cap for stream-dict balancing: real stream
+#: dicts are tens-to-hundreds of bytes; without a cap, a hostile "PDF"
+#: full of `>>stream` markers and no `<<` anywhere makes every marker
+#: walk back to offset 0 — measured >120 s of pure CPU on one 6 MB doc
+#: (quadratic DoS inside the extraction UDF).
+_MAX_DICT_SCAN = 64 * 1024
+
+
 def _balanced_dict_start(data: bytes, close_pos: int) -> int:
     """Index just past the ``<<`` that balances the ``>>`` at
     ``close_pos``, or -1. A lazy ``<<(.*?)>>`` capture misaligns on stream
     dicts containing a NESTED dictionary (``/DecodeParms << ... >>``): the
     captured slice can exclude the outer dict's ``/FlateDecode`` and the
     stream silently decodes as plain bytes — so walk backward with a depth
-    counter instead."""
+    counter instead (bounded by ``_MAX_DICT_SCAN``)."""
+    floor = max(0, close_pos - _MAX_DICT_SCAN)
+    # C-speed precheck: a marker with no `<<` in range (binary garbage
+    # that happens to contain `>>stream`) must bail without entering the
+    # per-byte Python walk — 3000 such markers in a 6 MB blob cost ~20 s
+    # of walking but ~20 ms of rfind
+    if data.rfind(b"<<", floor, close_pos) < 0:
+        return -1
     depth = 1
     j = close_pos - 1
-    while j >= 0:
+    while j >= floor:
         pair = data[j:j + 2]
         if pair == b">>":
             depth += 1

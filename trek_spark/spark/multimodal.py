@@ -301,6 +301,12 @@ def wav_features(payload: bytes, dim: int = 16) -> list[float] | None:
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
+#: Absolute decode ceiling (pixels): bounds both the inflation buffer
+#: (~4 MP × 4 B ≈ 16 MB) and the per-row Python unfilter loop against
+#: hostile IHDRs. Real corpus thumbnails/images sit far below this;
+#: production-size images belong to a native codec anyway.
+_PNG_MAX_PIXELS = 4_000_000
+
 
 def _paeth_predict(a: int, b: int, c: int) -> int:
     """PNG spec Paeth predictor (left, up, up-left)."""
@@ -350,12 +356,15 @@ def png_decode_pixels(payload: bytes):
         i += 12 + ln
     if w is None or not idat or not w or not h:
         return None
+    # the IHDR is ATTACKER-CONTROLLED, so capping at the declared size
+    # alone is no bomb defense (a 100 KB payload declaring 40000×40000
+    # would make `need` ~4.8 GB and the per-row Python loop O(pixels)):
+    # an absolute pixel ceiling bounds memory AND the unfilter CPU
+    if w * h > _PNG_MAX_PIXELS:
+        return None
     stride = w * ch
     need = (stride + 1) * h
     try:
-        # cap inflation at the size the IHDR declares: a malformed
-        # payload whose IDAT inflates to GBs (zip bomb) costs at most
-        # `need` bytes, never executor memory
         raw = zlib.decompressobj().decompress(b"".join(idat), need)
     except zlib.error:
         return None

@@ -755,8 +755,8 @@ WHERE round(shared / (sa.n + sb.n - shared), 4) >= 0.5
 
 
 #: Audit record of the most recent ``_min_label_cc`` run in this process
-#: ({"rounds": int, "converged": bool, "n_nodes": int}); bench.py reads it
-#: after timing dedup_clusters so the round count lands in the artifact.
+#: ({"rounds": int, "converged": bool}); bench.py reads it after timing
+#: dedup_clusters so the round count lands in the artifact.
 LAST_CC_AUDIT: dict = {}
 
 
@@ -793,7 +793,7 @@ def _min_label_cc(edges: DataFrame, max_rounds: int = 50,
 
     labels = (edges.select(F.col("id_a").alias("doc_id")).distinct()
               .withColumn("cluster_id", F.col("doc_id")))
-    rounds_used, converged, n_nodes = 0, False, None
+    rounds_used, converged = 0, False
     for _round in range(max_rounds):
         rounds_used += 1
         neighbor_min = (
@@ -867,9 +867,12 @@ def q_dedup_keep_canonical(spark, sf_dir):
     near-dup collapse — every doc NOT in a cluster plus each cluster's
     minimum-id representative, with the number of near-dups it absorbed.
     Completes the pairs → clusters → kept-set chain a pipeline actually
-    ships. Scale: clusters are tiny relative to the corpus (only docs
-    with a near-dup edge appear), so the exclusion join broadcasts the
-    dropped-id set; one scan of documents."""
+    ships. Scale: the dropped set scales with the CORPUS DUPLICATE RATE
+    (30-50% on real crawls), not with per-cluster size, so there is no
+    forced broadcast hint — AQE picks broadcast when the set is actually
+    small and a shuffled anti-join when it isn't (F.broadcast here would
+    collect a multi-GB id set onto the driver exactly when dedup matters
+    most). One scan of documents either way."""
     labels, _rounds, converged = \
         _min_label_cc(_cluster_edges(spark, sf_dir))
     if not converged:
@@ -882,9 +885,8 @@ def q_dedup_keep_canonical(spark, sf_dir):
                 .filter(F.col("n_absorbed") > 0))
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
     return (
-        docs.join(F.broadcast(dropped), "doc_id", "left_anti")
-        .join(F.broadcast(absorbed),
-              docs.doc_id == absorbed.cluster_id, "left")
+        docs.join(dropped, "doc_id", "left_anti")
+        .join(absorbed, docs.doc_id == absorbed.cluster_id, "left")
         .select("doc_id", "lang",
                 F.coalesce("n_absorbed", F.lit(0)).alias("n_absorbed"))
     )
@@ -961,8 +963,14 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     over-cap (band, band_key) with its population so a job can count/log
     what the pair stage skipped.
     """
-    safe = _drop_hot_keys(
-        _lsh_bands(spark, sf_dir), ["band", "band_key"], _LSH_BUCKET_CAP)
+    return _pairs_from_bands(_lsh_bands(spark, sf_dir))
+
+
+def _pairs_from_bands(bands: DataFrame) -> DataFrame:
+    """The LSH pair stage (cap -> group -> explode-pairs -> distinct),
+    shared by the pair op and the similarity-estimate op so their
+    candidate semantics can never diverge."""
+    safe = _drop_hot_keys(bands, ["band", "band_key"], _LSH_BUCKET_CAP)
     grouped = (safe.groupBy("band", "band_key")
                .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
                .filter(F.size("ids") >= 2))
@@ -1130,12 +1138,7 @@ def q_dedup_minhash_estimate(spark, sf_dir):
     # md5-heavy signature row is computed exactly once per doc instead
     # of once per use
     sigs_cols = _minhash_sigs(spark, sf_dir).localCheckpoint(eager=True)
-    bands = _bands_from_sigs(sigs_cols)
-    safe = _drop_hot_keys(bands, ["band", "band_key"], _LSH_BUCKET_CAP)
-    grouped = (safe.groupBy("band", "band_key")
-               .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-               .filter(F.size("ids") >= 2))
-    pairs = _explode_pairs(grouped).select("id_a", "id_b").distinct()
+    pairs = _pairs_from_bands(_bands_from_sigs(sigs_cols))
     sig = F.array(*[F.col(f"mh{i}") for i in range(_MINHASH_SEEDS)])
     sigs = sigs_cols.select("doc_id", sig.alias("sig"))
     a = sigs.select(F.col("doc_id").alias("id_a"),
@@ -1981,6 +1984,7 @@ FROM documents GROUP BY source
 
 _CONTAM_SHINGLE_N = 5   # word n-gram width for decontamination
 _CONTAM_MIN_HITS = 3    # distinct shared shingles to flag a doc
+_CONTAM_BENCH_MAX = 25  # doc_id < this = the benchmark stand-in set
 
 
 def q_benchmark_contamination(spark, sf_dir):
@@ -2009,9 +2013,9 @@ def q_benchmark_contamination(spark, sf_dir):
                        i -> array_join(slice(ws, i, {n}), ' '))
         ELSE CAST(array() AS ARRAY<STRING>) END), 1)
     """)
-    bench = (docs.filter(F.col("doc_id") < 25)
+    bench = (docs.filter(F.col("doc_id") < _CONTAM_BENCH_MAX)
              .select(F.explode(shingle_expr).alias("shingle")).distinct())
-    corpus = (docs.filter(F.col("doc_id") >= 25)
+    corpus = (docs.filter(F.col("doc_id") >= _CONTAM_BENCH_MAX)
               .select("doc_id", F.explode(shingle_expr).alias("shingle"))
               .distinct())
     corpus = _drop_hot_keys(corpus, ["shingle"], 1000)

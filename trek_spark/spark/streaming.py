@@ -70,21 +70,30 @@ def stream_extract_turns(
 
 
 def stream_dedup_exact(stream: DataFrame,
-                       state_ttl_ms: int = 60 * 60 * 1000) -> DataFrame:
+                       state_ttl_ms: int | None = None) -> DataFrame:
     """Stateful in-stream exact dedup via ``applyInPandasWithState``: only
-    the FIRST turn with a given content hash (within the state TTL) passes;
-    later duplicates — in the same micro-batch or any later one — are
-    dropped. The streaming counterpart of ``dedup_exact``: a crawl
-    firehose re-delivers the same page endlessly, and dropping dupes
-    before the (expensive, Python-CPU) extraction stage is where the
-    savings are.
+    the FIRST turn with a given content hash passes; later duplicates —
+    in the same micro-batch or any later one — are dropped. The streaming
+    counterpart of ``dedup_exact``: a crawl firehose re-delivers the same
+    page endlessly, and dropping dupes before the (expensive, Python-CPU)
+    extraction stage is where the savings are.
 
-    State design for scale: keyed by the 128-bit content hash, state per
-    key is a single marker row, and ``ProcessingTimeTimeout`` evicts keys
-    after ``state_ttl_ms`` — state size is bounded by the unique-content
-    arrival rate × TTL, not by stream history. Within a batch the earliest
-    (ts, conv_id, turn_idx) row wins, so output is deterministic for a
-    deterministic input order."""
+    State is keyed by the 128-bit content hash with a single marker row
+    per key. ``state_ttl_ms`` bounds state for a LONG-RUNNING continuous
+    stream (size ∝ unique-content arrival rate × TTL, not stream
+    history) via ``ProcessingTimeTimeout`` eviction. The default is NO
+    timeout, and that is deliberate: with a pending processing-time
+    timeout, ``trigger(availableNow=True)`` never considers the stream
+    drained — the engine keeps scheduling no-data micro-batches to
+    re-evaluate timeouts and ``awaitTermination`` never returns (found
+    when the round-5 review flagged the previously-unchecked
+    ``awaitTermination(timeout)`` result: the drain tests had been
+    passing on already-committed output while leaking a live query).
+    Set a TTL only for continuous deployments; leave it None for
+    availableNow drains.
+
+    Within a batch the earliest (ts, conv_id, turn_idx) row wins, so
+    output is deterministic for a deterministic input order."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -111,15 +120,18 @@ def stream_dedup_exact(stream: DataFrame,
         if first is not None and not state.exists:
             state.update((1,))
             yield first
-        if state.exists:  # refresh TTL; cannot set a timeout w/o state
+        if state_ttl_ms is not None and state.exists:
+            # refresh TTL; a timeout can only be set while state exists
             state.setTimeoutDuration(state_ttl_ms)
 
+    timeout_conf = (GroupStateTimeout.NoTimeout if state_ttl_ms is None
+                    else GroupStateTimeout.ProcessingTimeTimeout)
     return hashed.groupBy("content_hash").applyInPandasWithState(
         dedup,
         outputStructType=out_fields,
         stateStructType="seen int",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout)
+        timeoutConf=timeout_conf)
 
 
 def stream_turn_rate(stream: DataFrame, window: str = "1 minute",
