@@ -65,7 +65,8 @@ BENCH_QUERIES = [
     "ann_topk_ivf", "ann_topk_ivf_mp", "ann_topk_ivf_kmeans",
     "orders_rollup", "token_counts", "lang_heuristic",
     "render_conversations", "stratified_sample", "tfidf_top_terms",
-    "benchmark_contamination",
+    "benchmark_contamination", "dedup_keep_canonical",
+    "dedup_minhash_estimate",
 ]
 
 
