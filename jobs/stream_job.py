@@ -4,7 +4,7 @@
         --input  /path/to/transcript-dir \
         --output /path/to/out \
         --checkpoint /path/to/ckpt \
-        [--partitions N] [--continuous]
+        [--partitions N] [--continuous] [--dedup [--dedup-ttl-ms MS]]
 
 File-source stream of transcript turns -> the same fused salted extraction
 as the batch job -> checkpointed parquet sink (exactly-once across
@@ -28,6 +28,12 @@ def main() -> None:
     ap.add_argument("--partitions", type=int, default=8)
     ap.add_argument("--salt-buckets", type=int, default=16)
     ap.add_argument("--continuous", action="store_true")
+    ap.add_argument("--dedup", action="store_true",
+                    help="drop exact-duplicate turns (stateful, "
+                         "first-seen-wins) before extraction")
+    ap.add_argument("--dedup-ttl-ms", type=int, default=None,
+                    help="state TTL for --dedup in continuous mode; "
+                         "leave unset for availableNow drains")
     args = ap.parse_args()
 
     from trek_spark.spark.session import get_spark
@@ -40,6 +46,8 @@ def main() -> None:
             num_partitions=args.partitions,
             salt_buckets=args.salt_buckets,
             available_now=not args.continuous,
+            dedup=args.dedup,
+            dedup_ttl_ms=args.dedup_ttl_ms,
         )
         q.awaitTermination()
         print(json.dumps({"status": "drained" if not args.continuous

@@ -146,3 +146,30 @@ def test_stream_dedup_exact_stateful(spark, tmp_path_factory):
     assert all(len(v) == 1 for v in by_text.values())
     # the earliest-ts AAA won (c1 turn 0 at t+0)
     assert by_text["AAA"] == [("c1", 0)]
+
+
+def test_stream_extract_with_dedup_stage(spark, tmp_path_factory):
+    """dedup=True drops re-delivered duplicate turns BEFORE the extraction
+    stage: the sink holds one extracted row per distinct content."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from trek_spark.spark.corpus import TRANSCRIPT_SCHEMA
+    from trek_spark.spark.streaming import stream_extract_turns
+
+    d = str(tmp_path_factory.mktemp("sx_in"))
+    out = str(tmp_path_factory.mktemp("sx_out"))
+    ckpt = str(tmp_path_factory.mktemp("sx_ckpt"))
+    t0 = dt.datetime(2024, 1, 1)
+    html = "<html><body><article><p>Dedup stage body text.</p></article></body></html>"
+    rows = [("c1", 0, "user", html, None, t0, None),
+            ("c2", 0, "user", html, None, t0, None),      # exact dup
+            ("c1", 1, "user", html + " ", None, t0, None)]  # distinct
+    spark.createDataFrame(rows, TRANSCRIPT_SCHEMA) \
+        .coalesce(1).write.mode("append").parquet(d)
+    q = stream_extract_turns(spark, d, out, ckpt, num_partitions=4,
+                             dedup=True)
+    assert q.awaitTermination(300)
+    got = spark.read.parquet(out).select("conv_id", "turn_idx").collect()
+    assert {(r.conv_id, r.turn_idx) for r in got} == {("c1", 0), ("c1", 1)}

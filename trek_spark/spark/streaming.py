@@ -49,14 +49,30 @@ def stream_extract_turns(
     num_partitions: int = 8,
     salt_buckets: int = 16,
     available_now: bool = True,
+    dedup: bool = False,
+    dedup_ttl_ms: int | None = None,
 ) -> StreamingQuery:
-    """readStream → salted mapInPandas extraction → parquet sink.
+    """readStream → [stateful exact dedup →] salted mapInPandas
+    extraction → parquet sink.
 
     The extraction stage is stateless (one row in → one row out), so the
     batch plan applies verbatim; the salt still defuses long-conversation
     skew inside each micro-batch. Restart with the same checkpoint_dir
-    resumes from the last committed micro-batch."""
+    resumes from the last committed micro-batch.
+
+    ``dedup=True`` inserts :func:`stream_dedup_exact` BEFORE extraction —
+    re-delivered pages are dropped before they cost Python CPU. For a
+    continuous deployment set ``dedup_ttl_ms`` (bounds state) and
+    configure the RocksDB state store
+    (``spark.sql.streaming.stateStore.providerClass`` →
+    ``RocksDBStateStoreProvider``) so hash-marker state lives off-heap
+    and spills to disk; leave ``dedup_ttl_ms`` None for availableNow
+    drains (a pending processing-time timeout prevents drain
+    termination)."""
     stream = read_transcript_stream(spark, input_dir)
+    if dedup:
+        stream = stream_dedup_exact(stream, state_ttl_ms=dedup_ttl_ms) \
+            .drop("content_hash")
     extracted = extract_turns(stream, num_partitions=num_partitions,
                               salt_buckets=salt_buckets)
     writer = (extracted.writeStream
