@@ -332,7 +332,7 @@ def test_minhash_estimate_known_answers(spark, tmp_path):
     same = " ".join(words)
     other = "entirely different content about lighthouse maintenance logs"
     sf = _write_documents(spark, str(tmp_path), [same, same, other])
-    got = {(r.id_a, r.id_b): r.est_jaccard
+    got = {(r.id_a, r.id_b): r.est_jaccard_e4
            for r in O.q_dedup_minhash_estimate(spark, sf).collect()}
-    assert got[("d00000", "d00001")] == 1.0
+    assert got[("d00000", "d00001")] == 10000
     assert all(k == ("d00000", "d00001") for k in got)

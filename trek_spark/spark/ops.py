@@ -10,7 +10,18 @@ Scale notes (per-op details in docstrings):
 * aggregates rely on partial (map-side) aggregation — no extra shuffles;
 * pairwise dedup ops avoid O(n²): they bucket by shingle/minhash-band and
   join within buckets only, which is the strategy that survives 100 TB;
-* floating aggregates are rounded in BOTH engines so value-hashes agree.
+* oracle-compared numeric outputs are emitted as EXACT INTEGERS, never
+  ``round(double)``: monetary/2-decimal inputs are quantized per row to
+  integer cents (``CAST(floor(x * 100 + 0.5) AS BIGINT)`` — a single
+  deterministic IEEE multiply + floor, identical in both engines), all
+  aggregation then happens in exact bigint arithmetic (order-independent),
+  and ratios use rounded integer division ``(2*a*scale + b) DIV (2*b)``.
+  Column suffixes: ``_c`` = value×100 (cents), ``_e3``/``_e4``/``_e6`` =
+  value×10³/10⁴/10⁶, ``_bp`` = basis points. Rationale: Spark's
+  ``round(double, n)`` (BigDecimal HALF_UP) and DuckDB's ``round`` can
+  disagree on representation ties, and double-sum ordering differs between
+  engines — both flipped real CORRECTNESS hashes (source_mix_weights r5,
+  lineitem_quantiles at sf0.001).
 """
 
 from __future__ import annotations
@@ -45,29 +56,43 @@ FROM lineitem WHERE l_quantity > 45
 
 def q_pricing_summary(spark, sf_dir):
     """TPC-H Q1 shape: map-side partial agg → single shuffle on the two
-    group keys; columns rounded for cross-engine float agreement."""
+    group keys. Exact-integer emission (module docstring): quantities are
+    integral, prices/discounts 2-decimal → per-row cents quantization,
+    bigint sums (order-independent), rounded integer division for the
+    average. sum_disc_price_e4 = Σ price_c × (100 − disc_c), i.e. the
+    discounted price in dollars×10⁴."""
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice")
-                          * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.sum(F.expr("CAST(floor(l_quantity + 0.5) AS BIGINT)"))
+            .alias("sum_qty"),
+            F.sum(F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"))
+            .alias("sum_base_price_c"),
+            F.sum(F.expr(
+                "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+                " * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))"))
+            .alias("sum_disc_price_e4"),
             F.count("*").alias("count_order"),
         )
+        .withColumn("avg_qty_e4", F.expr(
+            "(2 * sum_qty * 10000 + count_order) DIV (2 * count_order)"))
     )
 
 
 SQL_PRICING = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(avg(l_quantity), 4) AS avg_qty,
-       count(*) AS count_order
+       CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_qty,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_base_price_c,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+            AS BIGINT) AS sum_disc_price_e4,
+       count(*) AS count_order,
+       CAST((2 * sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) * 10000
+             + count(*)) // (2 * count(*)) AS BIGINT) AS avg_qty_e4
 FROM lineitem
 WHERE l_shipdate <= DATE '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
@@ -100,13 +125,15 @@ def q_segment_revenue(spark, sf_dir):
                     orders.o_custkey == cust.c_custkey, "inner")
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("order_cnt"),
-             F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+             F.sum(F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+             .alias("revenue_c"))
     )
 
 
 SQL_SEGMENT_REVENUE = """
 SELECT c_mktsegment, count(*) AS order_cnt,
-       round(sum(o_totalprice), 2) AS revenue
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS revenue_c
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """
@@ -125,15 +152,19 @@ def q_region_revenue(spark, sf_dir):
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice")
-                           * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        .agg(F.sum(F.expr(
+                "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+                " * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))"))
+             .alias("revenue_e4"),
              F.count("*").alias("line_cnt"))
     )
 
 
 SQL_REGION_REVENUE = """
 SELECT r_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+            AS BIGINT) AS revenue_e4,
        count(*) AS line_cnt
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -186,13 +217,15 @@ def q_orders_rollup(spark, sf_dir):
         _t(spark, sf_dir, "orders")
         .rollup("o_orderstatus", "o_orderpriority")
         .agg(F.count("*").alias("order_cnt"),
-             F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+             F.sum(F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+             .alias("revenue_c"))
     )
 
 
 SQL_ORDERS_ROLLUP = """
-SELECT o_orderstatus, o_orderpriority,
-       count(*) AS order_cnt, round(sum(o_totalprice), 2) AS revenue
+SELECT o_orderstatus, o_orderpriority, count(*) AS order_cnt,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS revenue_c
 FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
 """
 
@@ -219,15 +252,18 @@ WHERE EXISTS (SELECT 1 FROM orders
 
 
 def q_orders_above_avg(spark, sf_dir):
-    """Scalar-subquery filter: orders above the global average price. The
-    scalar aggregates in one tiny job and broadcasts as a literal-like
-    single-row cross input — no per-row recomputation. Threshold rounded
-    in BOTH engines so the float boundary can't flip a row."""
+    """Scalar-subquery filter: orders with price > 1.5× the global average.
+    The scalar aggregates in one tiny job and broadcasts as a single-row
+    cross input — no per-row recomputation. The boundary is an EXACT
+    integer predicate (price_c · 2n > 3 · Σprice_c, all bigint), so no
+    float threshold can flip a borderline row between engines."""
     o = _t(spark, sf_dir, "orders")
-    avg_df = o.agg(F.round(F.avg("o_totalprice"), 2).alias("avg_price"))
+    cents = F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+    tot = o.agg(F.sum(cents).alias("sum_c"), F.count("*").alias("n"))
     return (
-        o.crossJoin(F.broadcast(avg_df))
-        .filter(F.col("o_totalprice") > F.col("avg_price") * 1.5)
+        o.withColumn("price_c", cents)
+        .crossJoin(F.broadcast(tot))
+        .filter(F.expr("price_c * 2 * n > 3 * sum_c"))
         .select("o_orderkey", "o_custkey", "o_totalprice")
     )
 
@@ -235,7 +271,10 @@ def q_orders_above_avg(spark, sf_dir):
 SQL_ORDERS_ABOVE_AVG = """
 SELECT o_orderkey, o_custkey, o_totalprice
 FROM orders
-WHERE o_totalprice > (SELECT round(avg(o_totalprice), 2) * 1.5 FROM orders)
+WHERE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+      * 2 * (SELECT count(*) FROM orders)
+      > 3 * (SELECT sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+             FROM orders)
 """
 
 
@@ -295,33 +334,64 @@ FROM orders GROUP BY o_orderstatus
 
 def q_lineitem_quantiles(spark, sf_dir):
     """EXACT interpolated percentiles (p25/p50/p75 of extended price per
-    return flag). ``percentile`` (not approx) keeps the DuckDB
-    ``quantile_cont`` oracle byte-comparable; rounded in both engines.
-    Scale note: exact percentile buffers each group's values — fine for
-    a handful of groups; at web scale with high-cardinality groups switch
-    to ``percentile_approx`` (t-digest, bounded memory) and drop the
-    oracle to tolerance-based."""
-    pct = F.expr(
-        "percentile(l_extendedprice, array(0.25, 0.5, 0.75))")
-    return (
-        _t(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(pct.alias("pcts"), F.count("*").alias("n_items"))
-        .select("l_returnflag",
-                F.round(F.element_at("pcts", 1), 2).alias("p25"),
-                F.round(F.element_at("pcts", 2), 2).alias("p50"),
-                F.round(F.element_at("pcts", 3), 2).alias("p75"),
-                "n_items")
-    )
+    return flag), computed with pure INTEGER interpolation so both engines
+    agree bit-for-bit: prices quantize to cents, rank position
+    h = (n−1)·p is kept as an integer of percent-hundredths, and the
+    linear interpolation lo + (hi−lo)·frac becomes
+    lo_c·100 + (hi_c−lo_c)·(h mod 100) in dollars×10⁴. (Native
+    ``percentile``/``quantile_cont`` interpolate in doubles with
+    engine-specific formulas — a 1-ulp divergence flipped the rounded
+    hash at sf0.001.) Scale note: exact percentiles sort per group —
+    fine for a handful of groups; at web scale with high-cardinality
+    groups switch to ``percentile_approx`` (t-digest, bounded memory)
+    and a tolerance-based oracle."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
+        .alias("c"))
+    w = Window.partitionBy("l_returnflag").orderBy("c")
+    wall = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag", "c",
+        F.row_number().over(w).alias("rn"),
+        F.lead("c").over(w).alias("nxt"),
+        F.count("*").over(wall).alias("n"))
+
+    def pick(p):
+        return F.max(F.expr(
+            f"CASE WHEN rn = ((n - 1) * {p}) DIV 100 + 1"
+            f" THEN c * 100 + (coalesce(nxt, c) - c)"
+            f" * (((n - 1) * {p}) % 100) END")).alias(f"p{p}_e4")
+
+    return (ranked.groupBy("l_returnflag")
+            .agg(pick(25), pick(50), pick(75),
+                 F.count("*").alias("n_items")))
 
 
-SQL_LINEITEM_QUANTILES = """
+def _sql_quantile_pick(p: int) -> str:
+    return (f"max(CASE WHEN rn = ((n - 1) * {p}) // 100 + 1"
+            f" THEN c * 100 + (coalesce(nxt, c) - c)"
+            f" * (((n - 1) * {p}) % 100) END) AS p{p}_e4")
+
+
+SQL_LINEITEM_QUANTILES = f"""
+WITH v AS (
+  SELECT l_returnflag,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+  FROM lineitem
+), r AS (
+  SELECT l_returnflag, c,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY c) AS rn,
+         lead(c) OVER (PARTITION BY l_returnflag ORDER BY c) AS nxt,
+         count(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM v
+)
 SELECT l_returnflag,
-       round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
-       round(quantile_cont(l_extendedprice, 0.50), 2) AS p50,
-       round(quantile_cont(l_extendedprice, 0.75), 2) AS p75,
+       {_sql_quantile_pick(25)},
+       {_sql_quantile_pick(50)},
+       {_sql_quantile_pick(75)},
        count(*) AS n_items
-FROM lineitem GROUP BY l_returnflag
+FROM r GROUP BY l_returnflag
 """
 
 
@@ -329,27 +399,42 @@ def q_revenue_moving_avg(spark, sf_dir):
     """Frame-bounded window aggregate: 3-month moving average of monthly
     revenue. The monthly rollup shuffles once; the window runs over the
     tiny month series (single partition is fine at any scale — months,
-    not rows). Rounded in both engines."""
+    not rows). Exact-integer emission: monthly revenue in cents (bigint
+    sum), moving average via rounded integer division in dollars×10⁴."""
     monthly = (
         _t(spark, sf_dir, "orders")
         .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+        .agg(F.sum(F.expr(
+            "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+            .alias("revenue_c")))
     w = Window.orderBy("month").rowsBetween(-2, 0)
-    return monthly.select(
-        "month", "revenue",
-        F.round(F.avg("revenue").over(w), 2).alias("moving_avg_3m"))
+    return (monthly
+            .withColumn("w_sum_c", F.sum("revenue_c").over(w))
+            .withColumn("w_cnt", F.count("*").over(w))
+            .select("month", "revenue_c", F.expr(
+                "(2 * w_sum_c * 100 + w_cnt) DIV (2 * w_cnt)")
+                .alias("moving_avg_3m_e4")))
 
 
 SQL_REVENUE_MOVING_AVG = """
 WITH monthly AS (
   SELECT strftime(o_orderdate, '%Y-%m') AS month,
-         round(sum(o_totalprice), 2) AS revenue
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS revenue_c
   FROM orders GROUP BY 1
+), fr AS (
+  SELECT month, revenue_c,
+         CAST(sum(revenue_c) OVER (ORDER BY month
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS w_sum_c,
+         count(*) OVER (ORDER BY month
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS w_cnt
+  FROM monthly
 )
-SELECT month, revenue,
-       round(avg(revenue) OVER (ORDER BY month
-             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS moving_avg_3m
-FROM monthly
+SELECT month, revenue_c,
+       CAST((2 * w_sum_c * 100 + w_cnt) // (2 * w_cnt) AS BIGINT)
+           AS moving_avg_3m_e4
+FROM fr
 """
 
 
@@ -395,29 +480,42 @@ def q_orders_by_month(spark, sf_dir):
         .groupBy(F.date_trunc("month", F.col("o_orderdate").cast("timestamp"))
                  .alias("month"))
         .agg(F.count("*").alias("order_cnt"),
-             F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+             F.sum(F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+             .alias("revenue_c"))
     )
 
 
 SQL_ORDERS_BY_MONTH = """
 SELECT date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS month,
-       count(*) AS order_cnt, round(sum(o_totalprice), 2) AS revenue
+       count(*) AS order_cnt,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS revenue_c
 FROM orders GROUP BY 1
 """
 
 
 def q_events_stats(spark, sf_dir):
+    """Per-type counts + average value. ``value`` is 2-decimal → per-row
+    cents quantization, exact bigint sum, average emitted as value×10³
+    via rounded integer division (sum order can't move it)."""
     return (
         _t(spark, sf_dir, "events")
         .groupBy("event_type")
         .agg(F.count("*").alias("cnt"),
-             F.round(F.avg("value"), 3).alias("avg_value"),
+             F.sum(F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+             .alias("sum_c"),
              F.countDistinct("user_id").alias("users"))
+        .select("event_type", "cnt",
+                F.expr("(2 * sum_c * 10 + cnt) DIV (2 * cnt)")
+                .alias("avg_value_e3"),
+                "users")
     )
 
 
 SQL_EVENTS_STATS = """
-SELECT event_type, count(*) AS cnt, round(avg(value), 3) AS avg_value,
+SELECT event_type, count(*) AS cnt,
+       CAST((2 * sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 10
+             + count(*)) // (2 * count(*)) AS BIGINT) AS avg_value_e3,
        count(DISTINCT user_id) AS users
 FROM events GROUP BY event_type
 """
@@ -491,20 +589,26 @@ def q_text_quality(spark, sf_dir):
     n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
     stop_hits = F.size(F.expr(
         r"filter(split(trim(text), '\\s+'), w -> w IN ('the','a','and','of','to'))"))
-    return d.select(
-        "doc_id",
+    return (d.select(
+        "doc_id", "n_chars",
         n_tokens.alias("n_tokens"),
-        F.round(F.col("n_chars") / n_tokens, 3).alias("avg_token_len"),
         stop_hits.alias("stopword_hits"),
-        (F.col("n_chars") >= 100).cast("int").alias("len_ok"),
-    )
+        (F.col("n_chars") >= 100).cast("int").alias("len_ok"))
+        # n_chars / n_tokens as value×10³ by exact rounded integer
+        # division (both operands integral; no double ratio to round)
+        .select(
+            "doc_id", "n_tokens",
+            F.expr("(2000 * n_chars + n_tokens) DIV (2 * n_tokens)")
+            .alias("avg_token_len_e3"),
+            "stopword_hits", "len_ok"))
 
 
 SQL_TEXT_QUALITY = """
 SELECT doc_id,
        length(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
-       round(n_chars / length(regexp_split_to_array(trim(text), '\\s+')), 3)
-           AS avg_token_len,
+       (2000 * n_chars + length(regexp_split_to_array(trim(text), '\\s+')))
+           // (2 * length(regexp_split_to_array(trim(text), '\\s+')))
+           AS avg_token_len_e3,
        length(list_filter(regexp_split_to_array(trim(text), '\\s+'),
               w -> w IN ('the','a','and','of','to'))) AS stopword_hits,
        CAST(n_chars >= 100 AS INT) AS len_ok
@@ -717,11 +821,15 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     return (
         pairs.join(sa, F.col("id_a") == F.col("sa.doc_id"))
         .join(sb, F.col("id_b") == F.col("sb.doc_id"))
-        .withColumn("jaccard", F.round(
-            F.col("shared")
-            / (F.col("sa.n") + F.col("sb.n") - F.col("shared")), 4))
-        .filter(F.col("jaccard") >= 0.5)
-        .select("id_a", "id_b", "shared", "jaccard")
+        # exact-integer emission: jaccard in 10⁻⁴ units via rounded
+        # integer division; the ≥0.5 gate is the exact integer
+        # predicate 2·shared ≥ union (no float boundary)
+        .withColumn("union_n",
+                    F.col("sa.n") + F.col("sb.n") - F.col("shared"))
+        .filter(F.expr("2 * shared >= union_n"))
+        .withColumn("jaccard_e4", F.expr(
+            "(2 * shared * 10000 + union_n) DIV (2 * union_n)"))
+        .select("id_a", "id_b", "shared", "jaccard_e4")
     )
 
 
@@ -746,11 +854,12 @@ WITH sh AS (
   GROUP BY 1, 2
 )
 SELECT id_a, id_b, shared,
-       round(shared / (sa.n + sb.n - shared), 4) AS jaccard
+       (2 * shared * 10000 + (sa.n + sb.n - shared))
+           // (2 * (sa.n + sb.n - shared)) AS jaccard_e4
 FROM pairs
 JOIN sizes sa ON id_a = sa.doc_id
 JOIN sizes sb ON id_b = sb.doc_id
-WHERE round(shared / (sa.n + sb.n - shared), 4) >= 0.5
+WHERE 2 * shared >= sa.n + sb.n - shared
 """
 
 
@@ -1133,11 +1242,11 @@ def q_dedup_minhash_estimate(spark, sf_dir):
     generation and (expensive) exact verification. Scale: candidates are
     the (tiny) LSH output, so the two signature joins shuffle the
     signature table on doc_id only; no pairwise work beyond candidates."""
-    # materialize the signature table once (docs × 8 hex prefixes —
-    # small); candidates AND both join sides derive from it, so the
-    # md5-heavy signature row is computed exactly once per doc instead
-    # of once per use
-    sigs_cols = _minhash_sigs(spark, sf_dir).localCheckpoint(eager=True)
+    # cache (NOT an eager checkpoint — plan construction must stay
+    # side-effect free for .explain()/audit tooling): the md5-heavy
+    # signature table is still evaluated once per action, and candidates
+    # AND both join sides reuse the cached rows
+    sigs_cols = _minhash_sigs(spark, sf_dir).cache()
     pairs = _pairs_from_bands(_bands_from_sigs(sigs_cols))
     sig = F.array(*[F.col(f"mh{i}") for i in range(_MINHASH_SEEDS)])
     sigs = sigs_cols.select("doc_id", sig.alias("sig"))
@@ -1145,14 +1254,15 @@ def q_dedup_minhash_estimate(spark, sf_dir):
                     F.col("sig").alias("sig_a"))
     b = sigs.select(F.col("doc_id").alias("id_b"),
                     F.col("sig").alias("sig_b"))
+    agree = F.size(F.expr(
+        "filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)"))
     return (
         pairs.join(a, "id_a").join(b, "id_b")
-        .select("id_a", "id_b",
-                F.round(
-                    F.size(F.expr(
-                        "filter(zip_with(sig_a, sig_b, (x, y) -> x = y),"
-                        " v -> v)"))
-                    / float(_MINHASH_SEEDS), 4).alias("est_jaccard"))
+        .withColumn("agree", agree)
+        # agreement fraction in 10⁻⁴ units, exact integer division
+        .select("id_a", "id_b", F.expr(
+            f"(2 * agree * 10000 + {_MINHASH_SEEDS})"
+            f" DIV (2 * {_MINHASH_SEEDS})").alias("est_jaccard_e4"))
     )
 
 
@@ -1174,7 +1284,8 @@ sh AS (
   FROM sh WHERE length(shingles) > 0
 )
 SELECT c.id_a, c.id_b,
-       round(({agree}) / {float(_MINHASH_SEEDS)}, 4) AS est_jaccard
+       (2 * ({agree}) * 10000 + {_MINHASH_SEEDS})
+           // (2 * {_MINHASH_SEEDS}) AS est_jaccard_e4
 FROM candidates c
 JOIN sigs a ON c.id_a = a.doc_id
 JOIN sigs b ON c.id_b = b.doc_id
@@ -1335,8 +1446,11 @@ def q_token_histogram(spark, sf_dir):
     """Token-count distribution per language (log2 buckets) — the length
     histogram every dataset card reports and every curation pass filters
     on. One groupBy over (lang, bucket); the bucket is a codegen'd
-    expression on the scan."""
-    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    expression on the scan. Null text coalesces to '' (1 token) in BOTH
+    engines — Spark's size(split(NULL)) is -1 while DuckDB's len(NULL)
+    is NULL, so an uncoalesced null doc would diverge."""
+    n_tokens = F.size(F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))),
+                              r"\s+"))
     bucket = F.floor(F.log2(F.greatest(n_tokens, F.lit(1)))).cast("int")
     return (
         _t(spark, sf_dir, "documents")
@@ -1350,7 +1464,8 @@ def q_token_histogram(spark, sf_dir):
 SQL_TOKEN_HISTOGRAM = """
 WITH t AS (
   SELECT lang,
-         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+         len(regexp_split_to_array(trim(coalesce(text, '')), '\\s+'))
+             AS n_tokens
   FROM documents
 )
 SELECT lang,
@@ -1380,7 +1495,11 @@ def q_embedding_quantize(spark, sf_dir):
         .filter(F.col("_scale") > 0)
         .withColumn("_q", F.expr(q))
         .select("vec_id",
-                F.round("_scale", 6).alias("q_scale"),
+                # scale×10⁶ as bigint: floor(x·1e6 + 0.5) is one
+                # deterministic IEEE multiply + floor, identical in both
+                # engines (round(double, 6) is not)
+                F.expr("CAST(floor(_scale * 1000000 + 0.5) AS BIGINT)")
+                .alias("q_scale_e6"),
                 F.expr("aggregate(_q, 0L, (s, v) -> s + abs(v))")
                 .alias("q_l1"),
                 F.element_at("_q", 1).alias("q0"))
@@ -1399,7 +1518,7 @@ WITH s AS (
            x -> CAST(round(CAST(x AS DOUBLE) / scale * 127) AS INT)) AS qv
   FROM s WHERE scale > 0
 )
-SELECT vec_id, round(scale, 6) AS q_scale,
+SELECT vec_id, CAST(floor(scale * 1000000 + 0.5) AS BIGINT) AS q_scale_e6,
        CAST(list_sum(list_transform(qv, v -> abs(v))) AS BIGINT) AS q_l1,
        qv[1] AS q0
 FROM q
@@ -1407,21 +1526,27 @@ FROM q
 
 
 def q_embedding_norms(spark, sf_dir):
-    """L2 norms via higher-order aggregate — JVM-side, vectorizable."""
+    """L2 norms via higher-order aggregate — JVM-side, vectorizable.
+    The square-sum folds the array IN ELEMENT ORDER in both engines (a
+    per-row array, not a distributed sum — no ordering hazard), and the
+    norm is emitted ×10³ via the deterministic floor formula instead of
+    ``round(double, 3)``."""
     return (
         _t(spark, sf_dir, "embeddings")
         .select("vec_id",
-                F.round(F.sqrt(F.expr(
-                    "aggregate(embedding, CAST(0 AS DOUBLE),"
-                    " (s, x) -> s + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")),
-                    3).alias("l2_norm"))
+                F.expr(
+                    "CAST(floor(sqrt(aggregate(embedding,"
+                    " CAST(0 AS DOUBLE),"
+                    " (s, x) -> s + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+                    " * 1000 + 0.5) AS BIGINT)").alias("l2_norm_e3"))
     )
 
 
 SQL_EMBEDDING_NORMS = """
 SELECT vec_id,
-       round(sqrt(list_sum(list_transform(embedding,
-             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 3) AS l2_norm
+       CAST(floor(sqrt(list_sum(list_transform(embedding,
+            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 1000 + 0.5)
+            AS BIGINT) AS l2_norm_e3
 FROM embeddings
 """
 
@@ -1952,9 +2077,12 @@ SQL_STRATIFIED_SAMPLE = _sql_stratified_sample()
 
 def q_source_mix_weights(spark, sf_dir):
     """Training-mix weights per source: document/char counts and each
-    source's fraction of the corpus — the input to mixture reweighting.
-    One groupBy shuffle over |sources| groups; the corpus totals join back
-    as a broadcast single row (computed once, not per group)."""
+    source's share of the corpus in BASIS POINTS — the input to mixture
+    reweighting. One groupBy shuffle over |sources| groups; the corpus
+    totals join back as a broadcast single row (computed once, not per
+    group). Shares are exact rounded integer division of bigint counts —
+    the r5 ``round(double, 4)`` emission hash-mismatched on a
+    representation tie."""
     docs = _t(spark, sf_dir, "documents")
     per_source = docs.groupBy("source").agg(
         F.count("*").alias("n_docs"),
@@ -1964,20 +2092,24 @@ def q_source_mix_weights(spark, sf_dir):
     return (
         per_source.crossJoin(F.broadcast(totals))
         .select("source", "n_docs", "n_chars",
-                F.round(F.col("n_docs") / F.col("tot_docs"), 4)
-                .alias("doc_frac"),
-                F.round(F.col("n_chars") / F.col("tot_chars"), 4)
-                .alias("char_frac"))
+                F.expr("(2 * n_docs * 10000 + tot_docs) DIV (2 * tot_docs)")
+                .alias("doc_frac_bp"),
+                F.expr("(2 * n_chars * 10000 + tot_chars)"
+                       " DIV (2 * tot_chars)")
+                .alias("char_frac_bp"))
     )
 
 
 SQL_SOURCE_MIX_WEIGHTS = """
-SELECT source, count(*) AS n_docs, sum(n_chars) AS n_chars,
-       round(count(*) / (SELECT CAST(count(*) AS DOUBLE) FROM documents),
-             4) AS doc_frac,
-       round(sum(n_chars)
-             / (SELECT CAST(sum(n_chars) AS DOUBLE) FROM documents),
-             4) AS char_frac
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       CAST((2 * count(*) * 10000 + (SELECT count(*) FROM documents))
+            // (2 * (SELECT count(*) FROM documents)) AS BIGINT)
+           AS doc_frac_bp,
+       CAST((2 * sum(n_chars) * 10000
+             + (SELECT sum(n_chars) FROM documents))
+            // (2 * (SELECT sum(n_chars) FROM documents)) AS BIGINT)
+           AS char_frac_bp
 FROM documents GROUP BY source
 """
 
@@ -2058,12 +2190,15 @@ def q_tfidf_top_terms(spark, sf_dir):
     (keyword extraction / topical tagging for training-data analysis).
 
     Terms: lowercase, non-alphanumerics → space, tokens of length ≥ 3.
-    tf = in-doc count, idf = ln(N / df) with df over distinct docs; score
-    rounded in BOTH engines before ranking so float noise can't flip a
-    rank (ties break on the term). Scale: explode → two aggregations
-    (term×doc, then df over terms) + a window top-k per doc; the doc
-    count joins in as a broadcast scalar. All shuffles are on term/doc
-    keys — no pairwise anything."""
+    tf = in-doc count, idf = ln(N / df) with df over distinct docs; the
+    score is emitted ×10⁴ via the shared ``floor(x·1e4 + 0.5)`` formula
+    in BOTH engines and RANKED ON THE QUANTIZED INTEGER (ties break on
+    the term), so only a 1-ulp libm ln() divergence landing exactly on a
+    .5 boundary could flip anything (round(double,4)'s algorithmic
+    divergence cannot). Scale: explode → two aggregations (term×doc,
+    then df over terms) + a window top-k per doc; the doc count joins in
+    as a broadcast scalar. All shuffles are on term/doc keys — no
+    pairwise anything."""
     docs = _t(spark, sf_dir, "documents")
     terms = (
         docs.select(
@@ -2077,14 +2212,15 @@ def q_tfidf_top_terms(spark, sf_dir):
     scored = (
         tf.join(df_, "term")
         .crossJoin(F.broadcast(n_docs))
-        .withColumn("tfidf", F.round(
-            F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4)))
+        .withColumn("tfidf_e4", F.expr(
+            "CAST(floor(tf * ln(CAST(n_docs AS DOUBLE) / df) * 10000"
+            " + 0.5) AS BIGINT)")))
     w = Window.partitionBy("doc_id").orderBy(
-        F.desc("tfidf"), F.asc("term"))
+        F.desc("tfidf_e4"), F.asc("term"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
-        .select("doc_id", "term", "tfidf", "rank")
+        .select("doc_id", "term", "tfidf_e4", "rank")
     )
 
 
@@ -2102,13 +2238,14 @@ WITH toks AS (
   SELECT term, count(*) AS df FROM tf GROUP BY 1
 ), scored AS (
   SELECT tf.doc_id, tf.term,
-         round(tf.tf * ln((SELECT CAST(count(*) AS DOUBLE)
-                           FROM documents) / dfreq.df), 4) AS tfidf
+         CAST(floor(tf.tf * ln((SELECT CAST(count(*) AS DOUBLE)
+                                FROM documents) / dfreq.df) * 10000
+                    + 0.5) AS BIGINT) AS tfidf_e4
   FROM tf JOIN dfreq USING (term)
 )
-SELECT doc_id, term, tfidf,
+SELECT doc_id, term, tfidf_e4,
        row_number() OVER (PARTITION BY doc_id
-                          ORDER BY tfidf DESC, term ASC) AS rank
+                          ORDER BY tfidf_e4 DESC, term ASC) AS rank
 FROM scored
 QUALIFY rank <= 3
 """
