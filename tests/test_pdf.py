@@ -187,3 +187,26 @@ def test_flate_bomb_is_skipped_not_inflated():
            b"2 0 obj\n<< /Length " + str(len(ok)).encode()
            + b" >>\nstream\n" + ok + b"\nendstream\nendobj\n")
     assert P.pdf_to_text(pdf) == "Survivor text"
+
+
+def test_hex_string_adjacent_to_dict_close_still_inflates():
+    """A hex string butted against the closing ``>>`` (``/ID<CDEF>>>``)
+    makes a 3-'>' run; offset-by-offset pair scanning miscounted depth
+    there and silently skipped the FlateDecode, emitting raw deflate
+    bytes. Run-aligned tokenization must keep decoding (reference:
+    stream dict parsing per PDF 32000-1 §7.3; trek has no PDF branch —
+    north-star addition)."""
+    import zlib
+
+    content = b"BT (Hex id line) Tj ET"
+    body = zlib.compress(content)
+    pdf = (b"%PDF-1.4\n1 0 obj\n<< /Length " + str(len(body)).encode()
+           + b" /Filter /FlateDecode /ID<CDEF>>>stream\n" + body
+           + b"\nendstream\nendobj\n%%EOF\n")
+    assert P.pdf_to_text(pdf) == "Hex id line"
+    # hex string at the very start of the dict too (run on the open side)
+    pdf2 = (b"%PDF-1.4\n1 0 obj\n<</ID<AABB> /Length "
+            + str(len(body)).encode()
+            + b" /Filter /FlateDecode>>stream\n" + body
+            + b"\nendstream\nendobj\n%%EOF\n")
+    assert P.pdf_to_text(pdf2) == "Hex id line"

@@ -70,18 +70,35 @@ def _balanced_dict_start(data: bytes, close_pos: int) -> int:
     # of walking but ~20 ms of rfind
     if data.rfind(b"<<", floor, close_pos) < 0:
         return -1
+    # Tokenize backward on MAXIMAL runs of '<'/'>' and count whole pairs
+    # per run: a naive every-offset pair window straddles run boundaries
+    # when a hex string sits against the dict close (`<</ID<AABB>>>stream`
+    # has a 3-'>' run whose lone leading '>' is the hex-string close, not
+    # half of a `>>`), silently miscounting depth and skipping the
+    # stream. PDF lexing is left-greedy and hex strings cannot contain
+    # angle brackets, so within any run the pairs are left-aligned and
+    # at most one unpaired hex delimiter remains (run_len // 2 pairs).
     depth = 1
-    j = close_pos - 1
-    while j >= floor:
-        pair = data[j:j + 2]
-        if pair == b">>":
-            depth += 1
-            j -= 2
-        elif pair == b"<<":
-            depth -= 1
-            if depth == 0:
-                return j + 2
-            j -= 2
+    j = close_pos  # exclusive upper bound of the unscanned region
+    while j > floor:
+        c = data[j - 1]
+        if c == 0x3E:  # '>'
+            k = j
+            while k > floor and data[k - 1] == 0x3E:
+                k -= 1
+            depth += (j - k) // 2
+            j = k
+        elif c == 0x3C:  # '<'
+            k = j
+            while k > floor and data[k - 1] == 0x3C:
+                k -= 1
+            pairs = (j - k) // 2
+            if pairs >= depth:
+                # left-aligned pairs: pair i spans k+2i .. k+2i+1; the
+                # one balancing our dict is the depth-th from the right
+                return k + 2 * (pairs - depth) + 2
+            depth -= pairs
+            j = k
         else:
             j -= 1
     return -1
