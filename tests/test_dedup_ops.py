@@ -336,3 +336,14 @@ def test_minhash_estimate_known_answers(spark, tmp_path):
            for r in O.q_dedup_minhash_estimate(spark, sf).collect()}
     assert got[("d00000", "d00001")] == 10000
     assert all(k == ("d00000", "d00001") for k in got)
+
+
+def test_hot_shingle_audit_engages_on_skewed_view(spark):
+    """The skew-injected audit op must be NONZERO by construction: the
+    boilerplate doc is repeated past _SHINGLE_DF_CAP, so every one of
+    its shingles crosses the document-frequency cap (cap semantics are
+    oracle-checked cross-engine by the driver; this pins engagement)."""
+    rows = O.q_dedup_hot_shingle_audit(
+        spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) >= 10  # 13 shingles of the 15-word boilerplate
+    assert all(r.df >= O._SKEW_COPIES for r in rows)

@@ -863,6 +863,65 @@ WHERE 2 * shared >= sa.n + sb.n - shared
 """
 
 
+#: deterministic skew injection for the cap-engagement audit: one
+#: boilerplate document repeated past the document-frequency cap, so the
+#: hot-shingle guard MUST fire (the natural testdata never triggers it —
+#: without this op, cap correctness would be pytest-only, never
+#: oracle-checked)
+_SKEW_COPIES = 1200
+_SKEW_BOILERPLATE = (
+    "subscribe to our newsletter unsubscribe anytime all rights reserved"
+    " privacy policy terms of service apply")
+
+
+def q_dedup_hot_shingle_audit(spark, sf_dir):
+    """Cap engagement on a deterministically SKEWED corpus: union the
+    documents table with ``_SKEW_COPIES`` copies of a boilerplate doc
+    (distinct doc_ids, identical text — the 10^8-frequency chrome/footer
+    shape real crawls are full of), shingle it, and emit every shingle
+    whose document frequency exceeds ``_SHINGLE_DF_CAP`` — exactly the
+    set ``_drop_hot_keys`` removes before any collect_list in the dedup
+    family. With 1,200 > 1,000 copies the audit is NONZERO by
+    construction: the oracle reproduces the cap semantics (count > cap ⇒
+    dropped) on data where it must engage, not just on healthy draws.
+    Scale shape: the injection is a metadata-only union; the audit is
+    the same one explode + groupBy(shingle) every capped op already
+    pays."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    injected = (spark.range(_SKEW_COPIES)
+                .select((F.col("id") + 10000000).alias("doc_id"),
+                        F.lit(_SKEW_BOILERPLATE).alias("text")))
+    corpus = docs.unionByName(injected)
+    ex = corpus.select("doc_id", F.explode(_shingles()).alias("shingle"))
+    return (ex.groupBy("shingle").agg(F.count("*").alias("df"))
+            .filter(F.col("df") > _SHINGLE_DF_CAP))
+
+
+SQL_DEDUP_HOT_SHINGLE_AUDIT = f"""
+WITH injected AS (
+  SELECT 10000000 + range AS doc_id,
+         '{_SKEW_BOILERPLATE}' AS text
+  FROM range({_SKEW_COPIES})
+), corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id, text FROM injected
+), sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+           range(1, greatest(len(regexp_split_to_array(trim(text),
+                 '\\s+')) - 2, 0) + 1),
+           i -> array_to_string(list_slice(
+                  regexp_split_to_array(trim(text), '\\s+'),
+                  i, i + 2), ' '))) AS shingles
+  FROM corpus
+), ex AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+)
+SELECT shingle, count(*) AS df
+FROM ex GROUP BY shingle HAVING count(*) > {_SHINGLE_DF_CAP}
+"""
+
+
 #: Audit record of the most recent ``_min_label_cc`` run in this process
 #: ({"rounds": int, "converged": bool}); bench.py reads it after timing
 #: dedup_clusters so the round count lands in the artifact.
@@ -1788,38 +1847,34 @@ def train_ivf_centroids(emb: DataFrame, k: int = 8,
 
     Deterministic end to end: init = the k vectors with the smallest
     vec_id; assignment ties break on the lowest centroid id; empty
-    clusters keep their previous centroid. Each iteration is the
-    standard distributed k-means shape (what MLlib does): broadcast the
-    k centroids (tiny), assign via an argmin scan (no shuffle), recompute
-    per-cluster means with ONE groupBy over k groups × dim avg columns —
-    the only shuffle, over k rows of output. The per-iteration collect is
-    the k×dim model parameters, not data. Scales: corpus passes are
-    O(n·k·dim) map-side work; nothing driver-side grows with n."""
-    spark = emb.sparkSession
+    clusters keep their previous centroid. Each iteration: the argmin is
+    ONE codegen'd projection per row — the centroids are frozen into the
+    plan as a k×dim array literal (``assign_ivf_cells``, the same
+    expression the serving path uses), so assignment needs NO crossJoin,
+    NO window, and NO shuffle of the n×k expansion (the r5 shape
+    shuffled n×k rows per Lloyd iteration to run a partitionBy(vec_id)
+    argmin — the plan you would not want at 100×). The only exchange per
+    iteration is the per-cluster mean groupBy: k groups × dim avg
+    columns, partial-aggregated map-side, k rows of output. The
+    per-iteration collect is the k×dim model parameters, not data.
+    Scales: corpus passes are O(n·k·dim) map-side work; nothing
+    driver-side grows with n."""
     dim = len(emb.select("embedding").first()[0])
     cents = [[float(x) for x in r.embedding]
              for r in emb.orderBy("vec_id").limit(k).collect()]
     emb = emb.select("vec_id", "embedding").localCheckpoint(eager=True)
     for _it in range(iters):
-        cent_df = spark.createDataFrame(
-            [(i, c) for i, c in enumerate(cents)],
-            "cid int, c array<double>")
-        dist = F.expr(
-            "aggregate(zip_with(embedding, c,"
-            " (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
-            " CAST(0 AS DOUBLE), (s, x) -> s + x)")
-        rn = F.row_number().over(
-            Window.partitionBy("vec_id").orderBy("d", "cid"))
-        assigned = (emb.crossJoin(F.broadcast(cent_df))
-                    .withColumn("d", dist)
-                    .withColumn("rn", rn).filter(F.col("rn") == 1))
-        means = (assigned.groupBy("cid")
+        # float repr round-trips exactly, so the literal-based distances
+        # are bit-identical to a broadcast-DataFrame formulation; `cell`
+        # is 1-based (array_position semantics, matching the oracle)
+        assigned = assign_ivf_cells(emb, cents)
+        means = (assigned.groupBy("cell")
                  .agg(*[F.avg(F.element_at("embedding", i + 1)).alias(f"m{i}")
                         for i in range(dim)])
                  .collect())
         new_cents = list(cents)
         for r in means:
-            new_cents[r.cid] = [float(r[f"m{i}"]) for i in range(dim)]
+            new_cents[r.cell - 1] = [float(r[f"m{i}"]) for i in range(dim)]
         if new_cents == cents:
             break
         cents = new_cents
@@ -2399,6 +2454,8 @@ OPS: dict[str, tuple] = {
     "fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM),
+    "dedup_hot_shingle_audit": (q_dedup_hot_shingle_audit,
+                                SQL_DEDUP_HOT_SHINGLE_AUDIT),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "dedup_clusters_audit": (
         q_dedup_clusters_audit, SQL_DEDUP_CLUSTERS_AUDIT),
