@@ -319,10 +319,30 @@ def _ann_recall_clustered() -> dict:
         spark.stop()
 
 
+def _span_coverage() -> dict:
+    """Corpus-wide span coverage (blocks with a located span / blocks
+    attempted) over the golden fixtures — the number that makes the span
+    stage's silent skips observable (VERDICT r5 item 7). Single-process
+    (~2 s); floored in tests/test_content_spans.py."""
+    from trek_spark.extract.pipeline import trek_parse
+    from trek_spark.fixtures import load_fixtures
+    from trek_spark.spark.udf import span_coverage
+
+    pairs = []
+    for fx in load_fixtures():
+        try:
+            r = trek_parse(fx.html, fx.url)
+        except Exception:
+            continue
+        pairs.append((fx.html, r["content_markdown"] or ""))
+    return span_coverage(pairs)
+
+
 def main() -> None:
     queries, ann_recall, cc_audit = _query_timings()
     ann_clustered = _ann_recall_clustered()
     ann_note = ann_recall.pop("note", None)
+    coverage = _span_coverage()
 
     # Gate pair: FIXED 3 attempts per leg, INTERLEAVED (L,H)×3 — a
     # co-tenant noise burst then degrades both legs' nearby attempts
@@ -374,6 +394,7 @@ def main() -> None:
                       "saturated": sat_8_32},
         "mp_control": mp_control,
         "full_width": full,
+        "span_coverage": coverage,
     }
     details_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH", "DETAILS.json")
@@ -393,6 +414,7 @@ def main() -> None:
         "ann_recall_at_3": ann_recall,
         "ann_recall_clustered": ann_clustered,
         "cc_rounds": cc_audit.get("rounds"),
+        "span_coverage": coverage.get("coverage"),
         "scaling": {
             "n": SCALE_N,
             "low_tps": low["turns_per_sec"],

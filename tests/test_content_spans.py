@@ -54,3 +54,21 @@ def test_spans_invariants_over_corpus():
         _assert_invariants(fx.html, spans)
         checked += 1 if spans else 0
     assert checked > 100  # spans are produced for most of the corpus
+
+
+def test_span_coverage_floor_over_corpus():
+    """Corpus-wide block coverage (blocks with a located span / blocks
+    attempted) must stay above a measured floor — spans silently skip
+    blocks rewritten by normalization, and this keeps that skip rate an
+    observable, regression-gated number (bench reports the same stat as
+    span_coverage). Measured 0.743 at this floor's introduction."""
+    from trek_spark.extract.pipeline import trek_parse
+    from trek_spark.spark.udf import span_coverage
+
+    pairs = []
+    for fx in load_fixtures():
+        r = trek_parse(fx.html, fx.url)
+        pairs.append((fx.html, r["content_markdown"] or ""))
+    stats = span_coverage(pairs)
+    assert stats["blocks"] > 1500
+    assert stats["coverage"] >= 0.70

@@ -87,16 +87,28 @@ def compute_content_spans(source: str, markdown: str) -> list[dict]:
     just the matched lead. This gives the per-turn span offsets the north
     star asks for without a full source-map through ~30 DOM passes.
     """
+    return _spans_with_attempts(source, markdown)[0]
+
+
+def _spans_with_attempts(source: str,
+                         markdown: str) -> tuple[list[dict], int]:
+    """(spans, attempted): ``attempted`` counts the markdown blocks whose
+    probe was long enough to search for — the denominator of the span
+    COVERAGE metric (spans silently skip blocks rewritten beyond
+    recognition by normalization; coverage makes that skip rate an
+    observable number instead of an assumption — see ``span_coverage``)."""
     spans: list[dict] = []
+    attempted = 0
     cursor = 0
     if not source or not markdown:
-        return spans
+        return spans, attempted
     n = len(source)
     for block in markdown.split("\n\n"):
         stripped = block.strip()
         probe = stripped.lstrip(_SPAN_TRIM)[:40]
         if len(probe) < 8:
             continue
+        attempted += 1
         idx = source.find(probe, cursor)
         matched = len(probe)
         if idx < 0:
@@ -120,7 +132,22 @@ def compute_content_spans(source: str, markdown: str) -> list[dict]:
             continue
         spans.append({"start": idx, "end": end, "kind": "block"})
         cursor = end  # non-overlap: next span starts at or after this end
-    return spans
+    return spans, attempted
+
+
+def span_coverage(docs) -> dict:
+    """Corpus span-coverage stats over ``(source, markdown)`` pairs:
+    ``blocks`` attempted, ``spanned`` located, ``coverage`` ratio.
+    Tracked in bench (``span_coverage``) and floored in pytest so span
+    quality is measured, not assumed."""
+    blocks = 0
+    spanned = 0
+    for source, markdown in docs:
+        spans, attempted = _spans_with_attempts(source or "", markdown or "")
+        blocks += attempted
+        spanned += len(spans)
+    return {"blocks": blocks, "spanned": spanned,
+            "coverage": round(spanned / blocks, 4) if blocks else None}
 
 
 def extract_one(text: Optional[str], url: Optional[str] = None,
