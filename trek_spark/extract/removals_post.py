@@ -67,6 +67,7 @@ def _words(s: str) -> int:
 # text edits, which call bump_tick().
 _text_memo: dict = {}
 _ltl_memo: dict = {}
+_postorder_memo: dict = {}
 _memo_tick = [-1]
 
 
@@ -75,6 +76,7 @@ def _memo_fresh() -> None:
     if _nodemod._TICK != _memo_tick[0]:
         _text_memo.clear()
         _ltl_memo.clear()
+        _postorder_memo.clear()
         _memo_tick[0] = _nodemod._TICK
 
 
@@ -111,7 +113,16 @@ def _link_density(n: Node) -> float:
 def _post_order_elements(root: Node) -> list[Node]:
     # reversed pre-order == this post-order (children before parent,
     # right-to-left siblings — the historical order callers were tuned
-    # against); ~half the stack ops of the (node, visited) two-push walk
+    # against); ~half the stack ops of the (node, visited) two-push walk.
+    # Tick-memoized like _text: the ~22 content-pattern sub-passes each
+    # re-walk the same root, and most find nothing to drop (tick
+    # unmoved), so consecutive walks are list reuses; any mutation bumps
+    # the tick and invalidates (same discipline as node.py's per-node
+    # iterator snapshots). Callers iterate read-only.
+    _memo_fresh()
+    memo = _postorder_memo.get(root)
+    if memo is not None:
+        return memo
     out = [root]
     stack = [c for c in reversed(root.children) if c.type == ELEMENT]
     pop = stack.pop
@@ -123,6 +134,7 @@ def _post_order_elements(root: Node) -> list[Node]:
         if cs:
             stack.extend([c for c in reversed(cs) if c.type == ELEMENT])
     out.reverse()
+    _postorder_memo[root] = out
     return out
 
 

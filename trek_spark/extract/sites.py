@@ -607,11 +607,41 @@ def bbcode_can(url: str, html: str) -> bool:
         html) is not None
 
 
+_BB_CONTAINER_OPEN_RE = re.compile(r"(?i)<(pre|code|textarea)\b")
+
+
+def _bbcode_payload_possible(html: str) -> bool:
+    """Cheap NECESSARY condition for a bbcode claim, checked on the raw
+    string before paying a full DOM parse: the catch-all gate
+    (``bbcode_can``) fires on any bracket token anywhere (``[i]`` in
+    prose, ``[jax=…]`` in attributes — ~10 spurious hits per 187 corpus
+    docs), and each spurious hit previously cost a whole parse. A claim
+    requires ≥3 bbcode tags inside pre/code/textarea TEXT; any such text
+    is a substring of the raw bytes between that element's open tag and
+    its close (or EOF when unclosed — the tokenizer auto-closes, so the
+    suffix is a superset). Over-counting (attributes, nested markup,
+    overlapping pre>code segments) can only keep the parse, never skip a
+    real claim."""
+    if "data-partnereventstore" in html:
+        return True
+    hits = 0
+    for m in _BB_CONTAINER_OPEN_RE.finditer(html):
+        close = re.search(rf"(?i)</{m.group(1)}", html[m.end():])
+        seg = html[m.end():m.end() + close.start()] if close \
+            else html[m.end():]
+        hits += len(_BBCODE_TAG_RE.findall(seg))
+        if hits >= 3:
+            return True
+    return False
+
+
 def bbcode_extract(html: str, url, collected, metadata):
     """Steam-style `#application_config[data-partnereventstore]` blobs and
     generic pre/code/textarea BBCode dumps
     (ref `src/extractors/bbcode_data.rs:56-212`)."""
     import json as _json
+    if not _bbcode_payload_possible(html):
+        return None
     root = body_of(parse_html(html))
 
     config = None
