@@ -402,3 +402,107 @@ def test_png_idat_bomb_capped():
     assert dec is not None
     gw, gh, ch, px = dec
     assert (gw, gh, ch) == (4, 4, 3) and px == b"\x7f" * (stride * h)
+
+
+def test_jpeg_roundtrip_property():
+    """Property: synth_jpeg → jpeg_decode_pixels recovers the pixels
+    within ±1 per pixel for arbitrary dimensions and seeds (all-ones
+    quantization is near-lossless; the float DCT→IDCT pair contributes
+    sub-half-ULP rounding). Same honesty standard as the PNG property
+    test — JPEG is lossy by design, so the bound is tight-tolerance, not
+    byte-exact."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from trek_spark.spark.multimodal import jpeg_decode_pixels, synth_jpeg
+
+    @settings(max_examples=40, deadline=None)
+    @given(w=st.integers(1, 33), h=st.integers(1, 33),
+           seed=st.binary(min_size=1, max_size=64))
+    def prop(w, h, seed):
+        jp = synth_jpeg(w, h, seed)
+        dec = jpeg_decode_pixels(jp)
+        assert dec is not None
+        gw, gh, gch, px = dec
+        assert (gw, gh, gch) == (w, h, 1)
+        expect = (seed * (w * h // len(seed) + 1))[:w * h]
+        assert max(abs(a - b) for a, b in zip(px, expect)) <= 1
+
+    prop()
+
+
+def test_jpeg_decode_rejects_out_of_scope():
+    """Color/progressive/DRI/truncated streams return None (stub path),
+    never raise; the SOF pixel ceiling caps attacker-declared sizes."""
+    import struct as _s
+
+    from trek_spark.spark.multimodal import (
+        _JPEG_MAX_PIXELS,
+        jpeg_decode_pixels,
+        synth_jpeg,
+    )
+
+    good = synth_jpeg(16, 16, b"seed")
+    assert jpeg_decode_pixels(good) is not None
+    assert jpeg_decode_pixels(b"not a jpeg") is None
+    assert jpeg_decode_pixels(good[:40]) is None
+    # rewrite SOF0 to declare 3 components (color): out of scope
+    i = good.find(b"\xff\xc0")
+    body = bytearray(good)
+    body[i + 9] = 3
+    assert jpeg_decode_pixels(bytes(body)) is None
+    # progressive SOF2 marker: out of scope
+    body = bytearray(good)
+    body[i + 1] = 0xC2
+    assert jpeg_decode_pixels(bytes(body)) is None
+    # attacker-declared giant dimensions must be capped before any
+    # allocation (the entropy data cannot be that big anyway)
+    body = bytearray(good)
+    body[i + 5:i + 9] = _s.pack(">HH", 30000, 30000)
+    assert 30000 * 30000 > _JPEG_MAX_PIXELS
+    assert jpeg_decode_pixels(bytes(body)) is None
+
+
+def test_jpeg_features_resize_and_corpus():
+    """attach_features computes REAL pixel features for JPEG payloads
+    (shared feature space: grayscale ⇒ equal channel means + luminance
+    histogram), resize re-encodes decodably, and the synthetic corpus
+    emits at least one JPEG image row."""
+    from trek_spark.spark.multimodal import (
+        feature_stub,
+        jpeg_decode_pixels,
+        jpeg_features,
+        resize_stub,
+        synth_jpeg,
+    )
+
+    jp = synth_jpeg(24, 18, b"\x10\x80\xf0corpus")
+    f = jpeg_features(jp)
+    assert f is not None and len(f) == 16
+    assert f[0] == f[1] == f[2]  # grayscale channel means equal
+    assert abs(sum(f[3:]) - 1.0) < 1e-6  # histogram is a distribution
+    assert feature_stub(jp) == f  # the real path wins over the stub
+    rz = resize_stub(jp, 12, 10)
+    dec = jpeg_decode_pixels(rz)
+    assert dec is not None and (dec[0], dec[1]) == (12, 10)
+
+
+def test_media_corpus_emits_jpegs(tmp_path):
+    from trek_spark.spark.multimodal import (
+        jpeg_decode_pixels,
+        media_corpus_from_documents,
+    )
+    from trek_spark.spark.session import get_spark
+
+    spark = get_spark("pytest-mm-jpeg", master="local[2]",
+                      shuffle_partitions=4)
+    rows = [(i, f"document number {i} body text for media synth") for i
+            in range(24)]
+    (spark.createDataFrame(rows, "doc_id long, text string")
+     .write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet"))
+    media = media_corpus_from_documents(spark, str(tmp_path)).collect()
+    jpegs = [r for r in media
+             if r.media_type == "image" and bytes(r.payload[:2]) == b"\xff\xd8"]
+    assert jpegs, "corpus rotation must emit JPEG images"
+    assert all(jpeg_decode_pixels(bytes(r.payload)) is not None
+               for r in jpegs)

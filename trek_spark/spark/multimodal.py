@@ -24,8 +24,14 @@ Codec status (this container ships no image/audio libraries):
   images, ``synth_png`` emits genuine Paeth-filtered PNGs (CRC-correct
   chunks) so the corpus exercises the hardest filter on every row, and
   feature/resize run on the decoded pixels.
-* **Compressed codecs remain STUBS for JPEG pixel decode and video frame
-  extraction only**: each raises ``NotImplementedError`` in strict mode or
+* **JPEG pixel decode is REAL for baseline-sequential grayscale** —
+  ``jpeg_decode_pixels`` implements Huffman entropy decoding, dequant and
+  IDCT per ITU T.81; ``synth_jpeg`` is a genuine encoder (forward DCT +
+  Annex K Huffman tables) whose output round-trips within ±1/pixel at
+  the all-ones quant table. Color / progressive / restart-interval
+  streams return None and fall through to the stub path.
+* **Codecs remain STUBS only for color/progressive JPEG and video frame
+  extraction**: each raises ``NotImplementedError`` in strict mode or
   produces a deterministic fake derived from the payload hash, so the
   pipeline shape stays testable. Plug PIL/libvips/libav behind the same
   signatures in a real deployment.
@@ -494,6 +500,400 @@ def resize_png(payload: bytes, target_w: int, target_h: int) -> bytes | None:
             + chunk(b"IEND", b""))
 
 
+# ------------------------------------------------------------------ JPEG
+# Baseline-sequential GRAYSCALE JPEG, stdlib-only (ITU T.81): real
+# Huffman entropy coding + dequant + IDCT. Scope is honest — color /
+# progressive / restart-interval streams return None and fall through to
+# the declared stub path. The reference has no media pipeline at all
+# (north-star addition); format per T.81 Annex B/F, standard tables from
+# Annex K.
+
+_JPEG_MAX_PIXELS = _PNG_MAX_PIXELS  # SOF dims are attacker-controlled
+
+#: zigzag scan order: position in stream -> linear (row*8+col) index
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63]
+
+# Annex K.3 luminance Huffman tables: (BITS counts per code length 1-16,
+# HUFFVAL symbol list)
+_DC_LUM_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUM_VALS = list(range(12))
+_AC_LUM_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_LUM_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA]
+
+
+def _huff_codes(bits: list, vals: list) -> dict:
+    """symbol -> (code, length) per the canonical algorithm (T.81 C.2)."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_table(bits: list, vals: list) -> dict:
+    """(length, code) -> symbol for the decoder."""
+    return {(ln, code): sym
+            for sym, (code, ln) in _huff_codes(bits, vals).items()}
+
+
+import math as _math
+
+_DCT_C = [[_math.cos((2 * x + 1) * u * _math.pi / 16) for x in range(8)]
+          for u in range(8)]
+_DCT_A = [_math.sqrt(1 / 8.0)] + [_math.sqrt(2 / 8.0)] * 7
+
+
+def _fdct8x8(block: list) -> list:
+    """2-D forward DCT-II (separable: rows then columns)."""
+    tmp = [[sum(block[y * 8 + x] * _DCT_C[u][x] for x in range(8))
+            * _DCT_A[u] for u in range(8)] for y in range(8)]
+    return [_DCT_A[v] * sum(tmp[y][u] * _DCT_C[v][y] for y in range(8))
+            for v in range(8) for u in range(8)]
+
+
+def _idct8x8(coef: list) -> list:
+    """2-D inverse DCT (separable)."""
+    tmp = [[sum(_DCT_A[u] * coef[v * 8 + u] * _DCT_C[u][x]
+                for u in range(8)) for x in range(8)] for v in range(8)]
+    return [sum(_DCT_A[v] * tmp[v][x] * _DCT_C[v][y] for v in range(8))
+            for y in range(8) for x in range(8)]
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing (B.1.1.5)
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)
+        return bytes(self.out)
+
+
+def _category(v: int) -> int:
+    """Magnitude category (bit length of |v|)."""
+    return abs(v).bit_length()
+
+
+def synth_jpeg(width: int, height: int, seed: bytes) -> bytes:
+    """Genuine baseline-sequential grayscale JPEG encoder: forward DCT,
+    all-ones quantization (near-lossless — the round-trip property test
+    bounds per-pixel error), zigzag, DC-differential + run-length AC
+    Huffman coding with the Annex K luminance tables, FF byte stuffing.
+    Pixel content is a deterministic tiling of ``seed``; edge blocks are
+    padded by edge replication (decoder crops back to width×height)."""
+    pat = seed or b"\x5a"
+    total = width * height
+    px = (pat * (total // len(pat) + 1))[:total]
+    dc_codes = _huff_codes(_DC_LUM_BITS, _DC_LUM_VALS)
+    ac_codes = _huff_codes(_AC_LUM_BITS, _AC_LUM_VALS)
+    bw = _BitWriter()
+    pred = 0
+    for by in range(0, height, 8):
+        for bx in range(0, width, 8):
+            block = []
+            for y in range(8):
+                sy = min(by + y, height - 1)
+                for x in range(8):
+                    sx = min(bx + x, width - 1)
+                    block.append(px[sy * width + sx] - 128)
+            coef = _fdct8x8(block)
+            q = [int(round(c)) for c in coef]  # quant table is all ones
+            zz = [q[_ZIGZAG[i]] for i in range(64)]
+            # DC: difference category + magnitude bits (F.1.2.1)
+            diff = zz[0] - pred
+            pred = zz[0]
+            cat = _category(diff)
+            code, ln = dc_codes[cat]
+            bw.put(code, ln)
+            if cat:
+                bw.put(diff if diff > 0 else diff + (1 << cat) - 1, cat)
+            # AC: (run, size) symbols with ZRL and EOB (F.1.2.2)
+            run = 0
+            for i in range(1, 64):
+                v = zz[i]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    zcode, zln = ac_codes[0xF0]  # ZRL
+                    bw.put(zcode, zln)
+                    run -= 16
+                cat = _category(v)
+                code, ln = ac_codes[(run << 4) | cat]
+                bw.put(code, ln)
+                bw.put(v if v > 0 else v + (1 << cat) - 1, cat)
+                run = 0
+            if run:
+                code, ln = ac_codes[0x00]  # EOB
+                bw.put(code, ln)
+    data = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof = seg(0xC0, struct.pack(">BHHB", 8, height, width, 1)
+              + bytes([1, 0x11, 0]))
+    dht = seg(0xC4, bytes([0x00]) + bytes(_DC_LUM_BITS)
+              + bytes(_DC_LUM_VALS)
+              + bytes([0x10]) + bytes(_AC_LUM_BITS) + bytes(_AC_LUM_VALS))
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return (b"\xff\xd8" + dqt + sof + dht + sos + data + b"\xff\xd9")
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with FF00 unstuffing;
+    raises ValueError at end of data / on a marker."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        if self.pos >= len(d):
+            raise ValueError("jpeg: truncated entropy data")
+        byte = d[self.pos]
+        self.pos += 1
+        if byte == 0xFF:
+            if self.pos >= len(d):
+                raise ValueError("jpeg: truncated after FF")
+            nxt = d[self.pos]
+            if nxt == 0x00:
+                self.pos += 1  # stuffed
+            else:
+                raise ValueError("jpeg: marker in entropy data")
+        self.acc = (self.acc << 8) | byte
+        self.nbits += 8
+
+    def bit(self) -> int:
+        if not self.nbits:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _extend(v: int, cat: int) -> int:
+    """F.2.2.1 EXTEND: magnitude bits -> signed value."""
+    return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+
+def _huff_next(br: _BitReader, table: dict) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | br.bit()
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("jpeg: invalid huffman code")
+
+
+def jpeg_decode_pixels(payload: bytes):
+    """REAL stdlib JPEG decode: (width, height, 1, grayscale bytes
+    row-major) for baseline-sequential single-component streams, else
+    None (color / progressive / arithmetic / restart intervals are out
+    of declared scope and fall through to the stub path)."""
+    d = payload
+    if len(d) < 4 or d[:2] != b"\xff\xd8":
+        return None
+    qt = {}
+    huff = {}
+    w = h = None
+    qsel = 0
+    dcsel = acsel = 0
+    i = 2
+    try:
+        while i + 4 <= len(d):
+            if d[i] != 0xFF:
+                return None
+            marker = d[i + 1]
+            if marker == 0xD9:  # EOI before SOS
+                return None
+            ln = struct.unpack(">H", d[i + 2:i + 4])[0]
+            body = d[i + 4:i + 2 + ln]
+            if marker == 0xDB:  # DQT (possibly several tables)
+                j = 0
+                while j < len(body):
+                    pq, tq = body[j] >> 4, body[j] & 0x0F
+                    if pq != 0:
+                        return None  # 16-bit tables: out of scope
+                    qt[tq] = list(body[j + 1:j + 65])
+                    j += 65
+            elif marker == 0xC4:  # DHT (possibly several tables)
+                j = 0
+                while j < len(body):
+                    tc, th = body[j] >> 4, body[j] & 0x0F
+                    bits = list(body[j + 1:j + 17])
+                    nv = sum(bits)
+                    vals = list(body[j + 17:j + 17 + nv])
+                    huff[(tc, th)] = _huff_decode_table(bits, vals)
+                    j += 17 + nv
+            elif marker == 0xC0:  # SOF0 baseline
+                prec, h, w, nf = struct.unpack(">BHHB", body[:6])
+                if prec != 8 or nf != 1:
+                    return None  # color: out of declared scope
+                if not w or not h or w * h > _JPEG_MAX_PIXELS:
+                    return None
+                if body[7] != 0x11:
+                    return None  # subsampled single component: malformed
+                qsel = body[8]
+            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # non-baseline SOF
+            elif marker == 0xDD:  # DRI: encoder never emits; out of scope
+                return None
+            elif marker == 0xDA:  # SOS
+                if w is None or body[0] != 1:
+                    return None
+                dcsel = body[2] >> 4
+                acsel = body[2] & 0x0F
+                i = i + 2 + ln
+                break
+            i += 2 + ln
+        else:
+            return None
+        q = qt.get(qsel)
+        dc_tab = huff.get((0, dcsel))
+        ac_tab = huff.get((1, acsel))
+        if q is None or dc_tab is None or ac_tab is None:
+            return None
+        br = _BitReader(d, i)
+        out = bytearray(w * h)
+        pred = 0
+        for by in range(0, h, 8):
+            for bx in range(0, w, 8):
+                zz = [0] * 64
+                cat = _huff_next(br, dc_tab)
+                if cat:
+                    pred += _extend(br.bits(cat), cat)
+                zz[0] = pred
+                k = 1
+                while k < 64:
+                    sym = _huff_next(br, ac_tab)
+                    if sym == 0x00:  # EOB
+                        break
+                    run, cat = sym >> 4, sym & 0x0F
+                    if cat == 0:
+                        if run != 15:
+                            return None
+                        k += 16  # ZRL
+                        continue
+                    k += run
+                    if k > 63:
+                        return None
+                    zz[k] = _extend(br.bits(cat), cat)
+                    k += 1
+                coef = [0.0] * 64
+                for idx in range(64):
+                    coef[_ZIGZAG[idx]] = zz[idx] * q[idx]
+                pix = _idct8x8(coef)
+                for y in range(8):
+                    sy = by + y
+                    if sy >= h:
+                        break
+                    row = sy * w
+                    for x in range(8):
+                        sx = bx + x
+                        if sx >= w:
+                            break
+                        v = int(round(pix[y * 8 + x])) + 128
+                        out[row + sx] = 0 if v < 0 else (
+                            255 if v > 255 else v)
+    except (ValueError, IndexError, struct.error):
+        return None
+    return w, h, 1, bytes(out)
+
+
+def jpeg_features(payload: bytes, dim: int = 16) -> list[float] | None:
+    """REAL image features from a decoded grayscale JPEG: the same
+    semantic vector as :func:`bmp_features` / :func:`png_features`
+    ([mean B, mean G, mean R] + luminance histogram, grayscale ⇒ all
+    three channel means equal the mean luminance) so every container
+    shares one feature space."""
+    dec = jpeg_decode_pixels(payload)
+    if dec is None or dim < 4:
+        return None
+    w, h, _ch, px = dec
+    total = w * h
+    step = max(1, total // 4096)
+    s = 0
+    nbins = dim - 3
+    hist = [0] * nbins
+    count = 0
+    for idx in range(0, total, step):
+        v = px[idx]
+        s += v
+        hist[min(nbins - 1, v * nbins // 256)] += 1
+        count += 1
+    if not count:
+        return None
+    mean = s / (255.0 * count)
+    feats = [mean, mean, mean] + [c / count for c in hist]
+    return [round(f, 6) for f in feats]
+
+
+def resize_jpeg(payload: bytes, target_w: int, target_h: int) -> bytes | None:
+    """REAL nearest-neighbor resize of a decodable grayscale JPEG,
+    re-encoded as baseline JPEG via the same encoder path. None when the
+    payload is not in decodable scope."""
+    dec = jpeg_decode_pixels(payload)
+    if dec is None or target_w <= 0 or target_h <= 0:
+        return None
+    w, h, _ch, px = dec
+    raw = bytearray()
+    for y in range(target_h):
+        base = (y * h // target_h) * w
+        for x in range(target_w):
+            raw.append(px[base + x * w // target_w])
+    return synth_jpeg(target_w, target_h, bytes(raw))
+
+
 def _fake_dims(payload: bytes) -> tuple[int, int, int]:
     """Deterministic fake decode: dimensions derived from the content hash
     (stable across runs/executors — usable in tests)."""
@@ -544,6 +944,8 @@ def feature_stub(payload: bytes, dim: int = 16) -> list[float]:
     if real is None:
         real = png_features(payload, dim)
     if real is None:
+        real = jpeg_features(payload, dim)
+    if real is None:
         real = wav_features(payload, dim)
     if real is not None:
         return real
@@ -565,6 +967,8 @@ def resize_stub(payload: bytes, target_w: int, target_h: int) -> bytes:
     real = resize_bmp(payload, target_w, target_h)
     if real is None:
         real = resize_png(payload, target_w, target_h)
+    if real is None:
+        real = resize_jpeg(payload, target_w, target_h)
     if real is not None:
         return real
     if _STRICT:
@@ -775,11 +1179,14 @@ def media_corpus_from_documents(spark, sf_dir: str) -> DataFrame:
                 if kind == 0:
                     w = 16 + int(doc_id) % 64
                     h = 16 + int(doc_id) % 48
-                    # alternate containers: even image rows BMP, odd PNG
-                    # (Paeth-filtered), so BOTH real pixel decoders run
-                    # end-to-end on the same corpus
-                    if (int(doc_id) // 3) % 2:
+                    # rotate containers BMP / PNG (Paeth-filtered) /
+                    # JPEG (baseline grayscale) so ALL three real pixel
+                    # decoders run end-to-end on the same corpus
+                    rot = (int(doc_id) // 3) % 3
+                    if rot == 1:
                         img = synth_png(w, h, body[:256])
+                    elif rot == 2:
+                        img = synth_jpeg(w, h, body[:256])
                     else:
                         img = synth_bmp_pixels(w, h, body[:256])
                     rows.append((int(doc_id), img, "image"))
