@@ -347,3 +347,80 @@ def test_hot_shingle_audit_engages_on_skewed_view(spark):
         spark, "/root/testdata/sf0.001").collect()
     assert len(rows) >= 10  # 13 shingles of the 15-word boilerplate
     assert all(r.df >= O._SKEW_COPIES for r in rows)
+
+
+def _write_events_orders(spark, path, events, orders):
+    """events: (event_id, user_id, ts_epoch_s); orders: (o_orderkey,
+    o_custkey, o_orderdate_epoch_s-in-event-window)."""
+    import datetime as dt
+    tz = dt.timezone.utc
+    (spark.createDataFrame(
+        [(e, dt.datetime.fromtimestamp(t, tz).replace(tzinfo=None), u,
+          "click", 1.0, "{}")
+         for e, u, t in events],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string")
+     .write.mode("overwrite").parquet(f"{path}/events.parquet"))
+    # invert the as-of remap so the op's squeezed order time lands on
+    # the chosen epoch second exactly
+    (spark.createDataFrame(
+        [(k, c, dt.datetime.fromtimestamp(
+            O._ASOF_ORDERS_EPOCH0
+            + (t - O._ASOF_EVENTS_EPOCH0) * O._ASOF_SQUEEZE,
+            tz).replace(tzinfo=None), "O", 1.0, "1-URGENT")
+         for k, c, t in orders],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp, "
+        "o_orderstatus string, o_totalprice double, o_orderpriority string")
+     .write.mode("overwrite").parquet(f"{path}/orders.parquet"))
+    return str(path)
+
+
+def test_asof_join_known_answers(spark, tmp_path):
+    """As-of semantics: latest order at-or-before the event; an order AT
+    the event second matches (age 0); exact-time ties resolve to the max
+    order key; events before any order are dropped."""
+    T0 = O._ASOF_EVENTS_EPOCH0
+    sf = _write_events_orders(
+        spark, tmp_path,
+        events=[(1, 7, T0 + 100), (2, 7, T0 + 500), (3, 7, T0 + 40),
+                (4, 9, T0 + 100)],
+        orders=[(11, 7, T0 + 50), (12, 7, T0 + 500), (13, 7, T0 + 500),
+                (14, 8, T0 + 10)])
+    got = {r.event_id: (r.asof_orderkey, r.asof_age_s)
+           for r in O.q_events_asof_join(spark, sf).collect()}
+    assert got == {1: (11, 50),   # latest at-or-before
+                   2: (13, 0)}    # exact-time tie -> max orderkey, age 0
+    # event 3 predates user 7's orders; user 9 has none: both dropped
+
+
+def test_sessionize_gap_boundaries(spark, tmp_path):
+    """Events ≤30 min apart share a session; a gap >30 min opens the
+    next; users never share sessions."""
+    T0 = O._ASOF_EVENTS_EPOCH0
+    sf = _write_events_orders(
+        spark, tmp_path,
+        events=[(1, 7, T0), (2, 7, T0 + O._SESSION_GAP_S),      # same
+                (3, 7, T0 + 2 * O._SESSION_GAP_S + 1),          # new
+                (4, 9, T0)],
+        orders=[(11, 7, T0)])
+    rows = {(r.user_id, r.session_seq): (r.n_events, r.session_start_s,
+                                         r.session_end_s)
+            for r in O.q_events_sessionize(spark, sf).collect()}
+    assert rows == {
+        (7, 1): (2, T0, T0 + O._SESSION_GAP_S),
+        (7, 2): (1, T0 + 2 * O._SESSION_GAP_S + 1,
+                 T0 + 2 * O._SESSION_GAP_S + 1),
+        (9, 1): (1, T0, T0)}
+
+
+def test_repetition_ratio_known_answers(spark, tmp_path):
+    """A doc of one repeated word is pure repetition (1 distinct shingle
+    of many); a doc of all-unique words has zero; short docs (<3 words)
+    are excluded rather than divided by zero."""
+    texts = ["spam " * 12,                                # 10 shingles, 1 distinct
+             "alpha beta gamma delta epsilon",            # 3 shingles, all distinct
+             "tiny doc"]                                  # no shingles
+    sf = _write_documents(spark, str(tmp_path), texts)
+    got = {r.doc_id: (r.n_shingles, r.n_distinct, r.repetition_e4)
+           for r in O.q_docs_repetition_ratio(spark, sf).collect()}
+    assert got == {"d00000": (10, 1, 9000), "d00001": (3, 3, 0)}

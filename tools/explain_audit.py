@@ -97,12 +97,29 @@ AUDITS = {
                           "cells (|status|×|priority| rows), not data"),
     ],
     "lineitem_quantiles": [
-        ("ObjectHashAggregate", "exact percentile aggregates per group "
-                                "with map-side partials"),
+        ("Window", "integer-interpolated percentiles rank per group in "
+                   "one window (r6: replaced the double-interpolating "
+                   "percentile ObjectHashAggregate for cross-engine "
+                   "bit-stability)"),
+        ("HashAggregate", "the conditional pick-at-rank max aggregates "
+                          "map-side after the window"),
     ],
     "revenue_moving_avg": [
         ("Window", "frame-bounded window over the tiny month series"),
         ("HashAggregate", "monthly rollup aggregates map-side first"),
+    ],
+    "events_asof_join": [
+        ("Window", "union-tag + running last(non-null) — the scalable "
+                   "as-of: ONE shuffle on the key, no per-row subquery, "
+                   "no range explosion"),
+        ("Union", "both fact streams union before the single keyed "
+                  "window (neither side broadcasts or re-shuffles)"),
+    ],
+    "events_sessionize": [
+        ("Window", "lag + running sum number sessions in one keyed "
+                   "window; the session rollup reuses the partitioning"),
+        ("HashAggregate", "per-session aggregate is map-side partial "
+                          "after the window"),
     ],
     "ann_topk_ivf_kmeans": [
         ("BroadcastHashJoin", "trained-cell probe stays an equi-join with "

@@ -545,6 +545,144 @@ WHERE prev_ts IS NOT NULL
 """
 
 
+#: epoch seconds of 1995-01-01 / 2024-01-01 UTC, hardcoded so neither
+#: engine parses a date literal through its session time zone
+_ASOF_ORDERS_EPOCH0 = 788_918_400
+_ASOF_EVENTS_EPOCH0 = 1_704_067_200
+_ASOF_SQUEEZE = 80  # maps the ~2,400-day order span into the 30-day event window
+
+
+def q_events_asof_join(spark, sf_dir):
+    """AS-OF join — for every event, the user's most recent order at or
+    before the event time (the classic enrichment join Spark lacks as a
+    built-in; reference scope: none — training-pipeline addition). Order
+    dates are remapped into the event window by exact integer epoch
+    arithmetic (the raw testdata has every order before every event,
+    which would make the inequality vacuous).
+
+    Scale shape: the scalable as-of strategy — tag and UNION both
+    streams, ONE shuffle on the join key, and a running
+    ``last(non-null)`` window carries the latest order forward onto each
+    event row. No per-row subquery, no broadcast of either fact table,
+    no range-explosion; ties (same timestamp) resolve deterministically
+    to the highest order key via the window sort. The oracle recomputes
+    the same spec independently with a correlated max — not a mirror of
+    the window algorithm."""
+    od = (_t(spark, sf_dir, "orders")
+          .select(F.col("o_custkey").alias("key"),
+                  F.expr(
+                      f"CAST({_ASOF_EVENTS_EPOCH0} + "
+                      f"(unix_timestamp(o_orderdate) - {_ASOF_ORDERS_EPOCH0})"
+                      f" DIV {_ASOF_SQUEEZE} AS BIGINT)").alias("t"),
+                  F.lit(None).cast("long").alias("event_id"),
+                  F.col("o_orderkey").alias("o_key"),
+                  F.lit(0).alias("src")))
+    ev = (_t(spark, sf_dir, "events")
+          .select(F.col("user_id").alias("key"),
+                  F.unix_timestamp("ts").alias("t"),
+                  F.col("event_id"),
+                  F.lit(None).cast("long").alias("o_key"),
+                  F.lit(1).alias("src")))
+    both = od.unionByName(ev).withColumn(
+        "o_mark", F.when(F.col("src") == 0,
+                         F.struct(F.col("t").alias("ot"),
+                                  F.col("o_key").alias("okey"))))
+    # orders sort before events at equal t (src asc) so an order AT the
+    # event time matches; o_key asc makes the running last() the MAX
+    # order key on an exact-timestamp tie
+    w = (Window.partitionBy("key")
+         .orderBy("t", "src", F.col("o_key").asc_nulls_last())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (both
+            .withColumn("asof", F.last("o_mark", ignorenulls=True).over(w))
+            .filter((F.col("src") == 1) & F.col("asof").isNotNull())
+            .select("event_id", F.col("key").alias("user_id"),
+                    F.col("asof.okey").alias("asof_orderkey"),
+                    (F.col("t") - F.col("asof.ot")).alias("asof_age_s")))
+
+
+SQL_EVENTS_ASOF_JOIN = f"""
+WITH od AS (
+  SELECT o_custkey AS key, o_orderkey,
+         {_ASOF_EVENTS_EPOCH0}
+         + (CAST(floor(epoch(o_orderdate)) AS BIGINT)
+            - {_ASOF_ORDERS_EPOCH0}) // {_ASOF_SQUEEZE} AS t
+  FROM orders
+), ev AS (
+  SELECT user_id AS key, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS t
+  FROM events
+), m AS (
+  SELECT ev.event_id, ev.key, ev.t AS event_t, max(od.t) AS ot
+  FROM ev JOIN od ON od.key = ev.key AND od.t <= ev.t
+  GROUP BY 1, 2, 3
+)
+SELECT m.event_id, m.key AS user_id,
+       CAST(max(od.o_orderkey) AS BIGINT) AS asof_orderkey,
+       m.event_t - m.ot AS asof_age_s
+FROM m JOIN od ON od.key = m.key AND od.t = m.ot
+GROUP BY m.event_id, m.key, m.event_t, m.ot
+"""
+
+
+_SESSION_GAP_S = 1800  # classic 30-minute inactivity boundary
+
+
+def q_events_sessionize(spark, sf_dir):
+    """Sessionization — split each user's event stream on >30-minute
+    inactivity gaps and aggregate per session (the canonical
+    clickstream/transcript operator; batch formulation of what
+    ``applyInPandasWithState`` does in the streaming surface). One
+    shuffle on user_id: lag detects boundaries, a running sum numbers
+    sessions, and the session rollup reuses the same partitioning.
+    All-integer epoch arithmetic, so the oracle hashes exactly."""
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    cum = (Window.partitionBy("user_id").orderBy("t", "event_id")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ev = (_t(spark, sf_dir, "events")
+          .select("user_id", "event_id",
+                  F.unix_timestamp("ts").alias("t")))
+    flagged = (ev
+               .withColumn("prev_t", F.lag("t").over(w))
+               .withColumn("new_sess", F.when(
+                   F.col("prev_t").isNull()
+                   | (F.col("t") - F.col("prev_t") > _SESSION_GAP_S),
+                   1).otherwise(0))
+               .withColumn("session_seq", F.sum("new_sess").over(cum)))
+    return (flagged.groupBy("user_id", "session_seq")
+            .agg(F.count("*").alias("n_events"),
+                 F.min("t").alias("session_start_s"),
+                 F.max("t").alias("session_end_s")))
+
+
+SQL_EVENTS_SESSIONIZE = f"""
+WITH ev AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t
+  FROM events
+), flagged AS (
+  SELECT user_id, t,
+         CASE WHEN lag(t) OVER (PARTITION BY user_id
+                                ORDER BY t, event_id) IS NULL
+                   OR t - lag(t) OVER (PARTITION BY user_id
+                                       ORDER BY t, event_id)
+                      > {_SESSION_GAP_S}
+              THEN 1 ELSE 0 END AS new_sess,
+         event_id
+  FROM ev
+), numbered AS (
+  SELECT user_id, t,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id
+              ORDER BY t, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq, count(*) AS n_events,
+       min(t) AS session_start_s, max(t) AS session_end_s
+FROM numbered GROUP BY user_id, session_seq
+"""
+
+
 def q_events_json(spark, sf_dir):
     """JSON path extraction from the props column."""
     return (
@@ -613,6 +751,47 @@ SELECT doc_id,
               w -> w IN ('the','a','and','of','to'))) AS stopword_hits,
        CAST(n_chars >= 100 AS INT) AS len_ok
 FROM documents
+"""
+
+
+def q_docs_repetition_ratio(spark, sf_dir):
+    """Intra-document repetition — duplicate 3-gram fraction per doc
+    (1 − distinct/total), the Gopher/RefinedWeb-style quality gate that
+    catches template spam and decode loops before training. Pure per-row
+    JVM column expressions over one scan (the shingle let-binding from
+    the dedup family, counted instead of exploded) — no shuffle, no
+    Python, trivially 100 TB-safe. Ratio emitted ×10⁴ by exact rounded
+    integer division."""
+    words = r"split(trim(text), '\\s+')"
+    total = F.expr(f"greatest(size({words}) - 2, 0)")
+    d = (_t(spark, sf_dir, "documents")
+         .select("doc_id",
+                 total.alias("n_shingles"),
+                 F.size(_shingles()).alias("n_distinct"))
+         .filter(F.col("n_shingles") > 0))
+    return d.select(
+        "doc_id", "n_shingles", "n_distinct",
+        F.expr("(2 * (n_shingles - n_distinct) * 10000 + n_shingles)"
+               " DIV (2 * n_shingles)").alias("repetition_e4"))
+
+
+SQL_DOCS_REPETITION_RATIO = """
+WITH t AS (
+  SELECT doc_id,
+         greatest(len(regexp_split_to_array(trim(text), '\\s+')) - 2, 0)
+             AS n_shingles,
+         len(list_distinct(list_transform(
+           range(1, greatest(len(regexp_split_to_array(trim(text),
+                 '\\s+')) - 2, 0) + 1),
+           i -> array_to_string(list_slice(
+                  regexp_split_to_array(trim(text), '\\s+'),
+                  i, i + 2), ' ')))) AS n_distinct
+  FROM documents
+)
+SELECT doc_id, n_shingles, n_distinct,
+       (2 * (n_shingles - n_distinct) * 10000 + n_shingles)
+           // (2 * n_shingles) AS repetition_e4
+FROM t WHERE n_shingles > 0
 """
 
 
@@ -2447,9 +2626,13 @@ OPS: dict[str, tuple] = {
     "orders_by_month": (q_orders_by_month, SQL_ORDERS_BY_MONTH),
     "events_stats": (q_events_stats, SQL_EVENTS_STATS),
     "event_gaps": (q_event_gaps, SQL_EVENT_GAPS),
+    "events_asof_join": (q_events_asof_join, SQL_EVENTS_ASOF_JOIN),
+    "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
     "events_json": (q_events_json, SQL_EVENTS_JSON),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "docs_repetition_ratio": (q_docs_repetition_ratio,
+                              SQL_DOCS_REPETITION_RATIO),
     "lang_heuristic": (q_lang_heuristic, SQL_LANG_HEURISTIC),
     "fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
