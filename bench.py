@@ -67,6 +67,8 @@ BENCH_QUERIES = [
     "render_conversations", "stratified_sample", "tfidf_top_terms",
     "benchmark_contamination", "dedup_keep_canonical",
     "dedup_minhash_estimate",
+    "events_asof_join", "events_sessionize", "docs_repetition_ratio",
+    "dedup_hot_shingle_audit",
 ]
 
 

@@ -1,15 +1,17 @@
 """spark-submit entry point for the training-data curation pipeline.
 
 Composes the corpus-curation operators into the pipeline a pretraining
-data team actually ships: near-dup collapse (keep one canonical doc per
-cluster) → deterministic stratified sampling → benchmark decontamination
-→ curated parquet + a one-line JSON stage ledger.
+data team actually ships: quality gate (intra-doc repetition) → near-dup
+collapse (keep one canonical doc per cluster) → deterministic stratified
+sampling → benchmark decontamination → curated parquet + a one-line JSON
+stage ledger.
 
 Usage:
 
     spark-submit --py-files dist/trek_spark.zip jobs/curate_job.py \
         --input  /path/with/documents.parquet    \
         --output /path/to/curated                \
+        [--max-repetition-e4 N] [--skip-quality] \
         [--skip-dedup] [--skip-sample] [--skip-decontaminate]
 
 Plan shape (the part that matters at 100 TB): ONE scan of documents with
@@ -33,6 +35,11 @@ def main() -> None:
     ap.add_argument("--input", default="/root/testdata/sf0.001",
                     help="directory containing documents.parquet")
     ap.add_argument("--output", required=True)
+    ap.add_argument("--skip-quality", action="store_true")
+    ap.add_argument("--max-repetition-e4", type=int, default=6000,
+                    help="drop docs whose duplicate-3-gram fraction "
+                         "exceeds this (×10⁻⁴); Gopher-style repetition "
+                         "gate, default 0.60")
     ap.add_argument("--skip-dedup", action="store_true")
     ap.add_argument("--skip-sample", action="store_true")
     ap.add_argument("--skip-decontaminate", action="store_true")
@@ -51,6 +58,18 @@ def main() -> None:
         ledger = {"docs_in": n_in}
 
         curated = docs
+        if not args.skip_quality:
+            # repetition gate runs FIRST so template spam never reaches
+            # the (pricier) shingle/dedup stages; the flagged set is the
+            # small side (healthy corpora repeat rarely), so the corpus
+            # again anti-joins without shuffling itself
+            flagged_rep = (O.q_docs_repetition_ratio(spark, args.input)
+                           .filter(F.col("repetition_e4")
+                                   > args.max_repetition_e4)
+                           .select("doc_id"))
+            ledger["repetition_dropped"] = flagged_rep.count()
+            curated = curated.join(flagged_rep, "doc_id", "left_anti")
+
         if not args.skip_dedup:
             labels, _rounds, converged = O._min_label_cc(
                 O._cluster_edges(spark, args.input))

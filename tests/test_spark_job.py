@@ -317,9 +317,14 @@ def test_curate_job_end_to_end(spark, tmp_path_factory):
     ledger = json.loads(printed[-1][0])
     assert ledger["docs_in"] > 0
     assert ledger["docs_out"] <= ledger["docs_in"] - ledger["dedup_dropped"]
+    assert "repetition_dropped" in ledger  # quality gate ran (r6 stage)
     got = spark.read.parquet(f"{out}/documents").collect()
     assert len(got) == ledger["docs_out"]
     rates = dict(O._SAMPLE_RATES)
     for r in got:
         tick = hashlib.md5(f"sample:{r.doc_id}".encode()).hexdigest()[:4]
         assert tick < rates.get(r.lang, O._SAMPLE_DEFAULT)
+    # no surviving doc exceeds the repetition ceiling
+    reps = {r.doc_id: r.repetition_e4 for r in O.q_docs_repetition_ratio(
+        spark, "/root/testdata/sf0.001").collect()}
+    assert all(reps.get(r.doc_id, 0) <= 6000 for r in got)

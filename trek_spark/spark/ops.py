@@ -1290,6 +1290,70 @@ LEFT JOIN absorbed a ON d.doc_id = a.cluster_id
 """
 
 
+def q_dedup_cluster_sizes(spark, sf_dir):
+    """Cluster-size distribution of the connected-component dedup — the
+    dataset-card number that shows whether near-dup mass sits in a few
+    mega-clusters (boilerplate explosion) or a long tail of pairs. Two
+    tiny aggregations downstream of the CC labels (cluster count ≪ doc
+    count); inherits the pointer-jumping CC's loud-fail convergence."""
+    labels, _rounds, _converged = \
+        _min_label_cc(_cluster_edges(spark, sf_dir))
+    sizes = (labels.groupBy("cluster_id")
+             .agg(F.count("*").alias("cluster_size")))
+    return (sizes.groupBy("cluster_size")
+            .agg(F.count("*").alias("n_clusters")))
+
+
+SQL_DEDUP_CLUSTER_SIZES = f"""
+WITH labels AS ({SQL_DEDUP_CLUSTERS}),
+sizes AS (
+  SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY 1
+)
+SELECT cluster_size, count(*) AS n_clusters FROM sizes GROUP BY 1
+"""
+
+
+def q_customer_value_deciles(spark, sf_dir):
+    """NTILE decile segmentation of customers by lifetime revenue (the
+    classic value-banding window op). Revenue aggregates to exact
+    integer cents per customer FIRST (one keyed shuffle over |customers|
+    rows), then a global ntile(10) with a total order (revenue desc,
+    custkey) assigns bands deterministically in both engines.
+
+    Scale note: a global ORDER BY window is a single-partition sort —
+    fine over the pre-aggregated |customers| rows here, but at 10⁹+
+    customers swap the exact ntile for percentile_approx cutoffs
+    broadcast-joined back (tolerance oracle), as with the percentile
+    family."""
+    cents = F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+    rev = (_t(spark, sf_dir, "orders")
+           .groupBy("o_custkey").agg(F.sum(cents).alias("revenue_c")))
+    w = Window.orderBy(F.desc("revenue_c"), F.asc("o_custkey"))
+    return (rev.withColumn("decile", F.ntile(10).over(w))
+            .groupBy("decile")
+            .agg(F.count("*").alias("n_customers"),
+                 F.sum("revenue_c").alias("decile_revenue_c"),
+                 F.min("revenue_c").alias("floor_revenue_c")))
+
+
+SQL_CUSTOMER_VALUE_DECILES = """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS revenue_c
+  FROM orders GROUP BY 1
+), banded AS (
+  SELECT o_custkey, revenue_c,
+         ntile(10) OVER (ORDER BY revenue_c DESC, o_custkey) AS decile
+  FROM rev
+)
+SELECT decile, count(*) AS n_customers,
+       CAST(sum(revenue_c) AS BIGINT) AS decile_revenue_c,
+       min(revenue_c) AS floor_revenue_c
+FROM banded GROUP BY decile
+"""
+
+
 _MINHASH_SEEDS = 8
 _BAND_ROWS = 2  # 4 bands × 2 rows
 
@@ -2611,6 +2675,8 @@ OPS: dict[str, tuple] = {
     "segment_revenue": (q_segment_revenue, SQL_SEGMENT_REVENUE),
     "region_revenue": (q_region_revenue, SQL_REGION_REVENUE),
     "latest_order_per_customer": (q_latest_order_per_customer, SQL_LATEST_ORDER),
+    "customer_value_deciles": (
+        q_customer_value_deciles, SQL_CUSTOMER_VALUE_DECILES),
     "distinct_priorities": (q_distinct_priorities, SQL_DISTINCT_PRIORITIES),
     "orders_except": (q_orders_except, SQL_ORDERS_EXCEPT),
     "orders_rollup": (q_orders_rollup, SQL_ORDERS_ROLLUP),
@@ -2642,6 +2708,8 @@ OPS: dict[str, tuple] = {
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "dedup_clusters_audit": (
         q_dedup_clusters_audit, SQL_DEDUP_CLUSTERS_AUDIT),
+    "dedup_cluster_sizes": (
+        q_dedup_cluster_sizes, SQL_DEDUP_CLUSTER_SIZES),
     "dedup_keep_canonical": (
         q_dedup_keep_canonical, SQL_DEDUP_KEEP_CANONICAL),
     "render_conversations": (
