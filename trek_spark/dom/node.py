@@ -44,7 +44,7 @@ def bump_tick() -> None:
 
 class Node:
     __slots__ = ("type", "tag", "attrs", "children", "parent", "text",
-                 "_snap_tick", "_snap_all", "_snap_el")
+                 "_snap_tick", "_snap_all", "_snap_el", "_snap_text")
 
     def __init__(self, type_: int, tag: str = "", text: str = ""):
         self.type = type_
@@ -56,6 +56,7 @@ class Node:
         self._snap_tick = -1
         self._snap_all = None
         self._snap_el = None
+        self._snap_text = None
 
     # -- construction ----------------------------------------------------
     @staticmethod
@@ -211,6 +212,7 @@ class Node:
         self._snap_tick = _TICK
         self._snap_all = out
         self._snap_el = None
+        self._snap_text = None
         return out
 
     def iter_elements(self) -> list["Node"]:
@@ -238,6 +240,7 @@ class Node:
                     stack.extend(kids)
         if self._snap_tick != _TICK:
             self._snap_all = None
+            self._snap_text = None
         self._snap_tick = _TICK
         self._snap_el = out
         return out
@@ -308,6 +311,11 @@ class Node:
             c = cs[0]
             if c.type == TEXT:
                 return c.text
+        # tick-snapshot like iter()/iter_elements(): the ~25 DOM passes
+        # re-ask the same subtrees for text between mutations (direct
+        # text edits call bump_tick(), so in-place edits invalidate too)
+        if self._snap_tick == _TICK and self._snap_text is not None:
+            return self._snap_text
         parts = []
         stack = [self]
         while stack:
@@ -316,7 +324,13 @@ class Node:
                 parts.append(n.text)
             else:
                 stack.extend(reversed(n.children))
-        return "".join(parts)
+        out = "".join(parts)
+        if self._snap_tick != _TICK:
+            self._snap_all = None
+            self._snap_el = None
+        self._snap_tick = _TICK
+        self._snap_text = out
+        return out
 
     def __repr__(self):  # pragma: no cover - debug aid
         if self.type == ELEMENT:
