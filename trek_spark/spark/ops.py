@@ -230,6 +230,30 @@ FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
 """
 
 
+def q_orders_cube(spark, sf_dir):
+    """CUBE aggregation — all four grouping sets of (status, priority):
+    the full-lattice complement of the ROLLUP op. Like rollup, the
+    expansion happens inside one aggregation (Spark Expand node feeding
+    a single shuffle), not one pass per grouping set; NULL group keys
+    mark subtotal rows identically in both engines. Exact-integer
+    revenue emission (module docstring)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("order_cnt"),
+             F.sum(F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+             .alias("revenue_c"))
+    )
+
+
+SQL_ORDERS_CUBE = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS order_cnt,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS revenue_c
+FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+
 def q_customers_with_orders(spark, sf_dir):
     """LEFT SEMI join (EXISTS shape): customers having at least one
     high-value order. Semi-join short-circuits on first match and never
@@ -2680,6 +2704,7 @@ OPS: dict[str, tuple] = {
     "distinct_priorities": (q_distinct_priorities, SQL_DISTINCT_PRIORITIES),
     "orders_except": (q_orders_except, SQL_ORDERS_EXCEPT),
     "orders_rollup": (q_orders_rollup, SQL_ORDERS_ROLLUP),
+    "orders_cube": (q_orders_cube, SQL_ORDERS_CUBE),
     "customers_with_orders": (
         q_customers_with_orders, SQL_CUSTOMERS_WITH_ORDERS),
     "orders_above_avg": (q_orders_above_avg, SQL_ORDERS_ABOVE_AVG),
