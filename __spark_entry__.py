@@ -209,6 +209,55 @@ def _stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("text"))
 
 
+def _stream_turn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked windowed streaming aggregation (rows-only): turn
+    counts per (1-minute window, role) over a two-file stream with a
+    planted late row. Deterministic timestamps → deterministic windows;
+    the memory sink in complete mode makes the availableNow drain's
+    final answer readable (file sinks can't do complete-mode
+    aggregations). No SQL oracle: DuckDB has no streaming/watermark
+    surface."""
+    import datetime as dt
+    import tempfile
+
+    from trek_spark.spark.corpus import TRANSCRIPT_SCHEMA
+    from trek_spark.spark.streaming import stream_turn_rate
+
+    base = tempfile.mkdtemp(prefix="stream_rate_op_")
+    d, ckpt = f"{base}/in", f"{base}/ckpt"
+    t0 = dt.datetime(2024, 1, 1)
+
+    def rows(batch):
+        return [(c, i, role, txt, None,
+                 t0 + dt.timedelta(seconds=s), None)
+                for c, i, role, txt, s in batch]
+
+    spark.createDataFrame(
+        rows([("c1", 0, "user", "hello", 10),
+              ("c1", 1, "assistant", "hi there", 20),
+              ("c2", 0, "user", "query", 70)]), TRANSCRIPT_SCHEMA) \
+        .coalesce(1).write.mode("append").parquet(d)
+    spark.createDataFrame(
+        rows([("c2", 1, "assistant", "answer", 80),
+              ("c3", 0, "user", "late row", 15)]), TRANSCRIPT_SCHEMA) \
+        .coalesce(1).write.mode("append").parquet(d)
+
+    stream = (spark.readStream.schema(TRANSCRIPT_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(d))
+    q = (stream_turn_rate(stream).writeStream
+         .format("memory").queryName("stream_rate_op")
+         .option("checkpointLocation", ckpt)
+         .outputMode("complete").trigger(availableNow=True).start())
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("stream_turn_rate: availableNow drain did "
+                           "not finish within 300s")
+    return (spark.table("stream_rate_op")
+            .select(F.col("window.start").cast("long").alias("win_start_s"),
+                    "role", "turns", "bytes_in")
+            .orderBy("win_start_s", "role"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from trek_spark.spark.ops import OPS
 
@@ -222,6 +271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["multimodal_decode"] = _multimodal_decode
     out["multimodal_features"] = _multimodal_features
     out["extract_pdf_turns"] = _extract_pdf_turns
+    out["stream_turn_rate"] = _stream_turn_rate
     out["stream_dedup_exact"] = _stream_dedup_exact
     out["extract_content_spans"] = _extract_spans
     out["extract_fixture_turns"] = _extract_fixture_turns
