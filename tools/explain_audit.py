@@ -121,6 +121,22 @@ AUDITS = {
         ("HashAggregate", "per-session aggregate is map-side partial "
                           "after the window"),
     ],
+    "orders_cube": [
+        ("Expand", "all four grouping sets expand inside ONE "
+                   "aggregation pass, not a pass per set"),
+        ("HashAggregate", "cube cells aggregate map-side first"),
+    ],
+    "customer_value_deciles": [
+        ("Window", "global ntile runs over the PRE-AGGREGATED "
+                   "|customers| rows (revenue cents grouped first), "
+                   "never raw orders"),
+        ("HashAggregate", "per-customer cents aggregate before the "
+                          "window; decile rollup after"),
+    ],
+    "docs_repetition_ratio": [
+        ("Scan parquet", "pure per-row column expressions over one "
+                         "scan — no Exchange anywhere in the plan"),
+    ],
     "ann_topk_ivf_kmeans": [
         ("BroadcastHashJoin", "trained-cell probe stays an equi-join with "
                               "broadcast queries"),
