@@ -506,3 +506,77 @@ def test_media_corpus_emits_jpegs(tmp_path):
     assert jpegs, "corpus rotation must emit JPEG images"
     assert all(jpeg_decode_pixels(bytes(r.payload)) is not None
                for r in jpegs)
+
+
+def test_jpeg_color_roundtrip_property():
+    """Property: 4:4:4 color encode → decode recovers RGB within ±3 per
+    channel (all-ones quant; the YCbCr round-trip itself costs up to ~2
+    from the two integer roundings, the DCT pair ≤1 more)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from trek_spark.spark.multimodal import (
+        jpeg_decode_pixels,
+        synth_jpeg_color,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(w=st.integers(1, 20), h=st.integers(1, 20),
+           seed=st.binary(min_size=3, max_size=64))
+    def prop(w, h, seed):
+        need = w * h * 3
+        expect = (seed * (need // len(seed) + 1))[:need]
+        dec = jpeg_decode_pixels(synth_jpeg_color(w, h, seed, (1, 1)))
+        assert dec is not None
+        gw, gh, gch, px = dec
+        assert (gw, gh, gch) == (w, h, 3)
+        assert max(abs(a - b) for a, b in zip(px, expect)) <= 3
+
+    prop()
+
+
+def test_jpeg_subsampled_color_known_answer():
+    """4:2:0 and 4:2:2 with a flat color: box-average chroma
+    downsampling is exact on constant input, so the decode must match
+    the color within the transform tolerance everywhere."""
+    from trek_spark.spark.multimodal import (
+        jpeg_decode_pixels,
+        synth_jpeg_color,
+    )
+
+    flat = bytes([200, 64, 30]) * (32 * 24)
+    for samp in ((2, 2), (2, 1), (1, 2)):
+        dec = jpeg_decode_pixels(synth_jpeg_color(32, 24, flat, samp))
+        assert dec is not None and dec[:3] == (32, 24, 3)
+        px = dec[3]
+        err = max(max(abs(px[i * 3] - 200), abs(px[i * 3 + 1] - 64),
+                      abs(px[i * 3 + 2] - 30)) for i in range(32 * 24))
+        assert err <= 3, (samp, err)
+
+
+def test_jpeg_color_features_and_corpus_rotation(tmp_path):
+    """Color JPEGs produce real (non-equal-channel) features; the media
+    corpus emits both grayscale and color JPEG rows."""
+    from trek_spark.spark.multimodal import (
+        jpeg_decode_pixels,
+        jpeg_features,
+        media_corpus_from_documents,
+        synth_jpeg_color,
+    )
+    from trek_spark.spark.session import get_spark
+
+    f = jpeg_features(synth_jpeg_color(24, 18, b"\x10\x80\xf0col", (2, 2)))
+    assert f is not None and len(f) == 16
+    assert not (f[0] == f[1] == f[2])  # chroma survives decode
+
+    spark = get_spark("pytest-mm-jpegc", master="local[2]",
+                      shuffle_partitions=4)
+    rows = [(i, f"document number {i} body text for media synth") for i
+            in range(60)]
+    (spark.createDataFrame(rows, "doc_id long, text string")
+     .write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet"))
+    media = media_corpus_from_documents(spark, str(tmp_path)).collect()
+    jpegs = [bytes(r.payload) for r in media
+             if r.media_type == "image" and bytes(r.payload[:2]) == b"\xff\xd8"]
+    chans = {jpeg_decode_pixels(p)[2] for p in jpegs}
+    assert chans == {1, 3}, chans  # both rotations present and decodable

@@ -24,13 +24,17 @@ Codec status (this container ships no image/audio libraries):
   images, ``synth_png`` emits genuine Paeth-filtered PNGs (CRC-correct
   chunks) so the corpus exercises the hardest filter on every row, and
   feature/resize run on the decoded pixels.
-* **JPEG pixel decode is REAL for baseline-sequential grayscale** —
-  ``jpeg_decode_pixels`` implements Huffman entropy decoding, dequant and
-  IDCT per ITU T.81; ``synth_jpeg`` is a genuine encoder (forward DCT +
-  Annex K Huffman tables) whose output round-trips within ±1/pixel at
-  the all-ones quant table. Color / progressive / restart-interval
-  streams return None and fall through to the stub path.
-* **Codecs remain STUBS only for color/progressive JPEG and video frame
+* **JPEG pixel decode is REAL for baseline-sequential streams** —
+  ``jpeg_decode_pixels`` implements Huffman entropy decoding, dequant,
+  IDCT, interleaved-MCU assembly, chroma upsampling and the JFIF
+  YCbCr→RGB transform per ITU T.81: grayscale plus 3-component color at
+  sampling factors 1–2 (4:4:4 / 4:2:2 / 4:2:0). ``synth_jpeg`` /
+  ``synth_jpeg_color`` are genuine encoders (forward DCT + Annex K
+  Huffman tables) whose output round-trips within ±1 (gray) / ±3
+  (color, 4:4:4) per pixel at the all-ones quant table. Progressive /
+  arithmetic / restart-interval streams return None and fall through to
+  the stub path.
+* **Codecs remain STUBS only for progressive JPEG and video frame
   extraction**: each raises ``NotImplementedError`` in strict mode or
   produces a deterministic fake derived from the payload hash, so the
   pipeline shape stays testable. Plug PIL/libvips/libav behind the same
@@ -612,6 +616,64 @@ def _category(v: int) -> int:
     return abs(v).bit_length()
 
 
+def _encode_block(bw: _BitWriter, block: list, dc_codes: dict,
+                  ac_codes: dict, pred: int) -> int:
+    """Forward-DCT + all-ones quant + zigzag + Huffman-encode one
+    128-centered 8×8 block; returns the new DC predictor."""
+    coef = _fdct8x8(block)
+    q = [int(round(c)) for c in coef]
+    zz = [q[_ZIGZAG[i]] for i in range(64)]
+    diff = zz[0] - pred
+    pred = zz[0]
+    cat = _category(diff)
+    code, ln = dc_codes[cat]
+    bw.put(code, ln)
+    if cat:
+        bw.put(diff if diff > 0 else diff + (1 << cat) - 1, cat)
+    run = 0
+    for i in range(1, 64):
+        v = zz[i]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            zcode, zln = ac_codes[0xF0]  # ZRL
+            bw.put(zcode, zln)
+            run -= 16
+        cat = _category(v)
+        code, ln = ac_codes[(run << 4) | cat]
+        bw.put(code, ln)
+        bw.put(v if v > 0 else v + (1 << cat) - 1, cat)
+        run = 0
+    if run:
+        code, ln = ac_codes[0x00]  # EOB
+        bw.put(code, ln)
+    return pred
+
+
+def _jpeg_segments(width: int, height: int, comps: list,
+                   data: bytes) -> bytes:
+    """Assemble SOI..EOI around entropy data; ``comps`` is a list of
+    (component_id, sampling_byte). One shared all-ones quant table and
+    one shared DC/AC table pair (Annex K luminance)."""
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof_body = struct.pack(">BHHB", 8, height, width, len(comps))
+    for cid, samp in comps:
+        sof_body += bytes([cid, samp, 0])
+    sof = seg(0xC0, sof_body)
+    dht = seg(0xC4, bytes([0x00]) + bytes(_DC_LUM_BITS)
+              + bytes(_DC_LUM_VALS)
+              + bytes([0x10]) + bytes(_AC_LUM_BITS) + bytes(_AC_LUM_VALS))
+    sos_body = bytes([len(comps)])
+    for cid, _samp in comps:
+        sos_body += bytes([cid, 0x00])
+    sos = seg(0xDA, sos_body + bytes([0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos + data + b"\xff\xd9"
+
+
 def synth_jpeg(width: int, height: int, seed: bytes) -> bytes:
     """Genuine baseline-sequential grayscale JPEG encoder: forward DCT,
     all-ones quantization (near-lossless — the round-trip property test
@@ -634,49 +696,86 @@ def synth_jpeg(width: int, height: int, seed: bytes) -> bytes:
                 for x in range(8):
                     sx = min(bx + x, width - 1)
                     block.append(px[sy * width + sx] - 128)
-            coef = _fdct8x8(block)
-            q = [int(round(c)) for c in coef]  # quant table is all ones
-            zz = [q[_ZIGZAG[i]] for i in range(64)]
-            # DC: difference category + magnitude bits (F.1.2.1)
-            diff = zz[0] - pred
-            pred = zz[0]
-            cat = _category(diff)
-            code, ln = dc_codes[cat]
-            bw.put(code, ln)
-            if cat:
-                bw.put(diff if diff > 0 else diff + (1 << cat) - 1, cat)
-            # AC: (run, size) symbols with ZRL and EOB (F.1.2.2)
-            run = 0
-            for i in range(1, 64):
-                v = zz[i]
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    zcode, zln = ac_codes[0xF0]  # ZRL
-                    bw.put(zcode, zln)
-                    run -= 16
-                cat = _category(v)
-                code, ln = ac_codes[(run << 4) | cat]
-                bw.put(code, ln)
-                bw.put(v if v > 0 else v + (1 << cat) - 1, cat)
-                run = 0
-            if run:
-                code, ln = ac_codes[0x00]  # EOB
-                bw.put(code, ln)
-    data = bw.flush()
+            pred = _encode_block(bw, block, dc_codes, ac_codes, pred)
+    return _jpeg_segments(width, height, [(1, 0x11)], bw.flush())
 
-    def seg(marker: int, body: bytes) -> bytes:
-        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
-    dqt = seg(0xDB, bytes([0x00]) + bytes([1] * 64))
-    sof = seg(0xC0, struct.pack(">BHHB", 8, height, width, 1)
-              + bytes([1, 0x11, 0]))
-    dht = seg(0xC4, bytes([0x00]) + bytes(_DC_LUM_BITS)
-              + bytes(_DC_LUM_VALS)
-              + bytes([0x10]) + bytes(_AC_LUM_BITS) + bytes(_AC_LUM_VALS))
-    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
-    return (b"\xff\xd8" + dqt + sof + dht + sos + data + b"\xff\xd9")
+def synth_jpeg_color(width: int, height: int, rgb: bytes,
+                     luma_samp: tuple = (1, 1)) -> bytes:
+    """Baseline-sequential COLOR JPEG encoder: RGB bytes (row-major,
+     3/pixel; tiled if short) → YCbCr planes → interleaved MCUs.
+    ``luma_samp=(1,1)`` is 4:4:4 (near-lossless round-trip);
+    ``(2,2)`` is 4:2:0 with box-average chroma downsampling. Chroma
+    shares the all-ones quant and Annex-K tables (legal and simplest —
+    this is a test-vector generator, not an optimizing codec)."""
+    hy, vy = luma_samp
+    pat = rgb or b"\x80"
+    need = width * height * 3
+    pat = (pat * (need // len(pat) + 1))[:need]
+    yp = bytearray(width * height)
+    cbp = bytearray(width * height)
+    crp = bytearray(width * height)
+    for idx in range(width * height):
+        r, g, b = pat[3 * idx], pat[3 * idx + 1], pat[3 * idx + 2]
+        Y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128
+        yp[idx] = max(0, min(255, int(round(Y))))
+        cbp[idx] = max(0, min(255, int(round(cb))))
+        crp[idx] = max(0, min(255, int(round(cr))))
+
+    def down(plane: bytearray) -> tuple[bytearray, int, int]:
+        if (hy, vy) == (1, 1):
+            return plane, width, height
+        cw, chh = -(-width // hy), -(-height // vy)
+        out = bytearray(cw * chh)
+        for y in range(chh):
+            for x in range(cw):
+                s = n = 0
+                for dy in range(vy):
+                    for dx in range(hy):
+                        sy, sx = y * vy + dy, x * hy + dx
+                        if sy < height and sx < width:
+                            s += plane[sy * width + sx]
+                            n += 1
+                out[y * cw + x] = (2 * s + n) // (2 * n)
+        return out, cw, chh
+
+    cbd, cw, chh = down(cbp)
+    crd, _, _ = down(crp)
+    dc_codes = _huff_codes(_DC_LUM_BITS, _DC_LUM_VALS)
+    ac_codes = _huff_codes(_AC_LUM_BITS, _AC_LUM_VALS)
+
+    def block_at(plane, pw, ph, bx, by) -> list:
+        out = []
+        for y in range(8):
+            sy = min(by + y, ph - 1)
+            for x in range(8):
+                sx = min(bx + x, pw - 1)
+                out.append(plane[sy * pw + sx] - 128)
+        return out
+
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    mcux = -(-width // (8 * hy))
+    mcuy = -(-height // (8 * vy))
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for by in range(vy):
+                for bx in range(hy):
+                    preds[0] = _encode_block(
+                        bw, block_at(yp, width, height,
+                                     (mx * hy + bx) * 8, (my * vy + by) * 8),
+                        dc_codes, ac_codes, preds[0])
+            preds[1] = _encode_block(
+                bw, block_at(cbd, cw, chh, mx * 8, my * 8),
+                dc_codes, ac_codes, preds[1])
+            preds[2] = _encode_block(
+                bw, block_at(crd, cw, chh, mx * 8, my * 8),
+                dc_codes, ac_codes, preds[2])
+    samp_y = (hy << 4) | vy
+    return _jpeg_segments(width, height,
+                          [(1, samp_y), (2, 0x11), (3, 0x11)], bw.flush())
 
 
 class _BitReader:
@@ -734,19 +833,53 @@ def _huff_next(br: _BitReader, table: dict) -> int:
     raise ValueError("jpeg: invalid huffman code")
 
 
+def _decode_block(br: _BitReader, dc_tab: dict, ac_tab: dict,
+                  q: list, pred: int) -> tuple[list, int]:
+    """One entropy-coded 8×8 block → (spatial pixels −128-centered, new
+    DC predictor)."""
+    zz = [0] * 64
+    cat = _huff_next(br, dc_tab)
+    if cat:
+        pred += _extend(br.bits(cat), cat)
+    zz[0] = pred
+    k = 1
+    while k < 64:
+        sym = _huff_next(br, ac_tab)
+        if sym == 0x00:  # EOB
+            break
+        run, cat = sym >> 4, sym & 0x0F
+        if cat == 0:
+            if run != 15:
+                raise ValueError("jpeg: bad AC symbol")
+            k += 16  # ZRL
+            continue
+        k += run
+        if k > 63:
+            raise ValueError("jpeg: AC index overflow")
+        zz[k] = _extend(br.bits(cat), cat)
+        k += 1
+    coef = [0.0] * 64
+    for idx in range(64):
+        coef[_ZIGZAG[idx]] = zz[idx] * q[idx]
+    return _idct8x8(coef), pred
+
+
 def jpeg_decode_pixels(payload: bytes):
-    """REAL stdlib JPEG decode: (width, height, 1, grayscale bytes
-    row-major) for baseline-sequential single-component streams, else
-    None (color / progressive / arithmetic / restart intervals are out
-    of declared scope and fall through to the stub path)."""
+    """REAL stdlib JPEG decode for BASELINE-SEQUENTIAL streams:
+    grayscale → (w, h, 1, luma bytes row-major); color (1–3 components,
+    sampling factors 1–2, e.g. 4:4:4 / 4:2:2 / 4:2:0) → (w, h, 3, RGB
+    bytes) via interleaved-MCU decode, chroma replication upsample, and
+    the JFIF YCbCr→RGB transform. Progressive / arithmetic / restart
+    intervals / >2 sampling factors return None and fall through to the
+    stub path."""
     d = payload
     if len(d) < 4 or d[:2] != b"\xff\xd8":
         return None
     qt = {}
     huff = {}
     w = h = None
-    qsel = 0
-    dcsel = acsel = 0
+    comps = []          # (cid, hs, vs, tq)
+    scan_sel = {}       # cid -> (td, ta)
     i = 2
     try:
         while i + 4 <= len(d):
@@ -776,122 +909,163 @@ def jpeg_decode_pixels(payload: bytes):
                     j += 17 + nv
             elif marker == 0xC0:  # SOF0 baseline
                 prec, h, w, nf = struct.unpack(">BHHB", body[:6])
-                if prec != 8 or nf != 1:
-                    return None  # color: out of declared scope
+                if prec != 8 or nf not in (1, 3):
+                    return None
                 if not w or not h or w * h > _JPEG_MAX_PIXELS:
                     return None
-                if body[7] != 0x11:
-                    return None  # subsampled single component: malformed
-                qsel = body[8]
+                for c in range(nf):
+                    cid = body[6 + 3 * c]
+                    hv = body[7 + 3 * c]
+                    hs, vs = hv >> 4, hv & 0x0F
+                    if hs not in (1, 2) or vs not in (1, 2):
+                        return None
+                    if nf == 1 and (hs, vs) != (1, 1):
+                        # a single-component scan is NON-interleaved
+                        # (MCU = one block regardless of sampling);
+                        # the interleaved loop below would misplace it
+                        return None
+                    comps.append((cid, hs, vs, body[8 + 3 * c]))
             elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
                 return None  # non-baseline SOF
-            elif marker == 0xDD:  # DRI: encoder never emits; out of scope
+            elif marker == 0xDD:  # DRI: out of scope
                 return None
             elif marker == 0xDA:  # SOS
-                if w is None or body[0] != 1:
+                if w is None or body[0] != len(comps):
                     return None
-                dcsel = body[2] >> 4
-                acsel = body[2] & 0x0F
+                for c in range(body[0]):
+                    cid = body[1 + 2 * c]
+                    sel = body[2 + 2 * c]
+                    scan_sel[cid] = (sel >> 4, sel & 0x0F)
                 i = i + 2 + ln
                 break
             i += 2 + ln
         else:
             return None
-        q = qt.get(qsel)
-        dc_tab = huff.get((0, dcsel))
-        ac_tab = huff.get((1, acsel))
-        if q is None or dc_tab is None or ac_tab is None:
-            return None
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        mcux = -(-w // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
+        planes = []     # per comp: (plane bytearray, plane_w, plane_h)
+        tables = []     # per comp: (dc_tab, ac_tab, q)
+        for cid, hs, vs, tq in comps:
+            pw, ph = mcux * hs * 8, mcuy * vs * 8
+            planes.append((bytearray(pw * ph), pw, ph))
+            td, ta = scan_sel[cid]
+            dc_tab, ac_tab = huff.get((0, td)), huff.get((1, ta))
+            q = qt.get(tq)
+            if dc_tab is None or ac_tab is None or q is None:
+                return None
+            tables.append((dc_tab, ac_tab, q))
         br = _BitReader(d, i)
-        out = bytearray(w * h)
-        pred = 0
-        for by in range(0, h, 8):
-            for bx in range(0, w, 8):
-                zz = [0] * 64
-                cat = _huff_next(br, dc_tab)
-                if cat:
-                    pred += _extend(br.bits(cat), cat)
-                zz[0] = pred
-                k = 1
-                while k < 64:
-                    sym = _huff_next(br, ac_tab)
-                    if sym == 0x00:  # EOB
-                        break
-                    run, cat = sym >> 4, sym & 0x0F
-                    if cat == 0:
-                        if run != 15:
-                            return None
-                        k += 16  # ZRL
-                        continue
-                    k += run
-                    if k > 63:
-                        return None
-                    zz[k] = _extend(br.bits(cat), cat)
-                    k += 1
-                coef = [0.0] * 64
-                for idx in range(64):
-                    coef[_ZIGZAG[idx]] = zz[idx] * q[idx]
-                pix = _idct8x8(coef)
-                for y in range(8):
-                    sy = by + y
-                    if sy >= h:
-                        break
-                    row = sy * w
-                    for x in range(8):
-                        sx = bx + x
-                        if sx >= w:
-                            break
-                        v = int(round(pix[y * 8 + x])) + 128
-                        out[row + sx] = 0 if v < 0 else (
-                            255 if v > 255 else v)
+        preds = [0] * len(comps)
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (cid, hs, vs, _tq) in enumerate(comps):
+                    dc_tab, ac_tab, q = tables[ci]
+                    plane, pw, _ph = planes[ci]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            pix, preds[ci] = _decode_block(
+                                br, dc_tab, ac_tab, q, preds[ci])
+                            oy = (my * vs + by) * 8
+                            ox = (mx * hs + bx) * 8
+                            for y in range(8):
+                                row = (oy + y) * pw + ox
+                                base = y * 8
+                                for x in range(8):
+                                    v = int(round(pix[base + x])) + 128
+                                    plane[row + x] = 0 if v < 0 else (
+                                        255 if v > 255 else v)
+        if len(comps) == 1:
+            plane, pw, _ph = planes[0]
+            out = bytearray(w * h)
+            for y in range(h):
+                out[y * w:(y + 1) * w] = plane[y * pw:y * pw + w]
+            return w, h, 1, bytes(out)
+        # color: replicate-upsample chroma to full res, YCbCr -> RGB
+        out = bytearray(w * h * 3)
+        yp, yw, _ = planes[0]
+        cbp, cbw, _ = planes[1]
+        crp, crw, _ = planes[2]
+        ysx = hmax // comps[0][1]
+        ysy = vmax // comps[0][2]
+        cbsx, cbsy = hmax // comps[1][1], vmax // comps[1][2]
+        crsx, crsy = hmax // comps[2][1], vmax // comps[2][2]
+        for y in range(h):
+            yrow = (y // ysy) * yw
+            cbrow = (y // cbsy) * cbw
+            crrow = (y // crsy) * crw
+            o = y * w * 3
+            for x in range(w):
+                Y = yp[yrow + x // ysx]
+                cb = cbp[cbrow + x // cbsx] - 128
+                cr = crp[crrow + x // crsx] - 128
+                r = int(round(Y + 1.402 * cr))
+                g = int(round(Y - 0.344136 * cb - 0.714136 * cr))
+                b = int(round(Y + 1.772 * cb))
+                out[o] = 0 if r < 0 else (255 if r > 255 else r)
+                out[o + 1] = 0 if g < 0 else (255 if g > 255 else g)
+                out[o + 2] = 0 if b < 0 else (255 if b > 255 else b)
+                o += 3
     except (ValueError, IndexError, struct.error):
         return None
-    return w, h, 1, bytes(out)
+    return w, h, 3, bytes(out)
 
 
 def jpeg_features(payload: bytes, dim: int = 16) -> list[float] | None:
-    """REAL image features from a decoded grayscale JPEG: the same
-    semantic vector as :func:`bmp_features` / :func:`png_features`
-    ([mean B, mean G, mean R] + luminance histogram, grayscale ⇒ all
-    three channel means equal the mean luminance) so every container
-    shares one feature space."""
+    """REAL image features from a decoded JPEG: the same semantic vector
+    as :func:`bmp_features` / :func:`png_features` ([mean B, mean G,
+    mean R] + luminance histogram; grayscale ⇒ all three channel means
+    equal the mean luminance) so every container shares one feature
+    space."""
     dec = jpeg_decode_pixels(payload)
     if dec is None or dim < 4:
         return None
-    w, h, _ch, px = dec
+    w, h, ch, px = dec
     total = w * h
     step = max(1, total // 4096)
-    s = 0
+    sb = sg = sr = 0
     nbins = dim - 3
     hist = [0] * nbins
     count = 0
     for idx in range(0, total, step):
-        v = px[idx]
-        s += v
-        hist[min(nbins - 1, v * nbins // 256)] += 1
+        if ch == 1:
+            r = g = b = px[idx]
+        else:
+            o = idx * 3
+            r, g, b = px[o], px[o + 1], px[o + 2]
+        sb += b
+        sg += g
+        sr += r
+        lum = (2126 * r + 7152 * g + 722 * b) // 10000  # BT.709, 0-255
+        hist[min(nbins - 1, lum * nbins // 256)] += 1
         count += 1
     if not count:
         return None
-    mean = s / (255.0 * count)
-    feats = [mean, mean, mean] + [c / count for c in hist]
+    feats = [sb / (255.0 * count), sg / (255.0 * count),
+             sr / (255.0 * count)] + [c / count for c in hist]
     return [round(f, 6) for f in feats]
 
 
 def resize_jpeg(payload: bytes, target_w: int, target_h: int) -> bytes | None:
-    """REAL nearest-neighbor resize of a decodable grayscale JPEG,
-    re-encoded as baseline JPEG via the same encoder path. None when the
-    payload is not in decodable scope."""
+    """REAL nearest-neighbor resize of a decodable JPEG, re-encoded as
+    baseline JPEG via the same encoder path (grayscale stays grayscale;
+    color re-encodes 4:4:4). None when the payload is not in decodable
+    scope."""
     dec = jpeg_decode_pixels(payload)
     if dec is None or target_w <= 0 or target_h <= 0:
         return None
-    w, h, _ch, px = dec
+    w, h, ch, px = dec
     raw = bytearray()
     for y in range(target_h):
         base = (y * h // target_h) * w
         for x in range(target_w):
-            raw.append(px[base + x * w // target_w])
-    return synth_jpeg(target_w, target_h, bytes(raw))
+            o = (base + x * w // target_w) * ch
+            raw += px[o:o + ch]
+    if ch == 1:
+        return synth_jpeg(target_w, target_h, bytes(raw))
+    return synth_jpeg_color(target_w, target_h, bytes(raw))
 
 
 def _fake_dims(payload: bytes) -> tuple[int, int, int]:
@@ -1180,13 +1354,18 @@ def media_corpus_from_documents(spark, sf_dir: str) -> DataFrame:
                     w = 16 + int(doc_id) % 64
                     h = 16 + int(doc_id) % 48
                     # rotate containers BMP / PNG (Paeth-filtered) /
-                    # JPEG (baseline grayscale) so ALL three real pixel
-                    # decoders run end-to-end on the same corpus
+                    # JPEG (alternating baseline grayscale and 4:2:0
+                    # color) so ALL real pixel decoders run end-to-end
+                    # on the same corpus
                     rot = (int(doc_id) // 3) % 3
                     if rot == 1:
                         img = synth_png(w, h, body[:256])
                     elif rot == 2:
-                        img = synth_jpeg(w, h, body[:256])
+                        if (int(doc_id) // 9) % 2:
+                            img = synth_jpeg_color(w, h, body[:256],
+                                                   (2, 2))
+                        else:
+                            img = synth_jpeg(w, h, body[:256])
                     else:
                         img = synth_bmp_pixels(w, h, body[:256])
                     rows.append((int(doc_id), img, "image"))
