@@ -580,3 +580,38 @@ def test_jpeg_color_features_and_corpus_rotation(tmp_path):
              if r.media_type == "image" and bytes(r.payload[:2]) == b"\xff\xd8"]
     chans = {jpeg_decode_pixels(p)[2] for p in jpegs}
     assert chans == {1, 3}, chans  # both rotations present and decodable
+
+
+def test_jpeg_restart_interval_roundtrip():
+    """DRI/RSTn streams (ubiquitous in crawled JPEGs): byte realign +
+    predictor reset at every restart, RSTn number cycling past 8
+    markers, both grayscale and subsampled color; a wrong RSTn number
+    is rejected (None), never misdecoded."""
+    import hashlib
+
+    from trek_spark.spark.multimodal import (
+        jpeg_decode_pixels,
+        synth_jpeg,
+        synth_jpeg_color,
+    )
+
+    seed = hashlib.sha256(b"dri-test").digest()
+    w, h = 40, 24  # 15 MCUs -> ri=1 emits 14 restarts (full RSTn cycle)
+    pat = (seed * (w * h // len(seed) + 1))[:w * h]
+    for ri in (1, 2, 7):
+        dec = jpeg_decode_pixels(synth_jpeg(w, h, seed,
+                                            restart_interval=ri))
+        assert dec is not None and dec[:3] == (w, h, 1)
+        assert max(abs(a - b) for a, b in zip(dec[3], pat)) <= 1
+    flat = bytes([10, 200, 90]) * (48 * 32)
+    dec = jpeg_decode_pixels(
+        synth_jpeg_color(48, 32, flat, (2, 2), restart_interval=2))
+    assert dec is not None and dec[:3] == (48, 32, 3)
+    px = dec[3]
+    assert max(max(abs(px[i * 3] - 10), abs(px[i * 3 + 1] - 200),
+                   abs(px[i * 3 + 2] - 90)) for i in range(48 * 32)) <= 3
+    bad = bytearray(synth_jpeg(w, h, seed, restart_interval=2))
+    i = bad.find(b"\xff\xd0")
+    assert i >= 0
+    bad[i + 1] = 0xD5  # out-of-sequence restart number
+    assert jpeg_decode_pixels(bytes(bad)) is None

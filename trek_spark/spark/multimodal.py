@@ -31,9 +31,9 @@ Codec status (this container ships no image/audio libraries):
   sampling factors 1–2 (4:4:4 / 4:2:2 / 4:2:0). ``synth_jpeg`` /
   ``synth_jpeg_color`` are genuine encoders (forward DCT + Annex K
   Huffman tables) whose output round-trips within ±1 (gray) / ±3
-  (color, 4:4:4) per pixel at the all-ones quant table. Progressive /
-  arithmetic / restart-interval streams return None and fall through to
-  the stub path.
+  (color, 4:4:4) per pixel at the all-ones quant table. Restart intervals
+  (DRI/RSTn) are supported; progressive / arithmetic streams return
+  None and fall through to the stub path.
 * **Codecs remain STUBS only for progressive JPEG and video frame
   extraction**: each raises ``NotImplementedError`` in strict mode or
   produces a deterministic fake derived from the payload hash, so the
@@ -610,6 +610,14 @@ class _BitWriter:
             self.put((1 << pad) - 1, pad)
         return bytes(self.out)
 
+    def restart(self, n: int) -> None:
+        """Byte-align (1-fill) and emit the RSTn marker (B.2.1.2)."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)
+        self.out.append(0xFF)
+        self.out.append(0xD0 + (n & 7))
+
 
 def _category(v: int) -> int:
     """Magnitude category (bit length of |v|)."""
@@ -652,13 +660,15 @@ def _encode_block(bw: _BitWriter, block: list, dc_codes: dict,
 
 
 def _jpeg_segments(width: int, height: int, comps: list,
-                   data: bytes) -> bytes:
+                   data: bytes, restart_interval: int = 0) -> bytes:
     """Assemble SOI..EOI around entropy data; ``comps`` is a list of
     (component_id, sampling_byte). One shared all-ones quant table and
-    one shared DC/AC table pair (Annex K luminance)."""
+    one shared DC/AC table pair (Annex K luminance); optional DRI."""
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
+    dri = seg(0xDD, struct.pack(">H", restart_interval)) \
+        if restart_interval else b""
     dqt = seg(0xDB, bytes([0x00]) + bytes([1] * 64))
     sof_body = struct.pack(">BHHB", 8, height, width, len(comps))
     for cid, samp in comps:
@@ -671,10 +681,12 @@ def _jpeg_segments(width: int, height: int, comps: list,
     for cid, _samp in comps:
         sos_body += bytes([cid, 0x00])
     sos = seg(0xDA, sos_body + bytes([0, 63, 0]))
-    return b"\xff\xd8" + dqt + sof + dht + sos + data + b"\xff\xd9"
+    return (b"\xff\xd8" + dqt + dri + sof + dht + sos + data
+            + b"\xff\xd9")
 
 
-def synth_jpeg(width: int, height: int, seed: bytes) -> bytes:
+def synth_jpeg(width: int, height: int, seed: bytes,
+               restart_interval: int = 0) -> bytes:
     """Genuine baseline-sequential grayscale JPEG encoder: forward DCT,
     all-ones quantization (near-lossless — the round-trip property test
     bounds per-pixel error), zigzag, DC-differential + run-length AC
@@ -688,8 +700,15 @@ def synth_jpeg(width: int, height: int, seed: bytes) -> bytes:
     ac_codes = _huff_codes(_AC_LUM_BITS, _AC_LUM_VALS)
     bw = _BitWriter()
     pred = 0
+    mcu = 0
+    rst = 0
     for by in range(0, height, 8):
         for bx in range(0, width, 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.restart(rst)
+                rst = (rst + 1) & 7
+                pred = 0
+            mcu += 1
             block = []
             for y in range(8):
                 sy = min(by + y, height - 1)
@@ -697,11 +716,13 @@ def synth_jpeg(width: int, height: int, seed: bytes) -> bytes:
                     sx = min(bx + x, width - 1)
                     block.append(px[sy * width + sx] - 128)
             pred = _encode_block(bw, block, dc_codes, ac_codes, pred)
-    return _jpeg_segments(width, height, [(1, 0x11)], bw.flush())
+    return _jpeg_segments(width, height, [(1, 0x11)], bw.flush(),
+                          restart_interval)
 
 
 def synth_jpeg_color(width: int, height: int, rgb: bytes,
-                     luma_samp: tuple = (1, 1)) -> bytes:
+                     luma_samp: tuple = (1, 1),
+                     restart_interval: int = 0) -> bytes:
     """Baseline-sequential COLOR JPEG encoder: RGB bytes (row-major,
      3/pixel; tiled if short) → YCbCr planes → interleaved MCUs.
     ``luma_samp=(1,1)`` is 4:4:4 (near-lossless round-trip);
@@ -759,8 +780,15 @@ def synth_jpeg_color(width: int, height: int, rgb: bytes,
     preds = [0, 0, 0]
     mcux = -(-width // (8 * hy))
     mcuy = -(-height // (8 * vy))
+    mcu = 0
+    rst = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.restart(rst)
+                rst = (rst + 1) & 7
+                preds = [0, 0, 0]
+            mcu += 1
             for by in range(vy):
                 for bx in range(hy):
                     preds[0] = _encode_block(
@@ -775,7 +803,8 @@ def synth_jpeg_color(width: int, height: int, rgb: bytes,
                 dc_codes, ac_codes, preds[2])
     samp_y = (hy << 4) | vy
     return _jpeg_segments(width, height,
-                          [(1, samp_y), (2, 0x11), (3, 0x11)], bw.flush())
+                          [(1, samp_y), (2, 0x11), (3, 0x11)],
+                          bw.flush(), restart_interval)
 
 
 class _BitReader:
@@ -816,6 +845,17 @@ class _BitReader:
         for _ in range(n):
             v = (v << 1) | self.bit()
         return v
+
+    def restart(self, n: int) -> None:
+        """Discard partial-byte bits and consume the expected RSTn
+        marker (decoder side of B.2.1.2); raises on anything else."""
+        self.acc = 0
+        self.nbits = 0
+        d = self.data
+        if self.pos + 2 > len(d) or d[self.pos] != 0xFF \
+                or d[self.pos + 1] != 0xD0 + (n & 7):
+            raise ValueError("jpeg: expected RST marker")
+        self.pos += 2
 
 
 def _extend(v: int, cat: int) -> int:
@@ -869,9 +909,10 @@ def jpeg_decode_pixels(payload: bytes):
     grayscale → (w, h, 1, luma bytes row-major); color (1–3 components,
     sampling factors 1–2, e.g. 4:4:4 / 4:2:2 / 4:2:0) → (w, h, 3, RGB
     bytes) via interleaved-MCU decode, chroma replication upsample, and
-    the JFIF YCbCr→RGB transform. Progressive / arithmetic / restart
-    intervals / >2 sampling factors return None and fall through to the
-    stub path."""
+    the JFIF YCbCr→RGB transform. Restart intervals (DRI/RSTn)
+    are handled (predictor reset + byte realign); progressive /
+    arithmetic / >2 sampling factors return None and fall through to
+    the stub path."""
     d = payload
     if len(d) < 4 or d[:2] != b"\xff\xd8":
         return None
@@ -880,6 +921,7 @@ def jpeg_decode_pixels(payload: bytes):
     w = h = None
     comps = []          # (cid, hs, vs, tq)
     scan_sel = {}       # cid -> (td, ta)
+    restart_ri = 0      # DRI interval in MCUs (0 = no restarts)
     i = 2
     try:
         while i + 4 <= len(d):
@@ -928,8 +970,8 @@ def jpeg_decode_pixels(payload: bytes):
             elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
                 return None  # non-baseline SOF
-            elif marker == 0xDD:  # DRI: out of scope
-                return None
+            elif marker == 0xDD:  # DRI: restart every Ri MCUs
+                restart_ri = struct.unpack(">H", body[:2])[0]
             elif marker == 0xDA:  # SOS
                 if w is None or body[0] != len(comps):
                     return None
@@ -959,8 +1001,16 @@ def jpeg_decode_pixels(payload: bytes):
             tables.append((dc_tab, ac_tab, q))
         br = _BitReader(d, i)
         preds = [0] * len(comps)
+        mcu_count = 0
+        rst_n = 0
         for my in range(mcuy):
             for mx in range(mcux):
+                if restart_ri and mcu_count and \
+                        mcu_count % restart_ri == 0:
+                    br.restart(rst_n)
+                    rst_n = (rst_n + 1) & 7
+                    preds = [0] * len(comps)
+                mcu_count += 1
                 for ci, (cid, hs, vs, _tq) in enumerate(comps):
                     dc_tab, ac_tab, q = tables[ci]
                     plane, pw, _ph = planes[ci]
