@@ -91,12 +91,21 @@ class _TreeBuilder(HTMLParser):
         super().__init__(convert_charrefs=True)
         self.root = Node.document()
         self.stack: list[Node] = [self.root]
+        self._svg_depth = 0
 
     def _in_svg(self) -> bool:
-        for n in reversed(self.stack):
+        # O(1): _svg_depth counts open <svg> elements on the stack,
+        # maintained by _pop_to (slice deletes) and the pushes below —
+        # the per-start-tag full-stack scan was ~2% of parse wall
+        return self._svg_depth > 0
+
+    def _pop_to(self, i: int) -> None:
+        """del stack[i:] with svg-depth bookkeeping."""
+        stack = self.stack
+        for n in stack[i:]:
             if n.tag == "svg":
-                return True
-        return False
+                self._svg_depth -= 1
+        del stack[i:]
 
     # -- helpers ---------------------------------------------------------
     def _top(self) -> Node:
@@ -108,7 +117,7 @@ class _TreeBuilder(HTMLParser):
             for i in range(len(self.stack) - 1, 0, -1):
                 t = self.stack[i].tag
                 if t == "p":
-                    del self.stack[i:]
+                    self._pop_to(i)
                     break
                 if t in ("div", "section", "article", "td", "th", "li",
                          "body", "blockquote", "template"):
@@ -124,7 +133,7 @@ class _TreeBuilder(HTMLParser):
                 elif t in boundary:
                     break
             if cut >= 0:
-                del self.stack[cut:]
+                self._pop_to(cut)
 
     # -- HTMLParser hooks ------------------------------------------------
     def handle_starttag(self, tag, attrs):
@@ -151,6 +160,8 @@ class _TreeBuilder(HTMLParser):
         self._top().append(el)
         if tag not in VOID_ELEMENTS:
             self.stack.append(el)
+            if tag == "svg":
+                self._svg_depth += 1
 
     def handle_startendtag(self, tag, attrs):
         # <tag/> — treat as start; non-void elements become empty elements
@@ -174,7 +185,7 @@ class _TreeBuilder(HTMLParser):
         # find the matching open tag
         for i in range(len(stack) - 1, 0, -1):
             if stack[i].tag == tag:
-                del stack[i:]
+                self._pop_to(i)
                 return
         # stray end tag: ignore (html5 parse-error recovery)
 
