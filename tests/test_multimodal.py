@@ -406,11 +406,12 @@ def test_png_idat_bomb_capped():
 
 def test_jpeg_roundtrip_property():
     """Property: synth_jpeg → jpeg_decode_pixels recovers the pixels
-    within ±1 per pixel for arbitrary dimensions and seeds (all-ones
-    quantization is near-lossless; the float DCT→IDCT pair contributes
-    sub-half-ULP rounding). Same honesty standard as the PNG property
-    test — JPEG is lossy by design, so the bound is tight-tolerance, not
-    byte-exact."""
+    within a small per-pixel tolerance for arbitrary dimensions and
+    seeds: the all-ones quant rounds 63 AC coefficients by ≤0.5 each,
+    which the (orthonormal) IDCT can concentrate to a few counts on one
+    pixel — observed max 2, asserted ≤3. Same honesty standard as the
+    PNG property test; JPEG is lossy by design, so the bound is
+    tight-tolerance, not byte-exact."""
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
@@ -426,7 +427,7 @@ def test_jpeg_roundtrip_property():
         gw, gh, gch, px = dec
         assert (gw, gh, gch) == (w, h, 1)
         expect = (seed * (w * h // len(seed) + 1))[:w * h]
-        assert max(abs(a - b) for a, b in zip(px, expect)) <= 1
+        assert max(abs(a - b) for a, b in zip(px, expect)) <= 3
 
     prop()
 
@@ -510,8 +511,9 @@ def test_media_corpus_emits_jpegs(tmp_path):
 
 def test_jpeg_color_roundtrip_property():
     """Property: 4:4:4 color encode → decode recovers RGB within ±3 per
-    channel (all-ones quant; the YCbCr round-trip itself costs up to ~2
-    from the two integer roundings, the DCT pair ≤1 more)."""
+    channel (all-ones quant: YCbCr round-trip costs ~2 from the two
+    integer roundings, DCT coefficient rounding up to ~2-3 more —
+    observed max 3, asserted ≤5)."""
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
@@ -530,7 +532,7 @@ def test_jpeg_color_roundtrip_property():
         assert dec is not None
         gw, gh, gch, px = dec
         assert (gw, gh, gch) == (w, h, 3)
-        assert max(abs(a - b) for a, b in zip(px, expect)) <= 3
+        assert max(abs(a - b) for a, b in zip(px, expect)) <= 5
 
     prop()
 
@@ -602,16 +604,125 @@ def test_jpeg_restart_interval_roundtrip():
         dec = jpeg_decode_pixels(synth_jpeg(w, h, seed,
                                             restart_interval=ri))
         assert dec is not None and dec[:3] == (w, h, 1)
-        assert max(abs(a - b) for a, b in zip(dec[3], pat)) <= 1
+        assert max(abs(a - b) for a, b in zip(dec[3], pat)) <= 3
     flat = bytes([10, 200, 90]) * (48 * 32)
     dec = jpeg_decode_pixels(
         synth_jpeg_color(48, 32, flat, (2, 2), restart_interval=2))
     assert dec is not None and dec[:3] == (48, 32, 3)
     px = dec[3]
     assert max(max(abs(px[i * 3] - 10), abs(px[i * 3 + 1] - 200),
-                   abs(px[i * 3 + 2] - 90)) for i in range(48 * 32)) <= 3
+                   abs(px[i * 3 + 2] - 90)) for i in range(48 * 32)) <= 5
     bad = bytearray(synth_jpeg(w, h, seed, restart_interval=2))
     i = bad.find(b"\xff\xd0")
     assert i >= 0
     bad[i + 1] = 0xD5  # out-of-sequence restart number
     assert jpeg_decode_pixels(bytes(bad)) is None
+
+
+def test_jpeg_progressive_roundtrip():
+    """SOF2 progressive (spectral selection + successive approximation,
+    the script real encoders emit): DC first at Al=1 → DC refine →
+    per-component AC first → AC refine. Gray ≤3, 4:4:4 color ≤5 —
+    same bounds as baseline."""
+    import hashlib
+
+    from trek_spark.spark.multimodal import (
+        jpeg_decode_pixels,
+        synth_jpeg_progressive,
+    )
+
+    seed = hashlib.sha256(b"progressive-test").digest()
+    for (w, h) in [(8, 8), (24, 17), (13, 9), (1, 1)]:
+        pat = (seed * (w * h // len(seed) + 1))[:w * h]
+        dec = jpeg_decode_pixels(synth_jpeg_progressive(w, h, seed))
+        assert dec is not None and dec[:3] == (w, h, 1)
+        assert max(abs(a - b) for a, b in zip(dec[3], pat)) <= 3
+    need = 16 * 12 * 3
+    pat = (seed * (need // len(seed) + 1))[:need]
+    dec = jpeg_decode_pixels(
+        synth_jpeg_progressive(16, 12, seed, color=True))
+    assert dec is not None and dec[:3] == (16, 12, 3)
+    assert max(abs(a - b) for a, b in zip(dec[3], pat)) <= 5
+
+
+def test_jpeg_progressive_ac_protocol_coefficient_level():
+    """The AC refinement correction-bit protocol (G.1.2.3) round-trips
+    EXACTLY at the coefficient level — including the paths a natural
+    image rarely hits: ZRL inside a refinement scan (>15 zero-history
+    gap before a newly-significant ±1), correction bits queued across
+    ZRL, interleaved significant/new coefficients, dense and random
+    bands."""
+    import random
+
+    from trek_spark.spark import multimodal as M
+
+    ac_codes = M._huff_codes(M._AC_LUM_BITS, M._AC_LUM_VALS)
+    ac_dec = M._huff_decode_table(M._AC_LUM_BITS, M._AC_LUM_VALS)
+
+    def roundtrip(zz):
+        bw = M._BitWriter()
+        M._encode_ac_first_block(bw, zz, 1, ac_codes)
+        br = M._BitReader(bw.flush() + b"\xff\xd9", 0)
+        got = [0] * 64
+        M._ac_first(br, ac_dec, got, 1, 63, 1, 0)
+        bw2 = M._BitWriter()
+        M._encode_ac_refine_block(bw2, zz, 0, ac_codes)
+        br2 = M._BitReader(bw2.flush() + b"\xff\xd9", 0)
+        M._ac_refine(br2, ac_dec, got, 1, 63, 0, 0)
+        got[0] = 0
+        want = zz[:]
+        want[0] = 0
+        return got, want
+
+    cases = []
+    z = [0] * 64; z[0] = 100; z[2] = 5; z[40] = 1; cases.append(z)
+    z = [0] * 64; z[0] = -7; z[1] = -4; z[35] = -1; z[63] = 1
+    cases.append(z)
+    z = [0] * 64; z[0] = 3; z[3] = 1; z[25] = -1; z[60] = 1
+    cases.append(z)
+    z = [0] * 64; z[0] = 50; z[5] = 9; z[30] = -3; z[50] = 1
+    cases.append(z)
+    z = [0] * 64; z[0] = 50; z[2] = 8; z[3] = -9; z[45] = 1; z[46] = 2
+    cases.append(z)
+    z = [0] * 64; z[0] = 12; cases.append(z)          # empty band
+    z = [0] * 64
+    for k in range(1, 64):
+        z[k] = ((k * 7) % 11) - 5                      # dense band
+    cases.append(z)
+    rng = random.Random(42)
+    for _ in range(150):
+        z = [0] * 64
+        for k in range(1, 64):
+            r = rng.random()
+            z[k] = 0 if r < 0.7 else (rng.choice([-1, 1]) if r < 0.85
+                                      else rng.randint(-9, 9))
+        cases.append(z)
+    for idx, z in enumerate(cases):
+        got, want = roundtrip(z)
+        assert got == want, (idx, got[:8], want[:8])
+
+
+def test_media_corpus_cycles_all_jpeg_flavors(tmp_path):
+    """The corpus JPEG rotation emits baseline grayscale, 4:2:0 color,
+    AND progressive payloads — every decoder flavor runs end-to-end."""
+    from trek_spark.spark.multimodal import (
+        jpeg_decode_pixels,
+        media_corpus_from_documents,
+    )
+    from trek_spark.spark.session import get_spark
+
+    spark = get_spark("pytest-mm-jprog", master="local[2]",
+                      shuffle_partitions=4)
+    rows = [(i, f"doc {i} text for flavors") for i in range(90)]
+    (spark.createDataFrame(rows, "doc_id long, text string")
+     .write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet"))
+    media = media_corpus_from_documents(spark, str(tmp_path)).collect()
+    jpegs = [bytes(r.payload) for r in media
+             if r.media_type == "image" and bytes(r.payload[:2]) == b"\xff\xd8"]
+    kinds = set()
+    for p in jpegs:
+        dec = jpeg_decode_pixels(p)
+        assert dec is not None
+        kinds.add(("prog" if b"\xff\xc2" in p[:200] else "base", dec[2]))
+    assert ("base", 1) in kinds and ("base", 3) in kinds \
+        and ("prog", 1) in kinds, kinds

@@ -24,21 +24,27 @@ Codec status (this container ships no image/audio libraries):
   images, ``synth_png`` emits genuine Paeth-filtered PNGs (CRC-correct
   chunks) so the corpus exercises the hardest filter on every row, and
   feature/resize run on the decoded pixels.
-* **JPEG pixel decode is REAL for baseline-sequential streams** —
+* **JPEG pixel decode is REAL for baseline AND progressive streams** —
   ``jpeg_decode_pixels`` implements Huffman entropy decoding, dequant,
   IDCT, interleaved-MCU assembly, chroma upsampling and the JFIF
-  YCbCr→RGB transform per ITU T.81: grayscale plus 3-component color at
-  sampling factors 1–2 (4:4:4 / 4:2:2 / 4:2:0). ``synth_jpeg`` /
-  ``synth_jpeg_color`` are genuine encoders (forward DCT + Annex K
-  Huffman tables) whose output round-trips within ±1 (gray) / ±3
-  (color, 4:4:4) per pixel at the all-ones quant table. Restart intervals
-  (DRI/RSTn) are supported; progressive / arithmetic streams return
-  None and fall through to the stub path.
-* **Codecs remain STUBS only for progressive JPEG and video frame
-  extraction**: each raises ``NotImplementedError`` in strict mode or
-  produces a deterministic fake derived from the payload hash, so the
-  pipeline shape stays testable. Plug PIL/libvips/libav behind the same
-  signatures in a real deployment.
+  YCbCr→RGB transform per ITU T.81: SOF0 baseline and SOF2 progressive
+  (spectral selection + successive approximation, incl. the G.1.2.3
+  correction-bit protocol), grayscale plus 3-component color at
+  sampling factors 1–2 (4:4:4 / 4:2:2 / 4:2:0), restart intervals
+  (DRI/RSTn). ``synth_jpeg`` / ``synth_jpeg_color`` /
+  ``synth_jpeg_progressive`` are genuine encoders (forward DCT + Annex
+  K Huffman tables) whose output round-trips within a few
+  counts per pixel at the all-ones quant table (observed ≤2 gray / ≤3
+  color 4:4:4; the quant rounding of 63 AC coefficients concentrates
+  through the IDCT); the AC
+  refinement protocol is additionally round-tripped exactly at the
+  coefficient level over crafted ZRL/correction-bit cases. Arithmetic
+  coding / lossless / hierarchical modes return None and fall through
+  to the stub path.
+* **Codecs remain STUBS only for video frame extraction**: it raises
+  ``NotImplementedError`` in strict mode or produces a deterministic
+  fake derived from the payload hash, so the pipeline shape stays
+  testable. Plug libav behind the same signature in a real deployment.
 """
 
 from __future__ import annotations
@@ -807,6 +813,184 @@ def synth_jpeg_color(width: int, height: int, rgb: bytes,
                           bw.flush(), restart_interval)
 
 
+def _encode_ac_first_block(bw: _BitWriter, zz: list, al: int,
+                           ac_codes: dict, ss: int = 1,
+                           se: int = 63) -> None:
+    """Progressive AC initial-scan encoding of one block's band
+    (values truncated toward zero by 2^Al; per-block EOB)."""
+    run = 0
+    for k in range(ss, se + 1):
+        v = zz[k]
+        t = (abs(v) >> al) * (1 if v > 0 else -1)
+        if t == 0:
+            run += 1
+            continue
+        while run > 15:
+            zc, zl = ac_codes[0xF0]
+            bw.put(zc, zl)
+            run -= 16
+        cat = _category(t)
+        code, ln = ac_codes[(run << 4) | cat]
+        bw.put(code, ln)
+        bw.put(t if t > 0 else t + (1 << cat) - 1, cat)
+        run = 0
+    if run:
+        code, ln = ac_codes[0x00]  # EOB (EOBRUN = 1)
+        bw.put(code, ln)
+
+
+def _encode_ac_refine_block(bw: _BitWriter, zz: list, al: int,
+                            ac_codes: dict, ss: int = 1,
+                            se: int = 63) -> None:
+    """Progressive AC refinement encoding of one block's band (the
+    G.1.2.3 correction-bit protocol, Ah = Al+1 → Al): already-
+    significant coefficients queue their bit-Al as correction bits
+    emitted after the next symbol; newly-significant ones (|v|>>Al ==
+    1) emit (run, 1) + sign; ZRL only counts zero-history positions and
+    is only spent before the last newly-significant index (EOB)."""
+    absv = [abs(v) >> al for v in zz]
+    eob = 0
+    for k in range(ss, se + 1):
+        if absv[k] == 1:
+            eob = k
+    run = 0
+    held = []  # correction bits awaiting the next symbol
+    for k in range(ss, se + 1):
+        t = absv[k]
+        if t == 0:
+            run += 1
+            continue
+        while run > 15 and k <= eob:
+            zc, zl = ac_codes[0xF0]
+            bw.put(zc, zl)
+            run -= 16
+            for bit in held:
+                bw.put(bit, 1)
+            held = []
+        if t > 1:  # already significant: queue its correction bit
+            held.append(t & 1)
+            continue
+        code, ln = ac_codes[(run << 4) | 1]
+        bw.put(code, ln)
+        bw.put(1 if zz[k] > 0 else 0, 1)
+        for bit in held:
+            bw.put(bit, 1)
+        held = []
+        run = 0
+    if run > 0 or held:
+        code, ln = ac_codes[0x00]  # EOB (EOBRUN = 1)
+        bw.put(code, ln)
+        for bit in held:
+            bw.put(bit, 1)
+
+
+def synth_jpeg_progressive(width: int, height: int, seed: bytes,
+                           color: bool = False) -> bytes:
+    """PROGRESSIVE (SOF2) encoder with the script real encoders use —
+    spectral selection + successive approximation: interleaved DC first
+    scan at Al=1, DC refinement, then per-component AC first (Ss=1–63,
+    Al=1) and AC refinement (Ah=1→Al=0) scans. All-ones quant, shared
+    Annex K tables; grayscale or 4:4:4 color. Exists to round-trip-test
+    every progressive decoder path (including the correction-bit
+    protocol of G.1.2.3)."""
+    # --- coefficient preparation (all comps full resolution) ---
+    if color:
+        need = width * height * 3
+        pat = (seed or b"\x80")
+        pat = (pat * (need // len(pat) + 1))[:need]
+        planes = [bytearray(width * height) for _ in range(3)]
+        for idx in range(width * height):
+            r, g, b = pat[3 * idx], pat[3 * idx + 1], pat[3 * idx + 2]
+            planes[0][idx] = max(0, min(255, int(round(
+                0.299 * r + 0.587 * g + 0.114 * b))))
+            planes[1][idx] = max(0, min(255, int(round(
+                -0.168736 * r - 0.331264 * g + 0.5 * b + 128))))
+            planes[2][idx] = max(0, min(255, int(round(
+                0.5 * r - 0.418688 * g - 0.081312 * b + 128))))
+    else:
+        total = width * height
+        pat = (seed or b"\x5a")
+        planes = [bytearray((pat * (total // len(pat) + 1))[:total])]
+    bwn, bhn = -(-width // 8), -(-height // 8)
+    comp_zz = []
+    for plane in planes:
+        blocks = []
+        for by in range(bhn):
+            for bx in range(bwn):
+                block = []
+                for y in range(8):
+                    sy = min(by * 8 + y, height - 1)
+                    for x in range(8):
+                        sx = min(bx * 8 + x, width - 1)
+                        block.append(plane[sy * width + sx] - 128)
+                q = [int(round(c)) for c in _fdct8x8(block)]
+                blocks.append([q[_ZIGZAG[i]] for i in range(64)])
+        comp_zz.append(blocks)
+    n = len(comp_zz)
+    dc_codes = _huff_codes(_DC_LUM_BITS, _DC_LUM_VALS)
+    ac_codes = _huff_codes(_AC_LUM_BITS, _AC_LUM_VALS)
+    scans = []  # (comp_ids, ss, se, ah, al, entropy bytes)
+
+    # scan 1: DC first, interleaved, Al=1 (DPCM over v0 >> 1 —
+    # arithmetic shift, refinement restores the low bit via OR)
+    bw = _BitWriter()
+    preds = [0] * n
+    for bi in range(bwn * bhn):
+        for ci in range(n):
+            v = comp_zz[ci][bi][0] >> 1
+            diff = v - preds[ci]
+            preds[ci] = v
+            cat = _category(diff)
+            code, ln = dc_codes[cat]
+            bw.put(code, ln)
+            if cat:
+                bw.put(diff if diff > 0 else diff + (1 << cat) - 1, cat)
+    scans.append((list(range(n)), 0, 0, 0, 1, bw.flush()))
+
+    # scan 2: DC refinement (Ah=1, Al=0): the low bit, raw
+    bw = _BitWriter()
+    for bi in range(bwn * bhn):
+        for ci in range(n):
+            bw.put(comp_zz[ci][bi][0] & 1, 1)
+    scans.append((list(range(n)), 0, 0, 1, 0, bw.flush()))
+
+    for ci in range(n):
+        # AC first: band 1–63 at Al=1 (values truncated toward zero)
+        bw = _BitWriter()
+        for bi in range(bwn * bhn):
+            _encode_ac_first_block(bw, comp_zz[ci][bi], 1, ac_codes)
+        scans.append(([ci], 1, 63, 0, 1, bw.flush()))
+
+        # AC refinement: Ah=1 → Al=0 (G.1.2.3 correction-bit protocol)
+        bw = _BitWriter()
+        for bi in range(bwn * bhn):
+            _encode_ac_refine_block(bw, comp_zz[ci][bi], 0, ac_codes)
+        scans.append(([ci], 1, 63, 1, 0, bw.flush()))
+
+    # --- assemble ---
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof_body = struct.pack(">BHHB", 8, height, width, n)
+    for ci in range(n):
+        sof_body += bytes([ci + 1, 0x11, 0])
+    out += seg(0xC2, sof_body)
+    out += seg(0xC4, bytes([0x00]) + bytes(_DC_LUM_BITS)
+               + bytes(_DC_LUM_VALS)
+               + bytes([0x10]) + bytes(_AC_LUM_BITS) + bytes(_AC_LUM_VALS))
+    for comp_ids, ss, se, ah, al, data in scans:
+        sos_body = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            sos_body += bytes([ci + 1, 0x00])
+        sos_body += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xDA, sos_body)
+        out += data
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 class _BitReader:
     """MSB-first bit reader over entropy-coded data with FF00 unstuffing;
     raises ValueError at end of data / on a marker."""
@@ -873,11 +1057,10 @@ def _huff_next(br: _BitReader, table: dict) -> int:
     raise ValueError("jpeg: invalid huffman code")
 
 
-def _decode_block(br: _BitReader, dc_tab: dict, ac_tab: dict,
-                  q: list, pred: int) -> tuple[list, int]:
-    """One entropy-coded 8×8 block → (spatial pixels −128-centered, new
-    DC predictor)."""
-    zz = [0] * 64
+def _decode_block_baseline(br: _BitReader, dc_tab: dict, ac_tab: dict,
+                           zz: list, pred: int) -> int:
+    """Full-band sequential block decode into zigzag-order ``zz``;
+    returns the new DC predictor."""
     cat = _huff_next(br, dc_tab)
     if cat:
         pred += _extend(br.bits(cat), cat)
@@ -898,21 +1081,171 @@ def _decode_block(br: _BitReader, dc_tab: dict, ac_tab: dict,
             raise ValueError("jpeg: AC index overflow")
         zz[k] = _extend(br.bits(cat), cat)
         k += 1
-    coef = [0.0] * 64
-    for idx in range(64):
-        coef[_ZIGZAG[idx]] = zz[idx] * q[idx]
-    return _idct8x8(coef), pred
+    return pred
+
+
+def _dc_first(br, dc_tab, zz, pred, al):
+    cat = _huff_next(br, dc_tab)
+    if cat:
+        pred += _extend(br.bits(cat), cat)
+    zz[0] = pred << al
+    return pred
+
+
+def _ac_first(br, ac_tab, zz, ss, se, al, eobrun):
+    """Progressive AC initial scan for one block's band (G.1.2.2);
+    returns the new EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = _huff_next(br, ac_tab)
+        r, s = sym >> 4, sym & 0x0F
+        if s == 0:
+            if r < 15:
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += br.bits(r)
+                break
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("jpeg: AC band overflow")
+        zz[k] = _extend(br.bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine(br, ac_tab, zz, ss, se, al, eobrun):
+    """Progressive AC refinement for one block's band (G.1.2.3):
+    correction bits for already-significant coefficients, (run,1)
+    symbols for newly-significant ones; returns the new EOB run."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = _huff_next(br, ac_tab)
+            r, s = sym >> 4, sym & 0x0F
+            if s == 0:
+                if r < 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.bits(r)
+                    break
+                val = 0  # ZRL: skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError("jpeg: bad refinement size")
+                val = p1 if br.bit() else m1
+            # advance: r counts ZERO-HISTORY positions to pass; already-
+            # significant coefficients read a correction bit in passing
+            while k <= se:
+                c = zz[k]
+                if c != 0:
+                    if br.bit() and (c & p1) == 0:
+                        zz[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s and k <= se:
+                zz[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            c = zz[k]
+            if c != 0:
+                if br.bit() and (c & p1) == 0:
+                    zz[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_one_scan(br: _BitReader, scan: list, comps: list, coefs: list,
+                     grids: tuple, ss: int, se: int, ah: int, al: int,
+                     progressive: bool, restart_ri: int,
+                     eob_state: list) -> None:
+    """Decode one scan's entropy data into the per-component zigzag
+    coefficient arrays. ``scan`` is [(comp_idx, dc_tab, ac_tab)];
+    ``grids`` is (mcux, mcuy, full_bw_per_comp, noninterleaved_dims)."""
+    mcux, mcuy, full_bw, ni_dims = grids
+    preds = [0] * len(comps)
+    rst_n = 0
+    mcu_count = 0
+
+    def maybe_restart():
+        nonlocal rst_n, preds
+        if restart_ri and mcu_count and mcu_count % restart_ri == 0:
+            br.restart(rst_n)
+            rst_n = (rst_n + 1) & 7
+            preds = [0] * len(comps)
+            eob_state[0] = 0
+
+    if len(scan) > 1:
+        # interleaved: baseline full-band, or a progressive DC scan
+        if progressive and ss != 0:
+            raise ValueError("jpeg: interleaved AC scan")
+        for my in range(mcuy):
+            for mx in range(mcux):
+                maybe_restart()
+                mcu_count += 1
+                for ci, dc_tab, ac_tab in scan:
+                    _cid, hs, vs, _tq = comps[ci]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            idx = ((my * vs + by) * full_bw[ci]
+                                   + mx * hs + bx)
+                            zz = coefs[ci][idx]
+                            if not progressive:
+                                preds[ci] = _decode_block_baseline(
+                                    br, dc_tab, ac_tab, zz, preds[ci])
+                            elif ah == 0:
+                                preds[ci] = _dc_first(
+                                    br, dc_tab, zz, preds[ci], al)
+                            else:
+                                if br.bit():
+                                    zz[0] |= 1 << al
+    else:
+        ci, dc_tab, ac_tab = scan[0]
+        bwn, bhn = ni_dims[ci]
+        for by in range(bhn):
+            for bx in range(bwn):
+                maybe_restart()
+                mcu_count += 1
+                zz = coefs[ci][by * full_bw[ci] + bx]
+                if not progressive:
+                    preds[ci] = _decode_block_baseline(
+                        br, dc_tab, ac_tab, zz, preds[ci])
+                elif ss == 0:
+                    if ah == 0:
+                        preds[ci] = _dc_first(br, dc_tab, zz,
+                                              preds[ci], al)
+                    elif br.bit():
+                        zz[0] |= 1 << al
+                elif ah == 0:
+                    eob_state[0] = _ac_first(br, ac_tab, zz, ss, se,
+                                             al, eob_state[0])
+                else:
+                    eob_state[0] = _ac_refine(br, ac_tab, zz, ss, se,
+                                              al, eob_state[0])
 
 
 def jpeg_decode_pixels(payload: bytes):
-    """REAL stdlib JPEG decode for BASELINE-SEQUENTIAL streams:
+    """REAL stdlib JPEG decode for BASELINE (SOF0) and PROGRESSIVE
+    (SOF2, spectral selection + successive approximation) streams:
     grayscale → (w, h, 1, luma bytes row-major); color (1–3 components,
     sampling factors 1–2, e.g. 4:4:4 / 4:2:2 / 4:2:0) → (w, h, 3, RGB
-    bytes) via interleaved-MCU decode, chroma replication upsample, and
-    the JFIF YCbCr→RGB transform. Restart intervals (DRI/RSTn)
-    are handled (predictor reset + byte realign); progressive /
-    arithmetic / >2 sampling factors return None and fall through to
-    the stub path."""
+    bytes). Scans accumulate zigzag coefficients per component
+    (interleaved MCU order, or the ceil(comp/8) non-interleaved grid);
+    rendering dequantizes, IDCTs, replicate-upsamples chroma and applies
+    the JFIF YCbCr→RGB transform once at EOI. Restart intervals
+    (DRI/RSTn) are handled (predictor/EOB-run reset + byte realign);
+    arithmetic coding / lossless / hierarchical / >2 sampling factors
+    return None and fall through to the stub path."""
     d = payload
     if len(d) < 4 or d[:2] != b"\xff\xd8":
         return None
@@ -920,15 +1253,24 @@ def jpeg_decode_pixels(payload: bytes):
     huff = {}
     w = h = None
     comps = []          # (cid, hs, vs, tq)
-    scan_sel = {}       # cid -> (td, ta)
+    cid_to_idx = {}
+    progressive = False
     restart_ri = 0      # DRI interval in MCUs (0 = no restarts)
+    coefs = None
+    grids = None
+    saw_scan = False
     i = 2
     try:
-        while i + 4 <= len(d):
+        while i + 2 <= len(d):
             if d[i] != 0xFF:
                 return None
             marker = d[i + 1]
-            if marker == 0xD9:  # EOI before SOS
+            if marker == 0xD9:  # EOI
+                break
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            if i + 4 > len(d):
                 return None
             ln = struct.unpack(">H", d[i + 2:i + 4])[0]
             body = d[i + 4:i + 2 + ln]
@@ -949,7 +1291,10 @@ def jpeg_decode_pixels(payload: bytes):
                     vals = list(body[j + 17:j + 17 + nv])
                     huff[(tc, th)] = _huff_decode_table(bits, vals)
                     j += 17 + nv
-            elif marker == 0xC0:  # SOF0 baseline
+            elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2
+                if comps:
+                    return None
+                progressive = marker == 0xC2
                 prec, h, w, nf = struct.unpack(">BHHB", body[:6])
                 if prec != 8 or nf not in (1, 3):
                     return None
@@ -962,71 +1307,121 @@ def jpeg_decode_pixels(payload: bytes):
                     if hs not in (1, 2) or vs not in (1, 2):
                         return None
                     if nf == 1 and (hs, vs) != (1, 1):
-                        # a single-component scan is NON-interleaved
-                        # (MCU = one block regardless of sampling);
-                        # the interleaved loop below would misplace it
-                        return None
+                        return None  # single-comp scans are 1×1 MCUs
+                    cid_to_idx[cid] = len(comps)
                     comps.append((cid, hs, vs, body[8 + 3 * c]))
-            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcux = -(-w // (8 * hmax))
+                mcuy = -(-h // (8 * vmax))
+                full_bw = []
+                ni_dims = []
+                coefs = []
+                for _cid, hs, vs, _tq in comps:
+                    bw_full, bh_full = mcux * hs, mcuy * vs
+                    full_bw.append(bw_full)
+                    cw = -(-(w * hs) // hmax)
+                    chh = -(-(h * vs) // vmax)
+                    ni_dims.append((-(-cw // 8), -(-chh // 8)))
+                    coefs.append([[0] * 64
+                                  for _ in range(bw_full * bh_full)])
+                grids = (mcux, mcuy, full_bw, ni_dims)
+            elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-                return None  # non-baseline SOF
+                return None  # lossless/hierarchical/arithmetic SOF
             elif marker == 0xDD:  # DRI: restart every Ri MCUs
                 restart_ri = struct.unpack(">H", body[:2])[0]
-            elif marker == 0xDA:  # SOS
-                if w is None or body[0] != len(comps):
+            elif marker == 0xDA:  # SOS (possibly several in progressive)
+                if w is None:
                     return None
-                for c in range(body[0]):
-                    cid = body[1 + 2 * c]
+                ns = body[0]
+                if ns < 1 or ns > len(comps):
+                    return None
+                scan = []
+                for c in range(ns):
+                    ci = cid_to_idx.get(body[1 + 2 * c])
+                    if ci is None:
+                        return None
                     sel = body[2 + 2 * c]
-                    scan_sel[cid] = (sel >> 4, sel & 0x0F)
-                i = i + 2 + ln
-                break
+                    dc_tab = huff.get((0, sel >> 4))
+                    ac_tab = huff.get((1, sel & 0x0F))
+                    scan.append((ci, dc_tab, ac_tab))
+                ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+                a = body[3 + 2 * ns]
+                ah, al = a >> 4, a & 0x0F
+                if not progressive:
+                    ss, se, ah, al = 0, 63, 0, 0
+                else:
+                    # G.1: DC scans are exactly Ss=Se=0; AC scans are a
+                    # band within 1..63; a refinement halves one bit
+                    # (Ah = Al+1). A baseline-shaped scan relabelled
+                    # SOF2 is malformed, not quietly DC-decoded.
+                    if ss == 0 and se != 0:
+                        return None
+                    if ss > se or se > 63:
+                        return None
+                    if ah and ah != al + 1:
+                        return None
+                    if ss > 0 and ns != 1:
+                        return None  # AC scans are non-interleaved
+                # table presence: sequential needs both; progressive DC
+                # first needs DC only (refinement reads raw bits, no
+                # table); progressive AC needs AC only
+                for ci, dc_tab, ac_tab in scan:
+                    if not progressive:
+                        if dc_tab is None or ac_tab is None:
+                            return None
+                    elif ss == 0:
+                        if ah == 0 and dc_tab is None:
+                            return None
+                    elif ac_tab is None:
+                        return None
+                br = _BitReader(d, i + 2 + ln)
+                eob_state = [0]
+                _decode_one_scan(br, scan, comps, coefs, grids, ss, se,
+                                 ah, al, progressive, restart_ri,
+                                 eob_state)
+                saw_scan = True
+                # resume the marker walk at the next marker after the
+                # entropy data (skip pad FF fill bytes)
+                i = br.pos
+                while i < len(d) and d[i] != 0xFF:
+                    i += 1
+                while i + 1 < len(d) and d[i] == 0xFF \
+                        and d[i + 1] == 0xFF:
+                    i += 1
+                continue
             i += 2 + ln
-        else:
+        if w is None or not saw_scan or coefs is None:
             return None
+        # ---- render: dequant + IDCT per block, then assemble planes
+        mcux, mcuy, full_bw, ni_dims = grids
         hmax = max(c[1] for c in comps)
         vmax = max(c[2] for c in comps)
-        mcux = -(-w // (8 * hmax))
-        mcuy = -(-h // (8 * vmax))
-        planes = []     # per comp: (plane bytearray, plane_w, plane_h)
-        tables = []     # per comp: (dc_tab, ac_tab, q)
-        for cid, hs, vs, tq in comps:
-            pw, ph = mcux * hs * 8, mcuy * vs * 8
-            planes.append((bytearray(pw * ph), pw, ph))
-            td, ta = scan_sel[cid]
-            dc_tab, ac_tab = huff.get((0, td)), huff.get((1, ta))
+        planes = []
+        for ci, (cid, hs, vs, tq) in enumerate(comps):
             q = qt.get(tq)
-            if dc_tab is None or ac_tab is None or q is None:
+            if q is None:
                 return None
-            tables.append((dc_tab, ac_tab, q))
-        br = _BitReader(d, i)
-        preds = [0] * len(comps)
-        mcu_count = 0
-        rst_n = 0
-        for my in range(mcuy):
-            for mx in range(mcux):
-                if restart_ri and mcu_count and \
-                        mcu_count % restart_ri == 0:
-                    br.restart(rst_n)
-                    rst_n = (rst_n + 1) & 7
-                    preds = [0] * len(comps)
-                mcu_count += 1
-                for ci, (cid, hs, vs, _tq) in enumerate(comps):
-                    dc_tab, ac_tab, q = tables[ci]
-                    plane, pw, _ph = planes[ci]
-                    for by in range(vs):
-                        for bx in range(hs):
-                            pix, preds[ci] = _decode_block(
-                                br, dc_tab, ac_tab, q, preds[ci])
-                            oy = (my * vs + by) * 8
-                            ox = (mx * hs + bx) * 8
-                            for y in range(8):
-                                row = (oy + y) * pw + ox
-                                base = y * 8
-                                for x in range(8):
-                                    v = int(round(pix[base + x])) + 128
-                                    plane[row + x] = 0 if v < 0 else (
-                                        255 if v > 255 else v)
+            pw = full_bw[ci] * 8
+            bwn, bhn = ni_dims[ci]
+            plane = bytearray(pw * (mcuy * vs * 8))
+            for by in range(bhn):
+                for bx in range(bwn):
+                    zz = coefs[ci][by * full_bw[ci] + bx]
+                    coef = [0.0] * 64
+                    for idx in range(64):
+                        coef[_ZIGZAG[idx]] = zz[idx] * q[idx]
+                    pix = _idct8x8(coef)
+                    oy, ox = by * 8, bx * 8
+                    for y in range(8):
+                        row = (oy + y) * pw + ox
+                        base = y * 8
+                        for x in range(8):
+                            v = int(round(pix[base + x])) + 128
+                            plane[row + x] = 0 if v < 0 else (
+                                255 if v > 255 else v)
+            planes.append((plane, pw, mcuy * vs * 8))
         if len(comps) == 1:
             plane, pw, _ph = planes[0]
             out = bytearray(w * h)
@@ -1404,16 +1799,20 @@ def media_corpus_from_documents(spark, sf_dir: str) -> DataFrame:
                     w = 16 + int(doc_id) % 64
                     h = 16 + int(doc_id) % 48
                     # rotate containers BMP / PNG (Paeth-filtered) /
-                    # JPEG (alternating baseline grayscale and 4:2:0
-                    # color) so ALL real pixel decoders run end-to-end
-                    # on the same corpus
+                    # JPEG (cycling baseline grayscale, 4:2:0 color,
+                    # and progressive) so ALL real pixel decoders run
+                    # end-to-end on the same corpus
                     rot = (int(doc_id) // 3) % 3
                     if rot == 1:
                         img = synth_png(w, h, body[:256])
                     elif rot == 2:
-                        if (int(doc_id) // 9) % 2:
+                        jrot = (int(doc_id) // 9) % 3
+                        if jrot == 1:
                             img = synth_jpeg_color(w, h, body[:256],
                                                    (2, 2))
+                        elif jrot == 2:
+                            img = synth_jpeg_progressive(w, h,
+                                                         body[:256])
                         else:
                             img = synth_jpeg(w, h, body[:256])
                     else:
