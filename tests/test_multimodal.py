@@ -726,3 +726,82 @@ def test_media_corpus_cycles_all_jpeg_flavors(tmp_path):
         kinds.add(("prog" if b"\xff\xc2" in p[:200] else "base", dec[2]))
     assert ("base", 1) in kinds and ("base", 3) in kinds \
         and ("prog", 1) in kinds, kinds
+
+
+def test_gif_roundtrip_property():
+    """Property: the GIF palette-index round-trip is BYTE-EXACT (LZW is
+    lossless) for arbitrary dimensions/seeds, interlaced and
+    sequential — exercising code-width growth and (on low-entropy
+    inputs) clear-code dictionary resets."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from trek_spark.spark.multimodal import gif_decode_pixels, synth_gif
+
+    @settings(max_examples=40, deadline=None)
+    @given(w=st.integers(1, 40), h=st.integers(1, 40),
+           seed=st.binary(min_size=1, max_size=64),
+           interlaced=st.booleans())
+    def prop(w, h, seed, interlaced):
+        total = w * h
+        idx = (seed * (total // len(seed) + 1))[:total]
+        expect = b"".join(bytes([c, 255 - c, (c * 3) % 256])
+                          for c in idx)
+        dec = gif_decode_pixels(synth_gif(w, h, seed,
+                                          interlaced=interlaced))
+        assert dec is not None
+        assert dec[:3] == (w, h, 3)
+        assert dec[3] == expect
+
+    prop()
+
+
+def test_gif_overflow_resize_and_chains():
+    """Dictionary-overflow/clear path on a large low-entropy image;
+    palette-domain resize is exact nearest-neighbor; the feature/resize
+    stub chains route GIFs to the real implementations."""
+    from trek_spark.spark.multimodal import (
+        feature_stub,
+        gif_decode_pixels,
+        gif_features,
+        resize_gif,
+        resize_stub,
+        synth_gif,
+    )
+
+    big = synth_gif(300, 200, bytes(range(256)) * 4)
+    assert gif_decode_pixels(big)[:3] == (300, 200, 3)
+
+    g = synth_gif(32, 24, b"\x07\x80\xf3gif")
+    src = gif_decode_pixels(g)
+    r = resize_gif(g, 16, 10)
+    dr = gif_decode_pixels(r)
+    assert dr[:3] == (16, 10, 3)
+    for y in range(10):
+        for x in range(16):
+            sy, sx = y * 24 // 10, x * 32 // 16
+            assert dr[3][(y * 16 + x) * 3:(y * 16 + x) * 3 + 3] == \
+                src[3][(sy * 32 + sx) * 3:(sy * 32 + sx) * 3 + 3]
+    assert feature_stub(g) == gif_features(g)
+    assert resize_stub(g, 8, 8)[:6] == b"GIF89a"
+    assert gif_decode_pixels(b"GIF89a" + b"\x00" * 20) is None
+    assert gif_decode_pixels(synth_gif(16, 16, b"x")[:30]) is None
+
+
+def test_media_corpus_emits_gifs(tmp_path):
+    from trek_spark.spark.multimodal import (
+        gif_decode_pixels,
+        media_corpus_from_documents,
+    )
+    from trek_spark.spark.session import get_spark
+
+    spark = get_spark("pytest-mm-gif", master="local[2]",
+                      shuffle_partitions=4)
+    rows = [(i, f"doc {i} body for gif rotation") for i in range(60)]
+    (spark.createDataFrame(rows, "doc_id long, text string")
+     .write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet"))
+    media = media_corpus_from_documents(spark, str(tmp_path)).collect()
+    gifs = [bytes(r.payload) for r in media
+            if r.media_type == "image" and bytes(r.payload[:6]) == b"GIF89a"]
+    assert gifs, "corpus rotation must emit GIF images"
+    assert all(gif_decode_pixels(p) is not None for p in gifs)

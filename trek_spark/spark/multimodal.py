@@ -41,6 +41,13 @@ Codec status (this container ships no image/audio libraries):
   coefficient level over crafted ZRL/correction-bit cases. Arithmetic
   coding / lossless / hierarchical modes return None and fall through
   to the stub path.
+* **GIF pixel decode is REAL** — ``gif_decode_pixels`` implements the
+  GIF89a LZW variant (growing code widths, clear/end codes), global and
+  local color tables and interlaced row order for the first frame;
+  ``synth_gif`` is a genuine LZW COMPRESSOR (dictionary growth +
+  clear-code resets at the 12-bit ceiling) and the palette-indexed
+  round-trip is byte-exact. ``resize_gif`` works in the palette-index
+  domain so the color table is preserved exactly.
 * **Codecs remain STUBS only for video frame extraction**: it raises
   ``NotImplementedError`` in strict mode or produces a deterministic
   fake derived from the payload hash, so the pipeline shape stays
@@ -1513,6 +1520,276 @@ def resize_jpeg(payload: bytes, target_w: int, target_h: int) -> bytes | None:
     return synth_jpeg_color(target_w, target_h, bytes(raw))
 
 
+# ------------------------------------------------------------------- GIF
+
+def _gif_lzw_decode(min_code_size: int, data: bytes, max_px: int) -> bytes:
+    """GIF-flavor LZW decompress (GIF89a appendix F): growing code
+    widths, clear/end codes, capped at ``max_px`` output indices."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    # bit reader: GIF packs codes LSB-first
+    acc = 0
+    nbits = 0
+    pos = 0
+    code_size = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    prev: bytes | None = None
+    while True:
+        while nbits < code_size:
+            if pos >= len(data):
+                return bytes(out)  # truncated: return what we have
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            return bytes(out)
+        if code < len(table):
+            entry = table[code]
+            if prev is not None:
+                table.append(prev + entry[:1])
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("gif: bad LZW code")
+        out += entry
+        if len(out) > max_px:
+            raise ValueError("gif: LZW output exceeds image size")
+        prev = entry
+        if len(table) >= (1 << code_size) and code_size < 12:
+            code_size += 1
+
+
+def gif_decode_pixels(payload: bytes):
+    """REAL stdlib GIF decode: (width, height, 3, RGB bytes) for the
+    FIRST image frame — global/local color tables, LZW decompression
+    (growing code widths + clear codes), interlaced and non-interlaced
+    row order. Malformed/oversized streams return None."""
+    dec = _gif_decode_indexed(payload)
+    if dec is None:
+        return None
+    w, h, idx, ct = dec
+    out = bytearray(w * h * 3)
+    o = 0
+    for c in idx:
+        out[o:o + 3] = ct[3 * c:3 * c + 3]
+        o += 3
+    return w, h, 3, bytes(out)
+
+
+def _gif_decode_indexed(payload: bytes):
+    """(width, height, index bytes in raster order, color table) or
+    None — the palette-domain decode resize reuses."""
+    d = payload
+    if len(d) < 13 or d[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    try:
+        sw, sh = struct.unpack("<HH", d[6:10])
+        flags = d[10]
+        i = 13
+        gct = None
+        if flags & 0x80:
+            n = 2 << (flags & 0x07)
+            gct = d[i:i + 3 * n]
+            i += 3 * n
+        while i < len(d):
+            b0 = d[i]
+            if b0 == 0x3B:  # trailer
+                return None
+            if b0 == 0x21:  # extension: skip sub-blocks
+                i += 2
+                while i < len(d) and d[i] != 0:
+                    i += 1 + d[i]
+                i += 1
+                continue
+            if b0 != 0x2C:  # image descriptor expected
+                return None
+            _lx, _ty, w, h = struct.unpack("<HHHH", d[i + 1:i + 9])
+            lflags = d[i + 9]
+            i += 10
+            ct = gct
+            if lflags & 0x80:
+                n = 2 << (lflags & 0x07)
+                ct = d[i:i + 3 * n]
+                i += 3 * n
+            if ct is None or not w or not h or w * h > _PNG_MAX_PIXELS:
+                return None
+            interlaced = bool(lflags & 0x40)
+            min_code = d[i]
+            i += 1
+            lzw = bytearray()
+            while i < len(d) and d[i] != 0:
+                ln = d[i]
+                lzw += d[i + 1:i + 1 + ln]
+                i += 1 + ln
+            idx = _gif_lzw_decode(min_code, bytes(lzw), w * h)
+            if len(idx) < w * h:
+                return None
+            rows = list(range(h))
+            if interlaced:
+                rows = ([y for y in range(0, h, 8)]
+                        + [y for y in range(4, h, 8)]
+                        + [y for y in range(2, h, 4)]
+                        + [y for y in range(1, h, 2)])
+            raster = bytearray(w * h)
+            nct = len(ct) // 3
+            for src_row, y in enumerate(rows):
+                base = src_row * w
+                row = idx[base:base + w]
+                if max(row) >= nct:
+                    return None
+                raster[y * w:(y + 1) * w] = row
+            return w, h, bytes(raster), bytes(ct)
+        return None
+    except (ValueError, IndexError, struct.error):
+        return None
+
+
+def gif_features(payload: bytes, dim: int = 16) -> list[float] | None:
+    """REAL image features from a decoded GIF first frame — the shared
+    BMP/PNG/JPEG feature space (channel means + luminance histogram)."""
+    dec = gif_decode_pixels(payload)
+    if dec is None or dim < 4:
+        return None
+    w, h, _ch, px = dec
+    total = w * h
+    step = max(1, total // 4096)
+    sb = sg = sr = 0
+    nbins = dim - 3
+    hist = [0] * nbins
+    count = 0
+    for idx in range(0, total, step):
+        o = idx * 3
+        r, g, b = px[o], px[o + 1], px[o + 2]
+        sb += b
+        sg += g
+        sr += r
+        lum = (2126 * r + 7152 * g + 722 * b) // 10000
+        hist[min(nbins - 1, lum * nbins // 256)] += 1
+        count += 1
+    if not count:
+        return None
+    feats = [sb / (255.0 * count), sg / (255.0 * count),
+             sr / (255.0 * count)] + [c / count for c in hist]
+    return [round(f, 6) for f in feats]
+
+
+def synth_gif(width: int, height: int, seed: bytes,
+              interlaced: bool = False) -> bytes:
+    """Genuine GIF89a encoder: 256-color palette, real LZW compression
+    (dictionary growth + clear-code resets before the 12-bit ceiling),
+    optional interlaced row order — so the decoder's code-width growth,
+    clear handling and interlace paths are exercised by construction.
+    Palette c → (c, 255−c, (c·3) mod 256); pixel indices tile ``seed``."""
+    pat = seed or b"\x5a"
+    total = width * height
+    idx = bytearray((pat * (total // len(pat) + 1))[:total])
+    palette = bytearray()
+    for c in range(256):
+        palette += bytes([c, 255 - c, (c * 3) % 256])
+    return _encode_gif(width, height, idx, bytes(palette), interlaced)
+
+
+def resize_gif(payload: bytes, target_w: int, target_h: int) -> bytes | None:
+    """REAL nearest-neighbor resize of a decodable GIF, performed in the
+    PALETTE INDEX domain (every output pixel is a source pixel, so the
+    original color table is preserved exactly) and re-encoded through
+    the same LZW encoder. None when the payload is not a decodable
+    GIF."""
+    dec = _gif_decode_indexed(payload)
+    if dec is None or target_w <= 0 or target_h <= 0:
+        return None
+    w, h, idx, ct = dec
+    out = bytearray()
+    for y in range(target_h):
+        base = (y * h // target_h) * w
+        for x in range(target_w):
+            out.append(idx[base + x * w // target_w])
+    return _encode_gif(target_w, target_h, out, ct, False)
+
+
+def _encode_gif(width: int, height: int, idx: bytearray,
+                palette: bytes, interlaced: bool) -> bytes:
+    """GIF89a assembly around a real LZW compressor; ``palette`` is
+    padded to the next power-of-two color-table size."""
+    nct = len(palette) // 3
+    bits = max(1, (nct - 1).bit_length())
+    padded = bytearray(palette) + bytes(3 * ((1 << bits) - nct))
+    if interlaced:
+        rows = ([y for y in range(0, height, 8)]
+                + [y for y in range(4, height, 8)]
+                + [y for y in range(2, height, 4)]
+                + [y for y in range(1, height, 2)])
+        re_ordered = bytearray()
+        for y in rows:
+            re_ordered += idx[y * width:(y + 1) * width]
+        idx = re_ordered
+    # LZW encode (minimum code size covers the color table, floor 2)
+    min_code = max(2, bits)
+    clear = 1 << min_code
+    end = clear + 1
+    out_bits = bytearray()
+    acc = 0
+    nbits = 0
+
+    def put(code, size):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            out_bits.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    code_size = min_code + 1
+    put(clear, code_size)
+    cur = b""
+    for px in idx:
+        nxt = cur + bytes([px])
+        if nxt in table:
+            cur = nxt
+            continue
+        put(table[cur], code_size)
+        table[nxt] = next_code
+        next_code += 1
+        if next_code > (1 << code_size):
+            if code_size < 12:
+                code_size += 1
+            else:
+                put(clear, code_size)
+                table = {bytes([i]): i for i in range(clear)}
+                next_code = end + 1
+                code_size = min_code + 1
+        cur = bytes([px])
+    if cur:
+        put(table[cur], code_size)
+    put(end, code_size)
+    if nbits:
+        out_bits.append(acc & 0xFF)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", width, height)
+    out += bytes([0x80 | (bits - 1), 0, 0])  # GCT present, 2^bits entries
+    out += padded
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height)
+    out += bytes([0x40 if interlaced else 0x00, min_code])
+    for j in range(0, len(out_bits), 255):
+        chunk = out_bits[j:j + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def _fake_dims(payload: bytes) -> tuple[int, int, int]:
     """Deterministic fake decode: dimensions derived from the content hash
     (stable across runs/executors — usable in tests)."""
@@ -1565,6 +1842,8 @@ def feature_stub(payload: bytes, dim: int = 16) -> list[float]:
     if real is None:
         real = jpeg_features(payload, dim)
     if real is None:
+        real = gif_features(payload, dim)
+    if real is None:
         real = wav_features(payload, dim)
     if real is not None:
         return real
@@ -1588,6 +1867,8 @@ def resize_stub(payload: bytes, target_w: int, target_h: int) -> bytes:
         real = resize_png(payload, target_w, target_h)
     if real is None:
         real = resize_jpeg(payload, target_w, target_h)
+    if real is None:
+        real = resize_gif(payload, target_w, target_h)
     if real is not None:
         return real
     if _STRICT:
@@ -1798,13 +2079,19 @@ def media_corpus_from_documents(spark, sf_dir: str) -> DataFrame:
                 if kind == 0:
                     w = 16 + int(doc_id) % 64
                     h = 16 + int(doc_id) % 48
-                    # rotate containers BMP / PNG (Paeth-filtered) /
-                    # JPEG (cycling baseline grayscale, 4:2:0 color,
-                    # and progressive) so ALL real pixel decoders run
+                    # rotate containers BMP / {PNG (Paeth-filtered),
+                    # GIF (LZW, alternating interlace)} / JPEG (cycling
+                    # baseline grayscale, 4:2:0 color, and
+                    # progressive) so ALL real pixel decoders run
                     # end-to-end on the same corpus
                     rot = (int(doc_id) // 3) % 3
                     if rot == 1:
-                        img = synth_png(w, h, body[:256])
+                        if (int(doc_id) // 9) % 2:
+                            img = synth_gif(w, h, body[:256],
+                                            interlaced=bool(
+                                                (int(doc_id) // 18) % 2))
+                        else:
+                            img = synth_png(w, h, body[:256])
                     elif rot == 2:
                         jrot = (int(doc_id) // 9) % 3
                         if jrot == 1:
