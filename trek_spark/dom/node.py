@@ -42,6 +42,39 @@ def bump_tick() -> None:
     _TICK += 1
 
 
+#: tick-keyed memo for post_order_elements — same invalidation
+#: discipline as the per-node iterator snapshots (any mutation bumps
+#: _TICK); the extract passes re-walk unmutated trees constantly
+_postorder_memo: dict = {}
+_postorder_tick = [-1]
+
+
+def post_order_elements(root: "Node") -> list:
+    """Element post-order as a snapshot list (children before parent,
+    right-to-left siblings — reversed pre-order, the order the extract
+    passes were tuned against). Shared, tick-memoized: passes.py,
+    code_blocks.py and removals_post.py all walk this exact order."""
+    if _TICK != _postorder_tick[0]:
+        _postorder_memo.clear()
+        _postorder_tick[0] = _TICK
+    memo = _postorder_memo.get(root)
+    if memo is not None:
+        return memo
+    out = [root]
+    stack = [c for c in reversed(root.children) if c.type == ELEMENT]
+    pop = stack.pop
+    append = out.append
+    while stack:
+        n = pop()
+        append(n)
+        cs = n.children
+        if cs:
+            stack.extend([c for c in reversed(cs) if c.type == ELEMENT])
+    out.reverse()
+    _postorder_memo[root] = out
+    return out
+
+
 class Node:
     __slots__ = ("type", "tag", "attrs", "children", "parent", "text",
                  "_snap_tick", "_snap_all", "_snap_el", "_snap_text")

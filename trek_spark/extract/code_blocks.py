@@ -373,21 +373,9 @@ def _nearby_code_block(node: Node) -> bool:
 
 
 def _post_order(root: Node) -> list[Node]:
-    # reversed pre-order == this post-order (children before parent,
-    # right-to-left siblings — the historical order callers were tuned
-    # against); ~half the stack ops of the (node, visited) two-push walk
-    out = [root]
-    stack = [c for c in reversed(root.children) if c.type == ELEMENT]
-    pop = stack.pop
-    append = out.append
-    while stack:
-        n = pop()
-        append(n)
-        cs = n.children
-        if cs:
-            stack.extend([c for c in reversed(cs) if c.type == ELEMENT])
-    out.reverse()
-    return out
+    # shared tick-memoized element post-order (see dom.node)
+    from ..dom.node import post_order_elements
+    return post_order_elements(root)
 
 
 def _merge_verso_fragments(root: Node) -> None:

@@ -67,7 +67,6 @@ def _words(s: str) -> int:
 # text edits, which call bump_tick().
 _text_memo: dict = {}
 _ltl_memo: dict = {}
-_postorder_memo: dict = {}
 _memo_tick = [-1]
 
 
@@ -76,7 +75,6 @@ def _memo_fresh() -> None:
     if _nodemod._TICK != _memo_tick[0]:
         _text_memo.clear()
         _ltl_memo.clear()
-        _postorder_memo.clear()
         _memo_tick[0] = _nodemod._TICK
 
 
@@ -111,31 +109,11 @@ def _link_density(n: Node) -> float:
 
 
 def _post_order_elements(root: Node) -> list[Node]:
-    # reversed pre-order == this post-order (children before parent,
-    # right-to-left siblings — the historical order callers were tuned
-    # against); ~half the stack ops of the (node, visited) two-push walk.
-    # Tick-memoized like _text: the ~22 content-pattern sub-passes each
-    # re-walk the same root, and most find nothing to drop (tick
-    # unmoved), so consecutive walks are list reuses; any mutation bumps
-    # the tick and invalidates (same discipline as node.py's per-node
-    # iterator snapshots). Callers iterate read-only.
-    _memo_fresh()
-    memo = _postorder_memo.get(root)
-    if memo is not None:
-        return memo
-    out = [root]
-    stack = [c for c in reversed(root.children) if c.type == ELEMENT]
-    pop = stack.pop
-    append = out.append
-    while stack:
-        n = pop()
-        append(n)
-        cs = n.children
-        if cs:
-            stack.extend([c for c in reversed(cs) if c.type == ELEMENT])
-    out.reverse()
-    _postorder_memo[root] = out
-    return out
+    # delegated to the shared tick-memoized walker in the DOM layer
+    # (passes.py and code_blocks.py walk the identical order; one memo
+    # serves all three). Callers iterate read-only.
+    from ..dom.node import post_order_elements
+    return post_order_elements(root)
 
 
 # ------------------------------------------------------------- small images
