@@ -302,6 +302,38 @@ WHERE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
 """
 
 
+def q_orders_above_customer_avg(spark, sf_dir):
+    """CORRELATED scalar subquery, decorrelated: orders above their own
+    customer's average price. The correlated form re-aggregates per
+    outer row; the scalable shape is one groupBy(custkey) aggregate
+    joined back on the key — a single keyed shuffle, no per-row
+    subquery. Exact integer predicate (price_c · n > Σprice_c per
+    customer), so no float boundary can flip a row between engines."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+    per_cust = (o.groupBy("o_custkey")
+                .agg(F.sum(cents).alias("sum_c"),
+                     F.count("*").alias("n")))
+    return (o.withColumn("price_c", cents)
+            .join(per_cust, "o_custkey")
+            .filter(F.expr("price_c * n > sum_c"))
+            .select("o_orderkey", "o_custkey", "o_totalprice"))
+
+
+SQL_ORDERS_ABOVE_CUSTOMER_AVG = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              OVER (PARTITION BY o_custkey) AS BIGINT) AS s,
+         count(*) OVER (PARTITION BY o_custkey) AS n
+  FROM orders
+)
+WHERE c * n > s
+"""
+
+
 def q_customers_without_orders(spark, sf_dir):
     """LEFT ANTI join (NOT EXISTS shape): customers with no high-value
     order (the all-orders variant is empty on this testdata — the value
@@ -2701,6 +2733,8 @@ OPS: dict[str, tuple] = {
     "latest_order_per_customer": (q_latest_order_per_customer, SQL_LATEST_ORDER),
     "customer_value_deciles": (
         q_customer_value_deciles, SQL_CUSTOMER_VALUE_DECILES),
+    "orders_above_customer_avg": (
+        q_orders_above_customer_avg, SQL_ORDERS_ABOVE_CUSTOMER_AVG),
     "distinct_priorities": (q_distinct_priorities, SQL_DISTINCT_PRIORITIES),
     "orders_except": (q_orders_except, SQL_ORDERS_EXCEPT),
     "orders_rollup": (q_orders_rollup, SQL_ORDERS_ROLLUP),
