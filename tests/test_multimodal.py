@@ -805,3 +805,41 @@ def test_media_corpus_emits_gifs(tmp_path):
             if r.media_type == "image" and bytes(r.payload[:6]) == b"GIF89a"]
     assert gifs, "corpus rotation must emit GIF images"
     assert all(gif_decode_pixels(p) is not None for p in gifs)
+
+
+def test_gif_animation_frames_and_sampling():
+    """Animated GIF: sub-rectangle frames composite onto the logical
+    screen; GCE transparency leaves canvas pixels; frame sampling picks
+    evenly-spaced frames re-encoded as standalone decodable GIFs; the
+    frame_sample chain routes GIFs to the real path and true video
+    bytes to the declared stub."""
+    from trek_spark.spark import multimodal as M
+
+    anim = M.synth_gif_animated(24, 16, [b"\x10", b"\x40", b"\x90"])
+    dec = M.gif_decode_frames(anim)
+    assert dec is not None
+    sw, sh, _ct, frames = dec
+    assert (sw, sh) == (24, 16) and len(frames) == 3
+    f0, f1 = frames[0], frames[1]
+    assert set(f0) == {0x10}
+    cx0, cy0 = (24 - 12) // 2, (16 - 8) // 2
+    assert f1[0] == 0x10                      # border untouched
+    assert f1[cy0 * 24 + cx0] == 0x40         # center overwritten
+
+    fs = M.gif_frame_sample(anim, 2)
+    assert fs is not None and len(fs) == 2
+    for fr in fs:
+        d = M.gif_decode_pixels(fr)
+        assert d is not None and d[:2] == (24, 16)
+    assert M.frame_sample_stub(anim, 2) == fs
+    fake = M.frame_sample_stub(b"\x00\x01true-video-bytes", 2)
+    assert len(fake) == 2 and fake[0][:2] == b"BM"  # stub path intact
+
+    # transparent pixels leave the previous canvas visible
+    anim2 = bytearray(M.synth_gif_animated(8, 8, [b"\x05", b"\x07"]))
+    i = anim2.find(bytes([0x21, 0xF9, 4, 0x00, 10, 0, 0, 0]),
+                   13 + 768 + 8)
+    anim2[i + 3] = 0x01
+    anim2[i + 6] = 0x07  # frame 2's only index is transparent
+    dec2 = M.gif_decode_frames(bytes(anim2))
+    assert dec2 is not None and set(dec2[3][1]) == {0x05}

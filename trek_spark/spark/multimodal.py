@@ -1654,6 +1654,147 @@ def _gif_decode_indexed(payload: bytes):
         return None
 
 
+def gif_decode_frames(payload: bytes, max_frames: int = 64):
+    """REAL animated-GIF frame decode: (screen_w, screen_h, color_table,
+    [per-frame canvas index bytes]) for animations whose frames share
+    the GLOBAL color table. Each image descriptor (a sub-rectangle)
+    composites onto the logical-screen canvas; Graphic Control
+    Extension transparency is honored (transparent pixels leave the
+    canvas unchanged). Scope notes, honestly: disposal methods 2/3
+    (restore-background / restore-previous) are treated as no-dispose
+    (the dominant case for simple animations), and a frame carrying a
+    LOCAL color table stops the walk (frames decoded so far are
+    returned). Returns None for non-GIF/malformed payloads."""
+    d = payload
+    if len(d) < 13 or d[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    try:
+        sw, sh = struct.unpack("<HH", d[6:10])
+        flags = d[10]
+        if not sw or not sh or sw * sh > _PNG_MAX_PIXELS:
+            return None
+        i = 13
+        gct = None
+        if flags & 0x80:
+            n = 2 << (flags & 0x07)
+            gct = d[i:i + 3 * n]
+            i += 3 * n
+        if gct is None:
+            return None
+        nct = len(gct) // 3
+        canvas = bytearray(sw * sh)
+        frames: list[bytes] = []
+        transparent = -1
+        while i < len(d) and len(frames) < max_frames:
+            b0 = d[i]
+            if b0 == 0x3B:  # trailer
+                break
+            if b0 == 0x21:  # extension
+                label = d[i + 1]
+                j = i + 2
+                if label == 0xF9 and d[j] >= 4:  # GCE
+                    packed = d[j + 1]
+                    transparent = d[j + 4] if packed & 0x01 else -1
+                while j < len(d) and d[j] != 0:
+                    j += 1 + d[j]
+                i = j + 1
+                continue
+            if b0 != 0x2C:
+                return None
+            lx, ty, w, h = struct.unpack("<HHHH", d[i + 1:i + 9])
+            lflags = d[i + 9]
+            i += 10
+            if lflags & 0x80:
+                break  # local color table: out of declared scope
+            if lx + w > sw or ty + h > sh or not w or not h:
+                return None
+            min_code = d[i]
+            i += 1
+            lzw = bytearray()
+            while i < len(d) and d[i] != 0:
+                ln = d[i]
+                lzw += d[i + 1:i + 1 + ln]
+                i += 1 + ln
+            i += 1  # block terminator
+            idx = _gif_lzw_decode(min_code, bytes(lzw), w * h)
+            if len(idx) < w * h:
+                return None
+            rows = list(range(h))
+            if lflags & 0x40:  # interlaced sub-image
+                rows = ([y for y in range(0, h, 8)]
+                        + [y for y in range(4, h, 8)]
+                        + [y for y in range(2, h, 4)]
+                        + [y for y in range(1, h, 2)])
+            for src_row, y in enumerate(rows):
+                base = src_row * w
+                dst = (ty + y) * sw + lx
+                for x in range(w):
+                    c = idx[base + x]
+                    if c >= nct:
+                        return None
+                    if c != transparent:
+                        canvas[dst + x] = c
+            frames.append(bytes(canvas))
+            transparent = -1  # GCE applies to one image only
+        if not frames:
+            return None
+        return sw, sh, bytes(gct), frames
+    except (ValueError, IndexError, struct.error):
+        return None
+
+
+def gif_frame_sample(payload: bytes, n_frames: int = 4) -> list[bytes] | None:
+    """REAL frame sampling for animated GIFs: decode + composite all
+    frames, pick ``n_frames`` evenly spaced, re-encode each as a
+    standalone single-frame GIF sharing the animation's color table
+    (decodable by ``gif_decode_pixels``). None when the payload is not
+    a decodable shared-palette GIF."""
+    dec = gif_decode_frames(payload)
+    if dec is None or n_frames <= 0:
+        return None
+    sw, sh, ct, frames = dec
+    k = len(frames)
+    picks = [min(k - 1, i * k // n_frames) for i in range(n_frames)] \
+        if k >= n_frames else list(range(k))
+    return [_encode_gif(sw, sh, bytearray(frames[p]), ct, False)
+            for p in picks]
+
+
+def synth_gif_animated(width: int, height: int, seeds: list,
+                       subrect_after_first: bool = True) -> bytes:
+    """Genuine animated GIF89a: frame 0 is full-screen; later frames are
+    centered sub-rectangles (half size) with a Graphic Control
+    Extension, exercising compositing; all frames share the global
+    256-color table."""
+    palette = bytearray()
+    for c in range(256):
+        palette += bytes([c, 255 - c, (c * 3) % 256])
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", width, height)
+    out += bytes([0x80 | 0x07, 0, 0])
+    out += palette
+    for fi, seed in enumerate(seeds):
+        if fi == 0 or not subrect_after_first or width < 4 or height < 4:
+            lx, ty, w, h = 0, 0, width, height
+        else:
+            w, h = max(1, width // 2), max(1, height // 2)
+            lx, ty = (width - w) // 2, (height - h) // 2
+        total = w * h
+        pat = seed or b"\x5a"
+        idx = bytearray((pat * (total // len(pat) + 1))[:total])
+        # GCE (no transparency; delay 10cs)
+        out += bytes([0x21, 0xF9, 4, 0x00, 10, 0, 0, 0])
+        out += b"\x2c" + struct.pack("<HHHH", lx, ty, w, h)
+        out += bytes([0x00, 8])
+        data = _gif_lzw_encode(idx, 8)
+        for j in range(0, len(data), 255):
+            chunk = data[j:j + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
 def gif_features(payload: bytes, dim: int = 16) -> list[float] | None:
     """REAL image features from a decoded GIF first frame — the shared
     BMP/PNG/JPEG feature space (channel means + luminance histogram)."""
@@ -1717,24 +1858,10 @@ def resize_gif(payload: bytes, target_w: int, target_h: int) -> bytes | None:
     return _encode_gif(target_w, target_h, out, ct, False)
 
 
-def _encode_gif(width: int, height: int, idx: bytearray,
-                palette: bytes, interlaced: bool) -> bytes:
-    """GIF89a assembly around a real LZW compressor; ``palette`` is
-    padded to the next power-of-two color-table size."""
-    nct = len(palette) // 3
-    bits = max(1, (nct - 1).bit_length())
-    padded = bytearray(palette) + bytes(3 * ((1 << bits) - nct))
-    if interlaced:
-        rows = ([y for y in range(0, height, 8)]
-                + [y for y in range(4, height, 8)]
-                + [y for y in range(2, height, 4)]
-                + [y for y in range(1, height, 2)])
-        re_ordered = bytearray()
-        for y in rows:
-            re_ordered += idx[y * width:(y + 1) * width]
-        idx = re_ordered
-    # LZW encode (minimum code size covers the color table, floor 2)
-    min_code = max(2, bits)
+def _gif_lzw_encode(idx, min_code: int) -> bytearray:
+    """Real GIF LZW compressor: string-table growth, width bumps when
+    the next code would overflow, clear-code resets at the 12-bit
+    ceiling."""
     clear = 1 << min_code
     end = clear + 1
     out_bits = bytearray()
@@ -1777,6 +1904,28 @@ def _encode_gif(width: int, height: int, idx: bytearray,
     put(end, code_size)
     if nbits:
         out_bits.append(acc & 0xFF)
+    return out_bits
+
+
+def _encode_gif(width: int, height: int, idx: bytearray,
+                palette: bytes, interlaced: bool) -> bytes:
+    """GIF89a assembly around a real LZW compressor; ``palette`` is
+    padded to the next power-of-two color-table size."""
+    nct = len(palette) // 3
+    bits = max(1, (nct - 1).bit_length())
+    padded = bytearray(palette) + bytes(3 * ((1 << bits) - nct))
+    if interlaced:
+        rows = ([y for y in range(0, height, 8)]
+                + [y for y in range(4, height, 8)]
+                + [y for y in range(2, height, 4)]
+                + [y for y in range(1, height, 2)])
+        re_ordered = bytearray()
+        for y in rows:
+            re_ordered += idx[y * width:(y + 1) * width]
+        idx = re_ordered
+    # LZW encode (minimum code size covers the color table, floor 2)
+    min_code = max(2, bits)
+    out_bits = _gif_lzw_encode(idx, min_code)
     out = bytearray(b"GIF89a")
     out += struct.pack("<HH", width, height)
     out += bytes([0x80 | (bits - 1), 0, 0])  # GCT present, 2^bits entries
@@ -1878,9 +2027,14 @@ def resize_stub(payload: bytes, target_w: int, target_h: int) -> bytes:
 
 
 def frame_sample_stub(payload: bytes, n_frames: int = 4) -> list[bytes]:
-    """STUB video frame sampling → n_frames image payloads. Real impl:
-    libav keyframe extraction. The fake derives per-frame BMPs from the
-    payload hash chain (deterministic, header-decodable)."""
+    """Frame sampling: REAL for animated GIFs (decode + composite all
+    frames, evenly-spaced picks re-encoded as standalone GIFs); true
+    video containers remain the one declared stub (libav keyframe
+    extraction in a real deployment) — the fake derives per-frame BMPs
+    from the payload hash chain (deterministic, header-decodable)."""
+    real = gif_frame_sample(payload, n_frames)
+    if real is not None:
+        return real
     if _STRICT:
         _codec_unavailable("frame-sample")
     frames = []
