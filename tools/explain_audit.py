@@ -121,6 +121,12 @@ AUDITS = {
         ("HashAggregate", "per-session aggregate is map-side partial "
                           "after the window"),
     ],
+    "orders_above_customer_avg": [
+        ("BroadcastHashJoin", "decorrelated: the per-customer aggregate "
+                              "broadcasts and joins back on the key — "
+                              "no per-row correlated re-aggregation"),
+        ("PushedFilters", "both scans keep parquet pushdown"),
+    ],
     "orders_cube": [
         ("Expand", "all four grouping sets expand inside ONE "
                    "aggregation pass, not a pass per set"),
