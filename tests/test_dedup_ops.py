@@ -424,3 +424,38 @@ def test_repetition_ratio_known_answers(spark, tmp_path):
     got = {r.doc_id: (r.n_shingles, r.n_distinct, r.repetition_e4)
            for r in O.q_docs_repetition_ratio(spark, sf).collect()}
     assert got == {"d00000": (10, 1, 9000), "d00001": (3, 3, 0)}
+
+
+def test_text_ops_null_text_cross_engine(spark, tmp_path):
+    """The input contract allows null turn text; Spark's
+    size(split(NULL)) is -1 while DuckDB's len(NULL) is NULL, so every
+    text op must coalesce(text, '') in BOTH engines (the r5 advice
+    found this in token_histogram; r6 swept the rest). Pin the full
+    family against DuckDB on a corpus WITH a null row."""
+    import duckdb
+
+    rows = [(0, "the quick brown fox jumps over the lazy dog",
+             "en", "web", 43),
+            (1, None, "en", "web", 0),
+            (2, "der hund und die katze ist ein tier", "de", "web", 35)]
+    (spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+     .write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet"))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{tmp_path}/documents.parquet/*.parquet'")
+
+    def canon(df):
+        df = df.reindex(sorted(df.columns), axis=1)
+        for c in df.columns:
+            df[c] = df[c].astype(str)
+        return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+    for name in ("token_counts", "text_quality", "lang_heuristic",
+                 "fingerprints", "token_histogram",
+                 "docs_repetition_ratio"):
+        fn, sql = O.OPS[name]
+        a = canon(fn(spark, str(tmp_path)).toPandas())
+        b = canon(con.sql(sql).df())
+        assert a.equals(b), name

@@ -1681,6 +1681,11 @@ def gif_decode_frames(payload: bytes, max_frames: int = 64):
             i += 3 * n
         if gct is None:
             return None
+        # the screen size is attacker-controlled and each decoded frame
+        # snapshots the whole canvas: bound TOTAL frame pixels, not just
+        # the frame count (64 frames × 4 MP would be 256 MB)
+        max_frames = min(max_frames,
+                         max(1, 16_000_000 // (sw * sh)))
         nct = len(gct) // 3
         canvas = bytearray(sw * sh)
         frames: list[bytes] = []

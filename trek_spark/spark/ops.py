@@ -760,17 +760,23 @@ FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
 # --------------------------------------------------------------------------
 
 def q_token_counts(spark, sf_dir):
-    """Whitespace tokenization — JVM-side split, no Python."""
+    """Whitespace tokenization — JVM-side split, no Python. Null text
+    coalesces to '' in BOTH engines (Spark's size(split(NULL)) is -1
+    while DuckDB's len(NULL) is NULL — same hazard the token_histogram
+    op was bitten by; the input contract allows null turns)."""
     return (
         _t(spark, sf_dir, "documents")
         .select("doc_id",
-                F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+                F.size(F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))),
+                               r"\s+")).alias("n_tokens"),
                 F.col("n_chars"))
     )
 
 
 SQL_TOKEN_COUNTS = """
-SELECT doc_id, length(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+SELECT doc_id,
+       length(regexp_split_to_array(trim(coalesce(text, '')), '\\s+'))
+           AS n_tokens,
        n_chars
 FROM documents
 """
@@ -780,9 +786,12 @@ def q_text_quality(spark, sf_dir):
     """Quality scoring: length, mean word length, stopword share —
     length/punct heuristics in pure column expressions."""
     d = _t(spark, sf_dir, "documents")
-    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    # coalesce(text, '') in both engines — see q_token_counts
+    n_tokens = F.size(F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))),
+                              r"\s+"))
     stop_hits = F.size(F.expr(
-        r"filter(split(trim(text), '\\s+'), w -> w IN ('the','a','and','of','to'))"))
+        r"filter(split(trim(coalesce(text, '')), '\\s+'),"
+        r" w -> w IN ('the','a','and','of','to'))"))
     return (d.select(
         "doc_id", "n_chars",
         n_tokens.alias("n_tokens"),
@@ -799,11 +808,15 @@ def q_text_quality(spark, sf_dir):
 
 SQL_TEXT_QUALITY = """
 SELECT doc_id,
-       length(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
-       (2000 * n_chars + length(regexp_split_to_array(trim(text), '\\s+')))
-           // (2 * length(regexp_split_to_array(trim(text), '\\s+')))
+       length(regexp_split_to_array(trim(coalesce(text, '')), '\\s+'))
+           AS n_tokens,
+       (2000 * n_chars
+        + length(regexp_split_to_array(trim(coalesce(text, '')), '\\s+')))
+           // (2 * length(regexp_split_to_array(trim(coalesce(text, '')),
+                                                '\\s+')))
            AS avg_token_len_e3,
-       length(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       length(list_filter(regexp_split_to_array(trim(coalesce(text, '')),
+              '\\s+'),
               w -> w IN ('the','a','and','of','to'))) AS stopword_hits,
        CAST(n_chars >= 100 AS INT) AS len_ok
 FROM documents
@@ -859,7 +872,8 @@ def q_lang_heuristic(spark, sf_dir):
     def votes(words):
         lst = ",".join(f"'{w}'" for w in words)
         return F.size(F.expr(
-            rf"filter(split(lower(trim(text)), '\\s+'), w -> w IN ({lst}))"))
+            rf"filter(split(lower(trim(coalesce(text, ''))), '\\s+'),"
+            rf" w -> w IN ({lst}))"))
 
     en = votes(("the", "and", "of", "a", "to", "in"))
     de = votes(("der", "die", "und", "das", "ist", "ein"))
@@ -882,11 +896,11 @@ SELECT doc_id, lang, v_en, v_de, v_fr,
             WHEN v_de >= v_fr THEN 'de' ELSE 'fr' END AS pred_lang
 FROM (
   SELECT doc_id, lang,
-    length(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+    length(list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+'),
            w -> w IN ('the','and','of','a','to','in'))) AS v_en,
-    length(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+    length(list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+'),
            w -> w IN ('der','die','und','das','ist','ein'))) AS v_de,
-    length(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+    length(list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+'),
            w -> w IN ('le','la','et','les','des','un'))) AS v_fr
   FROM documents)
 """
@@ -898,13 +912,15 @@ def q_fingerprints(spark, sf_dir):
     return (
         _t(spark, sf_dir, "documents")
         .select("doc_id",
-                F.substring(F.md5(F.lower(F.trim(F.col("text")))), 1, 16)
+                F.substring(F.md5(F.lower(F.trim(
+                    F.coalesce(F.col("text"), F.lit(""))))), 1, 16)
                 .alias("fingerprint"))
     )
 
 
 SQL_FINGERPRINTS = """
-SELECT doc_id, substr(md5(lower(trim(text))), 1, 16) AS fingerprint
+SELECT doc_id, substr(md5(lower(trim(coalesce(text, '')))), 1, 16)
+    AS fingerprint
 FROM documents
 """
 
@@ -1673,7 +1689,7 @@ def q_dedup_simhash(spark, sf_dir):
 SQL_DEDUP_SIMHASH = """
 WITH h AS (
   SELECT doc_id,
-    regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+    regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+') AS toks
   FROM documents
 ), hh AS (
   SELECT doc_id, len(toks) AS n_tokens,
@@ -1751,7 +1767,7 @@ def q_dedup_simhash_pairs(spark, sf_dir):
 SQL_DEDUP_SIMHASH_PAIRS = f"""
 WITH h AS (
   SELECT doc_id,
-    regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+    regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+') AS toks
   FROM documents
 ), hh AS (
   SELECT doc_id,
