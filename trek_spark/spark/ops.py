@@ -329,6 +329,10 @@ FROM (
               OVER (PARTITION BY o_custkey) AS BIGINT) AS s,
          count(*) OVER (PARTITION BY o_custkey) AS n
   FROM orders
+  -- null-key contract parity: Spark's inner equi-join drops null
+  -- custkeys while a window PARTITION BY groups them — exclude
+  -- explicitly so the engines agree even on dirty data
+  WHERE o_custkey IS NOT NULL
 )
 WHERE c * n > s
 """
