@@ -459,3 +459,34 @@ def test_text_ops_null_text_cross_engine(spark, tmp_path):
         a = canon(fn(spark, str(tmp_path)).toPandas())
         b = canon(con.sql(sql).df())
         assert a.equals(b), name
+
+
+def test_lang_heuristic_covers_all_five_corpus_languages(spark, tmp_path):
+    """The heuristic must identify every language the corpus labels —
+    stopword votes for en/de/fr/es and CJK-character dominance for zh
+    (whitespace tokenization is blind to Chinese) — with both engines
+    agreeing on snippets of each."""
+    import duckdb
+
+    rows = [(0, "the cat and the dog went to a house in the garden",
+             "en", "w", 10),
+            (1, "der hund und die katze ist ein tier in der stadt",
+             "de", "w", 10),
+            (2, "el perro y el gato que viven en una casa los dos",
+             "es", "w", 10),
+            (3, "le chien et le chat vivent dans la maison des amis "
+                "un jour", "fr", "w", 10),
+            (4, "这是一个关于猫和狗的故事 它们住在一个大房子里",
+             "zh", "w", 10)]
+    (spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+     .write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet"))
+    a = (O.q_lang_heuristic(spark, str(tmp_path)).toPandas()
+         .sort_values("doc_id"))
+    assert list(a["pred_lang"]) == ["en", "de", "es", "fr", "zh"]
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{tmp_path}/documents.parquet/*.parquet'")
+    b = con.sql(O.OPS["lang_heuristic"][1]).df().sort_values("doc_id")
+    assert list(b["pred_lang"]) == list(a["pred_lang"])

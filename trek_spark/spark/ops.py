@@ -869,8 +869,13 @@ FROM t WHERE n_shingles > 0
 
 
 def q_lang_heuristic(spark, sf_dir):
-    """n-gram-free language ID heuristic: stopword votes per language.
-    (The labeled `lang` column rides along for agreement analysis.)"""
+    """n-gram-free language ID heuristic covering the corpus's five
+    labels: stopword votes for en/de/fr/es, CJK-character count for zh
+    (Chinese has no whitespace tokens, so stopword voting is blind to
+    it — any CJK presence dominating the vote count flips the
+    prediction). The labeled `lang` column rides along for agreement
+    analysis; ties break en > de > fr > es, mirrored exactly in the
+    oracle's CASE order."""
     d = _t(spark, sf_dir, "documents")
 
     def votes(words):
@@ -882,22 +887,33 @@ def q_lang_heuristic(spark, sf_dir):
     en = votes(("the", "and", "of", "a", "to", "in"))
     de = votes(("der", "die", "und", "das", "ist", "ein"))
     fr = votes(("le", "la", "et", "les", "des", "un"))
+    es = votes(("el", "que", "y", "en", "los", "una"))
+    zh = F.length(F.regexp_replace(
+        F.coalesce(F.col("text"), F.lit("")), "[^一-鿿]", ""))
+    mx = F.greatest("v_en", "v_de", "v_fr", "v_es")
     return (
         d.select("doc_id", "lang", en.alias("v_en"), de.alias("v_de"),
-                 fr.alias("v_fr"))
+                 fr.alias("v_fr"), es.alias("v_es"),
+                 zh.alias("cjk_chars"))
         .withColumn(
             "pred_lang",
-            F.when((F.col("v_en") >= F.col("v_de"))
-                   & (F.col("v_en") >= F.col("v_fr")), F.lit("en"))
-            .when(F.col("v_de") >= F.col("v_fr"), F.lit("de"))
-            .otherwise(F.lit("fr")))
+            F.when(F.col("cjk_chars") > mx, F.lit("zh"))
+            .when((F.col("v_en") >= F.col("v_de"))
+                  & (F.col("v_en") >= F.col("v_fr"))
+                  & (F.col("v_en") >= F.col("v_es")), F.lit("en"))
+            .when((F.col("v_de") >= F.col("v_fr"))
+                  & (F.col("v_de") >= F.col("v_es")), F.lit("de"))
+            .when(F.col("v_fr") >= F.col("v_es"), F.lit("fr"))
+            .otherwise(F.lit("es")))
     )
 
 
 SQL_LANG_HEURISTIC = """
-SELECT doc_id, lang, v_en, v_de, v_fr,
-       CASE WHEN v_en >= v_de AND v_en >= v_fr THEN 'en'
-            WHEN v_de >= v_fr THEN 'de' ELSE 'fr' END AS pred_lang
+SELECT doc_id, lang, v_en, v_de, v_fr, v_es, cjk_chars,
+       CASE WHEN cjk_chars > greatest(v_en, v_de, v_fr, v_es) THEN 'zh'
+            WHEN v_en >= v_de AND v_en >= v_fr AND v_en >= v_es THEN 'en'
+            WHEN v_de >= v_fr AND v_de >= v_es THEN 'de'
+            WHEN v_fr >= v_es THEN 'fr' ELSE 'es' END AS pred_lang
 FROM (
   SELECT doc_id, lang,
     length(list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+'),
@@ -905,7 +921,11 @@ FROM (
     length(list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+'),
            w -> w IN ('der','die','und','das','ist','ein'))) AS v_de,
     length(list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+'),
-           w -> w IN ('le','la','et','les','des','un'))) AS v_fr
+           w -> w IN ('le','la','et','les','des','un'))) AS v_fr,
+    length(list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+'),
+           w -> w IN ('el','que','y','en','los','una'))) AS v_es,
+    length(regexp_replace(coalesce(text, ''),
+           '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk_chars
   FROM documents)
 """
 
