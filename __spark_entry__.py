@@ -135,6 +135,51 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("media_id"))
 
 
+def _avi_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling op (rows-only): the corpus's MJPEG-in-AVI
+    rows through ``sample_video_frames`` — RIFF chunk walk, evenly
+    spaced picks validated by the full stdlib JPEG decoder, emitted as
+    standalone image/jpeg frames whose mime + real decoded dimensions
+    are re-derived per frame (proof the video pixel path is real, not a
+    header fake); raw-byte "video" rows exercise the declared non-MJPEG
+    stub and surface as image/bmp fakes. No SQL oracle — DuckDB has no
+    video codec."""
+    import pandas as pd
+
+    from trek_spark.spark.multimodal import (
+        decode_headers,
+        media_corpus_from_documents,
+        sample_video_frames,
+    )
+
+    media = (media_corpus_from_documents(spark, sf_dir)
+             .filter(F.col("media_type") == "video"))
+    frames = sample_video_frames(media, n_frames=3)
+
+    def meta(it):
+        for pdf in it:
+            hdrs = [decode_headers(p if isinstance(p, (bytes, bytearray))
+                                   else b"") or {}
+                    for p in pdf["frame"]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"].astype("int64"),
+                "frame_idx": pdf["frame_idx"].astype("int32"),
+                "n_bytes": pd.Series([len(p) for p in pdf["frame"]],
+                                     dtype="int64"),
+                "mime": pd.Series([h.get("mime") for h in hdrs],
+                                  dtype=object),
+                "frame_w": pd.Series([h.get("width") for h in hdrs],
+                                     dtype="object"),
+                "frame_h": pd.Series([h.get("height") for h in hdrs],
+                                     dtype="object"),
+            })
+
+    return (frames.mapInPandas(
+                meta, schema="media_id long, frame_idx int, n_bytes long, "
+                             "mime string, frame_w int, frame_h int")
+            .orderBy("media_id", "frame_idx"))
+
+
 def _extract_pdf_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF branch op (rows-only): deterministic embedded-PDF turns through
     the same fused extraction stage (north-star "embedded PDFs via layout
@@ -258,27 +303,89 @@ def _stream_turn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("win_start_s", "role"))
 
 
+# The driver records AT MOST 50 queries() entries per round (empirical:
+# r5 recorded 50 of 54, r6 recorded 50 of 63 — an entry-COUNT cap, not a
+# time budget; see SURVEY.md §11).  Policy from the r6 verdict: expose
+# <=50 entries, lead with entries that have never appeared in a
+# CORRECTNESS_r{N}.json (or were red last time they did), rotate
+# long-stable staples out, and record the rotation manifest in SURVEY.
+#
+# Round-7 window: the 13 entries absent from CORRECTNESS_r06.json go
+# FIRST (source_mix_weights leads — it was r5's only red row and its fix
+# has never been driver-recorded), then this round's new ops, then the
+# previously-recorded ops minus the rotation set.
+_NEVER_RECORDED_R7 = [
+    "source_mix_weights",
+    "tfidf_top_terms",
+    "stratified_sample",
+    "benchmark_contamination",
+    "embedding_near_dup",
+    "multimodal_meta",
+]
+_NEW_R7 = [
+    # appended as implemented this round (each must exist in OPS)
+    "customer_value_deciles_approx",
+]
+# Rotated out for round 7: unchanged + green in every round since r1.
+# They remain in OPS (bench + pytest still exercise them) and rotate
+# back into the window on a later round.
+_ROTATED_OUT_R7 = [
+    "scan_filter_project",
+    "top_orders",
+    "distinct_priorities",
+    "orders_except",
+    "orders_rollup",
+    "customers_with_orders",
+    "orders_above_avg",
+    "customers_without_orders",
+    "orders_pivot",
+    "revenue_moving_avg",
+    "part_strings",
+    "orders_by_month",
+    "events_stats",
+    "event_gaps",
+    "events_json",
+]
+_DRIVER_RECORD_CAP = 50
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from trek_spark.spark.ops import OPS
 
+    rows_only: dict[str, Callable] = {
+        "multimodal_decode": _multimodal_decode,
+        "multimodal_features": _multimodal_features,
+        "extract_pdf_turns": _extract_pdf_turns,
+        "avi_frame_sample": _avi_frame_sample,
+        "stream_turn_rate": _stream_turn_rate,
+        "stream_dedup_exact": _stream_dedup_exact,
+        "extract_content_spans": _extract_spans,
+        "extract_fixture_turns": _extract_fixture_turns,
+    }
+
     out: dict[str, Callable] = {}
+    # 1. never-recorded oracle ops (r5/r6 window overflow victims)
+    for name in _NEVER_RECORDED_R7:
+        out[name] = OPS[name][0]
+    # 2. new-this-round oracle ops
+    for name in _NEW_R7:
+        out[name] = OPS[name][0]
+    # 3. rows-only entries (never recorded either), cheapest first
+    out.update(rows_only)
+    # 4. previously-recorded ops, minus the rotation set, OPS order
+    skip = set(out) | set(_ROTATED_OUT_R7)
     for name, (fn, _sql) in OPS.items():
-        out[name] = fn
-    # rows-only entries CHEAPEST FIRST: the driver walks this dict in
-    # order under a per-round budget, so if anything is dropped it is
-    # the most expensive entry — which is also the one with independent
-    # coverage (entry() + the fixture pytest ratchet)
-    out["multimodal_decode"] = _multimodal_decode
-    out["multimodal_features"] = _multimodal_features
-    out["extract_pdf_turns"] = _extract_pdf_turns
-    out["stream_turn_rate"] = _stream_turn_rate
-    out["stream_dedup_exact"] = _stream_dedup_exact
-    out["extract_content_spans"] = _extract_spans
-    out["extract_fixture_turns"] = _extract_fixture_turns
+        if name not in skip:
+            out[name] = fn
+    assert len(out) <= _DRIVER_RECORD_CAP, (
+        f"queries() exposes {len(out)} entries; the driver records only "
+        f"{_DRIVER_RECORD_CAP} — grow _ROTATED_OUT_R7")
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     from trek_spark.spark.ops import OPS
 
-    return {name: sql for name, (_fn, sql) in OPS.items() if sql is not None}
+    exposed = set(queries())
+    return {name: sql for name, (_fn, sql) in OPS.items()
+            if sql is not None and name in exposed}

@@ -490,3 +490,37 @@ def test_lang_heuristic_covers_all_five_corpus_languages(spark, tmp_path):
             f"'{tmp_path}/documents.parquet/*.parquet'")
     b = con.sql(O.OPS["lang_heuristic"][1]).df().sort_values("doc_id")
     assert list(b["pred_lang"]) == list(a["pred_lang"])
+
+
+def test_deciles_approx_matches_exact_within_tolerance(spark):
+    """The percentile_approx banding twin agrees with the exact ntile op:
+    same customer total, same revenue total, per-band counts within the
+    tie/boundary drift bound (±2 at sf0.001 where bands hold 15
+    customers). The band ids are mirrored (exact is DESC — decile 1 =
+    highest value; approx is ASC — decile 1 = lowest)."""
+    sf = "/root/testdata/sf0.001"
+    exact = {r["decile"]: r for r in
+             O.q_customer_value_deciles(spark, sf).collect()}
+    approx = {r["decile"]: r for r in
+              O.q_customer_value_deciles_approx(spark, sf).collect()}
+    assert sum(r["n_customers"] for r in exact.values()) == \
+        sum(r["n_customers"] for r in approx.values())
+    assert sum(r["decile_revenue_c"] for r in exact.values()) == \
+        sum(r["decile_revenue_c"] for r in approx.values())
+    for d in range(1, 11):
+        e, a = exact[d], approx[11 - d]
+        assert abs(e["n_customers"] - a["n_customers"]) <= 2, \
+            (d, e["n_customers"], a["n_customers"])
+
+
+def test_deciles_approx_plan_has_no_sort(spark):
+    """The 10⁹-customer shape: the approx twin's physical plan must
+    contain no Sort at all (the exact op's global-window sort is the
+    scale-killer it replaces) and must broadcast the 1-row cutoffs."""
+    df = O.q_customer_value_deciles_approx(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Sort" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan
+    exact_plan = (O.q_customer_value_deciles(spark, "/root/testdata/sf0.001")
+                  ._jdf.queryExecution().executedPlan().toString())
+    assert "Sort" in exact_plan  # the contrast the docstring claims

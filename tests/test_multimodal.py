@@ -843,3 +843,121 @@ def test_gif_animation_frames_and_sampling():
     anim2[i + 6] = 0x07  # frame 2's only index is transparent
     dec2 = M.gif_decode_frames(bytes(anim2))
     assert dec2 is not None and set(dec2[3][1]) == {0x05}
+
+
+def test_avi_mjpeg_roundtrip():
+    """RIFF/AVI MJPEG: synth encoder → decoder round-trip — header
+    fields, frame count, per-frame dimensions, and pixel bounds against
+    the grayscale generator (same ≤3/≤5 DCT tolerance as the bare JPEG
+    round-trip tests)."""
+    import hashlib
+
+    from trek_spark.spark import multimodal as M
+
+    seeds = [hashlib.sha256(bytes([i])).digest() for i in range(5)]
+    avi = M.synth_avi_mjpeg(24, 16, seeds, fps=8)
+    hdr = M.avi_header_info(avi)
+    assert hdr == {"mime": "video/x-msvideo", "width": 24, "height": 16,
+                   "duration_ms": 625}  # 5 frames × 125 ms
+    w, h, usec, frames = M.avi_decode_frames(avi)
+    assert (w, h, usec) == (24, 16, 125_000)
+    assert len(frames) == 5
+    # frame 2 (i % 3 == 2) is 4:2:0 color, the rest grayscale
+    assert [f[2] for f in frames] == [1, 1, 3, 1, 1]
+    for i, (fw, fh, nc, px) in enumerate(frames):
+        assert (fw, fh) == (24, 16)
+        assert len(px) == fw * fh * nc
+    # grayscale frames match the synth generator within DCT tolerance
+    for i in (0, 1, 3, 4):
+        ref = M.jpeg_decode_pixels(M.synth_jpeg(24, 16, seeds[i]))
+        assert frames[i][3] == ref[3]  # identical stream → identical decode
+
+
+def test_avi_frame_sample_real_and_bounds():
+    """Frame sampling picks evenly spaced decodable JPEG chunks;
+    malformed / truncated / non-AVI payloads return None (and the stub
+    chain falls through to the deterministic fake)."""
+    import hashlib
+
+    from trek_spark.spark import multimodal as M
+
+    seeds = [hashlib.sha256(bytes([i])).digest() for i in range(7)]
+    avi = M.synth_avi_mjpeg(20, 14, seeds, fps=5)
+    fs = M.avi_frame_sample(avi, 3)
+    assert fs is not None and len(fs) == 3
+    for fr in fs:
+        d = M.jpeg_decode_pixels(fr)
+        assert d is not None and d[:2] == (20, 14)
+    # evenly spaced picks: chunk 0, 2, 4 of 7
+    _, chunks = M._avi_walk(avi)
+    assert fs == [chunks[0], chunks[2], chunks[4]]
+    # frame_sample_stub routes AVI to the real path
+    assert M.frame_sample_stub(avi, 3) == fs
+    # features come from the first decodable frame's image space
+    feats = M.avi_features(avi)
+    assert feats is not None and len(feats) == 16
+
+    assert M.avi_frame_sample(avi[:40], 3) is None
+    assert M.avi_frame_sample(b"RIFF\x00\x00\x00\x00AVI junkjunk", 3) is None
+    assert M.avi_frame_sample(b"not an avi at all", 3) is None
+    # corrupt every frame chunk: sampler must refuse, not emit garbage
+    bad = bytearray(avi)
+    for i in range(len(bad) - 4):
+        if bad[i:i + 2] == b"\xff\xd8":
+            bad[i] = 0x00
+    assert M.avi_frame_sample(bytes(bad), 3) is None
+
+
+def test_avi_walk_hostile_sizes_bounded():
+    """Attacker-controlled size fields: oversize chunk lengths, deep
+    LIST nesting, and chunk floods must return None (or a bounded
+    parse), never hang or raise."""
+    import struct
+
+    from trek_spark.spark import multimodal as M
+
+    # oversize declared chunk length
+    avi = bytearray(M.synth_avi_mjpeg(8, 8, [b"x", b"y"]))
+    i = avi.find(b"00dc")
+    avi[i + 4:i + 8] = struct.pack("<I", 2 ** 31)
+    assert M._avi_walk(bytes(avi)) is None
+
+    # LIST nesting bomb: hdrl containing itself past the depth cap
+    inner = b"LIST" + struct.pack("<I", 4) + b"hdrl"
+    for _ in range(8):
+        inner = b"LIST" + struct.pack("<I", 4 + len(inner)) + b"hdrl" + inner
+    bomb = b"RIFF" + struct.pack("<I", 4 + len(inner)) + b"AVI " + inner
+    assert M._avi_walk(bomb) is None
+
+    # chunk flood: >_AVI_MAX_CHUNKS empty movi entries
+    flood_body = (b"00dc" + struct.pack("<I", 0)) * (M._AVI_MAX_CHUNKS + 10)
+    movi = b"LIST" + struct.pack("<I", 4 + len(flood_body)) + b"movi" + flood_body
+    flood = b"RIFF" + struct.pack("<I", 4 + len(movi)) + b"AVI " + movi
+    assert M._avi_walk(flood) is None  # budget exhausted → loud refusal
+
+
+def test_media_corpus_emits_avis(tmp_path):
+    """Corpus rotation: 'video' rows alternate real MJPEG AVIs (decoded
+    end-to-end: video/x-msvideo mime, real JPEG frames) with raw bytes
+    (declared stub → BMP fakes)."""
+    from trek_spark.spark import multimodal as M
+    from trek_spark.spark.session import get_spark
+
+    spark = get_spark("pytest-avi-corpus", master="local[2]",
+                      shuffle_partitions=4)
+    rows = [(str(i), f"video body text {i} " * 8) for i in range(2, 60, 3)]
+    (spark.createDataFrame(rows, "doc_id string, text string")
+     .write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet"))
+    media = M.media_corpus_from_documents(spark, str(tmp_path)).collect()
+    vids = {int(r["media_id"]): bytes(r["payload"]) for r in media
+            if r["media_type"] == "video"}
+    assert vids
+    real = {k: v for k, v in vids.items() if v[:4] == b"RIFF"}
+    raw = {k: v for k, v in vids.items() if v[:4] != b"RIFF"}
+    assert real and raw, "rotation must emit both AVI and raw video rows"
+    for k, v in real.items():
+        hdr = M.decode_headers(v)
+        assert hdr["mime"] == "video/x-msvideo"
+        nf = 2 + k % 3
+        dec = M.avi_decode_frames(v)
+        assert dec is not None and len(dec[3]) == nf

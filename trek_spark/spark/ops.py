@@ -1450,6 +1450,81 @@ FROM banded GROUP BY decile
 """
 
 
+def q_customer_value_deciles_approx(spark, sf_dir):
+    """Approx-percentile twin of customer_value_deciles — the shape you
+    run at 10⁹+ customers, where the exact op's global ORDER BY window
+    (single-partition sort) is the scale-killer.
+
+    Structure: revenue per customer in exact integer cents (one keyed
+    shuffle), then ``approx_percentile`` computes the 9 decile cutoffs
+    as a partial-aggregable sketch (no sort, no extra shuffle beyond the
+    tiny final merge), the 1-row cutoff array is broadcast back, and
+    each customer's band is a pure codegen'd expression
+    ``1 + count(cutoffs < revenue)``.  No global sort anywhere; no
+    driver-side collect (the cutoffs travel as a broadcast 1-row cross
+    join, same pattern as the ANN query tile).
+
+    Oracle exactness: with accuracy=10⁶ ≫ |customers|, Spark's
+    QuantileSummaries keeps every sample (targetError = n/accuracy < ½
+    forbids any compression merge, g≥1) and query(p) returns the element
+    at 1-based ascending rank ceil(p·n) — verified empirically for
+    n ∈ {7,10,23,100}.  DuckDB mirrors that rank pick via row_number;
+    k/10.0 parses/computes to bit-identical doubles in both engines, so
+    the cutoffs — and hence the bands — match exactly.  Banding is
+    integer-only (cents), so no float drift downstream.  Band counts
+    differ from the exact ntile op only by tie/boundary placement; the
+    tolerance pytest pins per-band count drift ≤ ε against the exact op.
+    """
+    cents = F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+    # lazy cache (no plan-construction side effect): rev feeds both the
+    # cutoff sketch and the banding scan — without it the orders scan +
+    # groupBy runs twice
+    rev = (_t(spark, sf_dir, "orders")
+           .groupBy("o_custkey").agg(F.sum(cents).alias("revenue_c"))
+           .cache())
+    cuts = rev.agg(F.expr(
+        "approx_percentile(revenue_c, "
+        "array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D), "
+        "1000000)").alias("cuts"))
+    return (rev.crossJoin(F.broadcast(cuts))
+            .withColumn(
+                "decile",
+                (F.lit(1) + F.expr(
+                    "size(filter(cuts, c -> revenue_c > c))")).cast("long"))
+            .groupBy("decile")
+            .agg(F.count("*").alias("n_customers"),
+                 F.sum("revenue_c").alias("decile_revenue_c"),
+                 F.min("revenue_c").alias("floor_revenue_c")))
+
+
+SQL_CUSTOMER_VALUE_DECILES_APPROX = """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS revenue_c
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT revenue_c,
+         row_number() OVER (ORDER BY revenue_c) AS rk,
+         count(*) OVER () AS n
+  FROM rev
+), cuts AS (
+  SELECT r.revenue_c AS cut
+  FROM generate_series(1, 9) AS g(k)
+  JOIN ranked r ON r.rk = CAST(ceil((g.k / 10.0) * r.n) AS BIGINT)
+), banded AS (
+  SELECT o_custkey, revenue_c,
+         CAST(1 + (SELECT count(*) FROM cuts WHERE revenue_c > cut)
+              AS BIGINT) AS decile
+  FROM rev
+)
+SELECT decile, count(*) AS n_customers,
+       CAST(sum(revenue_c) AS BIGINT) AS decile_revenue_c,
+       min(revenue_c) AS floor_revenue_c
+FROM banded GROUP BY decile
+"""
+
+
 _MINHASH_SEEDS = 8
 _BAND_ROWS = 2  # 4 bands × 2 rows
 
@@ -2773,6 +2848,8 @@ OPS: dict[str, tuple] = {
     "latest_order_per_customer": (q_latest_order_per_customer, SQL_LATEST_ORDER),
     "customer_value_deciles": (
         q_customer_value_deciles, SQL_CUSTOMER_VALUE_DECILES),
+    "customer_value_deciles_approx": (
+        q_customer_value_deciles_approx, SQL_CUSTOMER_VALUE_DECILES_APPROX),
     "orders_above_customer_avg": (
         q_orders_above_customer_avg, SQL_ORDERS_ABOVE_CUSTOMER_AVG),
     "distinct_priorities": (q_distinct_priorities, SQL_DISTINCT_PRIORITIES),
