@@ -61,7 +61,10 @@ def test_span_coverage_floor_over_corpus():
     attempted) must stay above a measured floor — spans silently skip
     blocks rewritten by normalization, and this keeps that skip rate an
     observable, regression-gated number (bench reports the same stat as
-    span_coverage). Measured 0.743 at this floor's introduction."""
+    span_coverage). Measured 0.743 when the floor was introduced (0.70);
+    0.939 after the r7 prober rewrite (fence-aware blocks, candidate
+    probes for footnote/callout/link/image/escape rewrites, out-of-order
+    second pass for end-rendered footnote definitions)."""
     from trek_spark.extract.pipeline import trek_parse
     from trek_spark.spark.udf import span_coverage
 
@@ -71,4 +74,4 @@ def test_span_coverage_floor_over_corpus():
         pairs.append((fx.html, r["content_markdown"] or ""))
     stats = span_coverage(pairs)
     assert stats["blocks"] > 1500
-    assert stats["coverage"] >= 0.70
+    assert stats["coverage"] >= 0.90

@@ -875,26 +875,33 @@ def q_lang_heuristic(spark, sf_dir):
     it — any CJK presence dominating the vote count flips the
     prediction). The labeled `lang` column rides along for agreement
     analysis; ties break en > de > fr > es, mirrored exactly in the
-    oracle's CASE order."""
+    oracle's CASE order.
+
+    Cost bound (r6 verdict, wrong #2): the vote and the CJK scan run
+    over a deterministic 4096-character prefix, not the whole document
+    — language identity is decided in the first page of text, and the
+    full-text regex scan was the op's entire cost. The prefix, the
+    tokenization (done ONCE into `toks_`), and every vote use the same
+    substring in BOTH engines, so the oracle stays exact."""
     d = _t(spark, sf_dir, "documents")
 
     def votes(words):
         lst = ",".join(f"'{w}'" for w in words)
-        return F.size(F.expr(
-            rf"filter(split(lower(trim(coalesce(text, ''))), '\\s+'),"
-            rf" w -> w IN ({lst}))"))
+        return F.size(F.expr(rf"filter(toks_, w -> w IN ({lst}))"))
 
     en = votes(("the", "and", "of", "a", "to", "in"))
     de = votes(("der", "die", "und", "das", "ist", "ein"))
     fr = votes(("le", "la", "et", "les", "des", "un"))
     es = votes(("el", "que", "y", "en", "los", "una"))
-    zh = F.length(F.regexp_replace(
-        F.coalesce(F.col("text"), F.lit("")), "[^一-鿿]", ""))
+    zh = F.length(F.regexp_replace(F.col("pref_"), "[^一-鿿]", ""))
     mx = F.greatest("v_en", "v_de", "v_fr", "v_es")
     return (
-        d.select("doc_id", "lang", en.alias("v_en"), de.alias("v_de"),
-                 fr.alias("v_fr"), es.alias("v_es"),
-                 zh.alias("cjk_chars"))
+        d.withColumn("pref_",
+                     F.expr("substring(coalesce(text, ''), 1, 4096)"))
+        .withColumn("toks_", F.expr(r"split(lower(trim(pref_)), '\\s+')"))
+        .select("doc_id", "lang", en.alias("v_en"), de.alias("v_de"),
+                fr.alias("v_fr"), es.alias("v_es"),
+                zh.alias("cjk_chars"))
         .withColumn(
             "pred_lang",
             F.when(F.col("cjk_chars") > mx, F.lit("zh"))
@@ -916,17 +923,22 @@ SELECT doc_id, lang, v_en, v_de, v_fr, v_es, cjk_chars,
             WHEN v_fr >= v_es THEN 'fr' ELSE 'es' END AS pred_lang
 FROM (
   SELECT doc_id, lang,
-    length(list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+'),
+    length(list_filter(toks_,
            w -> w IN ('the','and','of','a','to','in'))) AS v_en,
-    length(list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+'),
+    length(list_filter(toks_,
            w -> w IN ('der','die','und','das','ist','ein'))) AS v_de,
-    length(list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+'),
+    length(list_filter(toks_,
            w -> w IN ('le','la','et','les','des','un'))) AS v_fr,
-    length(list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+'),
+    length(list_filter(toks_,
            w -> w IN ('el','que','y','en','los','una'))) AS v_es,
-    length(regexp_replace(coalesce(text, ''),
+    length(regexp_replace(pref_,
            '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk_chars
-  FROM documents)
+  FROM (
+    SELECT doc_id, lang, pref_,
+           regexp_split_to_array(lower(trim(pref_)), '\\s+') AS toks_
+    FROM (SELECT doc_id, lang,
+                 substr(coalesce(text, ''), 1, 4096) AS pref_
+          FROM documents)))
 """
 
 

@@ -14,6 +14,7 @@ the metrics side-table required by the north rule.
 
 from __future__ import annotations
 
+import re
 import time
 import traceback
 from typing import Iterator, Optional
@@ -90,6 +91,129 @@ def compute_content_spans(source: str, markdown: str) -> list[dict]:
     return _spans_with_attempts(source, markdown)[0]
 
 
+# Markdown inline syntax the renderer INSERTS (backticks, emphasis,
+# link/image brackets, escapes): any of these inside a probe means the
+# probe text is not contiguous in the source — truncate there.
+_INLINE_BREAK = re.compile(r"[`*\[\]\\|]")
+_IMAGE_LEAD = re.compile(r"!\[([^\]]*)\]\(\s*<?([^)\s>]+)")
+_LINK_LEAD = re.compile(r"\[([^\]^][^\]]*)\]\(\s*<?([^)\s>]+)")
+_FOOTNOTE_LEAD = re.compile(r"\[\^[^\]]+\]:\s*(.*)", re.S)
+_ORDERED_LEAD = re.compile(r"\d{1,4}\\?[.)]\s+(.*)", re.S)
+_CALLOUT_LEAD = re.compile(r"\[!\w+\][+-]?\s*(.*)", re.S)
+_MD_UNESCAPE = re.compile(r"\\([\\`*_{}\[\]()#+.!|>~-])")
+_EMPHASIS_SPAN = re.compile(r"\*{1,2}([^*\n]{8,}?)\*{1,2}")
+_CODE_SPAN = re.compile(r"`([^`\n]{8,}?)`")
+_BRACKET_SPAN = re.compile(r"\[([^\]^\n][^\]\n]{7,}?)\]")
+_TOKEN = re.compile(r"[A-Za-z0-9_]{6,}")
+
+
+def _fence_aware_blocks(markdown: str) -> list[str]:
+    """Split on blank lines, but glue segments inside an open ``` fence
+    back together — a code block with internal blank lines is ONE
+    retained unit, not several half-blocks whose leads start mid-code."""
+    blocks: list[str] = []
+    open_fence = False
+    for seg in markdown.split("\n\n"):
+        if open_fence and blocks:
+            blocks[-1] = blocks[-1] + "\n\n" + seg
+        else:
+            blocks.append(seg)
+        for ln in seg.splitlines():
+            if ln.lstrip().startswith("```"):
+                open_fence = not open_fence
+    return blocks
+
+
+def _probe_candidates(stripped: str) -> list[str]:
+    """Candidate lead fragments for one markdown block, most specific
+    first. Each candidate is text expected to appear VERBATIM in the
+    source; markdown the renderer synthesized (fence info lines,
+    footnote labels, list enumerators, link/image syntax, inline
+    emphasis) is stripped or truncated away rather than searched for."""
+    cands: list[str] = []
+    s = stripped.lstrip(_SPAN_TRIM)
+    if stripped.startswith("```"):
+        # fence info line ("```python") is renderer-made: probe the
+        # body, with the closing fence stripped; the body's FIRST LINE
+        # alone is a separate candidate (highlighters that wrap every
+        # line in markup keep at most one line contiguous)
+        body = stripped.split("\n", 1)[1] if "\n" in stripped else ""
+        body = body.rstrip()
+        if body.endswith("```"):
+            body = body[:-3].rstrip()
+        body = body.strip().lstrip(_SPAN_TRIM)
+        cands.append(body[:40])
+        cands.append(body.split("\n", 1)[0][:40])
+    m = _IMAGE_LEAD.match(s)
+    if m:
+        cands.append(m.group(2)[:80])        # src URL survives verbatim
+        cands.append(m.group(1)[:40])        # alt text
+    m = _LINK_LEAD.match(s)
+    if m:
+        cands.append(m.group(1).lstrip(_SPAN_TRIM)[:40])  # anchor text
+        cands.append(m.group(2)[:80])                     # href
+    m = _FOOTNOTE_LEAD.match(s)
+    if m:
+        cands.append(m.group(1).lstrip(_SPAN_TRIM)[:40])
+    m = _ORDERED_LEAD.match(s)
+    if m:
+        cands.append(_MD_UNESCAPE.sub(r"\1",
+                                      m.group(1).lstrip(_SPAN_TRIM))[:40])
+    m = _CALLOUT_LEAD.match(s)
+    if m:                                    # "[!tip]- Title" → "Title"
+        cands.append(m.group(1).lstrip(_SPAN_TRIM + "\n")[:40])
+    if s.startswith("|"):                    # table row: first cell text
+        cells = [c.strip() for c in s.split("\n", 1)[0].split("|")]
+        cands.extend(c[:40] for c in cells if c.strip(" -:"))
+    cands.append(s[:40])
+    if "\\" in s[:40]:                       # markdown escapes undone
+        cands.append(_MD_UNESCAPE.sub(r"\1", s[:48])[:40])
+    # inline-syntax truncation: keep the contiguous prefix before the
+    # first renderer-inserted char (footnote ref, backtick, emphasis…)
+    for c in list(cands):
+        b = _INLINE_BREAK.search(c, 1)
+        if b and b.start() >= 8:
+            cands.append(c[:b.start()])
+    # content INSIDE the first emphasis / code span / bracket — the
+    # text between renderer-inserted markers is contiguous in source
+    head = s[:160]
+    for rx in (_EMPHASIS_SPAN, _CODE_SPAN, _BRACKET_SPAN):
+        m = rx.search(head)
+        if m:
+            cands.append(m.group(1).strip()[:40])
+    # last resort: one distinctive token from the block head
+    toks = _TOKEN.findall(s[:120])
+    if toks:
+        cands.append(max(toks, key=len))
+    out, seen = [], set()
+    for c in cands:
+        c = c.strip()
+        if len(c) >= 8 and c not in seen:
+            seen.add(c)
+            out.append(c)
+    return out[:14]
+
+
+def _tail_candidates(stripped: str) -> list[str]:
+    """Candidate trailing fragments, cleaned the same way as leads."""
+    t = stripped.rstrip(_SPAN_TRIM + ".)]|").lstrip(_SPAN_TRIM)
+    if stripped.rstrip().endswith("```"):
+        t = stripped.rstrip().rstrip("`").rstrip()
+    cands = [t[-40:].lstrip(_SPAN_TRIM)]
+    # truncate backward at the last inline-syntax char
+    tail = cands[0]
+    brks = list(_INLINE_BREAK.finditer(tail))
+    if brks and len(tail) - brks[-1].end() >= 8:
+        cands.append(tail[brks[-1].end():])
+    out, seen = [], set()
+    for c in cands:
+        c = c.strip()
+        if len(c) >= 8 and c not in seen:
+            seen.add(c)
+            out.append(c)
+    return out
+
+
 def _spans_with_attempts(source: str,
                          markdown: str) -> tuple[list[dict], int]:
     """(spans, attempted): ``attempted`` counts the markdown blocks whose
@@ -103,35 +227,70 @@ def _spans_with_attempts(source: str,
     if not source or not markdown:
         return spans, attempted
     n = len(source)
-    for block in markdown.split("\n\n"):
-        stripped = block.strip()
-        probe = stripped.lstrip(_SPAN_TRIM)[:40]
-        if len(probe) < 8:
-            continue
-        attempted += 1
-        idx = source.find(probe, cursor)
-        matched = len(probe)
+
+    def locate(stripped: str, cands: list[str], frm: int):
+        """(start, end) of the block's source region searching from
+        ``frm``, or None."""
+        idx = -1
+        matched = 0
+        for probe in cands:
+            idx = source.find(probe, frm)
+            if idx < 0 and len(probe) > 16:
+                # entity/escape differences — try a shorter prefix
+                probe = probe[:16]
+                idx = source.find(probe, frm)
+            if idx >= 0:
+                matched = len(probe)
+                break
         if idx < 0:
-            # entity/escape differences — try a shorter probe
-            probe = probe[:16]
-            matched = len(probe)
-            idx = source.find(probe, cursor)
-            if idx < 0:
-                continue
+            return None
         # end: locate the block's trailing text fragment after the lead
         end = idx + matched
-        tail = stripped.rstrip(_SPAN_TRIM + ".)]")[-40:].lstrip(_SPAN_TRIM)
-        if len(tail) >= 8:
-            for t in (tail, tail[-16:]):
-                tidx = source.find(t, idx)
+        for t in _tail_candidates(stripped):
+            for frag in (t, t[-16:]):
+                tidx = source.find(frag, idx)
                 if tidx >= 0:
-                    end = max(end, tidx + len(t))
+                    end = max(end, tidx + len(frag))
                     break
+            else:
+                continue
+            break
         end = min(end, n)
-        if end <= idx:
+        return (idx, end) if end > idx else None
+
+    missed: list[tuple[str, list[str]]] = []
+    for block in _fence_aware_blocks(markdown):
+        stripped = block.strip()
+        cands = _probe_candidates(stripped)
+        if not cands:
             continue
-        spans.append({"start": idx, "end": end, "kind": "block"})
-        cursor = end  # non-overlap: next span starts at or after this end
+        attempted += 1
+        hit = locate(stripped, cands, cursor)
+        if hit is None:
+            missed.append((stripped, cands))
+            continue
+        spans.append({"start": hit[0], "end": hit[1], "kind": "block"})
+        cursor = hit[1]  # non-overlap: next span starts at/after this end
+
+    # Second pass: markdown reorders some content (footnote definitions
+    # render at the END of the document but live EARLIER in the source),
+    # so a monotonic cursor can never find them. Retry misses from the
+    # top of the source and merge any hit that doesn't overlap an
+    # already-claimed region — output stays non-overlapping + monotonic.
+    if missed:
+        claimed = [(s["start"], s["end"]) for s in spans]
+        extra = []
+        for stripped, cands in missed:
+            hit = locate(stripped, cands, 0)
+            if hit is None:
+                continue
+            lo, hi = hit
+            if any(lo < e and c < hi for c, e in claimed):
+                continue
+            claimed.append((lo, hi))
+            extra.append({"start": lo, "end": hi, "kind": "block"})
+        if extra:
+            spans = sorted(spans + extra, key=lambda s: s["start"])
     return spans, attempted
 
 
