@@ -328,3 +328,94 @@ def test_curate_job_end_to_end(spark, tmp_path_factory):
     reps = {r.doc_id: r.repetition_e4 for r in O.q_docs_repetition_ratio(
         spark, "/root/testdata/sf0.001").collect()}
     assert all(reps.get(r.doc_id, 0) <= 6000 for r in got)
+
+
+def test_iceberg_writeto_call_chain_without_runtime(spark, monkeypatch):
+    """This sandbox lacks the Iceberg jars (iceberg_available() is False,
+    pinned above), so the writeTo path can't execute against a real
+    catalog — but its WIRING can: capture the DataFrameWriterV2 call
+    chain and assert both branches issue exactly the calls the Iceberg
+    sink contract requires (create: using('iceberg') + partitionedBy
+    (part_bucket); existing table: overwritePartitions — the one-snapshot
+    atomic wave commit the docstring promises). SURVEY §3.4 records the
+    sandbox limitation; this is the executed half of that evidence."""
+    from trek_spark.spark.job import _write_wave_table
+
+    calls = []
+
+    class FakeWriter:
+        def using(self, fmt):
+            calls.append(("using", fmt))
+            return self
+
+        def partitionedBy(self, *cols):
+            calls.append(("partitionedBy",
+                          [c._jc.toString() if hasattr(c, "_jc") else str(c)
+                           for c in cols]))
+            return self
+
+        def create(self):
+            calls.append(("create",))
+
+        def overwritePartitions(self):
+            calls.append(("overwritePartitions",))
+
+    df = spark.createDataFrame(
+        [("c1", 0, 3)], "conv_id string, turn_idx int, part_bucket int")
+    # patch the CONCRETE DataFrame class (pyspark 4: pyspark.sql.classic
+    # subclasses the abstract pyspark.sql.DataFrame, so patching the base
+    # is shadowed by the subclass override)
+    monkeypatch.setattr(type(df), "writeTo",
+                        lambda self, table: FakeWriter(), raising=True)
+
+    # branch 1: table absent → create with iceberg + bucket partitioning
+    monkeypatch.setattr(spark.catalog, "tableExists", lambda t: False)
+    calls.clear()
+    _write_wave_table(spark, df, "out.turns")
+    assert calls[0] == ("using", "iceberg")
+    assert calls[1][0] == "partitionedBy" and "part_bucket" in calls[1][1][0]
+    assert calls[2] == ("create",)
+
+    # branch 2: table exists → single overwritePartitions commit
+    monkeypatch.setattr(spark.catalog, "tableExists", lambda t: True)
+    calls.clear()
+    _write_wave_table(spark, df, "out.turns")
+    assert calls == [("overwritePartitions",)]
+
+
+def test_bucketed_join_is_exchange_free(spark):
+    """Co-location at 100 TB: two tables bucketed on the join key with
+    the same bucket count must join with ZERO Exchange on either side
+    (the bucketed scans report hash-partitioning), and the sorted
+    buckets also kill the join-side Sorts. Contrast pinned: the same
+    join over plain parquet shuffles both sides."""
+    from trek_spark.spark.job import scoped_conf, write_bucketed
+
+    orders = spark.range(0, 2000).selectExpr(
+        "id AS o_orderkey", "id % 97 AS o_custkey",
+        "CAST(id * 7 % 1000 AS BIGINT) AS price_c")
+    lines = spark.range(0, 6000).selectExpr(
+        "id % 2000 AS l_orderkey", "id AS l_lineno",
+        "CAST(id % 50 AS BIGINT) AS qty")
+    write_bucketed(orders, "t_orders_b", 8, "o_orderkey")
+    write_bucketed(lines.withColumnRenamed("l_orderkey", "o_orderkey"),
+                   "t_lines_b", 8, "o_orderkey")
+    try:
+        with scoped_conf(spark, "spark.sql.autoBroadcastJoinThreshold",
+                         "-1"):
+            j = (spark.table("t_orders_b")
+                 .join(spark.table("t_lines_b"), "o_orderkey"))
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan, plan
+            assert j.count() == 6000
+
+            # contrast: identical join over non-bucketed inputs shuffles
+            p = (orders.join(
+                    lines.withColumnRenamed("l_orderkey", "o_orderkey"),
+                    "o_orderkey")
+                 ._jdf.queryExecution().executedPlan().toString())
+            assert "Exchange" in p
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lines_b")

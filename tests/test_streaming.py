@@ -173,3 +173,50 @@ def test_stream_extract_with_dedup_stage(spark, tmp_path_factory):
     assert q.awaitTermination(300)
     got = spark.read.parquet(out).select("conv_id", "turn_idx").collect()
     assert {(r.conv_id, r.turn_idx) for r in got} == {("c1", 0), ("c1", 1)}
+
+
+def test_stream_stream_interval_join(spark, tmp_path_factory):
+    """Watermarked stream-stream interval join: a turn is enriched by
+    the tool result arriving on the same conv_id within [ts, ts+5min];
+    a result outside the window (or on another conv) must not match.
+    Both sides are real file streams drained with availableNow."""
+    import datetime as dt
+
+    from trek_spark.spark.streaming import stream_join_tool_results
+
+    base = dt.datetime(2025, 1, 1, 12, 0, 0)
+    turns_dir = str(tmp_path_factory.mktemp("ss_turns"))
+    res_dir = str(tmp_path_factory.mktemp("ss_results"))
+    out = str(tmp_path_factory.mktemp("ss_out"))
+    ckpt = str(tmp_path_factory.mktemp("ss_ckpt"))
+
+    turn_schema = "conv_id string, turn_idx int, role string, ts timestamp"
+    res_schema = "conv_id string, tool string, res_ts timestamp, " \
+                 "payload string"
+    spark.createDataFrame(
+        [("c1", 0, "user", base),
+         ("c1", 1, "assistant", base + dt.timedelta(minutes=1)),
+         ("c2", 0, "user", base)],
+        turn_schema).coalesce(1).write.mode("append").parquet(turns_dir)
+    spark.createDataFrame(
+        [("c1", "search", base + dt.timedelta(minutes=2), "hits=3"),
+         # too late for c1 turn 0 (lag > 5 min) but joins turn 1
+         ("c1", "fetch", base + dt.timedelta(minutes=5, seconds=30), "ok"),
+         # different conv: must never appear against c1/c2 turns
+         ("c9", "search", base + dt.timedelta(minutes=1), "orphan")],
+        res_schema).coalesce(1).write.mode("append").parquet(res_dir)
+
+    turns = (spark.readStream.schema(turn_schema).parquet(turns_dir))
+    results = (spark.readStream.schema(res_schema).parquet(res_dir))
+    joined = stream_join_tool_results(turns, results)
+    q = (joined.writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    assert q.awaitTermination(300)
+
+    got = {(r.conv_id, r.turn_idx, r.tool)
+           for r in spark.read.parquet(out).collect()}
+    assert got == {("c1", 0, "search"),    # 2 min lag: in window
+                   ("c1", 1, "search"),    # 1 min lag: in window
+                   ("c1", 1, "fetch")}     # 4.5 min lag from turn 1
+    # the orphan conv and the >5-min pairing never emitted

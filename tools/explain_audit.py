@@ -182,6 +182,15 @@ AUDITS = {
         ("BroadcastNestedLoopJoin", "corpus totals broadcast as one row — "
                                     "computed once, not per group"),
     ],
+    "customer_value_deciles_approx": [
+        ("ObjectHashAggregate", "approx_percentile cutoffs via a "
+                                "partial-aggregable sketch, not a sort"),
+        ("BroadcastNestedLoopJoin", "1-row cutoff array broadcast back to "
+                                    "the banding scan"),
+        ("Sort", "the whole point of the approx twin: NO sort anywhere — "
+                 "the exact op's global-window sort is the 10⁹-customer "
+                 "scale-killer", 0),
+    ],
 }
 
 

@@ -161,3 +161,41 @@ def stream_turn_rate(stream: DataFrame, window: str = "1 minute",
             .groupBy(w, "role")
             .agg(F.count("*").alias("turns"),
                  F.sum(F.length("text")).alias("bytes_in")))
+
+
+def stream_join_tool_results(turns: DataFrame, results: DataFrame,
+                             watermark: str = "2 minutes",
+                             max_lag: str = "5 minutes") -> DataFrame:
+    """Watermarked STREAM-STREAM interval join: each streaming turn is
+    enriched with the tool result that arrives for the same conv_id
+    within ``[turn.ts, turn.ts + max_lag]`` — the streaming analogue of
+    the batch AS-OF join (ops.py events_asof_join).
+
+    State-boundedness at 100 TB/day rates: BOTH sides carry a watermark
+    and the join condition is an equi-key PLUS a closed time interval,
+    which is exactly what Structured Streaming needs to compute a state
+    eviction bound for each side (turns older than watermark+lag and
+    results older than watermark are dropped from state; without the
+    interval the state would grow forever). Inner join → a turn with no
+    result inside the window simply doesn't emit, which is the
+    deterministic, replayable semantics (left-outer would emit nulls
+    only after watermark passage)."""
+    t = turns.withWatermark("ts", watermark).alias("t")
+    r = results.withWatermark("res_ts", watermark).alias("r")
+    return t.join(
+        r,
+        F.expr(f"""
+            t.conv_id = r.conv_id AND
+            r.res_ts >= t.ts AND
+            r.res_ts <= t.ts + interval {max_lag}
+        """),
+        "inner",
+    ).select(
+        F.col("t.conv_id").alias("conv_id"),
+        F.col("t.turn_idx").alias("turn_idx"),
+        F.col("t.role").alias("role"),
+        F.col("t.ts").alias("ts"),
+        F.col("r.tool").alias("tool"),
+        F.col("r.res_ts").alias("res_ts"),
+        F.col("r.payload").alias("payload"),
+    )
