@@ -325,12 +325,14 @@ _NEVER_RECORDED_R7 = [
 _NEW_R7 = [
     # appended as implemented this round (each must exist in OPS)
     "customer_value_deciles_approx",
+    "events_cardinality_approx",
 ]
 # Rotated out for round 7: unchanged + green in every round since r1.
 # They remain in OPS (bench + pytest still exercise them) and rotate
 # back into the window on a later round.
 _ROTATED_OUT_R7 = [
     "scan_filter_project",
+    "segment_revenue",
     "top_orders",
     "distinct_priorities",
     "orders_except",

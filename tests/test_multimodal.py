@@ -961,3 +961,42 @@ def test_media_corpus_emits_avis(tmp_path):
         nf = 2 + k % 3
         dec = M.avi_decode_frames(v)
         assert dec is not None and len(dec[3]) == nf
+
+
+def test_avi_roundtrip_property():
+    """Property: synth_avi_mjpeg → _avi_walk/avi_decode_frames recovers
+    frame count, per-frame dimensions and component counts for arbitrary
+    dimensions, frame counts, fps and seeds; avi_frame_sample returns
+    min(n, k) decodable JPEG payloads for any requested n; header
+    duration is exact integer math from fps and frame count."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from trek_spark.spark import multimodal as M
+
+    @settings(max_examples=25, deadline=None)
+    @given(w=st.integers(1, 24), h=st.integers(1, 20),
+           nf=st.integers(1, 6), fps=st.integers(1, 30),
+           seed=st.binary(min_size=1, max_size=32),
+           n_req=st.integers(1, 8))
+    def prop(w, h, nf, fps, seed, n_req):
+        seeds = [seed + bytes([i]) for i in range(nf)]
+        avi = M.synth_avi_mjpeg(w, h, seeds, fps=fps)
+        hdr = M.avi_header_info(avi)
+        usec = 1_000_000 // fps
+        assert hdr == {"mime": "video/x-msvideo", "width": w, "height": h,
+                       "duration_ms": int(nf * usec / 1000)}
+        gw, gh, gusec, frames = M.avi_decode_frames(avi)
+        assert (gw, gh, gusec) == (w, h, usec)
+        assert len(frames) == nf
+        for i, (fw, fh, nc, px) in enumerate(frames):
+            assert (fw, fh) == (w, h)
+            assert nc == (3 if i % 3 == 2 else 1)
+            assert len(px) == w * h * nc
+        fs = M.avi_frame_sample(avi, n_req)
+        assert fs is not None and len(fs) == min(n_req, nf)
+        for fr in fs:
+            d = M.jpeg_decode_pixels(fr)
+            assert d is not None and d[:2] == (w, h)
+
+    prop()

@@ -572,6 +572,42 @@ def q_events_stats(spark, sf_dir):
     )
 
 
+def q_events_cardinality_approx(spark, sf_dir):
+    """HLL++ cardinality — THE 100 TB distinct-count tool, previously
+    missing from the inventory: exact ``count(DISTINCT)`` shuffles every
+    distinct (key, value) pair (state grows with cardinality — 10⁹ users
+    means 10⁹ shuffle rows), while ``approx_count_distinct`` keeps a
+    fixed-size mergeable HLL sketch per group, partial-aggregated
+    map-side like any sum.
+
+    Oracle shape: the exact per-type user count is verified
+    value-for-value cross-engine; the HLL estimate itself is
+    sketch-implementation-specific (DuckDB's HLL ≠ Spark's), so what's
+    recorded is a VERIFIED ERROR BOUND — ``hll_within_2pct`` computed by
+    Spark against its own exact count, emitted by the oracle as the
+    literal truth. A sketch drifting past the bound flips the flag and
+    the driver hash catches it. (rsd 0.5% ⇒ the 2% gate has 4σ margin;
+    at these cardinalities HLL++ sparse mode is exact anyway.)"""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_users"),
+             F.expr("approx_count_distinct(user_id, 0.005)")
+             .alias("hll_users"))
+        .select("event_type", "exact_users",
+                (F.abs(F.col("hll_users") - F.col("exact_users")) * 50
+                 <= F.col("exact_users")).alias("hll_within_2pct"))
+    )
+
+
+SQL_EVENTS_CARDINALITY_APPROX = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       true AS hll_within_2pct
+FROM events GROUP BY event_type
+"""
+
+
 SQL_EVENTS_STATS = """
 SELECT event_type, count(*) AS cnt,
        CAST((2 * sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 10
@@ -2879,6 +2915,8 @@ OPS: dict[str, tuple] = {
     "part_strings": (q_part_strings, SQL_PART_STRINGS),
     "orders_by_month": (q_orders_by_month, SQL_ORDERS_BY_MONTH),
     "events_stats": (q_events_stats, SQL_EVENTS_STATS),
+    "events_cardinality_approx": (
+        q_events_cardinality_approx, SQL_EVENTS_CARDINALITY_APPROX),
     "event_gaps": (q_event_gaps, SQL_EVENT_GAPS),
     "events_asof_join": (q_events_asof_join, SQL_EVENTS_ASOF_JOIN),
     "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
