@@ -419,3 +419,46 @@ def test_bucketed_join_is_exchange_free(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lines_b")
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """Skew handling at 100 TB: one hot key holding most of the fact
+    rows must not pin a whole join to one straggler task — AQE's skew
+    join splits the oversized partition at runtime. Thresholds are
+    scaled down so the mechanism ENGAGES on test-sized data (same
+    philosophy as the injected-skew dedup cap oracle): the executed
+    final plan must show `skew=true` on the SortMergeJoin."""
+    from contextlib import ExitStack
+
+    from trek_spark.spark.job import scoped_conf
+
+    fact = spark.range(0, 60_000).selectExpr(
+        # 55k rows on key 0, the rest spread over 999 keys
+        "CAST(CASE WHEN id < 55000 THEN 0 ELSE id % 999 + 1 END AS BIGINT)"
+        " AS k",
+        # skew detection reads COMPRESSED shuffle block sizes: the pad
+        # must be incompressible or the hot partition lz4s to nothing
+        "concat(md5(cast(id as string)), md5(cast(id + 1 as string)), "
+        "md5(cast(id + 2 as string)), md5(cast(id + 3 as string))) AS pad")
+    dim = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS v")
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    with ExitStack() as stack:
+        for k, v in confs.items():
+            stack.enter_context(scoped_conf(spark, k, v))
+        j = fact.join(dim, "k")
+        # execute THIS dataframe's plan (count() builds a different one
+        # whose queryExecution would still read isFinalPlan=false)
+        assert len(j.collect()) == 60_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "skew=true" in plan, plan

@@ -2083,13 +2083,10 @@ def avi_features(payload: bytes, dim: int = 16) -> list[float] | None:
     return None
 
 
-def synth_avi_mjpeg(width: int, height: int, seeds: list,
-                    fps: int = 10, color_every: int = 3) -> bytes:
-    """Genuine RIFF/AVI MJPEG encoder (deterministic, stdlib): one
-    'vids'/'MJPG' stream, one keyframe chunk per seed — every third
-    frame 4:2:0 color, the rest baseline grayscale, so the sampler
-    exercises both JPEG decode paths. Emits hdrl (avih + strh/strf),
-    movi, and a keyframe idx1."""
+def _assemble_avi(width: int, height: int, frames: list,
+                  usec_per_frame: int) -> bytes:
+    """RIFF/AVI MJPEG container assembly around ready JPEG frame
+    payloads: hdrl (avih + strh/strf), movi, keyframe idx1."""
     def chunk(fourcc: bytes, data: bytes) -> bytes:
         pad = b"\x00" if len(data) & 1 else b""
         return fourcc + struct.pack("<I", len(data)) + data + pad
@@ -2097,19 +2094,11 @@ def synth_avi_mjpeg(width: int, height: int, seeds: list,
     def lst(ltype: bytes, data: bytes) -> bytes:
         return chunk(b"LIST", ltype + data)
 
-    frames = []
-    for i, seed in enumerate(seeds):
-        if color_every and i % color_every == color_every - 1:
-            rgb = (seed * (3 * width * height // max(1, len(seed)) + 1)
-                   )[:3 * width * height]
-            frames.append(synth_jpeg_color(width, height, rgb, (2, 2)))
-        else:
-            frames.append(synth_jpeg(width, height, seed))
-    usec = 1_000_000 // fps
-    avih = struct.pack("<10I", usec, 0, 0, 0x10, len(frames), 0, 1, 0,
-                       width, height) + bytes(16)
+    rate = max(1, round(1_000_000 / max(1, usec_per_frame)))
+    avih = struct.pack("<10I", usec_per_frame, 0, 0, 0x10, len(frames),
+                       0, 1, 0, width, height) + bytes(16)
     strh = (b"vids" + b"MJPG"
-            + struct.pack("<IHHIIIIIII", 0, 0, 0, 0, 1, fps, 0,
+            + struct.pack("<IHHIIIIIII", 0, 0, 0, 0, 1, rate, 0,
                           len(frames), 0, 0)
             + struct.pack("<I4h", 0, 0, 0, width, height))
     strf = struct.pack("<IiiHH4sIiiII", 40, width, height, 1, 24,
@@ -2126,6 +2115,60 @@ def synth_avi_mjpeg(width: int, height: int, seeds: list,
         movi_body += chunk(b"00dc", f)
     body = hdrl + lst(b"movi", movi_body) + chunk(b"idx1", idx)
     return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body
+
+
+def resize_avi(payload: bytes, target_w: int,
+               target_h: int) -> bytes | None:
+    """Format-preserving video resize: every MJPEG frame through the
+    real JPEG resize (decode → nearest-neighbor → re-encode), then the
+    container is reassembled at the new dimensions with the original
+    frame timing. None if the payload is not AVI or any frame refuses
+    to decode (half-decodable containers fall to the declared stub)."""
+    parsed = _avi_walk(payload)
+    if parsed is None:
+        return None
+    hdr, chunks = parsed
+    out = []
+    for raw in chunks:
+        rz = resize_jpeg(raw, target_w, target_h)
+        if rz is None:
+            return None
+        out.append(rz)
+    return _assemble_avi(target_w, target_h, out, hdr["usec_per_frame"])
+
+
+def clip_avi(payload: bytes, start_ms: int, end_ms: int) -> bytes | None:
+    """Segment extraction for video (the clip_wav analogue): keep the
+    frames whose timestamps land in ``[start_ms, end_ms)`` and re-emit a
+    valid AVI with the original dimensions and timing. None for non-AVI
+    payloads or an empty clip range."""
+    parsed = _avi_walk(payload)
+    if parsed is None or end_ms <= start_ms:
+        return None
+    hdr, chunks = parsed
+    usec = hdr["usec_per_frame"] or 1
+    kept = [raw for i, raw in enumerate(chunks)
+            if start_ms <= i * usec / 1000 < end_ms]
+    if not kept:
+        return None
+    return _assemble_avi(hdr["width"], hdr["height"], kept, usec)
+
+
+def synth_avi_mjpeg(width: int, height: int, seeds: list,
+                    fps: int = 10, color_every: int = 3) -> bytes:
+    """Genuine RIFF/AVI MJPEG encoder (deterministic, stdlib): one
+    'vids'/'MJPG' stream, one keyframe chunk per seed — every third
+    frame 4:2:0 color, the rest baseline grayscale, so the sampler
+    exercises both JPEG decode paths."""
+    frames = []
+    for i, seed in enumerate(seeds):
+        if color_every and i % color_every == color_every - 1:
+            rgb = (seed * (3 * width * height // max(1, len(seed)) + 1)
+                   )[:3 * width * height]
+            frames.append(synth_jpeg_color(width, height, rgb, (2, 2)))
+        else:
+            frames.append(synth_jpeg(width, height, seed))
+    return _assemble_avi(width, height, frames, 1_000_000 // fps)
 
 
 def _fake_dims(payload: bytes) -> tuple[int, int, int]:
@@ -2209,6 +2252,8 @@ def resize_stub(payload: bytes, target_w: int, target_h: int) -> bytes:
         real = resize_jpeg(payload, target_w, target_h)
     if real is None:
         real = resize_gif(payload, target_w, target_h)
+    if real is None:
+        real = resize_avi(payload, target_w, target_h)
     if real is not None:
         return real
     if _STRICT:
@@ -2299,6 +2344,27 @@ def clip_audio(df: DataFrame, start_ms: int, end_ms: int) -> DataFrame:
                 clip_wav(p if isinstance(p, (bytes, bytearray)) else b"",
                          start_ms, end_ms)
                 if mt == "audio" else None
+                for p, mt in zip(pdf["payload"], pdf["media_type"])]
+            out = pdf.reset_index(drop=True)
+            out["clipped"] = clipped
+            yield out
+
+    return df.mapInPandas(worker, schema=", ".join(cols + ["clipped binary"]))
+
+
+def clip_video(df: DataFrame, start_ms: int, end_ms: int) -> DataFrame:
+    """df(media_id, payload, media_type) → + ``clipped binary`` for video
+    rows: REAL frame-range clipping for MJPEG AVI (container reassembled
+    with original dims + timing; None for non-AVI video / non-video
+    rows) — the video analogue of :func:`clip_audio`."""
+    cols = [f"{c} {dict(df.dtypes)[c]}" for c in df.columns]
+
+    def worker(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            clipped = [
+                clip_avi(p if isinstance(p, (bytes, bytearray)) else b"",
+                         start_ms, end_ms)
+                if mt == "video" else None
                 for p, mt in zip(pdf["payload"], pdf["media_type"])]
             out = pdf.reset_index(drop=True)
             out["clipped"] = clipped
