@@ -45,6 +45,28 @@ def test_spans_end_measured_in_source_not_markdown():
     assert "closing words to find the end with" in covered
 
 
+def test_spans_short_fenced_code_block_tail():
+    """A SHORT fenced code block's tail probe must be the code body, not
+    the renderer-made fence info line ('py\\n...') — the info string never
+    exists verbatim in the source, so keeping it silently shrank the span
+    to the lead for blocks under ~40 chars."""
+    from trek_spark.spark.udf import _tail_candidates
+
+    cands = _tail_candidates("```py\nprint('hello world indeed')\n```")
+    assert cands == ["print('hello world indeed')"]
+
+    src = ("<html><body><p>Intro sentence anchoring the document body "
+           "probe.</p><pre><code class=\"language-py\">print('hello "
+           "world indeed')</code></pre><p>Closing paragraph with words "
+           "to anchor the last block.</p></body></html>")
+    r = extract_one(src, "https://ex.example/c")
+    spans = r["content_spans"]
+    assert spans
+    _assert_invariants(src, spans)
+    covered = [src[s["start"]:s["end"]] for s in spans]
+    assert any("print('hello world indeed')" in c for c in covered)
+
+
 def test_spans_invariants_over_corpus():
     """Every fixture document yields spans satisfying the invariants."""
     checked = 0

@@ -889,7 +889,7 @@ def test_avi_frame_sample_real_and_bounds():
         d = M.jpeg_decode_pixels(fr)
         assert d is not None and d[:2] == (20, 14)
     # evenly spaced picks: chunk 0, 2, 4 of 7
-    _, chunks = M._avi_walk(avi)
+    _, chunks, _ = M._avi_walk(avi)
     assert fs == [chunks[0], chunks[2], chunks[4]]
     # frame_sample_stub routes AVI to the real path
     assert M.frame_sample_stub(avi, 3) == fs
@@ -929,11 +929,36 @@ def test_avi_walk_hostile_sizes_bounded():
     bomb = b"RIFF" + struct.pack("<I", 4 + len(inner)) + b"AVI " + inner
     assert M._avi_walk(bomb) is None
 
-    # chunk flood: >_AVI_MAX_CHUNKS empty movi entries
+    # chunk flood with no header anywhere: reject (nothing parseable)
     flood_body = (b"00dc" + struct.pack("<I", 0)) * (M._AVI_MAX_CHUNKS + 10)
     movi = b"LIST" + struct.pack("<I", 4 + len(flood_body)) + b"movi" + flood_body
     flood = b"RIFF" + struct.pack("<I", 4 + len(movi)) + b"AVI " + movi
-    assert M._avi_walk(flood) is None  # budget exhausted → loud refusal
+    assert M._avi_walk(flood) is None  # no avih, no frames → refusal
+
+    # LONG video (> _AVI_MAX_CHUNKS frame chunks, header up front): the
+    # budget must TRUNCATE the walk, not fail the container — a real
+    # 3-minute MJPEG AVI has >4096 chunks and its header lives in the
+    # first KB
+    avih = b"avih" + struct.pack("<I", 56) + struct.pack(
+        "<14I", 100_000, 0, 0, 0, 5000, 0, 1, 0, 32, 24, 0, 0, 0, 0)
+    hdrl = b"LIST" + struct.pack("<I", 4 + len(avih)) + b"hdrl" + avih
+    long_body = (b"00dc" + struct.pack("<I", 4) + b"fake") * (
+        M._AVI_MAX_CHUNKS + 100)
+    lmovi = (b"LIST" + struct.pack("<I", 4 + len(long_body)) + b"movi"
+             + long_body)
+    long_avi = (b"RIFF" + struct.pack("<I", 8 + len(hdrl) + len(lmovi))
+                + b"AVI " + hdrl + lmovi)
+    parsed = M._avi_walk(long_avi)
+    assert parsed is not None
+    hdr, frames, nframes = parsed
+    assert hdr["width"] == 32 and hdr["total_frames"] == 5000
+    assert 0 < nframes <= M._AVI_MAX_CHUNKS  # truncated, bounded
+    # header-only mode: same header, zero frame-byte copies
+    hdr2, frames2, nf2 = M._avi_walk(long_avi, collect_frames=False)
+    assert hdr2 == hdr and frames2 == [] and nf2 == nframes
+    info = M.avi_header_info(long_avi)
+    assert info == {"mime": "video/x-msvideo", "width": 32, "height": 24,
+                    "duration_ms": 500_000}  # 5000 frames × 100 ms
 
 
 def test_media_corpus_emits_avis(tmp_path):
@@ -1030,8 +1055,8 @@ def test_avi_resize_and_clip():
     _, _, cusec, cframes = M.avi_decode_frames(cl)
     assert cusec == 100_000 and len(cframes) == 3
     # frame payloads are preserved verbatim (clip never re-encodes)
-    _, orig_chunks = M._avi_walk(avi)
-    _, clip_chunks = M._avi_walk(cl)
+    _, orig_chunks, _ = M._avi_walk(avi)
+    _, clip_chunks, _ = M._avi_walk(cl)
     assert clip_chunks == orig_chunks[2:5]
 
     assert M.clip_avi(avi, 900, 1200) is None   # past the last frame

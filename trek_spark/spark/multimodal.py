@@ -1955,27 +1955,37 @@ def _encode_gif(width: int, height: int, idx: bytearray,
 _AVI_MAX_CHUNKS = 4096  # chunk-walk bound; frame pixel caps live in JPEG
 
 
-def _avi_walk(payload: bytes):
-    """Parse a RIFF/AVI container: returns ``(header, frames)`` where
-    ``header`` is the avih main header as a dict (usec_per_frame,
-    total_frames, width, height) and ``frames`` is the list of raw
+def _avi_walk(payload: bytes, collect_frames: bool = True):
+    """Parse a RIFF/AVI container: returns ``(header, frames, nframes)``
+    where ``header`` is the avih main header as a dict (usec_per_frame,
+    total_frames, width, height), ``frames`` is the list of raw
     video-chunk payloads ('##dc'/'##db' — for MJPEG each one is a
-    complete JPEG stream), or None for non-AVI/malformed bytes. All
-    size fields are attacker-controlled: every advance is bounds-checked
-    and the walk is capped at _AVI_MAX_CHUNKS chunks."""
+    complete JPEG stream; empty when ``collect_frames`` is False) and
+    ``nframes`` counts the video chunks seen, or None for
+    non-AVI/malformed bytes. With ``collect_frames=False`` (the
+    header-only path used by ``decode_headers``) no chunk bytes are
+    copied — the walk only counts. All size fields are
+    attacker-controlled: every advance is bounds-checked. The walk is
+    capped at _AVI_MAX_CHUNKS chunks; hitting the cap TRUNCATES the
+    result (a long video's header lives in the first chunks — failing
+    the whole container for having many frames would be wrong), while
+    malformed sizes/nesting still reject the payload."""
     d = payload
     n = len(d)
     if n < 24 or d[:4] != b"RIFF" or d[8:12] != b"AVI ":
         return None
     header = None
     frames: list[bytes] = []
+    nframes = [0]
 
     def walk(lo: int, hi: int, depth: int, budget: list) -> bool:
         nonlocal header
+        if depth > 4:
+            return False
         i = lo
         while i + 8 <= hi:
-            if budget[0] <= 0 or depth > 4:
-                return False
+            if budget[0] <= 0:
+                return True          # budget spent: truncate, not fail
             budget[0] -= 1
             cid = d[i:i + 4]
             size = struct.unpack("<I", d[i + 4:i + 8])[0]
@@ -1994,25 +2004,29 @@ def _avi_walk(payload: bytes):
                           "width": w, "height": h}
             elif (cid[2:4] in (b"dc", b"db") and cid[:2].isdigit()
                   and size > 0):
-                frames.append(d[i + 8:end])
+                nframes[0] += 1
+                if collect_frames:
+                    frames.append(d[i + 8:end])
             i = end + (size & 1)
         return True
 
     if not walk(12, n, 0, [_AVI_MAX_CHUNKS]):
         return None
-    if header is None or not frames:
+    if header is None or nframes[0] == 0:
         return None
-    return header, frames
+    return header, frames, nframes[0]
 
 
 def avi_header_info(payload: bytes) -> dict | None:
     """Container-header decode for RIFF/AVI: mime + dimensions +
-    duration from the avih main header (no frame decode)."""
-    parsed = _avi_walk(payload)
+    duration from the avih main header (no frame decode, and — via
+    ``collect_frames=False`` — no frame-payload byte copies either:
+    this runs on every media row in decode_map_in_pandas)."""
+    parsed = _avi_walk(payload, collect_frames=False)
     if parsed is None:
         return None
-    hdr, frames = parsed
-    nf = hdr["total_frames"] or len(frames)
+    hdr, _, nframes = parsed
+    nf = hdr["total_frames"] or nframes
     return {"mime": "video/x-msvideo", "width": hdr["width"] or None,
             "height": hdr["height"] or None,
             "duration_ms": int(nf * hdr["usec_per_frame"] / 1000)}
@@ -2029,7 +2043,7 @@ def avi_decode_frames(payload: bytes, max_frames: int = 64):
     parsed = _avi_walk(payload)
     if parsed is None:
         return None
-    hdr, chunks = parsed
+    hdr, chunks, _ = parsed
     decoded = []
     pixel_budget = 16_000_000
     for raw in chunks[:max_frames]:
@@ -2057,7 +2071,7 @@ def avi_frame_sample(payload: bytes, n_frames: int = 4) -> list[bytes] | None:
     parsed = _avi_walk(payload)
     if parsed is None or n_frames <= 0:
         return None
-    _, chunks = parsed
+    _, chunks, _ = parsed
     k = len(chunks)
     picks = [min(k - 1, i * k // n_frames) for i in range(n_frames)] \
         if k >= n_frames else list(range(k))
@@ -2072,11 +2086,14 @@ def avi_frame_sample(payload: bytes, n_frames: int = 4) -> list[bytes] | None:
 def avi_features(payload: bytes, dim: int = 16) -> list[float] | None:
     """Content features for MJPEG AVI: the shared image feature space
     (mean color + luminance histogram) computed from the first
-    decodable frame — the standard thumbnail-feature shape for video."""
+    decodable frame among the first 64 video chunks — the standard
+    thumbnail-feature shape for video. The 64-chunk scan bound keeps a
+    hostile container full of almost-JPEG garbage from costing 4096
+    decode attempts; a real MJPEG stream decodes on chunk 1."""
     parsed = _avi_walk(payload)
     if parsed is None:
         return None
-    for raw in parsed[1][:4]:
+    for raw in parsed[1][:64]:
         f = jpeg_features(raw, dim)
         if f is not None:
             return f
@@ -2127,7 +2144,7 @@ def resize_avi(payload: bytes, target_w: int,
     parsed = _avi_walk(payload)
     if parsed is None:
         return None
-    hdr, chunks = parsed
+    hdr, chunks, _ = parsed
     out = []
     for raw in chunks:
         rz = resize_jpeg(raw, target_w, target_h)
@@ -2145,7 +2162,7 @@ def clip_avi(payload: bytes, start_ms: int, end_ms: int) -> bytes | None:
     parsed = _avi_walk(payload)
     if parsed is None or end_ms <= start_ms:
         return None
-    hdr, chunks = parsed
+    hdr, chunks, _ = parsed
     usec = hdr["usec_per_frame"] or 1
     kept = [raw for i, raw in enumerate(chunks)
             if start_ms <= i * usec / 1000 < end_ms]
@@ -2168,7 +2185,7 @@ def synth_avi_mjpeg(width: int, height: int, seeds: list,
             frames.append(synth_jpeg_color(width, height, rgb, (2, 2)))
         else:
             frames.append(synth_jpeg(width, height, seed))
-    return _assemble_avi(width, height, frames, 1_000_000 // fps)
+    return _assemble_avi(width, height, frames, 1_000_000 // max(1, fps))
 
 
 def _fake_dims(payload: bytes) -> tuple[int, int, int]:

@@ -1524,12 +1524,14 @@ def q_customer_value_deciles_approx(spark, sf_dir):
     tolerance pytest pins per-band count drift ≤ ε against the exact op.
     """
     cents = F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
-    # lazy cache (no plan-construction side effect): rev feeds both the
-    # cutoff sketch and the banding scan — without it the orders scan +
-    # groupBy runs twice
+    # rev feeds both the cutoff sketch and the banding scan, but needs
+    # neither a cache (which this op could never unpersist — it would
+    # pin executor storage for the rest of the session) nor a second
+    # scan: the two aggregate subtrees canonicalize identically, so AQE
+    # reuses the shuffle stage (ReusedExchange in the executed plan —
+    # verified at sf0.01)
     rev = (_t(spark, sf_dir, "orders")
-           .groupBy("o_custkey").agg(F.sum(cents).alias("revenue_c"))
-           .cache())
+           .groupBy("o_custkey").agg(F.sum(cents).alias("revenue_c")))
     cuts = rev.agg(F.expr(
         "approx_percentile(revenue_c, "
         "array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D), "

@@ -199,6 +199,13 @@ def _tail_candidates(stripped: str) -> list[str]:
     t = stripped.rstrip(_SPAN_TRIM + ".)]|").lstrip(_SPAN_TRIM)
     if stripped.rstrip().endswith("```"):
         t = stripped.rstrip().rstrip("`").rstrip()
+        if t.startswith("```"):
+            # drop the opening fence + info string ("```py\n") — the
+            # info line is renderer-made, so for short blocks it would
+            # head the tail probe and never match the source verbatim;
+            # only the code body text exists in the source
+            nl = t.find("\n")
+            t = t[nl + 1:] if nl >= 0 else ""
     cands = [t[-40:].lstrip(_SPAN_TRIM)]
     # truncate backward at the last inline-syntax char
     tail = cands[0]
