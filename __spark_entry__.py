@@ -326,6 +326,7 @@ _NEW_R7 = [
     # appended as implemented this round (each must exist in OPS)
     "customer_value_deciles_approx",
     "events_cardinality_approx",
+    "dedup_prefix_filter",
 ]
 # Rotated out for round 7: unchanged + green in every round since r1.
 # They remain in OPS (bench + pytest still exercise them) and rotate
@@ -333,6 +334,7 @@ _NEW_R7 = [
 _ROTATED_OUT_R7 = [
     "scan_filter_project",
     "segment_revenue",
+    "region_revenue",
     "top_orders",
     "distinct_priorities",
     "orders_except",

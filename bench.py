@@ -68,7 +68,7 @@ BENCH_QUERIES = [
     "benchmark_contamination", "dedup_keep_canonical",
     "dedup_minhash_estimate",
     "events_asof_join", "events_sessionize", "docs_repetition_ratio",
-    "dedup_hot_shingle_audit",
+    "dedup_hot_shingle_audit", "dedup_prefix_filter",
 ]
 
 

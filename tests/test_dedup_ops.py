@@ -524,3 +524,66 @@ def test_deciles_approx_plan_has_no_sort(spark):
     exact_plan = (O.q_customer_value_deciles(spark, "/root/testdata/sf0.001")
                   ._jdf.queryExecution().executedPlan().toString())
     assert "Sort" in exact_plan  # the contrast the docstring claims
+
+
+def _brute_force_pairs(rows: list[tuple], threshold=(4, 5)):
+    """Pure-Python exact shingle-set Jaccard >= num/den pairs, the
+    independent reference for the prefix-filter op (replicates the
+    _shingles tokenization: whitespace split, 3-gram, distinct)."""
+    num, den = threshold
+    sets = {}
+    for doc_id, text in rows:
+        toks = text.strip().split()
+        if len(toks) >= 3:
+            sh = {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+            if sh:
+                sets[doc_id] = sh
+    out = set()
+    ids = sorted(sets)
+    for i, ia in enumerate(ids):
+        for ib in ids[i + 1:]:
+            inter = len(sets[ia] & sets[ib])
+            union = len(sets[ia] | sets[ib])
+            if den * inter >= num * union:
+                out.add((ia, ib, inter,
+                         (2 * inter * 10000 + union) // (2 * union)))
+    return out
+
+
+def test_prefix_filter_completeness_on_mutated_corpus(spark, tmp_path):
+    """Zero-false-negative property on a corpus ENGINEERED to straddle
+    the 0.8 threshold: 6 base documents, each with variants mutated at
+    0..6 random positions (deterministic seed), plus exact duplicates,
+    short docs (no shingles) and a doc pair sharing only rare shingles
+    across a 3x length gap (length-filter prune). The op's result must
+    equal the pure-Python brute force EXACTLY - prefix filtering is an
+    exact algorithm, not an approximation."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    k = 0
+    for b in range(6):
+        base = [rng.choice(vocab) for _ in range(30 + 5 * b)]
+        for n_mut in (0, 0, 1, 2, 4, 6):
+            doc = list(base)
+            for _ in range(n_mut):
+                doc[rng.randrange(len(doc))] = rng.choice(vocab)
+            rows.append((f"d{k:05d}", " ".join(doc)))
+            k += 1
+    rows.append((f"d{k:05d}", "one two")); k += 1          # no shingles
+    rows.append((f"d{k:05d}", "")); k += 1                 # empty
+    long_doc = " ".join(rng.choice(vocab) for _ in range(90))
+    rows.append((f"d{k:05d}", long_doc)); k += 1
+    rows.append((f"d{k:05d}", long_doc.split(" ", 60)[-1])); k += 1
+
+    (spark.createDataFrame(rows, "doc_id string, text string")
+     .write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet"))
+    got = {(r["id_a"], r["id_b"], r["inter"], r["jaccard_e4"])
+           for r in O.q_dedup_prefix_filter(spark, str(tmp_path)).collect()}
+    want = _brute_force_pairs(rows)
+    assert want, "corpus must actually contain qualifying pairs"
+    # and some NON-trivial ones (mutated, not just exact duplicates)
+    assert any(j < 10000 for (_, _, _, j) in want)
+    assert got == want

@@ -62,6 +62,19 @@ AUDITS = {
                      "(the extra scans are the tiny column-pruned sizes "
                      "branches for the id_a/id_b joins)", 3),
     ],
+    "dedup_prefix_filter": [
+        ("CartesianProduct", "candidate generation is an EQUI-join on "
+                             "the prefix (df, shingle) struct (BHJ at "
+                             "test SF, SMJ at scale) — never a "
+                             "cartesian", 0),
+        ("BroadcastNestedLoopJoin", "the p=p key is a join KEY, not a "
+                                    "post-cross filter", 0),
+        ("greatest(n", "length filter (5*min >= 4*max) inside the join "
+                       "condition, pruning before the distinct shuffle"),
+        ("ObjectHashAggregate", "one collect_list aggregate feeds "
+                                "prefix AND verify sides (exchange "
+                                "reuse dedupes it at runtime)"),
+    ],
     "dedup_minhash_lsh": [
         ("Window", "hot-bucket cap before collect_list"),
         ("Scan parquet", "md5 signatures evaluated once", 1),

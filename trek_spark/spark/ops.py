@@ -1245,6 +1245,132 @@ FROM ex GROUP BY shingle HAVING count(*) > {_SHINGLE_DF_CAP}
 """
 
 
+def q_dedup_prefix_filter(spark, sf_dir):
+    """EXACT set-similarity self-join via prefix filtering (the
+    AllPairs/PPJoin candidate scheme, Bayardo et al. WWW'07; Xiao et
+    al. WWW'08): every document pair with shingle-set Jaccard ≥ 0.8,
+    with NO false negatives — the exact complement to the approximate
+    LSH/SimHash family.
+
+    Scale path, against the reference's in-memory dedup
+    (`src/lib.rs` has no similarity join at all — this is pipeline
+    extension surface):
+
+    1. Global document frequency per 3-gram shingle (one groupBy).
+    2. Shingles with df > cap are dropped from the similarity space
+       entirely (both candidate AND verify stages — the same
+       boilerplate valve as the jaccard/LSH ops, here a plain filter on
+       the df already joined for ordering: no extra window).
+    3. Each doc's shingles sorted by (df asc, shingle) — rarest first —
+       and only the PREFIX of length n - ceil(0.8·n) + 1 = n - (4n+4)
+       DIV 5 + 1 is exploded into the inverted index. Completeness: if
+       J(A,B) ≥ t, the smallest-ordered common shingle must sit inside
+       BOTH prefixes (else |A∩B| ≤ ceil(t·n) - 1 < t·n ≤ |A∩B|), so
+       the prefix-prefix equi-join loses no qualifying pair.
+    4. Candidate join groups are bounded by construction: the join key
+       is a (df, shingle) struct and every surviving key has df ≤ cap,
+       so no 10⁶-doc boilerplate group can form — the property the
+       jaccard op needs a window count for falls out of the df join
+       here for free.
+    5. Length filter IN the join condition (J ≥ 4/5 ⟹ 5·min(n) ≥
+       4·max(n), exact integers) prunes cross-size candidates before
+       the shuffle write of the distinct.
+    6. Verify: candidates (tiny at high thresholds) re-join the full
+       capped shingle arrays; |A∩B| via JVM array_intersect; the ≥0.8
+       gate is the exact integer predicate 5·inter ≥ 4·union.
+
+    The oracle is the BRUTE-FORCE all-pairs exact join over the same
+    capped shingle space — so the driver's hash equality does not just
+    check arithmetic, it independently certifies the prefix filter's
+    zero-false-negative property on real data. At 100 TB you run step
+    1-6 as-is (the prefix index is ~(1-t)·|shingles| ≈ 20% of the
+    jaccard op's full inverted index, and verify touches only
+    candidates); the brute-force shape exists only inside the DuckDB
+    oracle at test SF.
+    """
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", _shingles().alias("sh"))
+    ex = d.select("doc_id", F.explode("sh").alias("tok"))
+    dfc = ex.groupBy("tok").agg(F.count("*").alias("df"))
+    kept = (ex.join(dfc, "tok")
+            .filter(F.col("df") <= _SHINGLE_DF_CAP))
+    # ONE aggregate feeds all four downstream uses (prefix a/b sides +
+    # verify a/b sides): prefix AND full token array both project from
+    # `docs`, so the subtrees canonicalize identically and AQE's
+    # exchange reuse runs the shingle explode + df join + groupBy once,
+    # not four times
+    ordered = (kept.groupBy("doc_id")
+               .agg(F.sort_array(
+                   F.collect_list(F.struct("df", "tok"))).alias("ord")))
+    docs = (ordered
+            .withColumn("n", F.size("ord"))
+            .withColumn("plen", F.expr("n - (4*n + 4) DIV 5 + 1")))
+    pref = docs.select(
+        "doc_id", "n",
+        F.explode(F.expr("slice(ord, 1, plen)")).alias("p"))
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (a.join(b,
+                   (F.col("a.p") == F.col("b.p"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id"))
+                   & (4 * F.greatest(F.col("a.n"), F.col("b.n"))
+                      <= 5 * F.least(F.col("a.n"), F.col("b.n"))))
+            .select(F.col("a.doc_id").alias("id_a"),
+                    F.col("b.doc_id").alias("id_b"))
+            .distinct())
+    sets = docs.select(
+        "doc_id", F.expr("transform(ord, x -> x.tok)").alias("ts"), "n")
+    sa = sets.select(F.col("doc_id").alias("id_a"),
+                     F.col("ts").alias("ts_a"), F.col("n").alias("na"))
+    sb = sets.select(F.col("doc_id").alias("id_b"),
+                     F.col("ts").alias("ts_b"), F.col("n").alias("nb"))
+    return (cand.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("inter",
+                        F.size(F.array_intersect("ts_a", "ts_b"))
+                        .cast("long"))
+            .withColumn("union_n", F.col("na") + F.col("nb")
+                        - F.col("inter"))
+            .filter(F.expr("5 * inter >= 4 * union_n"))
+            .select("id_a", "id_b", "inter",
+                    F.expr("(2 * inter * 10000 + union_n)"
+                           " DIV (2 * union_n)").alias("jaccard_e4")))
+
+
+SQL_DEDUP_PREFIX_FILTER = f"""
+WITH sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+           range(1, greatest(len(regexp_split_to_array(trim(text),
+                 '\\s+')) - 2, 0) + 1),
+           i -> array_to_string(list_slice(
+                  regexp_split_to_array(trim(text), '\\s+'),
+                  i, i + 2), ' '))) AS shingles
+  FROM documents
+), ex AS (
+  SELECT doc_id, unnest(shingles) AS tok FROM sh
+), dfc AS (
+  SELECT tok, count(*) AS df FROM ex GROUP BY 1
+), kept AS (
+  SELECT e.doc_id, e.tok FROM ex e JOIN dfc USING (tok)
+  WHERE df <= {_SHINGLE_DF_CAP}
+), sets AS (
+  SELECT doc_id, list(tok) AS ts, count(*) AS n FROM kept GROUP BY 1
+), pairs AS (
+  -- brute force all-pairs: certifies the Spark side's prefix filter
+  -- dropped no qualifying pair (zero-false-negative property)
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.ts, b.ts)) AS inter,
+         a.n + b.n AS sn
+  FROM sets a JOIN sets b
+    ON a.doc_id < b.doc_id
+   AND 4 * greatest(a.n, b.n) <= 5 * least(a.n, b.n)
+)
+SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+       CAST((2 * inter * 10000 + (sn - inter))
+            // (2 * (sn - inter)) AS BIGINT) AS jaccard_e4
+FROM pairs
+WHERE 5 * inter >= 4 * (sn - inter)
+"""
+
+
 #: Audit record of the most recent ``_min_label_cc`` run in this process
 #: ({"rounds": int, "converged": bool}); bench.py reads it after timing
 #: dedup_clusters so the round count lands in the artifact.
@@ -2933,6 +3059,8 @@ OPS: dict[str, tuple] = {
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM),
     "dedup_hot_shingle_audit": (q_dedup_hot_shingle_audit,
                                 SQL_DEDUP_HOT_SHINGLE_AUDIT),
+    "dedup_prefix_filter": (q_dedup_prefix_filter,
+                            SQL_DEDUP_PREFIX_FILTER),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "dedup_clusters_audit": (
         q_dedup_clusters_audit, SQL_DEDUP_CLUSTERS_AUDIT),
