@@ -327,6 +327,7 @@ _NEW_R7 = [
     "customer_value_deciles_approx",
     "events_cardinality_approx",
     "dedup_prefix_filter",
+    "benchmark_contamination_fuzzy",
 ]
 # Rotated out for round 7: unchanged + green in every round since r1.
 # They remain in OPS (bench + pytest still exercise them) and rotate
@@ -335,6 +336,7 @@ _ROTATED_OUT_R7 = [
     "scan_filter_project",
     "segment_revenue",
     "region_revenue",
+    "pricing_summary",
     "top_orders",
     "distinct_priorities",
     "orders_except",

@@ -587,3 +587,50 @@ def test_prefix_filter_completeness_on_mutated_corpus(spark, tmp_path):
     # and some NON-trivial ones (mutated, not just exact duplicates)
     assert any(j < 10000 for (_, _, _, j) in want)
     assert got == want
+
+
+def test_contamination_fuzzy_known_answers_cross_engine(spark, tmp_path):
+    """Edit-distance decontamination on a crafted corpus: a
+    near-verbatim leak (one word changed) IS flagged, an unrelated doc
+    sharing one 5-gram but textually distant is NOT, an exact duplicate
+    has lev=0, and a CJK near-dup pins that BOTH engines measure
+    levenshtein in UTF-8 BYTES (one hanzi edit = 3): Spark's builtin is
+    char-based while DuckDB's is byte-based, so the op routes the Spark
+    side through a lossless utf-8 -> latin-1 byte mapping - this test
+    is what caught the divergence."""
+    import duckdb
+
+    bench_en = ("what is the capital city of france the answer is paris "
+                "located on the seine river in western europe " * 3)
+    leak = bench_en.replace("paris", "lyon", 1)      # 1 word of ~60
+    bench_zh = "这 是 一 个 很 长 的 中 文 基 准 测 试 句 子 " * 8
+    zh_leak = bench_zh.replace("长", "短", 1)         # 1 hanzi edit
+    shared5 = "located on the seine river"
+    distant = (shared5 + " lives a completely different story about "
+               + " ".join(f"tok{i}" for i in range(60)))
+    rows = [(0, bench_en, "en", "bench", len(bench_en)),
+            (1, bench_zh, "zh", "bench", len(bench_zh)),
+            (100, leak, "en", "web", len(leak)),
+            (101, bench_en, "en", "web", len(bench_en)),   # exact dup
+            (102, zh_leak, "zh", "web", len(zh_leak)),
+            (103, distant, "en", "web", len(distant))]
+    (spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+     .write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet"))
+
+    got = {(r["doc_id"], r["bench_id"]): r["lev"] for r in
+           O.q_benchmark_contamination_fuzzy(spark, str(tmp_path))
+           .collect()}
+    assert (100, 0) in got and got[(100, 0)] > 0     # near-verbatim leak
+    assert got[(101, 0)] == 0                        # exact duplicate
+    assert (102, 1) in got and got[(102, 1)] == 3    # CJK: 1 hanzi = 3 B
+    assert (103, 0) not in got                       # candidate, distant
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{tmp_path}/documents.parquet/*.parquet'")
+    odf = con.sql(O.SQL_BENCHMARK_CONTAMINATION_FUZZY).df()
+    want = {(int(r.doc_id), int(r.bench_id)): int(r.lev)
+            for r in odf.itertuples()}
+    assert got == want

@@ -2830,6 +2830,117 @@ HAVING count(*) >= {_CONTAM_MIN_HITS}
 """
 
 
+_CONTAM_PREFIX = 200  # chars of lev-verify window (O(1) per candidate)
+
+
+def q_benchmark_contamination_fuzzy(spark, sf_dir):
+    """EDIT-DISTANCE-tolerant benchmark decontamination: the exact
+    shingle op misses near-verbatim leakage (a changed number, drifted
+    punctuation, a re-wrapped line kills every overlapping 5-gram).
+    This variant flags (corpus doc, benchmark doc) pairs whose texts
+    are within 10% edit distance over a fixed prefix window.
+
+    Scale shape — the standard two-stage filter-verify:
+
+    1. CANDIDATES exactly like the exact op: benchmark shingles
+       DISTINCT'd and broadcast, corpus side one scan + explode +
+       hot-shingle cap; one shared 5-gram nominates a pair. Never a
+       corpus self-join, never an all-pairs levenshtein.
+    2. VERIFY: ``levenshtein`` (JVM built-in, both engines) over the
+       first {_CONTAM_PREFIX} chars only — O(prefix²) = O(1) per
+       candidate pair regardless of document length; the flag is the
+       exact integer predicate 10·lev ≤ max(len_a, len_b). For deeper
+       windows Spark's 3-arg ``levenshtein(l, r, threshold)``
+       early-exits at the bound.
+
+    Distance unit: UTF-8 BYTES, in both engines. Spark's levenshtein
+    counts characters but DuckDB's counts bytes (one hanzi edit = 3
+    there — found by the CJK known-answer pytest, not by reading
+    docs); the portable formulation maps the prefix through
+    ``decode(encode(p, 'utf-8'), 'iso-8859-1')`` on the Spark side
+    (lossless byte→latin-1-char) so both engines edit the same byte
+    sequence, and thresholds use octet lengths.
+
+    The benchmark prefix table is broadcast (eval sets are MMLU-sized);
+    the corpus prefix join is the only shuffle beyond the candidate
+    distinct."""
+    docs = _t(spark, sf_dir, "documents")
+    n = _CONTAM_SHINGLE_N
+    shingle_expr = F.expr(f"""
+      element_at(transform(array(split(trim(text), '\\\\s+')), ws ->
+        CASE WHEN size(ws) >= {n}
+        THEN transform(sequence(1, size(ws) - {n - 1}),
+                       i -> array_join(slice(ws, i, {n}), ' '))
+        ELSE CAST(array() AS ARRAY<STRING>) END), 1)
+    """)
+    prefix = F.expr(f"substring(trim(text), 1, {_CONTAM_PREFIX})")
+    bench = (docs.filter(F.col("doc_id") < _CONTAM_BENCH_MAX)
+             .select(F.col("doc_id").alias("bench_id"),
+                     F.explode(shingle_expr).alias("shingle"))
+             .distinct())
+    corpus = (docs.filter(F.col("doc_id") >= _CONTAM_BENCH_MAX)
+              .select("doc_id", F.explode(shingle_expr).alias("shingle"))
+              .distinct())
+    corpus = _drop_hot_keys(corpus, ["shingle"], 1000)
+    cand = (corpus.join(F.broadcast(bench), "shingle")
+            .select("doc_id", "bench_id").distinct())
+    ctext = docs.filter(F.col("doc_id") >= _CONTAM_BENCH_MAX).select(
+        "doc_id", prefix.alias("p_doc"))
+    btext = docs.filter(F.col("doc_id") < _CONTAM_BENCH_MAX).select(
+        F.col("doc_id").alias("bench_id"), prefix.alias("p_bench"))
+    return (cand.join(ctext, "doc_id")
+            .join(F.broadcast(btext), "bench_id")
+            .withColumn("lev", F.expr(
+                "CAST(levenshtein("
+                "decode(encode(p_doc, 'utf-8'), 'iso-8859-1'), "
+                "decode(encode(p_bench, 'utf-8'), 'iso-8859-1')"
+                ") AS BIGINT)"))
+            .filter(F.expr("10 * lev <= "
+                           "greatest(octet_length(p_doc), "
+                           "octet_length(p_bench))"))
+            .select("doc_id", "bench_id", "lev"))
+
+
+SQL_BENCHMARK_CONTAMINATION_FUZZY = f"""
+WITH sh AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, greatest(len(regexp_split_to_array(trim(text),
+                 '\\s+')) - {_CONTAM_SHINGLE_N - 1}, 0) + 1),
+           i -> array_to_string(list_slice(
+                  regexp_split_to_array(trim(text), '\\s+'),
+                  i, i + {_CONTAM_SHINGLE_N - 1}), ' '))) AS shingle
+  FROM documents
+), bench_sh AS (
+  SELECT DISTINCT doc_id AS bench_id, shingle FROM sh
+  WHERE doc_id < {_CONTAM_BENCH_MAX}
+), corpus_all AS (
+  SELECT DISTINCT doc_id, shingle FROM sh
+  WHERE doc_id >= {_CONTAM_BENCH_MAX}
+), hot AS (
+  SELECT shingle FROM corpus_all GROUP BY 1 HAVING count(*) > 1000
+), corpus AS (
+  SELECT * FROM corpus_all ANTI JOIN hot USING (shingle)
+), cand AS (
+  SELECT DISTINCT doc_id, bench_id
+  FROM corpus JOIN bench_sh USING (shingle)
+), pd AS (
+  SELECT doc_id, substr(trim(text), 1, {_CONTAM_PREFIX}) AS p_doc
+  FROM documents WHERE doc_id >= {_CONTAM_BENCH_MAX}
+), pb AS (
+  SELECT doc_id AS bench_id,
+         substr(trim(text), 1, {_CONTAM_PREFIX}) AS p_bench
+  FROM documents WHERE doc_id < {_CONTAM_BENCH_MAX}
+)
+SELECT c.doc_id, c.bench_id,
+       -- DuckDB levenshtein is already byte-based (see op docstring)
+       CAST(levenshtein(p_doc, p_bench) AS BIGINT) AS lev
+FROM cand c JOIN pd USING (doc_id) JOIN pb USING (bench_id)
+WHERE 10 * levenshtein(p_doc, p_bench)
+      <= greatest(strlen(p_doc), strlen(p_bench))
+"""
+
+
 def q_tfidf_top_terms(spark, sf_dir):
     """TF-IDF top-3 terms per document — the classic corpus-statistics op
     (keyword extraction / topical tagging for training-data analysis).
@@ -3091,5 +3202,7 @@ OPS: dict[str, tuple] = {
     "source_mix_weights": (q_source_mix_weights, SQL_SOURCE_MIX_WEIGHTS),
     "benchmark_contamination": (
         q_benchmark_contamination, SQL_BENCHMARK_CONTAMINATION),
+    "benchmark_contamination_fuzzy": (
+        q_benchmark_contamination_fuzzy, SQL_BENCHMARK_CONTAMINATION_FUZZY),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
 }
