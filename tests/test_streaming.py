@@ -220,3 +220,49 @@ def test_stream_stream_interval_join(spark, tmp_path_factory):
                    ("c1", 1, "search"),    # 1 min lag: in window
                    ("c1", 1, "fetch")}     # 4.5 min lag from turn 1
     # the orphan conv and the >5-min pairing never emitted
+
+
+def test_stream_sessionize_dynamic_windows(spark, tmp_path_factory):
+    """session_window semantics pinned on crafted timestamps: turns
+    within the 30-min gap chain into one session (end = last turn +
+    gap), a 50-min quiet period splits a conversation into two
+    sessions, and conversations never merge across conv_id."""
+    from datetime import datetime
+
+    from trek_spark.spark.streaming import stream_sessionize
+
+    d = str(tmp_path_factory.mktemp("sess_in"))
+    ckpt = str(tmp_path_factory.mktemp("sess_ckpt"))
+
+    def t(h, m):
+        return datetime(2026, 3, 1, h, m, 0)
+
+    rows = [
+        ("A", 0, "user", "hi", None, t(10, 0), None),
+        ("A", 1, "assistant", "hello", None, t(10, 10), None),
+        ("A", 2, "user", "back after lunch", None, t(11, 0), None),
+        ("B", 0, "user", "solo", None, t(10, 5), None),
+    ]
+    from trek_spark.spark.corpus import TRANSCRIPT_SCHEMA
+    spark.createDataFrame(rows, TRANSCRIPT_SCHEMA) \
+        .write.mode("append").parquet(d)
+
+    stream = read_transcript_stream(spark, d)
+    sess = stream_sessionize(stream, gap="30 minutes",
+                             watermark="5 minutes")
+    q = (sess.writeStream.format("memory").queryName("sessions")
+         .outputMode("complete")
+         .trigger(availableNow=True).option("checkpointLocation", ckpt)
+         .start())
+    q.awaitTermination(300)
+    got = {(r.conv_id, r.start.strftime("%H:%M"), r.end.strftime("%H:%M"),
+            r.turns)
+           for r in spark.sql(
+               "SELECT conv_id, session_window.start AS start, "
+               "session_window.end AS end, turns FROM sessions"
+           ).collect()}
+    assert got == {
+        ("A", "10:00", "10:40", 2),   # chained: end = 10:10 + 30 min
+        ("A", "11:00", "11:30", 1),   # split by the 50-min quiet gap
+        ("B", "10:05", "10:35", 1),   # keys never merge
+    }

@@ -163,6 +163,30 @@ def stream_turn_rate(stream: DataFrame, window: str = "1 minute",
                  F.sum(F.length("text")).alias("bytes_in")))
 
 
+def stream_sessionize(stream: DataFrame, gap: str = "30 minutes",
+                      watermark: str = "2 minutes") -> DataFrame:
+    """Streaming sessionization via ``session_window`` — the
+    DYNAMIC-window analogue of the batch op (ops.py events_sessionize):
+    per conv_id, a session extends while turns keep arriving within
+    ``gap`` of the previous one and closes after a quiet period.
+
+    Why this exists next to the batch op: the batch lag/running-sum
+    formulation needs the whole history of a key in one sort — fine for
+    a bounded table, impossible for an unbounded stream. session_window
+    keeps ONE [start, end) interval per open session as state, merges
+    intervals when a late-but-in-watermark turn bridges two of them,
+    and the watermark gives the eviction bound (a session whose
+    end + gap is older than the watermark can never grow again, so its
+    state is finalized and dropped — bounded state at any arrival
+    rate). Output carries the computed session bounds plus per-session
+    turn/byte counts."""
+    return (stream
+            .withWatermark("ts", watermark)
+            .groupBy(F.session_window("ts", gap), F.col("conv_id"))
+            .agg(F.count("*").alias("turns"),
+                 F.sum(F.length("text")).alias("bytes_in")))
+
+
 def stream_join_tool_results(turns: DataFrame, results: DataFrame,
                              watermark: str = "2 minutes",
                              max_lag: str = "5 minutes") -> DataFrame:
