@@ -328,6 +328,7 @@ _NEW_R7 = [
     "events_cardinality_approx",
     "dedup_prefix_filter",
     "benchmark_contamination_fuzzy",
+    "dedup_graph_triangles",
 ]
 # Rotated out for round 7: unchanged + green in every round since r1.
 # They remain in OPS (bench + pytest still exercise them) and rotate
@@ -337,6 +338,7 @@ _ROTATED_OUT_R7 = [
     "segment_revenue",
     "region_revenue",
     "pricing_summary",
+    "latest_order_per_customer",
     "top_orders",
     "distinct_priorities",
     "orders_except",

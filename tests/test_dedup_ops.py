@@ -634,3 +634,37 @@ def test_contamination_fuzzy_known_answers_cross_engine(spark, tmp_path):
     want = {(int(r.doc_id), int(r.bench_id)): int(r.lev)
             for r in odf.itertuples()}
     assert got == want
+
+
+def test_triangle_counts_on_crafted_graph(spark):
+    """Degree-ordered triangle counting against a Python brute force on
+    a graph built to stress the orientation: a K5 (10 triangles, each
+    node in 6), a star hub of degree 12 (many wedges, ZERO triangles -
+    the shape the orientation exists to keep cheap), a 4-cycle (no
+    triangles), and one extra triangle hanging off the hub."""
+    import itertools
+
+    k5 = list(itertools.combinations(range(5), 2))
+    star = [(10, s) for s in range(11, 23)]
+    cycle = [(30, 31), (31, 32), (32, 33), (30, 33)]
+    hang = [(10, 11), (11, 23), (10, 23)]  # triangle through the hub
+    raw = set()
+    for a, b in k5 + star + cycle + hang:
+        raw.add((min(a, b), max(a, b)))
+    edges = sorted(raw)
+
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    for a, b, c in itertools.combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for v in (a, b, c):
+                want[v] = want.get(v, 0) + 1
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["doc_id"]: r["n_triangles"]
+           for r in O._triangle_counts(df).collect()}
+    assert got == want
+    assert sum(want.values()) == 3 * 11  # 10 K5 triangles + 1 hub one

@@ -1371,6 +1371,91 @@ WHERE 5 * inter >= 4 * (sn - inter)
 """
 
 
+def q_dedup_graph_triangles(spark, sf_dir):
+    """Per-document triangle counts over the near-dup similarity graph
+    (edges = dedup_ngram_jaccard pairs): a triangle means three
+    documents that are pairwise near-duplicates — the local-clustering
+    signal that separates a true duplication CLUSTER (template farms,
+    mirror sites) from chains of borderline pairs, and the standard
+    prelude to deciding cluster-collapse aggressiveness.
+
+    Scale path — degree-ordered wedge join (the MapReduce triangle
+    algorithm of Suri & Vassilvitskii, WWW'11): each undirected edge is
+    ORIENTED from its lower-(degree, id) endpoint to the higher one, so
+    every node's out-degree is O(sqrt(m)) regardless of how skewed the
+    raw degree distribution is (a hub of degree 10⁶ would otherwise
+    spawn 10¹² wedges — same hot-key shape the dedup caps guard). Wedges
+    are generated only from out-edges (u→v, u→w with v before w in the
+    total order) and closed by an equi-join against the oriented edge
+    v→w; each triangle is found exactly once, at its lowest-order apex.
+    All three join legs are canonically identical subtrees over the
+    jaccard pairs (exchange reuse); at 100 TB you'd materialize the
+    (tiny) edge list once before the wedge join.
+    """
+    edges = q_dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    return _triangle_counts(edges)
+
+
+def _triangle_counts(edges: DataFrame) -> DataFrame:
+    """Degree-ordered triangle counting over an undirected edge list
+    (columns id_a < id_b, unique). See q_dedup_graph_triangles."""
+    deg = (edges.select(F.col("id_a").alias("v"))
+           .unionAll(edges.select(F.col("id_b").alias("v")))
+           .groupBy("v").agg(F.count("*").alias("deg")))
+    da = deg.select(F.col("v").alias("id_a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("v").alias("id_b"), F.col("deg").alias("db"))
+    # total order = (degree, id); orient each edge low → high
+    keyed = (edges.join(da, "id_a").join(db, "id_b")
+             .withColumn("ka", F.struct(F.col("da").alias("d"),
+                                        F.col("id_a").alias("i")))
+             .withColumn("kb", F.struct(F.col("db").alias("d"),
+                                        F.col("id_b").alias("i"))))
+    oriented = keyed.select(
+        F.when(F.col("ka") < F.col("kb"), F.col("id_a"))
+         .otherwise(F.col("id_b")).alias("src"),
+        F.when(F.col("ka") < F.col("kb"), F.col("kb"))
+         .otherwise(F.col("ka")).alias("dstk"),
+        F.when(F.col("ka") < F.col("kb"), F.col("id_b"))
+         .otherwise(F.col("id_a")).alias("dst"))
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    wedges = (e1.join(e2, (F.col("e1.src") == F.col("e2.src"))
+                      & (F.col("e1.dstk") < F.col("e2.dstk")))
+              .select(F.col("e1.src").alias("u"),
+                      F.col("e1.dst").alias("v"),
+                      F.col("e2.dst").alias("w")))
+    e3 = oriented.alias("e3")
+    tri = wedges.join(e3, (F.col("v") == F.col("e3.src"))
+                      & (F.col("w") == F.col("e3.dst")))
+    return (tri.select(F.col("u").alias("doc_id"))
+            .unionAll(tri.select(F.col("v").alias("doc_id")))
+            .unionAll(tri.select(F.col("w").alias("doc_id")))
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_triangles")))
+
+
+SQL_DEDUP_GRAPH_TRIANGLES = f"""
+WITH e AS (
+  SELECT id_a, id_b FROM ({SQL_DEDUP_NGRAM}) pairs
+), tri AS (
+  -- id_a < id_b on every edge, so the a<b<c 3-way equi-join
+  -- enumerates each triangle exactly once (no orientation needed at
+  -- oracle scale; the Spark side's degree orientation changes the
+  -- join geometry, not the result set)
+  SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+  FROM e e1
+  JOIN e e2 ON e2.id_a = e1.id_b
+  JOIN e e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+FROM (
+  SELECT a AS doc_id FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+GROUP BY doc_id
+"""
+
+
 #: Audit record of the most recent ``_min_label_cc`` run in this process
 #: ({"rounds": int, "converged": bool}); bench.py reads it after timing
 #: dedup_clusters so the round count lands in the artifact.
@@ -3172,6 +3257,8 @@ OPS: dict[str, tuple] = {
                                 SQL_DEDUP_HOT_SHINGLE_AUDIT),
     "dedup_prefix_filter": (q_dedup_prefix_filter,
                             SQL_DEDUP_PREFIX_FILTER),
+    "dedup_graph_triangles": (q_dedup_graph_triangles,
+                              SQL_DEDUP_GRAPH_TRIANGLES),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "dedup_clusters_audit": (
         q_dedup_clusters_audit, SQL_DEDUP_CLUSTERS_AUDIT),
