@@ -329,6 +329,7 @@ _NEW_R7 = [
     "dedup_prefix_filter",
     "benchmark_contamination_fuzzy",
     "dedup_graph_triangles",
+    "source_mix_sample",
 ]
 # Rotated out for round 7: unchanged + green in every round since r1.
 # They remain in OPS (bench + pytest still exercise them) and rotate
@@ -339,6 +340,7 @@ _ROTATED_OUT_R7 = [
     "region_revenue",
     "pricing_summary",
     "latest_order_per_customer",
+    "dedup_exact",
     "top_orders",
     "distinct_priorities",
     "orders_except",

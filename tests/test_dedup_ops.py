@@ -668,3 +668,54 @@ def test_triangle_counts_on_crafted_graph(spark):
            for r in O._triangle_counts(df).collect()}
     assert got == want
     assert sum(want.values()) == 3 * 11  # 10 K5 triangles + 1 hub one
+
+
+def test_source_mix_sample_flattens_skewed_corpus(spark, tmp_path):
+    """Temperature alpha=0.5 on a 900/100/9-doc source skew: the head
+    source's alpha share drops below its natural share, the tail's
+    rises above it, kept counts land within hash noise of the integer
+    quotas, the sample is a pure function of doc_id (rerun identical),
+    and DuckDB reproduces the exact rows (sqrt freeze + hex-tick
+    portability)."""
+    import duckdb
+
+    rows = []
+    did = 0
+    for src, n in (("head", 900), ("mid", 100), ("tail", 9)):
+        for _ in range(n):
+            rows.append((did, f"doc {did} text", "en", src, 11))
+            did += 1
+    (spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+     .write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet"))
+
+    got = {r["source"]: r for r in
+           O.q_source_mix_sample(spark, str(tmp_path)).collect()}
+    nat_bp = {"head": 8921, "mid": 991, "tail": 89}  # n/1009 in bp
+    assert got["head"]["alpha_share_bp"] < nat_bp["head"]
+    assert got["tail"]["alpha_share_bp"] > nat_bp["tail"]
+    # sqrt ratios: 30:10:3 -> head ~6976 bp, mid ~2325 bp, tail ~697 bp
+    assert abs(got["head"]["alpha_share_bp"] - 6976) <= 2
+    assert abs(got["tail"]["alpha_share_bp"] - 697) <= 2
+    for src in ("head", "mid", "tail"):
+        q = got[src]["quota"]
+        assert q > 0
+        # 16-bit hash tick: kept ~ Binomial(n, q/n); loose 5-sigma band
+        import math
+        sigma = math.sqrt(q) + 1
+        assert abs(got[src]["n_kept"] - q) <= 5 * sigma, (src, got[src])
+
+    again = {r["source"]: r["n_kept"] for r in
+             O.q_source_mix_sample(spark, str(tmp_path)).collect()}
+    assert again == {s: r["n_kept"] for s, r in got.items()}
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{tmp_path}/documents.parquet/*.parquet'")
+    odf = con.sql(O.SQL_SOURCE_MIX_SAMPLE).df()
+    want = {r.source: (int(r.n_docs), int(r.alpha_share_bp),
+                       int(r.quota), int(r.n_kept))
+            for r in odf.itertuples()}
+    assert want == {s: (r["n_docs"], r["alpha_share_bp"], r["quota"],
+                        r["n_kept"]) for s, r in got.items()}

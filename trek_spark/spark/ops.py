@@ -2844,6 +2844,84 @@ FROM documents GROUP BY source
 """
 
 
+def q_source_mix_sample(spark, sf_dir):
+    """TEMPERATURE-scaled source mixing (α = 0.5) with a deterministic
+    hash sampler — the multilingual/multi-source rebalancing staple
+    (mT5/XLM-R style): target shares ∝ count^α flatten the source
+    distribution (big sources downweighted, tail sources upweighted
+    relative to natural share), then each doc's keep decision is a pure
+    function of doc_id against its source's quota, for a total budget
+    of half the corpus.
+
+    Exactness discipline: per-source ``floor(sqrt(n)·10⁴)`` is TWO
+    deterministic IEEE ops on an exact integer (the convention that
+    single float ops are bit-portable, multi-term float sums are not)
+    frozen to bigint before any cross-source arithmetic; quotas and the
+    keep threshold are exact integer division from there. The keep
+    test hashes doc_id into a 16-bit tick (md5-prefix, like
+    stratified_sample) and keeps while ``tick·n_docs < quota·65536`` —
+    reproducible across engines, runs, and cluster sizes (a resumed or
+    re-partitioned job re-derives the identical sample; no RNG state).
+
+    Scale: one |sources|-group aggregate, a 1-row totals broadcast, the
+    plan broadcast back onto the corpus scan as a codegen'd filter —
+    the corpus itself is never shuffled."""
+    docs = _t(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"))
+    sq = per_source.withColumn(
+        "sq", F.expr("CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 10000)"
+                     " AS BIGINT)"))
+    tot = sq.agg(F.sum("sq").alias("tot_sq"),
+                 F.sum("n_docs").alias("tot_docs"))
+    plan = (sq.crossJoin(F.broadcast(tot))
+            .withColumn("quota",
+                        F.expr("(tot_docs DIV 2) * sq DIV tot_sq"))
+            .withColumn("alpha_share_bp",
+                        F.expr("(2 * sq * 10000 + tot_sq)"
+                               " DIV (2 * tot_sq)"))
+            .select("source", "n_docs", "quota", "alpha_share_bp"))
+    tick = ("CAST(conv(substr(md5(concat('mix:', CAST(doc_id AS STRING)"
+            ")), 1, 4), 16, 10) AS BIGINT)")
+    kept = (docs.select("doc_id", "source")
+            .join(F.broadcast(plan), "source")
+            .filter(F.expr(f"{tick} * n_docs < quota * 65536")))
+    return (kept.groupBy("source", "n_docs", "quota", "alpha_share_bp")
+            .agg(F.count("*").alias("n_kept"))
+            .select("source", "n_docs", "alpha_share_bp", "quota",
+                    "n_kept"))
+
+
+SQL_SOURCE_MIX_SAMPLE = """
+WITH per_source AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents
+  GROUP BY source
+), sq AS (
+  SELECT source, n_docs,
+         CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 10000) AS BIGINT)
+             AS sq
+  FROM per_source
+), tot AS (
+  SELECT CAST(sum(sq) AS BIGINT) AS tot_sq,
+         CAST(sum(n_docs) AS BIGINT) AS tot_docs
+  FROM sq
+), plan AS (
+  SELECT source, n_docs,
+         CAST((tot_docs // 2) * sq // tot_sq AS BIGINT) AS quota,
+         CAST((2 * sq * 10000 + tot_sq) // (2 * tot_sq) AS BIGINT)
+             AS alpha_share_bp
+  FROM sq CROSS JOIN tot
+)
+SELECT p.source, p.n_docs, p.alpha_share_bp, p.quota,
+       CAST(count(*) AS BIGINT) AS n_kept
+FROM documents d JOIN plan p USING (source)
+WHERE CAST(concat('0x', substr(md5(concat('mix:',
+           CAST(d.doc_id AS VARCHAR))), 1, 4)) AS BIGINT) * p.n_docs
+      < p.quota * 65536
+GROUP BY p.source, p.n_docs, p.quota, p.alpha_share_bp
+"""
+
+
 _CONTAM_SHINGLE_N = 5   # word n-gram width for decontamination
 _CONTAM_MIN_HITS = 3    # distinct shared shingles to flag a doc
 _CONTAM_BENCH_MAX = 25  # doc_id < this = the benchmark stand-in set
@@ -3287,6 +3365,7 @@ OPS: dict[str, tuple] = {
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "source_mix_weights": (q_source_mix_weights, SQL_SOURCE_MIX_WEIGHTS),
+    "source_mix_sample": (q_source_mix_sample, SQL_SOURCE_MIX_SAMPLE),
     "benchmark_contamination": (
         q_benchmark_contamination, SQL_BENCHMARK_CONTAMINATION),
     "benchmark_contamination_fuzzy": (
