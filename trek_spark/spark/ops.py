@@ -2867,6 +2867,30 @@ def q_source_mix_sample(spark, sf_dir):
     plan broadcast back onto the corpus scan as a codegen'd filter —
     the corpus itself is never shuffled."""
     docs = _t(spark, sf_dir, "documents")
+    plan = mix_plan(docs)
+    kept = (docs.select("doc_id", "source")
+            .join(F.broadcast(plan), "source")
+            .filter(F.expr(MIX_KEEP_COND)))
+    return (kept.groupBy("source", "n_docs", "quota", "alpha_share_bp")
+            .agg(F.count("*").alias("n_kept"))
+            .select("source", "n_docs", "alpha_share_bp", "quota",
+                    "n_kept"))
+
+
+#: 16-bit md5 tick of doc_id (namespace 'mix:') vs the source quota —
+#: the keep predicate of the temperature sampler; needs columns
+#: doc_id, n_docs, quota in scope (join mix_plan() first)
+_MIX_TICK = ("CAST(conv(substr(md5(concat('mix:', CAST(doc_id AS STRING"
+             "))), 1, 4), 16, 10) AS BIGINT)")
+MIX_KEEP_COND = f"{_MIX_TICK} * n_docs < quota * 65536"
+
+
+def mix_plan(docs: DataFrame, budget_div: int = 2) -> DataFrame:
+    """Per-source (n_docs, quota, alpha_share_bp) for the α=0.5
+    temperature mix over ``docs`` (any DataFrame with a ``source``
+    column — curate_job feeds it the post-dedup survivor set, the
+    oracle op the raw table). Budget = total docs DIV ``budget_div``.
+    See q_source_mix_sample for the exactness discipline."""
     per_source = docs.groupBy("source").agg(
         F.count("*").alias("n_docs"))
     sq = per_source.withColumn(
@@ -2874,22 +2898,14 @@ def q_source_mix_sample(spark, sf_dir):
                      " AS BIGINT)"))
     tot = sq.agg(F.sum("sq").alias("tot_sq"),
                  F.sum("n_docs").alias("tot_docs"))
-    plan = (sq.crossJoin(F.broadcast(tot))
+    return (sq.crossJoin(F.broadcast(tot))
             .withColumn("quota",
-                        F.expr("(tot_docs DIV 2) * sq DIV tot_sq"))
+                        F.expr(f"(tot_docs DIV {budget_div}) * sq"
+                               " DIV tot_sq"))
             .withColumn("alpha_share_bp",
                         F.expr("(2 * sq * 10000 + tot_sq)"
                                " DIV (2 * tot_sq)"))
             .select("source", "n_docs", "quota", "alpha_share_bp"))
-    tick = ("CAST(conv(substr(md5(concat('mix:', CAST(doc_id AS STRING)"
-            ")), 1, 4), 16, 10) AS BIGINT)")
-    kept = (docs.select("doc_id", "source")
-            .join(F.broadcast(plan), "source")
-            .filter(F.expr(f"{tick} * n_docs < quota * 65536")))
-    return (kept.groupBy("source", "n_docs", "quota", "alpha_share_bp")
-            .agg(F.count("*").alias("n_kept"))
-            .select("source", "n_docs", "alpha_share_bp", "quota",
-                    "n_kept"))
 
 
 SQL_SOURCE_MIX_SAMPLE = """
