@@ -1,0 +1,86 @@
+"""Known-answer + cross-engine tests for the corpus-curation operator
+batch added late in round 7 (parked for the r8 record window): PII
+redaction, boilerplate-line removal, token-budget packing, DSIR
+importance weights, PageRank over the near-dup graph.
+
+Each op already has a DuckDB oracle wired in OPS; these tests pin the
+SEMANTICS on crafted corpora with hand-computed answers (the oracle can
+only prove the two engines agree — not that both are right).
+"""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from trek_spark.spark.session import get_spark
+from trek_spark.spark import ops as O
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = get_spark("pytest-curation", master="local[4]", shuffle_partitions=8)
+    yield s
+
+
+def _write_documents(spark, path, rows):
+    """rows: (doc_id, text, lang, source, n_chars) matching TESTDATA."""
+    (spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+     .write.mode("overwrite").parquet(f"{path}/documents.parquet"))
+
+
+def _duck(path):
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{path}/documents.parquet/*.parquet'")
+    return con
+
+
+def _canon(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def _cross_check(spark, con, path, name):
+    fn, sql = O.OPS[name]
+    a = _canon(fn(spark, str(path)).toPandas())
+    b = _canon(con.sql(sql).df())
+    assert a.equals(b), f"{name}: Spark vs DuckDB mismatch\n{a}\n{b}"
+    return a
+
+
+# ---------------------------------------------------------------- pii_redact
+
+def test_pii_redact_known_answers(spark, tmp_path):
+    """doc 0 (doc_id % 25 == 0) gets the deterministic injection —
+    exactly one email, one IPv4, one phone; doc 1 carries its own PII in
+    the raw text and is NOT injected; doc 2 is clean; doc 3 is null."""
+    rows = [(0, "plain words here", "en", "web", 16),
+            (1, "mail a@b.co and c@d.org ip 1.2.3.4 tel +12345678",
+             "en", "web", 48),
+            (2, "nothing sensitive", "en", "web", 17),
+            (3, None, "en", "web", 0)]
+    _write_documents(spark, tmp_path, rows)
+    out = {r["doc_id"]: r for _, r in
+           O.OPS["pii_redact"][0](spark, str(tmp_path))
+           .toPandas().iterrows()}
+    assert (out[0]["n_emails"], out[0]["n_ipv4"], out[0]["n_phones"]) \
+        == (1, 1, 1)
+    assert (out[1]["n_emails"], out[1]["n_ipv4"], out[1]["n_phones"]) \
+        == (2, 1, 1)
+    assert (out[2]["n_emails"], out[2]["n_ipv4"], out[2]["n_phones"]) \
+        == (0, 0, 0)
+    assert (out[3]["n_emails"], out[3]["n_ipv4"], out[3]["n_phones"]) \
+        == (0, 0, 0)
+    # the redaction itself: doc 1's scrubbed text contains no raw PII
+    red = (spark.read.parquet(f"{tmp_path}/documents.parquet")
+           .filter(F.col("doc_id") == 1)
+           .select(F.regexp_replace(F.regexp_replace(F.regexp_replace(
+               "text", O._PII_EMAIL, "<EMAIL>"), O._PII_IPV4, "<IP>"),
+               O._PII_PHONE, "<PHONE>").alias("r"))
+           .first()["r"])
+    assert red == "mail <EMAIL> and <EMAIL> ip <IP> tel <PHONE>"
+    _cross_check(spark, _duck(tmp_path), tmp_path, "pii_redact")

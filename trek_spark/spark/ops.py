@@ -3187,6 +3187,86 @@ QUALIFY rank <= 3
 
 
 # --------------------------------------------------------------------------
+# PII detection / redaction
+# --------------------------------------------------------------------------
+
+# Conservative cross-dialect regexes (Java regex on the Spark side, RE2 in
+# DuckDB): character classes, bounded repetition, non-capturing groups and
+# ASCII \b only — no lookaround, no backrefs, so both engines agree.
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_IPV4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+_PII_PHONE = "\\+\\d{7,15}"
+_PII_EVERY = 25  # every k-th doc gets deterministic planted PII
+
+
+def _pii_injected_col() -> F.Column:
+    """Deterministic PII injection: the corpus is synthetic word soup with
+    zero '@'/digit tokens, so (like the skew injection feeding
+    dedup_hot_shingle_audit) every ``_PII_EVERY``-th doc gets an email, an
+    IPv4 and an E.164-style phone appended — the op must demonstrably
+    ENGAGE, not vacuously count zeros."""
+    return F.when(
+        F.col("doc_id") % _PII_EVERY == 0,
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.2."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 call +49301234"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0")),
+    ).otherwise(F.coalesce(F.col("text"), F.lit("")))
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII scrub — the pre-training compliance pass every web-scale corpus
+    runs before anything else: detect emails / IPv4 addresses / phone
+    numbers, count them per document, and emit the hash of the redacted
+    text (placeholders substituted in a FIXED order, email → ip → phone,
+    so overlapping matches resolve identically in both engines; counts
+    are taken on the pre-redaction text).
+
+    Scale: one scan, per-row JVM regexp expressions (regexp_extract_all /
+    regexp_replace are codegen'd Java-regex calls, no Python), zero
+    shuffle — the same 100 TB shape as token_counts. The regex subset is
+    deliberately RE2∩java.util.regex so the DuckDB oracle is exact."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", _pii_injected_col().alias("t"))
+    red = F.col("t")
+    for pat, tok in ((_PII_EMAIL, "<EMAIL>"), (_PII_IPV4, "<IP>"),
+                     (_PII_PHONE, "<PHONE>")):
+        red = F.regexp_replace(red, pat, tok)
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("t", F.lit(_PII_EMAIL), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all("t", F.lit(_PII_IPV4), F.lit(0))).alias("n_ipv4"),
+        F.size(F.regexp_extract_all("t", F.lit(_PII_PHONE), F.lit(0))).alias("n_phones"),
+        F.md5(red).alias("redacted_hash"))
+
+
+SQL_PII_REDACT = f"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {_PII_EVERY} = 0
+              THEN coalesce(text, '') || ' contact user'
+                   || CAST(doc_id AS VARCHAR) || '@example.com from 10.2.'
+                   || CAST(doc_id % 256 AS VARCHAR) || '.7 call +49301234'
+                   || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+              ELSE coalesce(text, '') END AS t
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(t, '{_PII_EMAIL}')) AS n_emails,
+       len(regexp_extract_all(t, '{_PII_IPV4}')) AS n_ipv4,
+       len(regexp_extract_all(t, '{_PII_PHONE}')) AS n_phones,
+       md5(regexp_replace(regexp_replace(regexp_replace(t,
+             '{_PII_EMAIL}', '<EMAIL>', 'g'),
+             '{_PII_IPV4}', '<IP>', 'g'),
+             '{_PII_PHONE}', '<PHONE>', 'g')) AS redacted_hash
+FROM base
+"""
+
+
+# --------------------------------------------------------------------------
 # Multimodal plumbing (payloads as opaque binary + typed metadata)
 # --------------------------------------------------------------------------
 
@@ -3387,4 +3467,5 @@ OPS: dict[str, tuple] = {
     "benchmark_contamination_fuzzy": (
         q_benchmark_contamination_fuzzy, SQL_BENCHMARK_CONTAMINATION_FUZZY),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
+    "pii_redact": (q_pii_redact, SQL_PII_REDACT),
 }
