@@ -84,3 +84,35 @@ def test_pii_redact_known_answers(spark, tmp_path):
            .first()["r"])
     assert red == "mail <EMAIL> and <EMAIL> ip <IP> tel <PHONE>"
     _cross_check(spark, _duck(tmp_path), tmp_path, "pii_redact")
+
+
+# ------------------------------------------------- dedup_boilerplate_lines
+
+def test_boilerplate_lines_threshold_boundary(spark, tmp_path):
+    """60 docs, each 'unique words N' + a shared line (df=60, removed).
+    The op's own injection adds a header on doc_id%3 (df=20 — exactly AT
+    the >= 20 threshold, removed) and a footer on doc_id%4 (df=15 —
+    UNDER it, kept): both sides of the boundary are pinned."""
+    import hashlib
+    rows = [(i, f"unique words {i}\ncommon shared line", "en", "web",
+             20) for i in range(60)]
+    _write_documents(spark, tmp_path, rows)
+    out = {r["doc_id"]: r for _, r in
+           O.OPS["dedup_boilerplate_lines"][0](spark, str(tmp_path))
+           .toPandas().iterrows()}
+
+    def h(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    # doc 1: no injection — 2 lines, shared line removed
+    assert (out[1]["n_lines"], out[1]["n_removed"]) == (2, 1)
+    assert out[1]["cleaned_hash"] == h("unique words 1")
+    # doc 0: header (removed, df=20) + footer (kept, df=15)
+    assert (out[0]["n_lines"], out[0]["n_removed"]) == (4, 2)
+    assert out[0]["cleaned_hash"] == h(
+        "unique words 0\ncopyright footer all rights reserved")
+    # doc 3: header only — removed
+    assert (out[3]["n_lines"], out[3]["n_removed"]) == (3, 2)
+    assert out[3]["cleaned_hash"] == h("unique words 3")
+    _cross_check(spark, _duck(tmp_path), tmp_path,
+                 "dedup_boilerplate_lines")

@@ -3267,6 +3267,101 @@ FROM base
 
 
 # --------------------------------------------------------------------------
+# Line-level boilerplate removal (RefinedWeb / CCNet style)
+# --------------------------------------------------------------------------
+
+_LINE_MIN_DF = 20  # a line in >= this many distinct docs is boilerplate
+_BP_HEADER = "subscribe to our newsletter"
+_BP_FOOTER = "copyright footer all rights reserved"
+
+
+def _boilerplate_injected_col() -> F.Column:
+    """The synthetic corpus is single-line word soup, so (as with the PII
+    and hot-shingle injections) deterministic multi-line structure is
+    planted: every 3rd doc gets a shared header line, every 4th a shared
+    footer line — cross-document repeated lines the op must find."""
+    t = F.coalesce(F.col("text"), F.lit(""))
+    t = F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit(_BP_HEADER + "\n"), t)).otherwise(t)
+    t = F.when(F.col("doc_id") % 4 == 0,
+               F.concat(t, F.lit("\n" + _BP_FOOTER))).otherwise(t)
+    return t
+
+
+def q_dedup_boilerplate_lines(spark, sf_dir):
+    """Cross-document repeated-line removal — the CCNet/RefinedWeb curation
+    pass that strips nav bars, cookie banners and footers: a line whose
+    normalized form (trim+lower) appears in ≥ ``_LINE_MIN_DF`` distinct
+    documents is boilerplate and is deleted from every document. Emits per
+    doc the line count, removed count, and the hash of the cleaned text
+    (kept lines rejoined in original order).
+
+    Scale: one explode → one (norm-line) aggregation with map-side partial
+    count-distinct → the boilerplate set is by construction tiny (lines
+    repeated across ≥20 docs) so it BROADCASTS back onto the line stream —
+    no second wide shuffle on the hot line keys; the final regroup is on
+    doc_id, which is uniform. Hot lines (the very boilerplate being
+    removed) never pass through a collect_list: per-doc line lists are
+    bounded by document length, not by line popularity."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", _boilerplate_injected_col().alias("t"))
+    lines = (d.select("doc_id",
+                      F.posexplode(F.split("t", "\n")).alias("pos", "line"))
+             .withColumn("norm", F.trim(F.lower("line"))))
+    bp = (lines.groupBy("norm")
+          .agg(F.countDistinct("doc_id").alias("line_df"))
+          .filter(F.col("line_df") >= _LINE_MIN_DF)
+          .select("norm", F.lit(1).alias("is_bp")))
+    flagged = (lines.join(F.broadcast(bp), "norm", "left")
+               .withColumn("is_bp", F.coalesce("is_bp", F.lit(0))))
+    kept = F.when(F.col("is_bp") == 0,
+                  F.struct(F.col("pos"), F.col("line")))
+    return (flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.sum("is_bp").alias("n_removed"),
+        F.md5(F.array_join(
+            F.transform(F.array_sort(F.collect_list(kept)),
+                        lambda x: x["line"]),
+            "\n")).alias("cleaned_hash")))
+
+
+SQL_DEDUP_BOILERPLATE_LINES = f"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0
+              THEN CASE WHEN doc_id % 3 = 0
+                        THEN '{_BP_HEADER}' || chr(10) || coalesce(text, '')
+                        ELSE coalesce(text, '') END
+                   || chr(10) || '{_BP_FOOTER}'
+              WHEN doc_id % 3 = 0
+              THEN '{_BP_HEADER}' || chr(10) || coalesce(text, '')
+              ELSE coalesce(text, '') END AS t
+  FROM documents
+), ls AS (
+  SELECT doc_id, string_split(t, chr(10)) AS arr FROM base
+), idx AS (
+  SELECT doc_id, arr, unnest(range(1, len(arr) + 1)) AS pos FROM ls
+), lines AS (
+  SELECT doc_id, pos, arr[pos] AS line,
+         trim(lower(arr[pos])) AS norm
+  FROM idx
+), bp AS (
+  SELECT norm FROM lines GROUP BY norm
+  HAVING count(DISTINCT doc_id) >= {_LINE_MIN_DF}
+), flagged AS (
+  SELECT l.doc_id, l.pos, l.line,
+         CASE WHEN b.norm IS NULL THEN 0 ELSE 1 END AS is_bp
+  FROM lines l LEFT JOIN bp b USING (norm)
+)
+SELECT doc_id, count(*) AS n_lines,
+       CAST(sum(is_bp) AS BIGINT) AS n_removed,
+       md5(coalesce(string_agg(line, chr(10) ORDER BY pos)
+                    FILTER (WHERE is_bp = 0), '')) AS cleaned_hash
+FROM flagged GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Multimodal plumbing (payloads as opaque binary + typed metadata)
 # --------------------------------------------------------------------------
 
@@ -3468,4 +3563,6 @@ OPS: dict[str, tuple] = {
         q_benchmark_contamination_fuzzy, SQL_BENCHMARK_CONTAMINATION_FUZZY),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),
+    "dedup_boilerplate_lines": (
+        q_dedup_boilerplate_lines, SQL_DEDUP_BOILERPLATE_LINES),
 }
