@@ -303,6 +303,113 @@ def _stream_turn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("win_start_s", "role"))
 
 
+def _stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization via session_window (rows-only): dynamic
+    per-conversation windows over a deterministic two-file stream — a
+    30-minute gap chains turns into one session, a quiet period splits
+    it, keys never merge. Complete-mode memory sink makes the
+    availableNow drain's final merged sessions readable. No SQL oracle:
+    DuckDB has no streaming/session-window surface (the BATCH gap
+    semantics are oracle-proven by events_sessionize)."""
+    import datetime as dt
+    import tempfile
+
+    from trek_spark.spark.corpus import TRANSCRIPT_SCHEMA
+    from trek_spark.spark.streaming import stream_sessionize
+
+    base = tempfile.mkdtemp(prefix="stream_sess_op_")
+    d, ckpt = f"{base}/in", f"{base}/ckpt"
+
+    def t(h, m):
+        return dt.datetime(2024, 2, 1, h, m, 0)
+
+    rows1 = [("A", 0, "user", "hi", None, t(10, 0), None),
+             ("A", 1, "assistant", "hello", None, t(10, 10), None),
+             ("B", 0, "user", "solo", None, t(10, 5), None)]
+    rows2 = [("A", 2, "user", "back after lunch", None, t(11, 0), None),
+             ("B", 1, "user", "bridge", None, t(10, 20), None)]
+    for batch in (rows1, rows2):
+        (spark.createDataFrame(batch, TRANSCRIPT_SCHEMA)
+         .coalesce(1).write.mode("append").parquet(d))
+
+    stream = (spark.readStream.schema(TRANSCRIPT_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(d))
+    q = (stream_sessionize(stream, gap="30 minutes", watermark="5 minutes")
+         .writeStream.format("memory").queryName("stream_sess_op")
+         .option("checkpointLocation", ckpt)
+         .outputMode("complete").trigger(availableNow=True).start())
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("stream_sessionize: availableNow drain did "
+                           "not finish within 300s")
+    return (spark.table("stream_sess_op")
+            .select("conv_id",
+                    F.col("session_window.start").cast("long")
+                     .alias("sess_start_s"),
+                    F.col("session_window.end").cast("long")
+                     .alias("sess_end_s"),
+                    "turns", "bytes_in")
+            .orderBy("conv_id", "sess_start_s"))
+
+
+def _stream_join_tool_results(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (rows-only): streaming
+    turns enriched with tool results arriving for the same conv_id
+    within [ts, ts + 5 min] — both sides watermarked so state is
+    evictable. Deterministic planted streams: one in-window pair per
+    turn, one too-late result, one orphan conv that must not emit. No
+    SQL oracle: DuckDB has no stream-stream join/watermark surface (the
+    batch interval semantics are oracle-proven by events_asof_join)."""
+    import datetime as dt
+    import tempfile
+
+    from trek_spark.spark.streaming import stream_join_tool_results
+
+    base_ts = dt.datetime(2024, 3, 1, 12, 0, 0)
+    base = tempfile.mkdtemp(prefix="stream_join_op_")
+    turns_dir, res_dir = f"{base}/turns", f"{base}/results"
+    out, ckpt = f"{base}/out", f"{base}/ckpt"
+
+    turn_schema = "conv_id string, turn_idx int, role string, ts timestamp"
+    res_schema = ("conv_id string, tool string, res_ts timestamp, "
+                  "payload string")
+    (spark.createDataFrame(
+        [("c1", 0, "user", base_ts),
+         ("c1", 1, "assistant", base_ts + dt.timedelta(minutes=1)),
+         ("c2", 0, "user", base_ts)], turn_schema)
+     .coalesce(1).write.mode("append").parquet(turns_dir))
+    (spark.createDataFrame(
+        [("c1", "search", base_ts + dt.timedelta(minutes=2), "hits=3"),
+         ("c1", "fetch", base_ts + dt.timedelta(minutes=5, seconds=30),
+          "ok"),
+         ("c9", "search", base_ts + dt.timedelta(minutes=1), "orphan")],
+        res_schema)
+     .coalesce(1).write.mode("append").parquet(res_dir))
+
+    q = (stream_join_tool_results(
+            spark.readStream.schema(turn_schema).parquet(turns_dir),
+            spark.readStream.schema(res_schema).parquet(res_dir))
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("stream_join_tool_results: availableNow drain "
+                           "did not finish within 300s")
+    return (spark.read.parquet(out)
+            .select("conv_id", "turn_idx", "role", "tool",
+                    F.col("ts").cast("long").alias("ts_s"),
+                    F.col("res_ts").cast("long").alias("res_ts_s"))
+            .orderBy("conv_id", "turn_idx", "tool"))
+
+
+# Rows-only entries staged for the round-8 window (built late in r7;
+# the r7 window is frozen at 50 — see _PARKED_FOR_R8).
+_R8_ROWS_ONLY = {
+    "stream_sessionize": _stream_sessionize,
+    "stream_join_tool_results": _stream_join_tool_results,
+}
+
 # The driver records AT MOST 50 queries() entries per round (empirical:
 # r5 recorded 50 of 54, r6 recorded 50 of 63 — an entry-COUNT cap, not a
 # time budget; see SURVEY.md §11).  Policy from the r6 verdict: expose

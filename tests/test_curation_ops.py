@@ -116,3 +116,63 @@ def test_boilerplate_lines_threshold_boundary(spark, tmp_path):
     assert out[3]["cleaned_hash"] == h("unique words 3")
     _cross_check(spark, _duck(tmp_path), tmp_path,
                  "dedup_boilerplate_lines")
+
+
+# --------------------------------------------------- pack_token_budget
+
+def test_pack_token_budget_known_answers(spark, tmp_path):
+    """5 docs × 1000 tokens, capacity 2048: docs start at offsets
+    0/1000/2000/3000/4000 → sequences {0,0,0,1,1} (a doc belongs to the
+    sequence where it STARTS; seq 0 overflows to 3000 tokens — the
+    GPT-style concatenate-then-chunk boundary semantics)."""
+    body = ("tok " * 1000).strip()
+    rows = [(i, body, "en", "web", len(body)) for i in range(5)]
+    _write_documents(spark, tmp_path, rows)
+    out = (O.OPS["pack_token_budget"][0](spark, str(tmp_path))
+           .toPandas().sort_values("seq_id").reset_index(drop=True))
+    assert list(out["seq_id"]) == [0, 1]
+    assert list(out["n_docs"]) == [3, 2]
+    assert list(out["seq_tokens"]) == [3000, 2000]
+    assert list(out["first_doc"]) == [0, 3]
+    assert list(out["last_doc"]) == [2, 4]
+    _cross_check(spark, _duck(tmp_path), tmp_path, "pack_token_budget")
+
+
+# ----------------------------------------------------- dsir_importance
+
+def test_dsir_scores_target_like_docs_higher(spark, tmp_path):
+    """Target slice (en) is full of 'alpha beta'; the raw-only slice of
+    'gamma delta'. Two probe docs of EQUAL length in the non-target
+    lang: the one whose bigrams look like the target must outscore the
+    other — the DSIR selection property the op exists for."""
+    rows = []
+    for i in range(30):
+        rows.append((i, "alpha beta " * 10, "en", "web", 110))
+    for i in range(30, 60):
+        rows.append((i, "gamma delta " * 10, "de", "web", 120))
+    rows.append((100, "alpha beta " * 10, "de", "web", 110))   # target-like
+    rows.append((101, "gamma delta " * 10, "de", "web", 120))  # raw-like
+    _write_documents(spark, tmp_path, rows)
+    out = {r["doc_id"]: r for _, r in
+           O.OPS["dsir_importance"][0](spark, str(tmp_path))
+           .toPandas().iterrows()}
+    assert out[100]["n_bigrams"] == out[101]["n_bigrams"] == 19
+    assert out[100]["dsir_score"] > out[101]["dsir_score"]
+    _cross_check(spark, _duck(tmp_path), tmp_path, "dsir_importance")
+
+
+# ------------------------------------------------------ graph_pagerank
+
+def test_pagerank_star_graph_exact_ticks(spark):
+    """4-leaf star, hand-unrolled 3 integer-tick iterations:
+    r1(h)=150000+4·(1e6·17)//20 = 3,550,000 … r3(h)=3,224,872,
+    r3(leaf)=443,781. Pins the exact arithmetic the oracle mirrors."""
+    pairs = [("h", f"l{i}") for i in range(4)]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], "id_a string, id_b string")
+    out = {r["doc_id"]: r for _, r in
+           O._pagerank(edges).toPandas().iterrows()}
+    assert (out["h"]["deg"], out["h"]["pr_tick"]) == (4, 3_224_872)
+    for i in range(4):
+        assert (out[f"l{i}"]["deg"], out[f"l{i}"]["pr_tick"]) \
+            == (1, 443_781)

@@ -204,14 +204,47 @@ AUDITS = {
                  "the exact op's global-window sort is the 10⁹-customer "
                  "scale-killer", 0),
     ],
+    "pii_redact": [
+        ("Exchange", "pure per-row regexp scrub: ZERO shuffle — the "
+                     "token_counts shape", 0),
+        ("Scan parquet", "one scan; counts and redaction share it", 1),
+    ],
+    "dedup_boilerplate_lines": [
+        ("BroadcastHashJoin", "the tiny boilerplate-line set broadcasts "
+                              "back onto the line stream — no wide "
+                              "shuffle keyed on hot lines"),
+        ("HashAggregate", "line-df count-distinct with map-side partials"),
+    ],
+    "pack_token_budget": [
+        ("Window", "running token sum per (lang, shard) partition"),
+        ("rangepartitioning", "no GLOBAL sort: the window partitions on "
+                              "(lang, shard), so ordering is local to "
+                              "each shard", 0),
+    ],
+    "dsir_importance": [
+        ("BroadcastHashJoin", "the 1,024-row bucket-weight table "
+                              "broadcasts onto the bigram stream — no "
+                              "shuffle keyed on raw n-grams"),
+        ("CartesianProduct", "never a cartesian", 0),
+    ],
+    "graph_pagerank": [
+        ("CartesianProduct", "contribution routing is equi-joins on "
+                             "node ids only", 0),
+        ("HashAggregate", "per-iteration contributions combine map-side "
+                          "before the dst shuffle"),
+    ],
 }
 
 
 def _count_nodes(plan: str, op: str) -> int:
     """Number of distinct plan nodes of type ``op`` in a formatted explain
-    (counts the detail headers, e.g. ``(3) Scan parquet``)."""
+    (counts the detail headers, e.g. ``(3) Scan parquet``). Terms that are
+    not node headers (e.g. ``rangepartitioning``, which only appears in an
+    Exchange's argument line) fall back to a raw substring count so
+    count-0 absence checks still bite."""
     import re
-    return len(re.findall(rf"^\(\d+\) {re.escape(op)}", plan, re.M))
+    n = len(re.findall(rf"^\(\d+\) {re.escape(op)}", plan, re.M))
+    return n if n else plan.count(op)
 
 
 def main():

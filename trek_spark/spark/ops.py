@@ -3362,6 +3362,242 @@ FROM flagged GROUP BY doc_id
 
 
 # --------------------------------------------------------------------------
+# Token-budget sequence packing
+# --------------------------------------------------------------------------
+
+_PACK_CAPACITY = 2048   # tokens per training sequence
+_PACK_SHARD = 100_000   # docs per packing shard (purely positional key)
+
+
+def q_pack_token_budget(spark, sf_dir):
+    """Training-sequence packing — the final step of every pretraining
+    pipeline: concatenate documents in a deterministic order and chunk
+    the token stream into fixed-capacity sequences (GPT-style packing
+    with boundary overflow: a doc is assigned to the sequence where it
+    STARTS, ``(cum − n_tokens) DIV capacity``). Emits per (lang, shard,
+    seq_id): docs packed, token sum, and the first/last doc ids — the
+    manifest a dataloader needs.
+
+    Scale: packing does NOT need a global order — only order within a
+    shard — so the window partitions on (lang, shard = doc_id DIV 1e5):
+    one bounded shuffle, every partition sorts ~1e5 rows locally, no
+    global Sort, embarrassingly parallel across shards at 100 TB. The
+    running sum is a frame-bounded window aggregate (rows unbounded
+    preceding), all integer arithmetic — bit-portable to the oracle."""
+    n_tokens = F.size(F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))),
+                              r"\s+"))
+    d = (_t(spark, sf_dir, "documents")
+         .select("doc_id", "lang", n_tokens.alias("n_tokens"),
+                 F.expr(f"doc_id DIV {_PACK_SHARD}").alias("shard")))
+    w = (Window.partitionBy("lang", "shard").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    packed = (d.withColumn("cum", F.sum("n_tokens").over(w))
+              .withColumn("seq_id",
+                          F.expr(f"(cum - n_tokens) DIV {_PACK_CAPACITY}")))
+    return (packed.groupBy("lang", "shard", "seq_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("seq_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc")))
+
+
+SQL_PACK_TOKEN_BUDGET = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         len(regexp_split_to_array(trim(coalesce(text, '')), '\\s+'))
+             AS n_tokens,
+         doc_id // {_PACK_SHARD} AS shard
+  FROM documents
+), cums AS (
+  SELECT doc_id, lang, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum
+  FROM toks
+)
+SELECT lang, shard,
+       CAST((cum - n_tokens) // {_PACK_CAPACITY} AS BIGINT) AS seq_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM cums GROUP BY lang, shard, seq_id
+"""
+
+
+# --------------------------------------------------------------------------
+# DSIR importance weights (hashed-ngram importance resampling)
+# --------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 1024
+_DSIR_SCALE = 1 << 20  # fixed-point scale so flog2(ratio) centers at 20
+
+
+def _bigram_occurrences(col="text") -> F.Column:
+    """Word bigrams WITH multiplicity (unlike ``_shingles``, which
+    array_distinct's for set-Jaccard) — DSIR features are occurrence
+    counts. Same let-binding trick so split() runs once per row."""
+    words = rf"split(trim(lower(coalesce({col}, ''))), '\\s+')"
+    return F.expr(rf"""
+        element_at(transform(array({words}), ws ->
+          CASE WHEN size(ws) >= 2
+          THEN transform(sequence(1, size(ws) - 1),
+                         i -> concat_ws(' ', slice(ws, i, 2)))
+          ELSE CAST(array() AS ARRAY<STRING>) END), 1)""")
+
+
+def q_dsir_importance(spark, sf_dir):
+    """DSIR-style data selection score (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): hashed word-bigram
+    features, per-bucket target-vs-raw likelihood ratios, and a per-doc
+    importance score = Σ over the doc's bigram occurrences of the bucket
+    log-ratio. Target distribution stand-in: the lang='en' slice; raw:
+    the whole corpus.
+
+    Cross-engine determinism: no libm — the log-ratio is integer
+    fixed-point log₂, ``flog2((cnt_t+1)·2²⁰ DIV (cnt_r+1))`` with
+    flog2(x) = length(bin(x)) − 1, exact in both engines (the sqrt-freeze
+    convention extended to log₂ via binary-string length). Count ratios
+    omit the constant T/R normalizer — a constant shift in log space that
+    cannot change the selection RANKING, which is what resampling uses.
+
+    Scale: explode bigrams → ONE aggregation onto 1,024 hash buckets
+    (map-side partials absorb any hot bigram), then the 1,024-row weight
+    table broadcasts back onto the occurrence stream — no shuffle keyed
+    on raw n-grams ever reaches a join. At 100 TB the 2²⁰ scale factor
+    would overflow int64 on >2⁴³-occurrence buckets; production divides
+    both counts by their totals first (same ranking, bounded operands)."""
+    b = (_t(spark, sf_dir, "documents")
+         .select("doc_id", "lang",
+                 F.explode(_bigram_occurrences()).alias("bg"))
+         .select("doc_id", "lang",
+                 F.expr(f"CAST(conv(substr(md5(bg), 1, 4), 16, 10) AS "
+                        f"BIGINT) % {_DSIR_BUCKETS}").alias("bucket")))
+    w = (b.groupBy("bucket").agg(
+            F.count("*").alias("cnt_r"),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+             .alias("cnt_t"))
+         .select("bucket", F.expr(
+             f"length(bin((cnt_t + 1) * {_DSIR_SCALE} DIV (cnt_r + 1)))"
+             " - 1").alias("w")))
+    return (b.join(F.broadcast(w), "bucket")
+            .groupBy("doc_id").agg(
+                F.count("*").alias("n_bigrams"),
+                F.sum("w").alias("dsir_score")))
+
+
+SQL_DSIR_IMPORTANCE = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+')
+             AS ws
+  FROM documents
+), bgs AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, greatest(len(ws) - 1, 0) + 1),
+                               i -> ws[i] || ' ' || ws[i + 1])) AS bg
+  FROM toks
+), b AS (
+  SELECT doc_id, lang,
+         CAST('0x' || substr(md5(bg), 1, 4) AS BIGINT)
+             % {_DSIR_BUCKETS} AS bucket
+  FROM bgs
+), agg AS (
+  SELECT bucket, count(*) AS cnt_r,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+             AS cnt_t
+  FROM b GROUP BY bucket
+), w AS (
+  SELECT bucket,
+         length(bin(CAST((cnt_t + 1) * {_DSIR_SCALE} // (cnt_r + 1)
+                         AS BIGINT))) - 1 AS w
+  FROM agg
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       CAST(sum(w.w) AS BIGINT) AS dsir_score
+FROM b JOIN w USING (bucket) GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# PageRank over the near-dup similarity graph
+# --------------------------------------------------------------------------
+
+_PR_ITERS = 3          # fixed, unrolled — no driver-side convergence loop
+_PR_TICK = 1_000_000   # fixed-point rank scale (1.0 == 1e6 ticks)
+
+
+def q_graph_pagerank(spark, sf_dir):
+    """PageRank centrality over the near-dup similarity graph — the
+    graph-analytics companion to connected components / triangle counts:
+    which documents sit at the CENTER of a duplication neighborhood
+    (template hubs worth one canonical keep) vs its periphery. Damping
+    0.85, ``_PR_ITERS`` power iterations, restricted (like
+    dedup_clusters) to edge-touched nodes; dangling mass is not
+    redistributed (isolated docs have no edges here by construction).
+
+    Cross-engine determinism: ranks are int64 ticks (1e6 = 1.0) and each
+    iteration is ``150000 + Σ (r·17) DIV (20·deg)`` — pure integer
+    multiply/divide/sum, bit-identical in both engines (the exact-integer
+    convention; 17/20 = 0.85). The oracle unrolls the same three
+    iterations as chained CTEs.
+
+    Scale: per iteration ONE shuffle (group contributions by dst); the
+    edge list and degree table are computed once and localCheckpoint'd
+    upstream (``_cluster_edges``), so Catalyst doesn't replay the
+    Jaccard join per iteration, and the lineage stays O(iters) not
+    O(2^iters). Fixed iteration count bounds the job graph; hub skew is
+    already capped by the shingle-df cap feeding the edge list."""
+    return _pagerank(_cluster_edges(spark, sf_dir))
+
+
+def _pagerank(edges: DataFrame, iters: int = _PR_ITERS) -> DataFrame:
+    """``iters`` integer-tick power iterations over a symmetrized
+    (id_a, id_b) edge list; see q_graph_pagerank for the contract."""
+    deg = edges.groupBy("id_a").agg(F.count("*").alias("deg"))
+    src = (edges.join(deg, "id_a")
+           .select(F.col("id_a").alias("u"), F.col("id_b").alias("v"),
+                   "deg"))
+    ranks = deg.select(F.col("id_a").alias("u"),
+                       F.lit(_PR_TICK).cast("long").alias("r"))
+    for _ in range(iters):
+        ranks = (src.join(ranks, "u")
+                 .select(F.col("v").alias("u"),
+                         F.expr("(r * 17) DIV (20 * deg)").alias("c"))
+                 .groupBy("u")
+                 .agg((F.lit(150_000) + F.sum("c")).alias("r")))
+    return (deg.join(ranks, deg.id_a == ranks.u)
+            .select(F.col("id_a").alias("doc_id"), "deg",
+                    F.col("r").alias("pr_tick")))
+
+
+def _sql_pagerank_iter(prev: str) -> str:
+    return (f"SELECT e.b AS id, 150000 + CAST(sum((r.r * 17)"
+            f" // (20 * d.deg)) AS BIGINT) AS r "
+            f"FROM edges e JOIN {prev} r ON e.a = r.id "
+            f"JOIN deg d ON e.a = d.a GROUP BY e.b")
+
+
+SQL_GRAPH_PAGERANK = f"""
+WITH dedup_pairs AS (
+  SELECT id_a, id_b FROM ({SQL_DEDUP_NGRAM}) t
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM dedup_pairs
+  UNION SELECT id_b, id_a FROM dedup_pairs
+), deg AS (
+  SELECT a, count(*) AS deg FROM edges GROUP BY a
+), r0 AS (
+  SELECT a AS id, CAST({_PR_TICK} AS BIGINT) AS r FROM deg
+), r1 AS ({_sql_pagerank_iter('r0')}
+), r2 AS ({_sql_pagerank_iter('r1')}
+), r3 AS ({_sql_pagerank_iter('r2')}
+)
+SELECT d.a AS doc_id, d.deg, r3.r AS pr_tick
+FROM deg d JOIN r3 ON d.a = r3.id
+"""
+
+
+# --------------------------------------------------------------------------
 # Multimodal plumbing (payloads as opaque binary + typed metadata)
 # --------------------------------------------------------------------------
 
@@ -3565,4 +3801,7 @@ OPS: dict[str, tuple] = {
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),
     "dedup_boilerplate_lines": (
         q_dedup_boilerplate_lines, SQL_DEDUP_BOILERPLATE_LINES),
+    "pack_token_budget": (q_pack_token_budget, SQL_PACK_TOKEN_BUDGET),
+    "dsir_importance": (q_dsir_importance, SQL_DSIR_IMPORTANCE),
+    "graph_pagerank": (q_graph_pagerank, SQL_GRAPH_PAGERANK),
 }
