@@ -473,6 +473,9 @@ _PARKED_FOR_R8 = [
     "pack_token_budget",
     "dsir_importance",
     "graph_pagerank",
+    "char_trigram_perplexity",
+    "within_doc_dedup_lines",
+    "lang_consistency_chunks",
 ]
 _DRIVER_RECORD_CAP = 50
 

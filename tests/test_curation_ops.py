@@ -176,3 +176,76 @@ def test_pagerank_star_graph_exact_ticks(spark):
     for i in range(4):
         assert (out[f"l{i}"]["deg"], out[f"l{i}"]["pr_tick"]) \
             == (1, 443_781)
+
+
+# ------------------------------------------------- within_doc_dedup_lines
+
+def test_within_doc_dedup_keeps_first_occurrence(spark, tmp_path):
+    """'a\\nb\\na\\nc' → 4 lines, 1 dupe removed, cleaned text 'a\\nb\\nc'
+    (keep-first is ORDINAL — 'a' stays at position 1, not re-sorted).
+    Empty text splits to [''] → 1 line, 0 dupes."""
+    import hashlib
+    rows = [(0, "a\nb\na\nc", "en", "web", 7),
+            (1, "x\nx\nx\nx", "en", "web", 7),
+            (2, "", "en", "web", 0)]
+    _write_documents(spark, tmp_path, rows)
+    out = {r["doc_id"]: r for _, r in
+           O.OPS["within_doc_dedup_lines"][0](spark, str(tmp_path))
+           .toPandas().iterrows()}
+    h = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert (out[0]["n_lines"], out[0]["n_dupes"]) == (4, 1)
+    assert out[0]["cleaned_hash"] == h("a\nb\nc")
+    assert (out[1]["n_lines"], out[1]["n_dupes"]) == (4, 3)
+    assert out[1]["cleaned_hash"] == h("x")
+    assert (out[2]["n_lines"], out[2]["n_dupes"]) == (1, 0)
+    assert out[2]["cleaned_hash"] == h("")
+    _cross_check(spark, _duck(tmp_path), tmp_path,
+                 "within_doc_dedup_lines")
+
+
+# ------------------------------------------------ lang_consistency_chunks
+
+def test_lang_consistency_flags_code_switching(spark, tmp_path):
+    """doc 0 flips en→de exactly at the 256-char chunk boundary → two
+    chunks voting differently, is_mixed, top_lang en (1-1 tie breaks by
+    the en>de cascade). doc 1 is uniform English → not mixed. doc 2 is
+    CJK → zh chunk vote."""
+    en_chunk = ("the and of a to in " * 15)[:256]          # pure en votes
+    de_chunk = ("der die und das ist ein " * 11)[:256]     # pure de votes
+    assert len(en_chunk) == len(de_chunk) == 256
+    rows = [(0, en_chunk + de_chunk, "en", "web", 512),
+            (1, en_chunk * 3, "en", "web", 768),
+            (2, "这是一个中文文档的内容测试", "zh", "web", 13)]
+    _write_documents(spark, tmp_path, rows)
+    out = {r["doc_id"]: r for _, r in
+           O.OPS["lang_consistency_chunks"][0](spark, str(tmp_path))
+           .toPandas().iterrows()}
+    assert (out[0]["n_chunks"], out[0]["c_en"], out[0]["c_de"]) == (2, 1, 1)
+    assert bool(out[0]["is_mixed"]) and out[0]["top_lang"] == "en"
+    assert (out[1]["n_chunks"], out[1]["c_en"]) == (3, 3)
+    assert not bool(out[1]["is_mixed"]) and out[1]["top_lang"] == "en"
+    assert (out[2]["c_zh"], out[2]["top_lang"]) == (1, "zh")
+    _cross_check(spark, _duck(tmp_path), tmp_path,
+                 "lang_consistency_chunks")
+
+
+# ----------------------------------------------- char_trigram_perplexity
+
+def test_perplexity_ranks_gibberish_above_common_text(spark, tmp_path):
+    """30 docs of the same common phrase + 1 gibberish doc of rare
+    characters: the gibberish doc's trigrams hit low-count buckets, so
+    its avg surprisal tick must be strictly higher. Trigram counts are
+    exact: a doc of length L <= 2048 has L-2 trigrams."""
+    common = "the cat sat on the mat and the dog ran off " * 10
+    gibberish = "zqxjkvwpyg bfhmzqxjkvw pygbfhmzqx jkvwpygbfh"
+    rows = [(i, common, "en", "web", len(common)) for i in range(30)]
+    rows.append((100, gibberish, "en", "web", len(gibberish)))
+    _write_documents(spark, tmp_path, rows)
+    out = {r["doc_id"]: r for _, r in
+           O.OPS["char_trigram_perplexity"][0](spark, str(tmp_path))
+           .toPandas().iterrows()}
+    assert out[0]["n_trigrams"] == len(common) - 2
+    assert out[100]["n_trigrams"] == len(gibberish) - 2
+    assert out[100]["ppl_tick"] > out[0]["ppl_tick"]
+    _cross_check(spark, _duck(tmp_path), tmp_path,
+                 "char_trigram_perplexity")

@@ -233,6 +233,24 @@ AUDITS = {
         ("HashAggregate", "per-iteration contributions combine map-side "
                           "before the dst shuffle"),
     ],
+    "char_trigram_perplexity": [
+        ("BroadcastHashJoin", "the 4,096-row trigram model broadcasts "
+                              "back onto the trigram stream — no shuffle "
+                              "keyed on raw trigrams"),
+        ("CartesianProduct", "never a cartesian", 0),
+    ],
+    "within_doc_dedup_lines": [
+        ("Exchange", "pure per-row array higher-order fns: ZERO "
+                     "shuffle, ZERO join", 0),
+        ("Scan parquet", "one scan feeds lines, dupes, and the cleaned "
+                         "hash", 1),
+    ],
+    "lang_consistency_chunks": [
+        ("Generate", "chunk explode (<=16 chunks/doc)"),
+        ("CartesianProduct", "never a cartesian", 0),
+        ("Window", "plurality pick is a greatest()+CASE cascade inside "
+                   "the aggregate — no window, no second shuffle", 0),
+    ],
 }
 
 

@@ -3598,6 +3598,277 @@ FROM deg d JOIN r3 ON d.a = r3.id
 
 
 # --------------------------------------------------------------------------
+# Char-trigram self-perplexity (LM-quality-filter proxy)
+# --------------------------------------------------------------------------
+
+_PPL_BUCKETS = 4096
+_PPL_PREFIX = 2048   # chars of text scored per doc
+_PPL_SCALE = 1024    # fixed-point: tick ≈ (log2(total/cnt) + 10) bits
+
+
+def _char_trigrams(col="pref_") -> F.Column:
+    """Character trigrams WITH multiplicity over an already-bound prefix
+    column. sequence(1, 0) in Spark is the DESCENDING [1, 0] — the
+    length guard is load-bearing."""
+    return F.expr(
+        f"CASE WHEN char_length({col}) >= 3 THEN "
+        f"transform(sequence(1, char_length({col}) - 2), "
+        f"i -> substring({col}, i, 3)) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END")
+
+
+def q_char_trigram_perplexity(spark, sf_dir):
+    """Self-perplexity quality filter (the CCNet/FineWeb LM-filter
+    shape): score each doc by the average surprisal of its character
+    trigrams under the CORPUS's own trigram distribution — gibberish,
+    binary spill, and off-distribution boilerplate sit in the high tail;
+    no external model needed. Trigrams hash onto 4,096 buckets; bucket
+    surprisal = flog2(total·1024 DIV cnt) (integer fixed-point log₂ via
+    binary-string length — the DSIR convention, exact in both engines);
+    doc score = Σ surprisal DIV n_trigrams (integer avg, ticks ≈ bits
+    ·1, offset +10 from the scale).
+
+    Scale: ONE aggregation onto 4,096 buckets (map-side partials absorb
+    hot trigrams), the global total as a window-sum over the 4,096-row
+    model table (not the corpus), then the model BROADCASTS back onto
+    the trigram stream — no shuffle keyed on raw trigrams. Scoring is
+    capped at a 2,048-char prefix per doc, so cost is O(docs), not
+    O(bytes). At 100 TB the ·1024 scale overflows int64 only past 2⁵³
+    total trigram occurrences; production normalizes counts first (same
+    ranking, bounded operands — see q_dsir_importance)."""
+    tg = (_t(spark, sf_dir, "documents")
+          .withColumn("pref_", F.expr(
+              f"substring(lower(coalesce(text, '')), 1, {_PPL_PREFIX})"))
+          .select("doc_id", F.explode(_char_trigrams()).alias("tg"))
+          .select("doc_id", F.expr(
+              f"CAST(conv(substr(md5(tg), 1, 4), 16, 10) AS BIGINT)"
+              f" % {_PPL_BUCKETS}").alias("bucket")))
+    model = (tg.groupBy("bucket").agg(F.count("*").alias("cnt"))
+             .withColumn("total", F.sum("cnt").over(
+                 Window.partitionBy(F.lit(1))))
+             .select("bucket", F.expr(
+                 f"length(bin(total * {_PPL_SCALE} DIV cnt)) - 1")
+                 .alias("tick")))
+    return (tg.join(F.broadcast(model), "bucket")
+            .groupBy("doc_id").agg(
+                F.count("*").alias("n_trigrams"),
+                F.expr("sum(tick) DIV count(*)").alias("ppl_tick")))
+
+
+SQL_CHAR_TRIGRAM_PERPLEXITY = f"""
+WITH prefs AS (
+  SELECT doc_id,
+         substr(lower(coalesce(text, '')), 1, {_PPL_PREFIX}) AS pref_
+  FROM documents
+), tg AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(t.tg), 1, 4) AS BIGINT)
+             % {_PPL_BUCKETS} AS bucket
+  FROM prefs, unnest(list_transform(
+        range(1, greatest(length(pref_) - 2, 0) + 1),
+        i -> substr(pref_, i, 3))) AS t(tg)
+), model AS (
+  SELECT bucket,
+         length(bin(CAST(sum(count(*)) OVER () * {_PPL_SCALE}
+                         // count(*) AS BIGINT))) - 1 AS tick
+  FROM tg GROUP BY bucket
+)
+SELECT doc_id, count(*) AS n_trigrams,
+       CAST(sum(tick) // count(*) AS BIGINT) AS ppl_tick
+FROM tg JOIN model USING (bucket) GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Within-document repeated-line removal (Gopher/RefinedWeb in-doc dedup)
+# --------------------------------------------------------------------------
+
+def q_within_doc_dedup_lines(spark, sf_dir):
+    """WITHIN-document duplicate-line removal — the in-doc complement to
+    the cross-document `dedup_boilerplate_lines`: a line repeated inside
+    the SAME document (scraper loops, chat echo, nav repeated per
+    section) keeps its first occurrence only. Emits per doc: line
+    count, dupes removed, and the cleaned-text hash.
+
+    Scale: pure per-row higher-order array functions — ZERO Exchange,
+    ZERO join; the keep-first predicate is
+    ``array_position(lines, x) == i+1`` (first index wins), O(lines²)
+    per doc but lines are bounded per document, not per corpus; the
+    whole op pipelines inside one codegen stage at any corpus size.
+    Keep-first is ordinal, not lexical, so cleaned text is
+    order-preserving (the property the extraction fixtures care
+    about)."""
+    lines = r"split(coalesce(text, ''), '\n')"
+    kept = (f"filter({lines}, (x, i) -> "
+            f"array_position({lines}, x) = i + 1)")
+    return (_t(spark, sf_dir, "documents")
+            .select(
+                "doc_id",
+                F.expr(f"size({lines})").alias("n_lines"),
+                F.expr(f"size({lines}) - size({kept})").alias("n_dupes"),
+                F.md5(F.expr(f"concat_ws('\\n', {kept})"))
+                 .alias("cleaned_hash")))
+
+
+SQL_WITHIN_DOC_DEDUP_LINES = r"""
+WITH split_ AS (
+  SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS lines
+  FROM documents
+), kept AS (
+  SELECT doc_id, lines,
+         list_filter(lines,
+                     (x, i) -> list_position(lines, x) = i) AS keep
+  FROM split_
+)
+SELECT doc_id, length(lines) AS n_lines,
+       length(lines) - length(keep) AS n_dupes,
+       md5(array_to_string(keep, chr(10))) AS cleaned_hash
+FROM kept
+"""
+
+
+# --------------------------------------------------------------------------
+# Chunked language-consistency vote (code-switch / mixed-language audit)
+# --------------------------------------------------------------------------
+
+_LCC_CHUNK = 256     # chars per vote chunk
+_LCC_PREFIX = 4096   # same audited prefix as lang_heuristic
+
+
+def q_lang_consistency_chunks(spark, sf_dir):
+    """Code-switching / mixed-language audit: the doc-level
+    `lang_heuristic` vote is blind to a document that flips language
+    halfway (the doc-level winner just averages it out). This op votes
+    per 256-char chunk of the 4,096-char prefix (same stopword lists +
+    CJK rule as lang_heuristic, same en>de>fr>es tie cascade), then
+    aggregates: per-language chunk counts, the plurality language
+    (ties broken by the same cascade order), and a mixed flag when
+    more than one language wins chunks. Whitespace-only chunks are
+    dropped before voting.
+
+    Scale: explode to ≤16 chunks/doc → per-chunk codegen'd votes → ONE
+    groupBy on doc_id (conditional-sum pivot, no second shuffle, no
+    window). The plurality pick is a greatest()+CASE cascade over the
+    five counts — still inside the same aggregate projection."""
+    d = (_t(spark, sf_dir, "documents")
+         .withColumn("pref_", F.expr(
+             f"substring(coalesce(text, ''), 1, {_LCC_PREFIX})"))
+         .select("doc_id", F.explode(F.expr(
+             f"filter(CASE WHEN char_length(pref_) >= 1 THEN "
+             f"transform(sequence(1, ((char_length(pref_) - 1)"
+             f" DIV {_LCC_CHUNK}) + 1), "
+             f"i -> substring(pref_, (i - 1) * {_LCC_CHUNK} + 1,"
+             f" {_LCC_CHUNK})) "
+             f"ELSE CAST(array() AS ARRAY<STRING>) END, "
+             f"c -> trim(c) != '')")).alias("chunk"))
+         .withColumn("toks_", F.expr(r"split(lower(trim(chunk)), '\\s+')")))
+
+    def votes(words):
+        lst = ",".join(f"'{w}'" for w in words)
+        return F.size(F.expr(rf"filter(toks_, w -> w IN ({lst}))"))
+
+    en = votes(("the", "and", "of", "a", "to", "in"))
+    de = votes(("der", "die", "und", "das", "ist", "ein"))
+    fr = votes(("le", "la", "et", "les", "des", "un"))
+    es = votes(("el", "que", "y", "en", "los", "una"))
+    zh = F.length(F.regexp_replace(F.col("chunk"), "[^一-鿿]", ""))
+    mx = F.greatest("v_en", "v_de", "v_fr", "v_es")
+    pred = (F.when(F.col("cjk") > mx, F.lit("zh"))
+            .when((F.col("v_en") >= F.col("v_de"))
+                  & (F.col("v_en") >= F.col("v_fr"))
+                  & (F.col("v_en") >= F.col("v_es")), F.lit("en"))
+            .when((F.col("v_de") >= F.col("v_fr"))
+                  & (F.col("v_de") >= F.col("v_es")), F.lit("de"))
+            .when(F.col("v_fr") >= F.col("v_es"), F.lit("fr"))
+            .otherwise(F.lit("es")))
+    per_chunk = (d.select("doc_id", en.alias("v_en"), de.alias("v_de"),
+                          fr.alias("v_fr"), es.alias("v_es"),
+                          zh.alias("cjk"))
+                 .withColumn("pred", pred))
+    cnt = [F.sum(F.when(F.col("pred") == lg, 1).otherwise(0))
+            .alias(f"c_{lg}") for lg in ("en", "de", "fr", "es", "zh")]
+    top = F.greatest("c_en", "c_de", "c_fr", "c_es", "c_zh")
+    return (per_chunk.groupBy("doc_id")
+            .agg(F.count("*").alias("n_chunks"), *cnt)
+            .withColumn(
+                "top_lang",
+                F.when(F.col("c_en") == top, F.lit("en"))
+                .when(F.col("c_de") == top, F.lit("de"))
+                .when(F.col("c_fr") == top, F.lit("fr"))
+                .when(F.col("c_es") == top, F.lit("es"))
+                .otherwise(F.lit("zh")))
+            .withColumn(
+                "is_mixed",
+                (sum(F.when(F.col(f"c_{lg}") > 0, 1).otherwise(0)
+                     for lg in ("en", "de", "fr", "es", "zh")) > 1)
+                .cast("boolean")))
+
+
+SQL_LANG_CONSISTENCY_CHUNKS = f"""
+WITH prefs AS (
+  SELECT doc_id, substr(coalesce(text, ''), 1, {_LCC_PREFIX}) AS pref_
+  FROM documents
+), chunks AS (
+  SELECT doc_id, c.chunk
+  FROM prefs, unnest(list_transform(
+        range(1, CASE WHEN length(pref_) >= 1
+                 THEN (length(pref_) - 1) // {_LCC_CHUNK} + 2
+                 ELSE 1 END),
+        i -> substr(pref_, (i - 1) * {_LCC_CHUNK} + 1, {_LCC_CHUNK})))
+       AS c(chunk)
+  WHERE trim(c.chunk) != ''
+), voted AS (
+  SELECT doc_id,
+    length(list_filter(toks_,
+           w -> w IN ('the','and','of','a','to','in'))) AS v_en,
+    length(list_filter(toks_,
+           w -> w IN ('der','die','und','das','ist','ein'))) AS v_de,
+    length(list_filter(toks_,
+           w -> w IN ('le','la','et','les','des','un'))) AS v_fr,
+    length(list_filter(toks_,
+           w -> w IN ('el','que','y','en','los','una'))) AS v_es,
+    length(regexp_replace(chunk,
+           '[^\\x{{4e00}}-\\x{{9fff}}]', '', 'g')) AS cjk
+  FROM (SELECT doc_id, chunk,
+               regexp_split_to_array(lower(trim(chunk)), '\\s+') AS toks_
+        FROM chunks)
+), preds AS (
+  SELECT doc_id,
+       CASE WHEN cjk > greatest(v_en, v_de, v_fr, v_es) THEN 'zh'
+            WHEN v_en >= v_de AND v_en >= v_fr AND v_en >= v_es THEN 'en'
+            WHEN v_de >= v_fr AND v_de >= v_es THEN 'de'
+            WHEN v_fr >= v_es THEN 'fr' ELSE 'es' END AS pred
+  FROM voted
+), agg AS (
+  SELECT doc_id, count(*) AS n_chunks,
+         CAST(sum(CASE WHEN pred = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+             AS c_en,
+         CAST(sum(CASE WHEN pred = 'de' THEN 1 ELSE 0 END) AS BIGINT)
+             AS c_de,
+         CAST(sum(CASE WHEN pred = 'fr' THEN 1 ELSE 0 END) AS BIGINT)
+             AS c_fr,
+         CAST(sum(CASE WHEN pred = 'es' THEN 1 ELSE 0 END) AS BIGINT)
+             AS c_es,
+         CAST(sum(CASE WHEN pred = 'zh' THEN 1 ELSE 0 END) AS BIGINT)
+             AS c_zh
+  FROM preds GROUP BY doc_id
+)
+SELECT doc_id, n_chunks, c_en, c_de, c_fr, c_es, c_zh,
+       CASE WHEN c_en = greatest(c_en, c_de, c_fr, c_es, c_zh) THEN 'en'
+            WHEN c_de = greatest(c_en, c_de, c_fr, c_es, c_zh) THEN 'de'
+            WHEN c_fr = greatest(c_en, c_de, c_fr, c_es, c_zh) THEN 'fr'
+            WHEN c_es = greatest(c_en, c_de, c_fr, c_es, c_zh) THEN 'es'
+            ELSE 'zh' END AS top_lang,
+       ((CASE WHEN c_en > 0 THEN 1 ELSE 0 END)
+        + (CASE WHEN c_de > 0 THEN 1 ELSE 0 END)
+        + (CASE WHEN c_fr > 0 THEN 1 ELSE 0 END)
+        + (CASE WHEN c_es > 0 THEN 1 ELSE 0 END)
+        + (CASE WHEN c_zh > 0 THEN 1 ELSE 0 END)) > 1 AS is_mixed
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
 # Multimodal plumbing (payloads as opaque binary + typed metadata)
 # --------------------------------------------------------------------------
 
@@ -3804,4 +4075,10 @@ OPS: dict[str, tuple] = {
     "pack_token_budget": (q_pack_token_budget, SQL_PACK_TOKEN_BUDGET),
     "dsir_importance": (q_dsir_importance, SQL_DSIR_IMPORTANCE),
     "graph_pagerank": (q_graph_pagerank, SQL_GRAPH_PAGERANK),
+    "char_trigram_perplexity": (
+        q_char_trigram_perplexity, SQL_CHAR_TRIGRAM_PERPLEXITY),
+    "within_doc_dedup_lines": (
+        q_within_doc_dedup_lines, SQL_WITHIN_DOC_DEDUP_LINES),
+    "lang_consistency_chunks": (
+        q_lang_consistency_chunks, SQL_LANG_CONSISTENCY_CHUNKS),
 }
