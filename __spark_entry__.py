@@ -476,6 +476,9 @@ _PARKED_FOR_R8 = [
     "char_trigram_perplexity",
     "within_doc_dedup_lines",
     "lang_consistency_chunks",
+    "gopher_quality_rules",
+    "dedup_passage_windows",
+    "orders_unpivot",
 ]
 _DRIVER_RECORD_CAP = 50
 

@@ -249,3 +249,96 @@ def test_perplexity_ranks_gibberish_above_common_text(spark, tmp_path):
     assert out[100]["ppl_tick"] > out[0]["ppl_tick"]
     _cross_check(spark, _duck(tmp_path), tmp_path,
                  "char_trigram_perplexity")
+
+
+# --------------------------------------------------- gopher_quality_rules
+
+def test_gopher_rules_each_gate_fires(spark, tmp_path):
+    """One doc per failure mode: doc 0 passes every rule (60×4-char
+    words → mean_wlen_e2 exactly 400); doc 1 too short (r_wc); doc 2
+    symbol-heavy '#' words (r_sym AND r_alpha — '#' has no alpha);
+    doc 3 all-bullet lines (r_bullet: 10 of 11 split lines); doc 4
+    empty (r_wc and r_mwl fail, ratio rules pass vacuously)."""
+    rows = [(0, ("word " * 60).strip(), "en", "web", 299),
+            (1, "tiny doc here", "en", "web", 13),
+            (2, ("# " * 20 + "good " * 40).strip(), "en", "web", 239),
+            (3, "- item\n" * 10, "en", "web", 70),
+            (4, "", "en", "web", 0)]
+    _write_documents(spark, tmp_path, rows)
+    out = {r["doc_id"]: r for _, r in
+           O.OPS["gopher_quality_rules"][0](spark, str(tmp_path))
+           .toPandas().iterrows()}
+    assert (out[0]["n_words"], out[0]["mean_wlen_e2"]) == (60, 400)
+    assert bool(out[0]["pass_all"])
+    assert not bool(out[1]["r_wc"]) and not bool(out[1]["pass_all"])
+    assert not bool(out[2]["r_sym"]) and not bool(out[2]["r_alpha"])
+    assert bool(out[2]["r_wc"])
+    assert not bool(out[3]["r_bullet"])
+    assert (out[4]["n_words"], out[4]["mean_wlen_e2"]) == (0, 0)
+    assert not bool(out[4]["r_wc"]) and not bool(out[4]["r_mwl"])
+    assert bool(out[4]["r_sym"]) and bool(out[4]["r_bullet"]) \
+        and bool(out[4]["r_alpha"])
+    _cross_check(spark, _duck(tmp_path), tmp_path, "gopher_quality_rules")
+
+
+# -------------------------------------------------- dedup_passage_windows
+
+def test_passage_windows_cross_doc_only(spark, tmp_path):
+    """docs 0/1 share an aligned 128-char leading passage then diverge
+    → exactly the 3 windows fully inside the shared prefix match
+    (starts 1/33/65; the start-97 window spans into the divergent
+    tail). doc 2 is unique → 0. doc 3 repeats its own 128-char half
+    (window start-129 hashes equal start-1) but stays n_docs=1 —
+    WITHIN-doc repetition must NOT count as cross-doc."""
+    p = "".join(f"p{i:03d}" for i in range(32))        # 128 shared chars
+    a = "".join(f"a{i:03d}" for i in range(32))
+    b = "".join(f"b{i:03d}" for i in range(32))
+    c = "".join(f"c{i:03d}" for i in range(64))        # 256 unique chars
+    q = "".join(f"q{i:03d}" for i in range(32))
+    rows = [(0, p + a, "en", "web", 256),
+            (1, p + b, "en", "web", 256),
+            (2, c, "en", "web", 256),
+            (3, q + q, "en", "web", 256)]
+    _write_documents(spark, tmp_path, rows)
+    out = {r["doc_id"]: r for _, r in
+           O.OPS["dedup_passage_windows"][0](spark, str(tmp_path))
+           .toPandas().iterrows()}
+    for d in range(4):
+        assert out[d]["n_windows"] == 7          # (256-64)//32 + 1
+    assert out[0]["n_xdoc"] == out[1]["n_xdoc"] == 3
+    assert out[0]["xdoc_permille"] == 429        # (2*3000+7)//14
+    assert out[2]["n_xdoc"] == 0 and out[2]["xdoc_permille"] == 0
+    assert out[3]["n_xdoc"] == 0
+    _cross_check(spark, _duck(tmp_path), tmp_path, "dedup_passage_windows")
+
+
+# --------------------------------------------------------- orders_unpivot
+
+def _write_orders(spark, path, rows):
+    (spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderstatus string, "
+              "o_totalprice double, o_orderdate date")
+     .write.mode("overwrite").parquet(f"{path}/orders.parquet"))
+
+
+def test_unpivot_dense_grid_with_zero_cells(spark, tmp_path):
+    """2024-01 has 2×O + 1×F, 2024-02 has 1×P: the long table must be
+    the DENSE 2-month × 3-status grid — zero-count cells (P in Jan,
+    O/F in Feb) survive the pivot→unpivot round-trip."""
+    import datetime as dt
+    d = dt.date
+    rows = [(1, 1, "O", 1.0, d(2024, 1, 5)),
+            (2, 1, "O", 1.0, d(2024, 1, 9)),
+            (3, 2, "F", 1.0, d(2024, 1, 20)),
+            (4, 2, "P", 1.0, d(2024, 2, 2))]
+    _write_orders(spark, tmp_path, rows)
+    out = {(r["month"], r["status"]): r["cnt"] for _, r in
+           O.OPS["orders_unpivot"][0](spark, str(tmp_path))
+           .toPandas().iterrows()}
+    assert out == {("2024-01", "O"): 2, ("2024-01", "F"): 1,
+                   ("2024-01", "P"): 0, ("2024-02", "O"): 0,
+                   ("2024-02", "F"): 0, ("2024-02", "P"): 1}
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW orders AS SELECT * FROM "
+            f"'{tmp_path}/orders.parquet/*.parquet'")
+    _cross_check(spark, con, tmp_path, "orders_unpivot")

@@ -251,6 +251,22 @@ AUDITS = {
         ("Window", "plurality pick is a greatest()+CASE cascade inside "
                    "the aggregate — no window, no second shuffle", 0),
     ],
+    "gopher_quality_rules": [
+        ("Exchange", "pure per-row column expressions: all five rules "
+                     "in ONE codegen stage, zero shuffle", 0),
+        ("Scan parquet", "one scan feeds every rule", 1),
+    ],
+    "dedup_passage_windows": [
+        ("HashAggregate", "window-hash model combines map-side before "
+                          "its shuffle"),
+        ("CartesianProduct", "never a cartesian", 0),
+        ("Window", "per-doc totals are a groupBy, not a window", 0),
+    ],
+    "orders_unpivot": [
+        ("Expand", "unpivot is a constant 3-way Expand — no join, no "
+                   "UDF"),
+        ("CartesianProduct", "never a cartesian", 0),
+    ],
 }
 
 

@@ -3869,6 +3869,226 @@ FROM agg
 
 
 # --------------------------------------------------------------------------
+# Gopher-style composite quality rules
+# --------------------------------------------------------------------------
+
+def q_gopher_quality_rules(spark, sf_dir):
+    """Composite Gopher quality gate (Rae et al. 2021 §A.1.1, the rule
+    set Dolma/RefinedWeb reuse): per-doc boolean flags for the five
+    cheaply-computable rules plus the overall pass —
+      r_wc    : word count in [50, 100_000]
+      r_mwl   : mean word length in [3, 10] chars
+      r_sym   : '#' plus '...' occurrences <= 10% of words
+      r_bullet: <= 90% of lines start with a bullet ('-' or '*')
+      r_alpha : >= 80% of words contain an alphabetic character
+    All ratios are exact integer per-mille (scaled rounded integer
+    division, the repo convention) — no double crosses engines.
+
+    Scale: pure per-row JVM column expressions over ONE scan — zero
+    Exchange, zero join; pipelines inside a single codegen stage at any
+    corpus size (same shape as docs_repetition_ratio)."""
+    words = r"filter(split(trim(coalesce(text, '')), '\\s+'), w -> w != '')"
+    lines = r"split(coalesce(text, ''), '\n')"
+    alpha = (rf"size(filter({words}, w -> w rlike '[a-zA-Z]'))")
+    bullets = (rf"size(filter({lines}, "
+               rf"l -> trim(l) rlike '^[-*]'))")
+    d = (_t(spark, sf_dir, "documents")
+         .select(
+             "doc_id",
+             F.expr(f"size({words})").alias("n_words"),
+             F.expr(f"aggregate({words}, 0L,"
+                    f" (a, w) -> a + char_length(w))").alias("sum_wlen"),
+             (F.expr(r"size(split(coalesce(text, ''), '#', -1))") - 1
+              + F.expr(r"size(split(coalesce(text, ''), '\\.\\.\\.', -1))")
+              - 1).alias("n_sym"),
+             F.expr(f"size({lines})").alias("n_lines"),
+             F.expr(bullets).alias("n_bullet_lines"),
+             F.expr(alpha).alias("n_alpha_words")))
+    mwl = "CASE WHEN n_words > 0 THEN (2 * 100 * sum_wlen + n_words) DIV (2 * n_words) ELSE 0 END"
+    return (d
+            .withColumn("mean_wlen_e2", F.expr(mwl))
+            .select(
+                "doc_id", "n_words", "mean_wlen_e2",
+                F.col("n_words").between(50, 100000).alias("r_wc"),
+                F.col("mean_wlen_e2").between(300, 1000).alias("r_mwl"),
+                (F.col("n_sym") * 10 <= F.col("n_words")).alias("r_sym"),
+                (F.col("n_bullet_lines") * 10
+                 <= F.col("n_lines") * 9).alias("r_bullet"),
+                (F.col("n_alpha_words") * 10
+                 >= F.col("n_words") * 8).alias("r_alpha"))
+            .withColumn("pass_all",
+                        F.expr("r_wc AND r_mwl AND r_sym AND r_bullet"
+                               " AND r_alpha")))
+
+
+SQL_GOPHER_QUALITY_RULES = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(coalesce(text, '')),
+                     '\s+'), w -> w != '') AS words,
+         string_split(coalesce(text, ''), chr(10)) AS lines,
+         length(coalesce(text, ''))
+           - length(replace(coalesce(text, ''), '#', ''))
+           + length(regexp_split_to_array(coalesce(text, ''),
+                                          '\.\.\.')) - 1 AS n_sym
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         length(words) AS n_words,
+         list_sum(list_transform(words, w -> length(w))) AS sum_wlen,
+         n_sym,
+         length(lines) AS n_lines,
+         length(list_filter(lines,
+                l -> regexp_matches(trim(l), '^[-*]')))
+             AS n_bullet_lines,
+         length(list_filter(words,
+                w -> regexp_matches(w, '[a-zA-Z]')))
+             AS n_alpha_words
+  FROM base
+)
+SELECT doc_id, n_words,
+       CAST(CASE WHEN n_words > 0
+            THEN (2 * 100 * sum_wlen + n_words) // (2 * n_words)
+            ELSE 0 END AS BIGINT) AS mean_wlen_e2,
+       n_words BETWEEN 50 AND 100000 AS r_wc,
+       (CASE WHEN n_words > 0
+             THEN (2 * 100 * sum_wlen + n_words) // (2 * n_words)
+             ELSE 0 END) BETWEEN 300 AND 1000 AS r_mwl,
+       n_sym * 10 <= n_words AS r_sym,
+       n_bullet_lines * 10 <= n_lines * 9 AS r_bullet,
+       n_alpha_words * 10 >= n_words * 8 AS r_alpha,
+       (n_words BETWEEN 50 AND 100000)
+         AND ((CASE WHEN n_words > 0
+               THEN (2 * 100 * sum_wlen + n_words) // (2 * n_words)
+               ELSE 0 END) BETWEEN 300 AND 1000)
+         AND n_sym * 10 <= n_words
+         AND n_bullet_lines * 10 <= n_lines * 9
+         AND n_alpha_words * 10 >= n_words * 8 AS pass_all
+FROM m
+"""
+
+
+# --------------------------------------------------------------------------
+# Exact repeated-passage detection (Lee et al. 2022 substring dedup shape)
+# --------------------------------------------------------------------------
+
+_PW_WIN = 64      # chars per window
+_PW_STRIDE = 32   # window stride
+_PW_PREFIX = 8192  # chars scanned per doc
+
+
+def q_dedup_passage_windows(spark, sf_dir):
+    """Cross-document repeated-PASSAGE detection — the hashed
+    sliding-window formulation of exact substring dedup (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better"):
+    64-char windows at stride 32 over the lowercased 8 KB prefix; a
+    window repeated in ANOTHER document marks a shared passage
+    (quotes, licence blocks, syndicated paragraphs — finer than
+    line-exact boilerplate, coarser than doc-level MinHash). Emits per
+    doc: window count, cross-doc repeated windows, and the repeated
+    fraction in exact integer per-mille.
+
+    Scale: windows hash to 48-bit ints (md5 prefix); ONE groupBy on the
+    hash (map-side partials absorb hot windows) builds the (hash,
+    n_docs) model; the join back is 1:1 equi on the hash (no fan-out,
+    AQE splits skewed hashes); final per-doc aggregate is the second
+    and last shuffle. Cost is O(prefix/stride) windows per doc — bytes
+    scanned bounded per doc, not per corpus."""
+    nwin = f"((char_length(pref_) - {_PW_WIN}) DIV {_PW_STRIDE}) + 1"
+    wins = (f"CASE WHEN char_length(pref_) >= {_PW_WIN} THEN "
+            f"transform(sequence(1, {nwin}), "
+            f"i -> substring(pref_, (i - 1) * {_PW_STRIDE} + 1, {_PW_WIN}))"
+            f" ELSE CAST(array() AS ARRAY<STRING>) END")
+    tg = (_t(spark, sf_dir, "documents")
+          .withColumn("pref_", F.expr(
+              f"substring(lower(coalesce(text, '')), 1, {_PW_PREFIX})"))
+          .select("doc_id", F.explode(F.expr(wins)).alias("win"))
+          .select("doc_id", F.expr(
+              "CAST(conv(substr(md5(win), 1, 12), 16, 10) AS BIGINT)")
+              .alias("h")))
+    model = (tg.groupBy("h")
+             .agg(F.countDistinct("doc_id").alias("n_docs")))
+    return (tg.join(model, "h")
+            .groupBy("doc_id").agg(
+                F.count("*").alias("n_windows"),
+                F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+                 .alias("n_xdoc"))
+            .select(
+                "doc_id", "n_windows", "n_xdoc",
+                F.expr("(2 * 1000 * n_xdoc + n_windows)"
+                       " DIV (2 * n_windows)").alias("xdoc_permille")))
+
+
+SQL_DEDUP_PASSAGE_WINDOWS = f"""
+WITH prefs AS (
+  SELECT doc_id,
+         substr(lower(coalesce(text, '')), 1, {_PW_PREFIX}) AS pref_
+  FROM documents
+), tg AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(w.win), 1, 12) AS BIGINT) AS h
+  FROM prefs, unnest(list_transform(
+        range(1, CASE WHEN length(pref_) >= {_PW_WIN}
+                 THEN (length(pref_) - {_PW_WIN}) // {_PW_STRIDE} + 2
+                 ELSE 1 END),
+        i -> substr(pref_, (i - 1) * {_PW_STRIDE} + 1, {_PW_WIN})))
+       AS w(win)
+), model AS (
+  SELECT h, count(DISTINCT doc_id) AS n_docs FROM tg GROUP BY h
+)
+SELECT doc_id, count(*) AS n_windows,
+       CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_xdoc,
+       (2 * 1000 * CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) + count(*)) // (2 * count(*))
+           AS xdoc_permille
+FROM tg JOIN model USING (h) GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# UNPIVOT (wide→long; the inverse of orders_pivot)
+# --------------------------------------------------------------------------
+
+def q_orders_unpivot(spark, sf_dir):
+    """UNPIVOT / melt — the wide→long inverse of `orders_pivot`: build
+    the per-month × status count matrix (statuses O/F/P as columns),
+    then unpivot the three count columns back to (month, status, cnt)
+    rows via DataFrame.unpivot (Spark's native melt, an Expand node —
+    no join, no UDF). Zero-count cells survive the round-trip (pivot
+    fills 0, unpivot keeps them) so the long table is the dense
+    month × status grid.
+
+    Scale: ONE groupBy on month (low cardinality), pivot over a FIXED
+    3-value status list (never a discovery pass), then a constant
+    3-way Expand — output is 3 rows per month, driver-safe at any SF."""
+    d = (_t(spark, sf_dir, "orders")
+         .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+         .pivot("o_orderstatus", ["O", "F", "P"])
+         .agg(F.count(F.lit(1)))
+         .na.fill(0, ["O", "F", "P"]))
+    return (d.unpivot("month", ["O", "F", "P"], "status", "cnt")
+            .select("month", "status", F.col("cnt").cast("long")
+                    .alias("cnt")))
+
+
+SQL_ORDERS_UNPIVOT = """
+WITH wide AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+              AS BIGINT) AS "O",
+         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+              AS BIGINT) AS "F",
+         CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+              AS BIGINT) AS "P"
+  FROM orders GROUP BY 1
+)
+SELECT month, status, cnt
+FROM wide UNPIVOT INCLUDE NULLS (cnt FOR status IN ("O", "F", "P"))
+"""
+
+
+# --------------------------------------------------------------------------
 # Multimodal plumbing (payloads as opaque binary + typed metadata)
 # --------------------------------------------------------------------------
 
@@ -4081,4 +4301,9 @@ OPS: dict[str, tuple] = {
         q_within_doc_dedup_lines, SQL_WITHIN_DOC_DEDUP_LINES),
     "lang_consistency_chunks": (
         q_lang_consistency_chunks, SQL_LANG_CONSISTENCY_CHUNKS),
+    "gopher_quality_rules": (
+        q_gopher_quality_rules, SQL_GOPHER_QUALITY_RULES),
+    "dedup_passage_windows": (
+        q_dedup_passage_windows, SQL_DEDUP_PASSAGE_WINDOWS),
+    "orders_unpivot": (q_orders_unpivot, SQL_ORDERS_UNPIVOT),
 }
