@@ -479,6 +479,8 @@ _PARKED_FOR_R8 = [
     "gopher_quality_rules",
     "dedup_passage_windows",
     "orders_unpivot",
+    "events_interval_self_join",
+    "orders_grouping_sets",
 ]
 _DRIVER_RECORD_CAP = 50
 

@@ -342,3 +342,74 @@ def test_unpivot_dense_grid_with_zero_cells(spark, tmp_path):
     con.sql(f"CREATE VIEW orders AS SELECT * FROM "
             f"'{tmp_path}/orders.parquet/*.parquet'")
     _cross_check(spark, con, tmp_path, "orders_unpivot")
+
+
+# ---------------------------------------------- events_interval_self_join
+
+def _write_events(spark, path, rows):
+    (spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+     .write.mode("overwrite").parquet(f"{path}/events.parquet"))
+
+
+def test_interval_join_bucket_boundary_and_exactly_once(spark, tmp_path):
+    """user 1: events at +0s/+1800s/+3650s/+7300s → pair (0,1800) sits
+    in ONE bucket (must appear exactly once despite the 2× probe
+    explode), pair (1800,3650) CROSSES the hour-bucket boundary, and
+    (0,3650) at gap 3650 > 3600 is excluded even though the buckets are
+    adjacent. user 2: two events at the SAME timestamp → one pair,
+    ordered by event_id, gap 0."""
+    import datetime as dt
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    s = lambda off: base + dt.timedelta(seconds=off)
+    rows = [(0, s(0), 1, "click", 1.0, "{}"),
+            (1, s(1800), 1, "click", 1.0, "{}"),
+            (2, s(3650), 1, "click", 1.0, "{}"),
+            (3, s(7300), 1, "click", 1.0, "{}"),
+            (10, s(500), 2, "view", 1.0, "{}"),
+            (11, s(500), 2, "view", 1.0, "{}")]
+    _write_events(spark, tmp_path, rows)
+    got = {(r["user_id"], r["id_a"], r["id_b"]): r["gap_sec"]
+           for _, r in
+           O.OPS["events_interval_self_join"][0](spark, str(tmp_path))
+           .toPandas().iterrows()}
+    assert got == {(1, 0, 1): 1800, (1, 1, 2): 1850, (2, 10, 11): 0}
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM "
+            f"'{tmp_path}/events.parquet/*.parquet'")
+    _cross_check(spark, con, tmp_path, "events_interval_self_join")
+
+
+# ---------------------------------------------------- orders_grouping_sets
+
+def test_grouping_sets_dimension_totals_only(spark, tmp_path):
+    """((status), (priority)) must yield ONLY the two dimension-total
+    slices — no combined rows, no grand total (the subset neither
+    ROLLUP nor CUBE gives). GROUPING() flags tell subtotal NULLs
+    apart."""
+    import datetime as dt
+    d = dt.date
+    rows = [(1, 1, "O", 10.0, d(2024, 1, 1)),
+            (2, 1, "O", 20.0, d(2024, 1, 2)),
+            (3, 2, "F", 40.0, d(2024, 1, 3))]
+    (spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderstatus string, "
+              "o_totalprice double, o_orderdate date")
+     .withColumn("o_orderpriority",
+                 F.when(F.col("o_orderkey") < 3, "1-URGENT")
+                 .otherwise("2-HIGH"))
+     .write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet"))
+    out = O.OPS["orders_grouping_sets"][0](spark, str(tmp_path)).toPandas()
+    assert len(out) == 4
+    rows_ = {(r["o_orderstatus"], r["o_orderpriority"],
+              r["g_status"], r["g_priority"]):
+             (r["order_cnt"], r["revenue_c"]) for _, r in out.iterrows()}
+    assert rows_[("O", None, 0, 1)] == (2, 3000)
+    assert rows_[("F", None, 0, 1)] == (1, 4000)
+    assert rows_[(None, "1-URGENT", 1, 0)] == (2, 3000)
+    assert rows_[(None, "2-HIGH", 1, 0)] == (1, 4000)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW orders AS SELECT * FROM "
+            f"'{tmp_path}/orders.parquet/*.parquet'")
+    _cross_check(spark, con, tmp_path, "orders_grouping_sets")

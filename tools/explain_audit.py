@@ -267,6 +267,18 @@ AUDITS = {
                    "UDF"),
         ("CartesianProduct", "never a cartesian", 0),
     ],
+    "events_interval_self_join": [
+        ("BroadcastNestedLoopJoin", "bucketing turns the interval "
+                                    "theta-join into an EQUI-join — "
+                                    "never a nested loop", 0),
+        ("CartesianProduct", "never a cartesian", 0),
+        ("Generate", "constant 2x probe-side bucket explode"),
+    ],
+    "orders_grouping_sets": [
+        ("Expand", "both grouping sets expand in ONE pass (never one "
+                   "scan per set)"),
+        ("CartesianProduct", "never a cartesian", 0),
+    ],
 }
 
 

@@ -4089,6 +4089,99 @@ FROM wide UNPIVOT INCLUDE NULLS (cnt FOR status IN ("O", "F", "P"))
 
 
 # --------------------------------------------------------------------------
+# Bounded-interval self-join via time bucketing (range-join at scale)
+# --------------------------------------------------------------------------
+
+_IVJ_WIN_S = 3600   # pair window: events within one hour
+
+
+def q_events_interval_self_join(spark, sf_dir):
+    """Bounded-interval SELF-join: all pairs of events from the same
+    user at most one hour apart — the range-join shape (burst/causality
+    analysis, co-occurrence mining) that a naive theta-join turns into
+    a per-user cartesian. Formulated as an EQUI-join via time
+    bucketing: bucket = t DIV 3600; the earlier event explodes to
+    buckets {b, b+1}; the later event joins at its own bucket. A pair
+    at gap <= 3600 s always lands in the same or adjacent bucket, and
+    the two probe copies cover exactly one of those cases each, so
+    every qualifying pair is found EXACTLY once — no dedup pass. Ties
+    are ordered by (t, event_id), so the pair set is deterministic.
+
+    Scale: shuffle keyed on (user_id, bucket) — Catalyst sees a plain
+    equi-join (SortMerge/Broadcast, AQE-skew-splittable), never
+    BroadcastNestedLoop; probe-side fan-out is a constant 2×. The
+    oracle is the BRUTE-FORCE theta self-join, so hash equality
+    certifies the bucketing has zero false negatives (the
+    dedup_prefix_filter certification pattern). All-integer epoch
+    arithmetic (floored seconds, the sessionize convention)."""
+    ev = (_t(spark, sf_dir, "events")
+          .select("user_id", "event_id",
+                  F.unix_timestamp("ts").alias("t"))
+          .withColumn("bkt", F.expr(f"t DIV {_IVJ_WIN_S}")))
+    probe = (ev.select(
+        "user_id", F.col("event_id").alias("id_a"),
+        F.col("t").alias("t_a"),
+        F.explode(F.expr("array(bkt, bkt + 1)")).alias("bkt")))
+    build = ev.select("user_id", F.col("event_id").alias("id_b"),
+                      F.col("t").alias("t_b"), "bkt")
+    return (probe.join(build, ["user_id", "bkt"])
+            .filter("(t_a < t_b OR (t_a = t_b AND id_a < id_b))"
+                    f" AND t_b - t_a <= {_IVJ_WIN_S}")
+            .select("user_id", "id_a", "id_b",
+                    F.expr("t_b - t_a").alias("gap_sec")))
+
+
+SQL_EVENTS_INTERVAL_SELF_JOIN = f"""
+WITH ev AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t
+  FROM events
+)
+SELECT l.user_id, l.event_id AS id_a, r.event_id AS id_b,
+       r.t - l.t AS gap_sec
+FROM ev l JOIN ev r
+  ON l.user_id = r.user_id
+ AND (l.t < r.t OR (l.t = r.t AND l.event_id < r.event_id))
+ AND r.t - l.t <= {_IVJ_WIN_S}
+"""
+
+
+# --------------------------------------------------------------------------
+# Custom GROUPING SETS (non-lattice subset; completes rollup/cube family)
+# --------------------------------------------------------------------------
+
+def q_orders_grouping_sets(spark, sf_dir):
+    """Custom GROUPING SETS — per-status totals and per-priority totals
+    in ONE aggregation pass: the non-lattice subset ((status),
+    (priority)) that neither ROLLUP nor CUBE expresses (no combined and
+    no grand-total row). GROUPING() flags disambiguate subtotal NULLs
+    from genuine NULL keys. Same engine shape as the cube op: one
+    Expand node (2× fan-out) feeding a single shuffle — never one scan
+    per grouping set. Exact-integer revenue emission (module
+    docstring)."""
+    return spark.sql(f"""
+        SELECT o_orderstatus, o_orderpriority,
+               grouping(o_orderstatus) AS g_status,
+               grouping(o_orderpriority) AS g_priority,
+               count(*) AS order_cnt,
+               sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS revenue_c
+        FROM parquet.`{{p}}`
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """.format(p=f"{sf_dir}/orders.parquet"))
+
+
+SQL_ORDERS_GROUPING_SETS = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(grouping(o_orderstatus) AS INT) AS g_status,
+       CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+       count(*) AS order_cnt,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS revenue_c
+FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+"""
+
+
+# --------------------------------------------------------------------------
 # Multimodal plumbing (payloads as opaque binary + typed metadata)
 # --------------------------------------------------------------------------
 
@@ -4306,4 +4399,8 @@ OPS: dict[str, tuple] = {
     "dedup_passage_windows": (
         q_dedup_passage_windows, SQL_DEDUP_PASSAGE_WINDOWS),
     "orders_unpivot": (q_orders_unpivot, SQL_ORDERS_UNPIVOT),
+    "events_interval_self_join": (
+        q_events_interval_self_join, SQL_EVENTS_INTERVAL_SELF_JOIN),
+    "orders_grouping_sets": (
+        q_orders_grouping_sets, SQL_ORDERS_GROUPING_SETS),
 }
