@@ -481,6 +481,7 @@ _PARKED_FOR_R8 = [
     "orders_unpivot",
     "events_interval_self_join",
     "orders_grouping_sets",
+    "events_funnel",
 ]
 _DRIVER_RECORD_CAP = 50
 

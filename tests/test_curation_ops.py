@@ -413,3 +413,38 @@ def test_grouping_sets_dimension_totals_only(spark, tmp_path):
     con.sql(f"CREATE VIEW orders AS SELECT * FROM "
             f"'{tmp_path}/orders.parquet/*.parquet'")
     _cross_check(spark, con, tmp_path, "orders_grouping_sets")
+
+
+# -------------------------------------------------------------- events_funnel
+
+def test_funnel_ordering_constraint(spark, tmp_path):
+    """user 1 does view→click→purchase in order → stage 3. user 2
+    CLICKS BEFORE its only view and never clicks again → the click
+    must not count (stage 1) — the ordering constraint a naive
+    per-type min() gets wrong. user 3 purchases before clicking →
+    stage 2. user 4 has only errors → stage 0."""
+    import datetime as dt
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    s = lambda off: base + dt.timedelta(seconds=off)
+    rows = [(0, s(0), 1, "view", 1.0, "{}"),
+            (1, s(10), 1, "click", 1.0, "{}"),
+            (2, s(20), 1, "purchase", 1.0, "{}"),
+            (10, s(0), 2, "click", 1.0, "{}"),
+            (11, s(10), 2, "view", 1.0, "{}"),
+            (20, s(0), 3, "view", 1.0, "{}"),
+            (21, s(5), 3, "purchase", 1.0, "{}"),
+            (22, s(10), 3, "click", 1.0, "{}"),
+            (30, s(0), 4, "error", 1.0, "{}")]
+    _write_events(spark, tmp_path, rows)
+    out = {r["user_id"]: r for _, r in
+           O.OPS["events_funnel"][0](spark, str(tmp_path))
+           .toPandas().iterrows()}
+    assert out[1]["stage"] == 3
+    import pandas as pd
+    assert out[2]["stage"] == 1 and pd.isna(out[2]["t_click"])
+    assert out[3]["stage"] == 2          # purchase at t=5 precedes click
+    assert out[4]["stage"] == 0
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM "
+            f"'{tmp_path}/events.parquet/*.parquet'")
+    _cross_check(spark, con, tmp_path, "events_funnel")

@@ -279,6 +279,13 @@ AUDITS = {
                    "scan per set)"),
         ("CartesianProduct", "never a cartesian", 0),
     ],
+    "events_funnel": [
+        ("Exchange", "three stacked window-mins + the rollup all reuse "
+                     "ONE user_id partitioning — a single shuffle for "
+                     "the whole funnel", 1),
+        ("SortMergeJoin", "no join-back per stage", 0),
+        ("BroadcastHashJoin", "no join-back per stage", 0),
+    ],
 }
 
 

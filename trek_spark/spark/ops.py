@@ -4182,6 +4182,74 @@ FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
 
 
 # --------------------------------------------------------------------------
+# Ordered funnel analysis (view -> click -> purchase)
+# --------------------------------------------------------------------------
+
+def q_events_funnel(spark, sf_dir):
+    """Ordered funnel — per user, the strict view→click→purchase
+    progression: t1 = first view, t2 = first click AT OR AFTER t1,
+    t3 = first purchase AT OR AFTER t2; stage = how deep the user got
+    (0–3). A click before any view does not count — the oracle-checked
+    ordering constraint that a naive per-type min() gets wrong.
+
+    Scale: three stacked UNORDERED window-mins over the SAME user_id
+    partitioning, then the per-user rollup reuses that partitioning —
+    ONE Exchange total for the whole funnel (plan-audited exact count),
+    no join-back, no correlated pass per stage. All-integer epoch
+    arithmetic (the sessionize convention)."""
+    w = Window.partitionBy("user_id")
+    ev = (_t(spark, sf_dir, "events")
+          .select("user_id", "event_type",
+                  F.unix_timestamp("ts").alias("t")))
+    staged = (ev
+              .withColumn("t1", F.min(F.when(
+                  F.col("event_type") == "view", F.col("t"))).over(w))
+              .withColumn("t2", F.min(F.when(
+                  (F.col("event_type") == "click")
+                  & (F.col("t") >= F.col("t1")), F.col("t"))).over(w))
+              .withColumn("t3", F.min(F.when(
+                  (F.col("event_type") == "purchase")
+                  & (F.col("t") >= F.col("t2")), F.col("t"))).over(w)))
+    return (staged.groupBy("user_id")
+            .agg(F.min("t1").alias("t_view"),
+                 F.min("t2").alias("t_click"),
+                 F.min("t3").alias("t_purchase"))
+            .withColumn("stage", F.expr(
+                "CASE WHEN t_purchase IS NOT NULL THEN 3 "
+                "WHEN t_click IS NOT NULL THEN 2 "
+                "WHEN t_view IS NOT NULL THEN 1 ELSE 0 END")))
+
+
+SQL_EVENTS_FUNNEL = """
+WITH ev AS (
+  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS t
+  FROM events
+), s1 AS (
+  SELECT user_id, event_type, t,
+         min(CASE WHEN event_type = 'view' THEN t END)
+             OVER (PARTITION BY user_id) AS t1
+  FROM ev
+), s2 AS (
+  SELECT user_id, event_type, t, t1,
+         min(CASE WHEN event_type = 'click' AND t >= t1 THEN t END)
+             OVER (PARTITION BY user_id) AS t2
+  FROM s1
+), s3 AS (
+  SELECT user_id, t1, t2,
+         min(CASE WHEN event_type = 'purchase' AND t >= t2 THEN t END)
+             OVER (PARTITION BY user_id) AS t3
+  FROM s2
+)
+SELECT user_id, min(t1) AS t_view, min(t2) AS t_click,
+       min(t3) AS t_purchase,
+       CASE WHEN min(t3) IS NOT NULL THEN 3
+            WHEN min(t2) IS NOT NULL THEN 2
+            WHEN min(t1) IS NOT NULL THEN 1 ELSE 0 END AS stage
+FROM s3 GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Multimodal plumbing (payloads as opaque binary + typed metadata)
 # --------------------------------------------------------------------------
 
@@ -4403,4 +4471,5 @@ OPS: dict[str, tuple] = {
         q_events_interval_self_join, SQL_EVENTS_INTERVAL_SELF_JOIN),
     "orders_grouping_sets": (
         q_orders_grouping_sets, SQL_ORDERS_GROUPING_SETS),
+    "events_funnel": (q_events_funnel, SQL_EVENTS_FUNNEL),
 }
