@@ -482,6 +482,7 @@ _PARKED_FOR_R8 = [
     "events_interval_self_join",
     "orders_grouping_sets",
     "events_funnel",
+    "embedding_random_projection",
 ]
 _DRIVER_RECORD_CAP = 50
 

@@ -448,3 +448,38 @@ def test_funnel_ordering_constraint(spark, tmp_path):
     con.sql(f"CREATE VIEW events AS SELECT * FROM "
             f"'{tmp_path}/events.parquet/*.parquet'")
     _cross_check(spark, con, tmp_path, "events_funnel")
+
+
+# ------------------------------------------- embedding_random_projection
+
+def test_random_projection_matches_python_replica(spark, tmp_path):
+    """The md5-sign rule replicated in pure Python must give the same
+    8 projections Spark computes — pins the sign derivation, the tick
+    freeze (floor(x·1e4) on the float→double widening), and 1-based
+    element_at indexing. Zeros project to zeros; identical vectors to
+    identical projections."""
+    import hashlib
+    import math
+    v = [0.5, -0.25, 1.0] + [0.0] * 61
+    rows = [(0, v, 1), (1, v, 1), (2, [0.0] * 64, 2)]
+    (spark.createDataFrame(rows,
+                           "vec_id long, embedding array<float>, label int")
+     .write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet"))
+
+    def sign(i, j):
+        h = hashlib.md5(f"{i}_{j}".encode()).hexdigest()
+        return 1 if h[0] < "8" else -1
+
+    ticks = [math.floor(float(x) * 10000) for x in v]
+    exp = [sum(sign(i, j) * t for i, t in enumerate(ticks))
+           for j in range(8)]
+    out = {r["vec_id"]: r for _, r in
+           O.OPS["embedding_random_projection"][0](spark, str(tmp_path))
+           .toPandas().iterrows()}
+    assert [out[0][f"p{j}"] for j in range(8)] == exp
+    assert all(out[1][f"p{j}"] == out[0][f"p{j}"] for j in range(8))
+    assert all(out[2][f"p{j}"] == 0 for j in range(8))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM "
+            f"'{tmp_path}/embeddings.parquet/*.parquet'")
+    _cross_check(spark, con, tmp_path, "embedding_random_projection")

@@ -286,6 +286,12 @@ AUDITS = {
         ("SortMergeJoin", "no join-back per stage", 0),
         ("BroadcastHashJoin", "no join-back per stage", 0),
     ],
+    "embedding_random_projection": [
+        ("Exchange", "md5-derived sign matrix is a pure function — "
+                     "nothing broadcast, nothing joined, zero shuffle", 0),
+        ("Scan parquet", "one scan, 8x64 multiply-adds per row in one "
+                         "codegen stage", 1),
+    ],
 }
 
 

@@ -4250,6 +4250,64 @@ FROM s3 GROUP BY user_id
 
 
 # --------------------------------------------------------------------------
+# Deterministic random projection (Achlioptas +/-1 dimension reduction)
+# --------------------------------------------------------------------------
+
+_RP_K = 8        # output dimensions
+_RP_TICK = 10000  # per-component fixed-point scale
+
+
+def _rp_sign(i_expr, j):
+    """+1/-1 sign for (input dim i, output dim j), derived from the md5
+    of "i_j" — the same deterministic coin in both engines (first hex
+    digit < '8' => +1), so the projection matrix never has to be
+    shipped or stored."""
+    return (f"CASE WHEN substr(md5(concat(CAST({i_expr} AS STRING), "
+            f"'_', '{j}')), 1, 1) < '8' THEN 1 ELSE -1 END")
+
+
+def q_embedding_random_projection(spark, sf_dir):
+    """Johnson–Lindenstrauss dimension reduction with the Achlioptas
+    ±1 sign matrix: 64-dim float embeddings project to 8 integer
+    coordinates, p_j = Σ_i sign(i,j)·tick_i. Components freeze to
+    integer ticks FIRST (floor(x·10⁴) — float→double widening plus one
+    IEEE multiply is bit-portable), so the cross-row sums are exact
+    integers (the sqrt-freeze convention: never sum floats across
+    engines). Signs derive from md5("i_j"), so the projection matrix is
+    a pure function — nothing to broadcast, nothing to store, identical
+    on every executor and in the oracle.
+
+    Scale: per-row higher-order array expressions only — ZERO Exchange,
+    ZERO join (plan-audited 0/1 exact counts); 8×64 multiply-adds per
+    row inside one codegen stage. The JL use cases downstream (coarse
+    ANN prefilter, sketch join keys) read these 8 ints instead of 64
+    floats — a 32× width cut before any shuffle."""
+    ticks = (f"transform(embedding, x -> "
+             f"CAST(floor(CAST(x AS DOUBLE) * {_RP_TICK}) AS BIGINT))")
+    cols = [F.expr(
+        f"aggregate(transform(sequence(0, size(embedding) - 1), "
+        f"i -> {_rp_sign('i', j)} * element_at({ticks}, i + 1)), "
+        f"0L, (a, x) -> a + x)").alias(f"p{j}")
+        for j in range(_RP_K)]
+    return _t(spark, sf_dir, "embeddings").select("vec_id", *cols)
+
+
+def _rp_sql_col(j):
+    sign = (f"CASE WHEN substr(md5(CAST(i AS VARCHAR) || '_' || "
+            f"'{j}'), 1, 1) < '8' THEN 1 ELSE -1 END")
+    return (f"CAST(list_sum(list_transform(range(0, len(embedding)), "
+            f"i -> {sign} * CAST(floor(CAST(embedding[i + 1] AS DOUBLE)"
+            f" * {_RP_TICK}) AS BIGINT))) AS BIGINT) AS p{j}")
+
+
+SQL_EMBEDDING_RANDOM_PROJECTION = (
+    "SELECT vec_id, "
+    + ", ".join(_rp_sql_col(j) for j in range(_RP_K))
+    + " FROM embeddings"
+)
+
+
+# --------------------------------------------------------------------------
 # Multimodal plumbing (payloads as opaque binary + typed metadata)
 # --------------------------------------------------------------------------
 
@@ -4472,4 +4530,6 @@ OPS: dict[str, tuple] = {
     "orders_grouping_sets": (
         q_orders_grouping_sets, SQL_ORDERS_GROUPING_SETS),
     "events_funnel": (q_events_funnel, SQL_EVENTS_FUNNEL),
+    "embedding_random_projection": (
+        q_embedding_random_projection, SQL_EMBEDDING_RANDOM_PROJECTION),
 }
