@@ -1,17 +1,18 @@
 """spark-submit entry point for the training-data curation pipeline.
 
 Composes the corpus-curation operators into the pipeline a pretraining
-data team actually ships: quality gate (intra-doc repetition) → near-dup
-collapse (keep one canonical doc per cluster) → deterministic stratified
-sampling → benchmark decontamination → curated parquet + a one-line JSON
-stage ledger.
+data team actually ships: quality gates (intra-doc repetition; optional
+composite Gopher rule set via --gopher-gate) → near-dup collapse (keep
+one canonical doc per cluster) → deterministic stratified sampling
+and/or temperature mixing → benchmark decontamination → curated parquet
++ a one-line JSON stage ledger.
 
 Usage:
 
     spark-submit --py-files dist/trek_spark.zip jobs/curate_job.py \
         --input  /path/with/documents.parquet    \
         --output /path/to/curated                \
-        [--max-repetition-e4 N] [--skip-quality] \
+        [--max-repetition-e4 N] [--skip-quality] [--gopher-gate] \
         [--skip-dedup] [--skip-sample] [--skip-decontaminate]
 
 Plan shape (the part that matters at 100 TB): ONE scan of documents with
@@ -40,6 +41,12 @@ def main() -> None:
                     help="drop docs whose duplicate-3-gram fraction "
                          "exceeds this (×10⁻⁴); Gopher-style repetition "
                          "gate, default 0.60")
+    ap.add_argument("--gopher-gate", action="store_true",
+                    help="ALSO drop docs failing the composite Gopher "
+                         "rule set (word-count/word-length bounds, "
+                         "symbol/bullet/alpha ratios) — the cheap "
+                         "length-and-shape filter that runs before any "
+                         "shuffle-bearing stage")
     ap.add_argument("--skip-dedup", action="store_true")
     ap.add_argument("--skip-sample", action="store_true")
     ap.add_argument("--mix-sample", action="store_true",
@@ -81,6 +88,15 @@ def main() -> None:
                            .select("doc_id"))
             ledger["repetition_dropped"] = flagged_rep.count()
             curated = curated.join(flagged_rep, "doc_id", "left_anti")
+
+        if args.gopher_gate:
+            # per-row column expressions only — the gate itself costs one
+            # scan; like the repetition gate, the FAILING set is the anti-
+            # join side so the corpus still never shuffles
+            failed = (O.q_gopher_quality_rules(spark, args.input)
+                      .filter(~F.col("pass_all")).select("doc_id"))
+            ledger["gopher_dropped"] = failed.count()
+            curated = curated.join(failed, "doc_id", "left_anti")
 
         if not args.skip_dedup:
             labels, _rounds, converged = O._min_label_cc(

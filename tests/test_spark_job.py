@@ -368,6 +368,37 @@ def test_curate_job_mix_and_fuzzy_stages(spark, tmp_path_factory):
         assert tick < 65536  # tick derivation matches the op namespace
 
 
+def test_curate_job_gopher_gate_stage(spark, tmp_path_factory):
+    """--gopher-gate: the composite rule set drops the failing docs
+    (216 short docs in the sf0.001 corpus), the ledger records the
+    count, and no survivor fails pass_all."""
+    import json
+    import sys
+    from unittest import mock
+
+    from jobs import curate_job
+    from trek_spark.spark import ops as O
+
+    out = str(tmp_path_factory.mktemp("curated_gopher"))
+    argv = ["curate_job.py", "--input", "/root/testdata/sf0.001",
+            "--output", out, "--gopher-gate", "--skip-sample",
+            "--skip-decontaminate"]
+    printed = []
+    with mock.patch.object(sys, "argv", argv), \
+            mock.patch("builtins.print",
+                       side_effect=lambda *a, **k: printed.append(a)):
+        with mock.patch.object(spark, "stop"):
+            curate_job.main()
+    ledger = json.loads(printed[-1][0])
+    assert ledger["gopher_dropped"] > 0
+    got = {r.doc_id for r in
+           spark.read.parquet(f"{out}/documents").collect()}
+    assert len(got) == ledger["docs_out"] > 0
+    failing = {r.doc_id for r in O.q_gopher_quality_rules(
+        spark, "/root/testdata/sf0.001").filter("NOT pass_all").collect()}
+    assert not (got & failing)
+
+
 def test_iceberg_writeto_call_chain_without_runtime(spark, monkeypatch):
     """This sandbox lacks the Iceberg jars (iceberg_available() is False,
     pinned above), so the writeTo path can't execute against a real
