@@ -403,11 +403,75 @@ def _stream_join_tool_results(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("conv_id", "turn_idx", "tool"))
 
 
+def _stream_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA DROP evidence (rows-only): two availableNow
+    drains against ONE checkpoint (file sink — the memory sink cannot
+    restore a checkpoint). Drain 1 ingests a window-[0,60) row plus a
+    row that advances the watermark to 110 s, so the window finalizes
+    and emits turns=1. Drain 2 restores wm=110 from the checkpoint and
+    replays a row INTO the closed window: the state operator MUST drop
+    it — the engine's own numRowsDroppedByWatermark (summed from drain
+    2's progress events) is surfaced as a column, and the sink still
+    holds exactly one row for the window with turns=1 (2 would mean
+    the late row leaked in; a second row for the same window would
+    mean closed-window state resurrected). Single-batch probes cannot
+    pin this: within one availableNow run the late filter uses the
+    pre-batch watermark, so cross-restart recovery is the honest
+    test. No SQL oracle: DuckDB has no streaming/watermark surface."""
+    import datetime as dt
+    import tempfile
+
+    from trek_spark.spark.corpus import TRANSCRIPT_SCHEMA
+    from trek_spark.spark.streaming import stream_turn_rate
+
+    base = tempfile.mkdtemp(prefix="stream_late_op_")
+    d, ckpt, out = f"{base}/in", f"{base}/ckpt", f"{base}/out"
+    t0 = dt.datetime(2024, 1, 1)
+
+    def rows(batch):
+        return [(c, i, role, txt, None,
+                 t0 + dt.timedelta(seconds=s), None)
+                for c, i, role, txt, s in batch]
+
+    def drain():
+        stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(d)
+        agg = (stream_turn_rate(stream, watermark="10 seconds")
+               .select(F.col("window.start").cast("long")
+                       .alias("w_start_s"), "role", "turns"))
+        q = (agg.writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("late-data drain did not finish")
+        return sum(
+            so.get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            for so in p.get("stateOperators", []))
+
+    spark.createDataFrame(
+        rows([("c1", 0, "user", "on time", 5),
+              ("c1", 1, "user", "advances watermark", 120)]),
+        TRANSCRIPT_SCHEMA).coalesce(1).write.mode("append").parquet(d)
+    drain()
+    spark.createDataFrame(
+        rows([("c2", 0, "user", "too late", 30),
+              ("c2", 1, "user", "fresh", 130)]),
+        TRANSCRIPT_SCHEMA).coalesce(1).write.mode("append").parquet(d)
+    dropped = drain()
+
+    return (spark.read.parquet(out)
+            .withColumn("dropped_late",
+                        F.lit(int(dropped)).cast("long"))
+            .orderBy("w_start_s", "role"))
+
+
 # Rows-only entries staged for the round-8 window (built late in r7;
 # the r7 window is frozen at 50 — see _PARKED_FOR_R8).
 _R8_ROWS_ONLY = {
     "stream_sessionize": _stream_sessionize,
     "stream_join_tool_results": _stream_join_tool_results,
+    "stream_late_data_audit": _stream_late_data_audit,
 }
 
 # The driver records AT MOST 50 queries() entries per round (empirical:

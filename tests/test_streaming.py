@@ -266,3 +266,20 @@ def test_stream_sessionize_dynamic_windows(spark, tmp_path_factory):
         ("A", "11:00", "11:30", 1),   # split by the 50-min quiet gap
         ("B", "10:05", "10:35", 1),   # keys never merge
     }
+
+
+def test_stream_late_data_dropped_after_checkpoint_restore(spark):
+    """The watermark must survive a checkpoint restore and drop a row
+    replayed into an already-closed window: exactly one emitted row for
+    window [0,60) with turns=1 (the late row did NOT leak in or
+    resurrect closed state), and the engine's numRowsDroppedByWatermark
+    records exactly the one drop."""
+    import importlib.util as u
+
+    spec = u.spec_from_file_location("entry_late", "__spark_entry__.py")
+    mod = u.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    rows = mod._stream_late_data_audit(spark, "unused").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["role"], r["turns"], r["dropped_late"]) == ("user", 1, 1)
