@@ -547,6 +547,8 @@ _PARKED_FOR_R8 = [
     "orders_grouping_sets",
     "events_funnel",
     "embedding_random_projection",
+    "events_retention_cohorts",
+    "docs_bm25_search",
 ]
 _DRIVER_RECORD_CAP = 50
 

@@ -483,3 +483,53 @@ def test_random_projection_matches_python_replica(spark, tmp_path):
     con.sql(f"CREATE VIEW embeddings AS SELECT * FROM "
             f"'{tmp_path}/embeddings.parquet/*.parquet'")
     _cross_check(spark, con, tmp_path, "embedding_random_projection")
+
+
+# --------------------------------------------------- events_retention_cohorts
+
+def test_retention_cohorts_triangle(spark, tmp_path):
+    """users 1/2 first seen in week W (user 2 returns in W+1, user 1 in
+    W+2), user 3 first seen in W+1: the cohort triangle must be
+    (W,0)=2, (W,1)=1, (W,2)=1, (W+1,0)=1 — first-seen assignment, not
+    per-week re-cohorting."""
+    import datetime as dt
+    wk = 604800
+    t0 = dt.datetime(2024, 1, 4)     # inside some epoch week W
+    s = lambda w: t0 + dt.timedelta(seconds=w * wk)
+    rows = [(0, s(0), 1, "view", 1.0, "{}"),
+            (1, s(2), 1, "view", 1.0, "{}"),
+            (2, s(0), 2, "view", 1.0, "{}"),
+            (3, s(1), 2, "view", 1.0, "{}"),
+            (4, s(1), 3, "view", 1.0, "{}")]
+    _write_events(spark, tmp_path, rows)
+    out = O.OPS["events_retention_cohorts"][0](spark, str(tmp_path)) \
+        .toPandas()
+    w0 = out["cohort_week"].min()
+    got = {(r["cohort_week"] - w0, r["week_offset"]): r["active_users"]
+           for _, r in out.iterrows()}
+    assert got == {(0, 0): 2, (0, 1): 1, (0, 2): 1, (1, 0): 1}
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM "
+            f"'{tmp_path}/events.parquet/*.parquet'")
+    _cross_check(spark, con, tmp_path, "events_retention_cohorts")
+
+
+# ----------------------------------------------------------- docs_bm25_search
+
+def test_bm25_hand_computed_scores(spark, tmp_path):
+    """3-doc corpus, query term 'spark': doc 0 (tf=2, dl=3) must
+    outrank doc 1 (tf=1, dl=2); doc 2 has no hit. Hand-unrolled
+    integer arithmetic: avgdl=2, df=2, N=3 → idf_e4=4700 (ln 1.6);
+    frac_e4 = 12055 for doc 0 (176/146) and exactly 10000 for doc 1
+    (saturation fraction is 1 at tf=1, dl=avgdl) → scores 5665/4700."""
+    rows = [(0, "spark spark banana", "en", "web", 18),
+            (1, "spark cherry", "en", "web", 12),
+            (2, "banana cherry", "en", "web", 13)]
+    _write_documents(spark, tmp_path, rows)
+    out = O.OPS["docs_bm25_search"][0](spark, str(tmp_path)).toPandas()
+    q1 = out[out["query_id"] == "q1"].sort_values("rank")
+    assert list(q1["doc_id"]) == [0, 1]
+    assert list(q1["bm25_e4"]) == [5665, 4700]
+    assert list(q1["n_terms_hit"]) == [1, 1]
+    assert len(out[out["query_id"] == "q2"]) == 0
+    _cross_check(spark, _duck(tmp_path), tmp_path, "docs_bm25_search")

@@ -292,6 +292,19 @@ AUDITS = {
         ("Scan parquet", "one scan, 8x64 multiply-adds per row in one "
                          "codegen stage", 1),
     ],
+    "events_retention_cohorts": [
+        ("Exchange", "window-min cohorting + the (cohort, offset) "
+                     "rollup: exactly two shuffles, no per-user "
+                     "join-back", 2),
+        ("SortMergeJoin", "no join-back of a per-user table", 0),
+        ("CartesianProduct", "never a cartesian", 0),
+    ],
+    "docs_bm25_search": [
+        ("BroadcastHashJoin", "the 6-row query table and the 1-row "
+                              "N/avgdl scalar broadcast onto the tf "
+                              "stream"),
+        ("CartesianProduct", "never a cartesian against the corpus", 0),
+    ],
 }
 
 

@@ -4308,6 +4308,170 @@ SQL_EMBEDDING_RANDOM_PROJECTION = (
 
 
 # --------------------------------------------------------------------------
+# Retention cohort analysis (first-seen week x week offset)
+# --------------------------------------------------------------------------
+
+def q_events_retention_cohorts(spark, sf_dir):
+    """Retention cohorts — users grouped by FIRST-SEEN epoch-week, then
+    distinct active users per (cohort_week, week_offset): the classic
+    growth-analytics triangle (offset 0 is cohort size; retention
+    curves read along a row). All-integer epoch-week arithmetic
+    (floored seconds DIV 604800 — no calendar functions cross
+    engines).
+
+    Scale: first_week comes from an UNORDERED window-min over the
+    user_id partitioning — no join-back of a per-user table, no second
+    scan; the (cohort, offset) rollup is the only other shuffle, onto
+    a key space bounded by weeks² (tiny). Two Exchanges total
+    (plan-audited exact count), count(DISTINCT user) expands inside
+    the aggregate (partial per-user dedup before the final combine —
+    Spark's two-phase distinct, not a collect_set)."""
+    w = Window.partitionBy("user_id")
+    ev = (_t(spark, sf_dir, "events")
+          .select("user_id", F.expr(
+              "CAST(floor(unix_timestamp(ts)) AS BIGINT) DIV 604800")
+              .alias("week")))
+    cohorted = (ev.withColumn("cohort_week", F.min("week").over(w))
+                .withColumn("week_offset",
+                            F.col("week") - F.col("cohort_week")))
+    return (cohorted.groupBy("cohort_week", "week_offset")
+            .agg(F.countDistinct("user_id").alias("active_users")))
+
+
+SQL_EVENTS_RETENTION_COHORTS = """
+WITH ev AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS week
+  FROM events
+), cohorted AS (
+  SELECT user_id, week,
+         min(week) OVER (PARTITION BY user_id) AS cohort_week
+  FROM ev
+)
+SELECT cohort_week, week - cohort_week AS week_offset,
+       count(DISTINCT user_id) AS active_users
+FROM cohorted GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# BM25 ranked retrieval over the documents table
+# --------------------------------------------------------------------------
+
+_BM25_QUERIES = (("q1", ("spark", "join", "window")),
+                 ("q2", ("filter", "merge", "scan")))
+_BM25_TOPK = 5
+
+
+def q_docs_bm25_search(spark, sf_dir):
+    """BM25 ranked retrieval (k1=1.2, b=0.75) for a fixed 2-query
+    workload — the text-side counterpart of the ANN top-k family.
+    Same tokenization as tfidf_top_terms (lower, non-alnum→space,
+    len≥3). The Robertson idf ln((N−df+½)/(df+½)+1) freezes to e4 via
+    the shared floor(x·1e4+0.5) formula (the tfidf precedent: the
+    argument is a rational of integers, so both engines feed ln the
+    SAME double and only a 1-ulp libm divergence landing exactly on a
+    .5 boundary could flip anything). The tf-saturation fraction
+    tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) clears to integers by
+    multiplying through by 20·avgdl — num = 44·tf·avgdl, den =
+    20·tf·avgdl + 6·avgdl + 18·dl — then the exact rounded-division
+    e4 freeze; per-term score = idf_e4·frac_e4 DIV 10⁴, summed per
+    (query, doc), top-5 per query (ties on doc_id).
+
+    Scale: ONE (doc,term) aggregation; dl is a window-sum over the
+    SAME doc partitioning (no separate pass); df is an aggregation
+    over the (doc,term) table (strictly smaller); N/avgdl broadcast
+    as a 1-row scalar; the 6-row query table broadcasts onto the tf
+    stream, so the only per-corpus shuffles are keyed on doc/term —
+    never pairwise, never a cartesian against the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    terms = (docs.select(
+        "doc_id",
+        F.explode(F.split(F.regexp_replace(
+            F.lower("text"), "[^a-z0-9]+", " "), " ")).alias("term"))
+        .filter(F.length("term") >= 3))
+    tf = (terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+          .withColumn("dl", F.sum("tf").over(
+              Window.partitionBy("doc_id"))))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    stats = tf.groupBy().agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.expr("sum(tf) DIV count(DISTINCT doc_id)").alias("avgdl"))
+    qdf = spark.createDataFrame(
+        [(q, t) for q, ts in _BM25_QUERIES for t in ts],
+        "query_id string, term string")
+    scored = (tf.join(F.broadcast(qdf), "term")
+              .join(df_, "term")
+              .crossJoin(F.broadcast(stats))
+              .withColumn("idf_e4", F.expr(
+                  "CAST(floor(ln(CAST(2 * n_docs - 2 * df + 1 AS DOUBLE)"
+                  " / (2 * df + 1) + 1) * 10000 + 0.5) AS BIGINT)"))
+              .withColumn("frac_e4", F.expr(
+                  "(2 * (44 * tf * avgdl) * 10000"
+                  " + (20 * tf * avgdl + 6 * avgdl + 18 * dl))"
+                  " DIV (2 * (20 * tf * avgdl + 6 * avgdl + 18 * dl))"))
+              .withColumn("s_e4", F.expr("idf_e4 * frac_e4 DIV 10000")))
+    ranked = (scored.groupBy("query_id", "doc_id")
+              .agg(F.sum("s_e4").alias("bm25_e4"),
+                   F.count("*").alias("n_terms_hit"))
+              .withColumn("rank", F.row_number().over(
+                  Window.partitionBy("query_id")
+                  .orderBy(F.desc("bm25_e4"), F.asc("doc_id")))))
+    return (ranked.filter(F.col("rank") <= _BM25_TOPK)
+            .select("query_id", "doc_id", "bm25_e4", "n_terms_hit",
+                    "rank"))
+
+
+def _bm25_values_sql():
+    return ", ".join(f"('{q}', '{t}')"
+                     for q, ts in _BM25_QUERIES for t in ts)
+
+
+SQL_DOCS_BM25_SEARCH = f"""
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest(string_split(
+        regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '))
+       AS t(term)
+  WHERE length(t.term) >= 3
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf,
+         sum(count(*)) OVER (PARTITION BY doc_id) AS dl
+  FROM toks GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), stats AS (
+  SELECT count(DISTINCT doc_id) AS n_docs,
+         CAST(sum(tf) // count(DISTINCT doc_id) AS BIGINT) AS avgdl
+  FROM tf
+), queries(query_id, term) AS (VALUES {{values}}),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         CAST(floor(ln(CAST(2 * s.n_docs - 2 * df.df + 1 AS DOUBLE)
+              / (2 * df.df + 1) + 1) * 10000 + 0.5) AS BIGINT)
+           * ((2 * (44 * tf.tf * s.avgdl) * 10000
+               + (20 * tf.tf * s.avgdl + 6 * s.avgdl + 18 * tf.dl))
+              // (2 * (20 * tf.tf * s.avgdl + 6 * s.avgdl
+                       + 18 * tf.dl))) // 10000 AS s_e4
+  FROM tf JOIN queries q USING (term) JOIN df USING (term), stats s
+), ranked AS (
+  SELECT query_id, doc_id,
+         CAST(sum(s_e4) AS BIGINT) AS bm25_e4,
+         count(*) AS n_terms_hit,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sum(s_e4) DESC, doc_id)
+             AS rank
+  FROM scored GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, bm25_e4, n_terms_hit, rank
+FROM ranked WHERE rank <= {_BM25_TOPK}
+""".replace("{{values}}", "{values}")
+
+SQL_DOCS_BM25_SEARCH = SQL_DOCS_BM25_SEARCH.format(
+    values=_bm25_values_sql())
+
+
+# --------------------------------------------------------------------------
 # Multimodal plumbing (payloads as opaque binary + typed metadata)
 # --------------------------------------------------------------------------
 
@@ -4532,4 +4696,7 @@ OPS: dict[str, tuple] = {
     "events_funnel": (q_events_funnel, SQL_EVENTS_FUNNEL),
     "embedding_random_projection": (
         q_embedding_random_projection, SQL_EMBEDDING_RANDOM_PROJECTION),
+    "events_retention_cohorts": (
+        q_events_retention_cohorts, SQL_EVENTS_RETENTION_COHORTS),
+    "docs_bm25_search": (q_docs_bm25_search, SQL_DOCS_BM25_SEARCH),
 }
