@@ -466,12 +466,63 @@ def _stream_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("w_start_s", "role"))
 
 
+def _stream_dedup_within_watermark(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` evidence (rows-only): the
+    engine-native streaming dedup (Spark 3.5+) whose state self-expires
+    at the watermark — the built-in counterpart of the custom
+    applyInPandasWithState TTL dedup (stream_dedup_exact). Two files:
+    batch 1 carries a key and its in-batch duplicate; batch 2 replays
+    the same key within the watermark window plus one fresh key. The
+    duplicate replays must be suppressed — exactly 3 distinct keys
+    emit. No SQL oracle: DuckDB has no streaming surface."""
+    import datetime as dt
+    import tempfile
+
+    from trek_spark.spark.corpus import TRANSCRIPT_SCHEMA
+
+    base = tempfile.mkdtemp(prefix="stream_ddww_op_")
+    d, ckpt = f"{base}/in", f"{base}/ckpt"
+    t0 = dt.datetime(2024, 1, 1)
+
+    def rows(batch):
+        return [(c, i, role, txt, None,
+                 t0 + dt.timedelta(seconds=s), None)
+                for c, i, role, txt, s in batch]
+
+    spark.createDataFrame(
+        rows([("c1", 0, "user", "first", 10),
+              ("c1", 1, "assistant", "reply", 20),
+              ("c1", 0, "user", "in-batch dup", 30)]),
+        TRANSCRIPT_SCHEMA).coalesce(1).write.mode("append").parquet(d)
+    spark.createDataFrame(
+        rows([("c1", 0, "user", "cross-batch dup", 40),
+              ("c2", 0, "user", "fresh", 50)]),
+        TRANSCRIPT_SCHEMA).coalesce(1).write.mode("append").parquet(d)
+
+    stream = (spark.readStream.schema(TRANSCRIPT_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(d))
+    deduped = (stream.withWatermark("ts", "10 minutes")
+               .dropDuplicatesWithinWatermark(["conv_id", "turn_idx"]))
+    q = (deduped.writeStream.format("memory")
+         .queryName("stream_ddww_op")
+         .option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("dedup drain did not finish")
+    return (spark.sql(
+        "SELECT conv_id, turn_idx, role, text FROM stream_ddww_op")
+        .orderBy("conv_id", "turn_idx"))
+
+
 # Rows-only entries staged for the round-8 window (built late in r7;
 # the r7 window is frozen at 50 — see _PARKED_FOR_R8).
 _R8_ROWS_ONLY = {
     "stream_sessionize": _stream_sessionize,
     "stream_join_tool_results": _stream_join_tool_results,
     "stream_late_data_audit": _stream_late_data_audit,
+    "stream_dedup_within_watermark": _stream_dedup_within_watermark,
 }
 
 # The driver records AT MOST 50 queries() entries per round (empirical:
@@ -549,6 +600,7 @@ _PARKED_FOR_R8 = [
     "embedding_random_projection",
     "events_retention_cohorts",
     "docs_bm25_search",
+    "events_hopping_counts",
 ]
 _DRIVER_RECORD_CAP = 50
 

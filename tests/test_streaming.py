@@ -283,3 +283,19 @@ def test_stream_late_data_dropped_after_checkpoint_restore(spark):
     assert len(rows) == 1
     r = rows[0]
     assert (r["role"], r["turns"], r["dropped_late"]) == ("user", 1, 1)
+
+
+def test_stream_dedup_within_watermark_suppresses_replays(spark):
+    """dropDuplicatesWithinWatermark (the engine-native TTL dedup) must
+    suppress BOTH the in-batch duplicate and the cross-batch replay of
+    (c1, 0) while letting the fresh key through — exactly 3 rows, each
+    keeping its FIRST-seen text."""
+    import importlib.util as u
+
+    spec = u.spec_from_file_location("entry_ddww", "__spark_entry__.py")
+    mod = u.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    rows = [(r["conv_id"], r["turn_idx"], r["text"]) for r in
+            mod._stream_dedup_within_watermark(spark, "unused").collect()]
+    assert rows == [("c1", 0, "first"), ("c1", 1, "reply"),
+                    ("c2", 0, "fresh")]

@@ -305,6 +305,13 @@ AUDITS = {
                               "stream"),
         ("CartesianProduct", "never a cartesian against the corpus", 0),
     ],
+    "events_hopping_counts": [
+        ("Expand", "F.window's constant 2x hop fan-out — no join, no "
+                   "range comparison"),
+        ("CartesianProduct", "never a cartesian", 0),
+        ("SortMergeJoin", "hops come from Expand, not a window-table "
+                          "join", 0),
+    ],
 }
 
 

@@ -4472,6 +4472,46 @@ SQL_DOCS_BM25_SEARCH = SQL_DOCS_BM25_SEARCH.format(
 
 
 # --------------------------------------------------------------------------
+# Hopping-window aggregation (batch analogue of the streaming rate op)
+# --------------------------------------------------------------------------
+
+def q_events_hopping_counts(spark, sf_dir):
+    """Hopping-window counts — 10-minute windows sliding every 5
+    minutes per event_type: the BATCH analogue of the streaming
+    stream_turn_rate aggregation (same F.window operator, no
+    watermark), so the two surfaces share semantics. Every event lands
+    in exactly TWO hops (600/300 s, epoch-aligned).
+
+    Scale: F.window is a 2× Expand (constant fan-out, no join) feeding
+    ONE aggregation keyed on (window, type) — plan-audited: never a
+    range join, never a cartesian. All-integer epoch bounds cross the
+    oracle."""
+    return (_t(spark, sf_dir, "events")
+            .groupBy(F.window("ts", "10 minutes", "5 minutes"),
+                     "event_type")
+            .agg(F.count("*").alias("n_events"))
+            .select(F.unix_timestamp("window.start").alias("w_start_s"),
+                    F.unix_timestamp("window.end").alias("w_end_s"),
+                    "event_type", "n_events"))
+
+
+SQL_EVENTS_HOPPING_COUNTS = """
+WITH ev AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS t
+  FROM events
+), hops AS (
+  SELECT event_type, t, h.w_start_s
+  FROM ev, unnest([ (t // 300) * 300 - 300, (t // 300) * 300 ])
+       AS h(w_start_s)
+  WHERE t >= h.w_start_s AND t < h.w_start_s + 600
+)
+SELECT w_start_s, w_start_s + 600 AS w_end_s, event_type,
+       count(*) AS n_events
+FROM hops GROUP BY 1, 2, 3
+"""
+
+
+# --------------------------------------------------------------------------
 # Multimodal plumbing (payloads as opaque binary + typed metadata)
 # --------------------------------------------------------------------------
 
@@ -4699,4 +4739,6 @@ OPS: dict[str, tuple] = {
     "events_retention_cohorts": (
         q_events_retention_cohorts, SQL_EVENTS_RETENTION_COHORTS),
     "docs_bm25_search": (q_docs_bm25_search, SQL_DOCS_BM25_SEARCH),
+    "events_hopping_counts": (
+        q_events_hopping_counts, SQL_EVENTS_HOPPING_COUNTS),
 }
