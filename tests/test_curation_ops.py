@@ -533,3 +533,32 @@ def test_bm25_hand_computed_scores(spark, tmp_path):
     assert list(q1["n_terms_hit"]) == [1, 1]
     assert len(out[out["query_id"] == "q2"]) == 0
     _cross_check(spark, _duck(tmp_path), tmp_path, "docs_bm25_search")
+
+
+# ----------------------------------------------------- events_hopping_counts
+
+def test_hopping_counts_two_hops_per_event(spark, tmp_path):
+    """An event at +400 s of an epoch-aligned 10-minute boundary lands
+    in EXACTLY the hops starting at +0 and +300; one at +100 s lands in
+    -300 and +0. Counts per (window, type) pin the 2× fan-out and the
+    epoch alignment."""
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)            # epoch-multiple of 600 s
+    assert int(t0.timestamp()) % 600 == 0
+    s = lambda off: t0 + dt.timedelta(seconds=off)
+    rows = [(0, s(400), 1, "click", 1.0, "{}"),
+            (1, s(100), 1, "click", 1.0, "{}")]
+    _write_events(spark, tmp_path, rows)
+    out = O.OPS["events_hopping_counts"][0](spark, str(tmp_path)) \
+        .toPandas()
+    base = int(t0.timestamp())
+    got = {(r["w_start_s"] - base, r["n_events"]) for _, r in
+           out.iterrows()}
+    assert all(r["w_end_s"] - r["w_start_s"] == 600
+               for _, r in out.iterrows())
+    # +400 → hops {0, 300}; +100 → hops {-300, 0}; hop 0 holds both
+    assert got == {(-300, 1), (0, 2), (300, 1)}
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM "
+            f"'{tmp_path}/events.parquet/*.parquet'")
+    _cross_check(spark, con, tmp_path, "events_hopping_counts")
