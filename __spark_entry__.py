@@ -601,6 +601,11 @@ _PARKED_FOR_R8 = [
     "events_retention_cohorts",
     "docs_bm25_search",
     "events_hopping_counts",
+    "bpe_pair_counts",
+    "events_value_percentiles",
+    "domain_doc_cap",
+    "lineitem_quantiles_approx",
+    "dedup_reach_hops",
 ]
 _DRIVER_RECORD_CAP = 50
 

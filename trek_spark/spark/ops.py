@@ -4629,6 +4629,263 @@ FROM rendered
 """
 
 
+# --------------------------------------------------------------------------
+# Round-7 closing-session additions (parked for the r8 record window)
+# --------------------------------------------------------------------------
+
+def q_bpe_pair_counts(spark, sf_dir):
+    """First scan of BPE tokenizer training: adjacent symbol-pair
+    frequencies over the corpus word-frequency table — the statistic the
+    first merge rule is chosen from (reference scope: none; standard
+    training-data tooling).
+
+    Tokenization is deliberately ASCII-letter runs (``[A-Za-z]+`` then
+    ``lower``) so both engines lowercase identically — full-Unicode
+    ``lower()`` can diverge on locale-sensitive code points, and the
+    pair alphabet is then closed over 26 letters (≤676 distinct pairs),
+    which is why the final top-32 global window sort is safe at any
+    corpus size: it sorts the pair VOCABULARY, not the corpus. Scale:
+    explode words → word-frequency agg (the classic BPE optimization —
+    pair counts are weighted by word frequency instead of rescanning
+    text), explode length-1 pairs per DISTINCT word → one more agg.
+    Both shuffles are on bounded-vocabulary keys with map-side partial
+    aggregation; nothing pairwise."""
+    docs = _t(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.expr(
+            "regexp_extract_all(text, '([A-Za-z]+)', 1)")).alias("w"))
+        .select(F.lower("w").alias("w"))
+        .filter(F.length("w") >= 2))
+    wf = words.groupBy("w").agg(F.count("*").alias("n"))
+    pairs = wf.select(
+        F.explode(F.expr(
+            "transform(sequence(1, length(w) - 1),"
+            " i -> substr(w, i, 2))")).alias("pair"),
+        "n")
+    counts = pairs.groupBy("pair").agg(F.sum("n").alias("pair_count"))
+    w_ord = Window.orderBy(F.desc("pair_count"), F.asc("pair"))
+    return (counts.withColumn("rank", F.row_number().over(w_ord))
+            .filter(F.col("rank") <= 32)
+            .select("pair", "pair_count", "rank"))
+
+
+SQL_BPE_PAIR_COUNTS = """
+WITH words AS (
+  SELECT lower(unnest(regexp_extract_all(text, '[A-Za-z]+'))) AS w
+  FROM documents
+), wf AS (
+  SELECT w, count(*) AS n FROM words WHERE length(w) >= 2 GROUP BY 1
+), pairs AS (
+  SELECT substr(wf.w, t.i, 2) AS pair, wf.n
+  FROM wf, unnest(generate_series(1, length(wf.w) - 1)) AS t(i)
+), counts AS (
+  SELECT pair, CAST(sum(n) AS BIGINT) AS pair_count FROM pairs GROUP BY 1
+)
+SELECT pair, pair_count,
+       row_number() OVER (ORDER BY pair_count DESC, pair ASC) AS rank
+FROM counts QUALIFY rank <= 32
+"""
+
+
+def q_events_value_percentiles(spark, sf_dir):
+    """``percent_rank`` / ``cume_dist`` ranking windows (the two relative-
+    position window functions not yet in the inventory — ntile and
+    row_number are). Each event's value is placed within its event_type
+    distribution; the window orders by (value, event_id) so rank is
+    total and deterministic. Both functions are a single division of
+    exact integer ranks — (rank−1)/(n−1), and peers≤x/n where the
+    tiebreak key leaves every row its own peer group (cume_dist =
+    rank/n; peer-group cume_dist over raw doubles would hang equality
+    on float tie behavior) — computed
+    identically in both engines, then frozen to basis points via the
+    shared ``floor(x·10⁴ + 0.5)`` formula (single IEEE ops, bit-equal
+    cross-engine). Output is decimated to every 97th event_id AFTER
+    windowing so the record stays small while the window runs over the
+    full partition. Scale: one shuffle on event_type; a skewed type
+    needs the percentile_approx cutoff swap documented on
+    customer_value_deciles."""
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    bp = "CAST(floor({} * 10000 + 0.5) AS BIGINT)"
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("pr", F.percent_rank().over(w))
+        .withColumn("cd", F.cume_dist().over(w))
+        .filter(F.col("event_id") % 97 == 0)
+        .select("event_id", "event_type",
+                F.expr(bp.format("pr")).alias("pr_bp"),
+                F.expr(bp.format("cd")).alias("cd_bp")))
+
+
+SQL_EVENTS_VALUE_PERCENTILES = """
+SELECT event_id, event_type,
+       CAST(floor(pr * 10000 + 0.5) AS BIGINT) AS pr_bp,
+       CAST(floor(cd * 10000 + 0.5) AS BIGINT) AS cd_bp
+FROM (
+  SELECT event_id, event_type,
+         percent_rank() OVER
+           (PARTITION BY event_type ORDER BY value, event_id) AS pr,
+         cume_dist() OVER
+           (PARTITION BY event_type ORDER BY value, event_id) AS cd
+  FROM events)
+WHERE event_id % 97 = 0
+"""
+
+
+_DOMAIN_CAP = 60  # max docs kept per source (RefinedWeb-style cap)
+
+
+def q_domain_doc_cap(spark, sf_dir):
+    """Per-domain frequency cap — the standard crawl-curation guard
+    against a single domain dominating the corpus (RefinedWeb / CCNet
+    keep at most N pages per registered domain). Selection is a
+    deterministic hash lottery: docs rank within their source by the
+    md5 numeric tick (``conv(hex,16,10)`` / ``CAST('0x'||hex)`` — the
+    cross-engine numeric-tick pair), ties broken by doc_id, and rank ≤
+    cap survives. Emitted as the per-source audit (kept/dropped), the
+    shape a curation report needs. Scale: ONE shuffle on source for the
+    rank window; a mega-domain is exactly the hot key the cap exists
+    for — salt the rank (two-level lottery: per-salt rank then take the
+    cap's tick quantile) once a single domain exceeds executor memory."""
+    tick = F.expr(
+        "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10)"
+        " AS BIGINT)")
+    w = Window.partitionBy("source").orderBy("tick", "doc_id")
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "source")
+        .withColumn("tick", tick)
+        .withColumn("rk", F.row_number().over(w))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum(F.when(F.col("rk") <= _DOMAIN_CAP, 1)
+                   .otherwise(0)).alias("n_kept"),
+             F.sum(F.when(F.col("rk") > _DOMAIN_CAP, 1)
+                   .otherwise(0)).alias("n_dropped")))
+
+
+SQL_DOMAIN_DOC_CAP = f"""
+WITH ranked AS (
+  SELECT source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+                         AS BIGINT), doc_id) AS rk
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN rk <= {_DOMAIN_CAP} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN rk > {_DOMAIN_CAP} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dropped
+FROM ranked GROUP BY source
+"""
+
+
+def q_lineitem_quantiles_approx(spark, sf_dir):
+    """Sketch twin of ``lineitem_quantiles`` (pattern:
+    events_cardinality_approx): ``percentile_approx`` — the 100 TB
+    quantile tool, a fixed-size mergeable KLL-style sketch vs the exact
+    op's full sort. The sketch value itself is implementation-specific,
+    so the recorded product is a VERIFIED RANK BOUND: Spark broadcasts
+    its 9 approx values back over lineitem and checks each one's true
+    rank against the target percentile ±0.5 % — pure integer arithmetic
+    (lt·10³ ≤ (p‰+5)·n and le·10³ ≥ (p‰−5)·n) — and the oracle emits
+    the literal truth plus the exact per-flag row count, which IS
+    verified value-for-value. A sketch drifting past ±0.5 % rank error
+    flips the flag and fails the hash (percentile_approx's guarantee at
+    accuracy 10⁴ is 0.01 %, so the gate has 50× margin)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.expr("CAST(floor(l_quantity + 0.5) AS BIGINT)").alias("qty"))
+    apx = (li.groupBy("l_returnflag")
+           .agg(F.expr("percentile_approx(qty, array(0.25, 0.5, 0.75),"
+                       " 10000)").alias("apx")))
+    probes = apx.select(
+        "l_returnflag",
+        F.posexplode("apx").alias("qi", "v")) \
+        .withColumn("q_pm", (F.col("qi") + 1) * 250) \
+        .drop("qi")
+    ranks = (
+        li.join(F.broadcast(probes), "l_returnflag")
+        .groupBy("l_returnflag", "q_pm", "v")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.when(F.col("qty") < F.col("v"), 1)
+                   .otherwise(0)).alias("lt_cnt"),
+             F.sum(F.when(F.col("qty") <= F.col("v"), 1)
+                   .otherwise(0)).alias("le_cnt")))
+    return ranks.select(
+        "l_returnflag", "q_pm", "n",
+        ((F.col("lt_cnt") * 1000 <= (F.col("q_pm") + 5) * F.col("n"))
+         & (F.col("le_cnt") * 1000 >= (F.col("q_pm") - 5) * F.col("n")))
+        .alias("rank_ok"))
+
+
+SQL_LINEITEM_QUANTILES_APPROX = """
+SELECT l_returnflag, q_pm, CAST(n AS BIGINT) AS n, true AS rank_ok
+FROM (SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY 1) f,
+     (SELECT unnest([250, 500, 750]) AS q_pm) q
+"""
+
+
+def q_dedup_reach_hops(spark, sf_dir):
+    """Recursive CTE (``WITH RECURSIVE``, new in Spark 4.x) — the last
+    big SQL shape missing from the relational inventory, demonstrated
+    on a real product: the near-dup TRANSITIVITY audit. For every doc
+    pair connected within ≤4 hops of the Jaccard similarity graph, the
+    minimum chain length — hops=1 are direct near-dups, hops≥2 are
+    transitive absorptions the cluster collapse merged without ever
+    comparing them (the pairs a dataset card should disclose).
+
+    The recursion walks the symmetrized edge list (localCheckpointed
+    once — each iteration joins the in-memory edge set, never re-runs
+    the shingle job) with an explicit depth guard, so it terminates on
+    cycles under UNION ALL in both engines; min(depth) is
+    order-independent, so the hash ports. Scale: each iteration is one
+    equi-join on node id over frontier×edges; near-dup clusters are
+    cap-gated upstream (dedup_ngram_jaccard), bounding the walk
+    breadth — and the depth cap bounds path fan-out. The O(log d)
+    pointer-jumping CC (dedup_clusters) remains the scale path for full
+    closure; the recursive form is the SQL-parity shape and the hop
+    metric it alone yields."""
+    return _reach_hops(spark, _cluster_edges(spark, sf_dir))
+
+
+def _reach_hops(spark, edges: DataFrame) -> DataFrame:
+    """Recursive min-hop walk over a SYMMETRIC (id_a, id_b) edge list the
+    caller has already materialized (``_cluster_edges`` localCheckpoints;
+    a re-evaluated lazy edge plan would re-run per recursion level)."""
+    edges.createOrReplaceTempView("reach_edges_v")
+    return spark.sql("""
+      WITH RECURSIVE walk(root, node, depth) AS (
+        SELECT id_a, id_a, 0 FROM (SELECT DISTINCT id_a FROM reach_edges_v)
+        UNION ALL
+        SELECT w.root, e.id_b, w.depth + 1
+        FROM walk w JOIN reach_edges_v e ON w.node = e.id_a
+        WHERE w.depth < 4
+      )
+      SELECT root AS id_a, node AS id_b, CAST(min(depth) AS BIGINT) AS hops
+      FROM walk WHERE root < node GROUP BY 1, 2
+    """)
+
+
+SQL_DEDUP_REACH_HOPS = f"""
+WITH RECURSIVE dpairs AS (
+  SELECT id_a, id_b FROM ({SQL_DEDUP_NGRAM}) t
+), sym AS (
+  SELECT id_a, id_b FROM dpairs
+  UNION SELECT id_b, id_a FROM dpairs
+), walk(root, node, depth) AS (
+  SELECT id_a, id_a, 0 FROM (SELECT DISTINCT id_a FROM sym) s
+  UNION ALL
+  SELECT w.root, e.id_b, w.depth + 1
+  FROM walk w JOIN sym e ON w.node = e.id_a
+  WHERE w.depth < 4
+)
+SELECT root AS id_a, node AS id_b, CAST(min(depth) AS BIGINT) AS hops
+FROM walk WHERE root < node GROUP BY 1, 2
+"""
+
+
 OPS: dict[str, tuple] = {
     # (spark_fn, oracle_sql_or_None)
     "scan_filter_project": (q_scan_filter_project, SQL_SCAN),
@@ -4741,4 +4998,11 @@ OPS: dict[str, tuple] = {
     "docs_bm25_search": (q_docs_bm25_search, SQL_DOCS_BM25_SEARCH),
     "events_hopping_counts": (
         q_events_hopping_counts, SQL_EVENTS_HOPPING_COUNTS),
+    "bpe_pair_counts": (q_bpe_pair_counts, SQL_BPE_PAIR_COUNTS),
+    "events_value_percentiles": (
+        q_events_value_percentiles, SQL_EVENTS_VALUE_PERCENTILES),
+    "domain_doc_cap": (q_domain_doc_cap, SQL_DOMAIN_DOC_CAP),
+    "lineitem_quantiles_approx": (
+        q_lineitem_quantiles_approx, SQL_LINEITEM_QUANTILES_APPROX),
+    "dedup_reach_hops": (q_dedup_reach_hops, SQL_DEDUP_REACH_HOPS),
 }
