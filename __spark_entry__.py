@@ -606,6 +606,8 @@ _PARKED_FOR_R8 = [
     "domain_doc_cap",
     "lineitem_quantiles_approx",
     "dedup_reach_hops",
+    "dedup_lsh_eval",
+    "transcript_tool_runs",
 ]
 _DRIVER_RECORD_CAP = 50
 

@@ -184,6 +184,49 @@ def test_quantile_rank_gate_rejects_drift(spark, tmp_path):
     assert not (lt_cnt * 1000 <= (250 + 5) * n)
 
 
+# ------------------------------------------------------------ dedup_lsh_eval
+
+def test_dedup_lsh_eval_identical_docs(spark, tmp_path):
+    """Two byte-identical docs (J=1, identical minhash signatures) must
+    be both an exact pair and an LSH candidate: tp=1, nothing missed,
+    recall 10000 bp. A third unrelated doc adds no pair."""
+    dup = ("the quick brown fox jumps over the lazy dog and then "
+           "runs far away into the deep dark woods tonight again")
+    other = ("completely different content about databases indexes "
+             "and query planners with no shared phrasing at all here")
+    rows = [(1, dup, "en", "web", len(dup)),
+            (2, dup, "en", "web", len(dup)),
+            (3, other, "en", "web", len(other))]
+    _write(spark, tmp_path, "documents",
+           "doc_id long, text string, lang string, source string, "
+           "n_chars long", rows)
+    out = _cross_check(spark, _duck(tmp_path, "documents"), tmp_path,
+                       "dedup_lsh_eval")
+    row = out.iloc[0]
+    assert (row["n_exact"], row["tp"], row["lsh_missed"]) \
+        == ("1", "1", "0")
+    assert row["recall_bp"] == "10000"
+
+
+# -------------------------------------------------- transcript_tool_runs
+
+def test_transcript_tool_runs_islands(spark, tmp_path):
+    """conv 3 (doc_id % 50 == 3) with turn order by doc_id: roles from
+    doc_id % 4 give tool,tool,tool,user,tool,tool -> two islands of
+    lengths 3 and 2."""
+    ids = [3, 103, 203, 253, 303, 403]  # %4: 3,3,3,1,3,3
+    rows = [(i, f"turn {i}", "en", "web", 8) for i in ids]
+    _write(spark, tmp_path, "documents",
+           "doc_id long, text string, lang string, source string, "
+           "n_chars long", rows)
+    out = _cross_check(spark, _duck(tmp_path, "documents"), tmp_path,
+                       "transcript_tool_runs")
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert (row["conv_id"], row["n_tool_turns"], row["n_runs"],
+            row["max_run"]) == ("3", "5", "2", "3")
+
+
 # ------------------------------------------------------------ dedup_reach_hops
 
 def test_reach_hops_path_and_cycle(spark):

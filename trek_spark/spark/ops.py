@@ -4886,6 +4886,111 @@ FROM walk WHERE root < node GROUP BY 1, 2
 """
 
 
+def q_dedup_lsh_eval(spark, sf_dir):
+    """Sketch-quality evaluation — LSH candidate pairs scored against the
+    exact Jaccard pair set (the number a pipeline needs before trusting
+    MinHash at 100 TB: recall says what the bucketing MISSES, the extra
+    count says how much exact-verify work the candidates cost).
+    One row: |exact|, |candidates|, true positives, misses (recall
+    loss), extras (verify overhead), and recall in basis points via
+    integer division — all exact integers, no sketch value crosses
+    engines (pattern: events_cardinality_approx).
+
+    Scale: both pair sets are the cap-gated bucket joins documented on
+    their own ops; the comparison is one equi-join on (id_a, id_b) plus
+    three scalar aggregates that broadcast-crossjoin into a single row."""
+    exact = q_dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    cand = q_dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
+    n_exact = exact.agg(F.count("*").alias("n_exact"))
+    n_cand = cand.agg(F.count("*").alias("n_cand"))
+    tp = (exact.join(cand, ["id_a", "id_b"], "left_semi")
+          .agg(F.count("*").alias("tp")))
+    return (
+        n_exact.crossJoin(F.broadcast(n_cand)).crossJoin(F.broadcast(tp))
+        .select(
+            "n_exact", "n_cand", "tp",
+            (F.col("n_exact") - F.col("tp")).alias("lsh_missed"),
+            (F.col("n_cand") - F.col("tp")).alias("lsh_extra"),
+            F.expr("CASE WHEN n_exact = 0 THEN 10000 "
+                   "ELSE CAST(tp * 10000 DIV n_exact AS BIGINT) END")
+            .alias("recall_bp")))
+
+
+SQL_DEDUP_LSH_EVAL = f"""
+WITH e AS (
+  SELECT id_a, id_b FROM ({SQL_DEDUP_NGRAM}) x
+), c AS (
+  {SQL_DEDUP_MINHASH}
+), m AS (
+  SELECT (SELECT count(*) FROM e) AS n_exact,
+         (SELECT count(*) FROM c) AS n_cand,
+         (SELECT count(*) FROM e JOIN c USING (id_a, id_b)) AS tp
+)
+SELECT CAST(n_exact AS BIGINT) AS n_exact,
+       CAST(n_cand AS BIGINT) AS n_cand,
+       CAST(tp AS BIGINT) AS tp,
+       CAST(n_exact - tp AS BIGINT) AS lsh_missed,
+       CAST(n_cand - tp AS BIGINT) AS lsh_extra,
+       CAST(CASE WHEN n_exact = 0 THEN 10000
+                 ELSE tp * 10000 // n_exact END AS BIGINT) AS recall_bp
+FROM m
+"""
+
+
+def q_transcript_tool_runs(spark, sf_dir):
+    """Gaps-and-islands over conversation turns: the longest run of
+    CONSECUTIVE tool turns per conversation, plus run and turn counts —
+    the agent-transcript loop detector (a tool-call run of 40 usually
+    means a stuck agent, and run length is exactly what a turn-level
+    filter can't see). Uses the same documents→turns derivation as
+    render_conversations (conv_id = doc_id % 50, turn order = doc_id
+    rank, role from doc_id % 4).
+
+    The islands trick: turn_idx − row_number() over tool turns is
+    constant within a consecutive run, so runs fall out of one groupBy
+    on (conv_id, grp) with no self-join. Both windows partition by
+    conv_id — ONE shuffle, the second window sorts within the same
+    exchange; long-conversation skew is the salting case the extraction
+    job already handles upstream."""
+    turns = (
+        _t(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 50).alias("conv_id"), "doc_id",
+                (F.col("doc_id") % 4).alias("role_id"))
+        .withColumn("turn_idx", F.row_number().over(
+            Window.partitionBy("conv_id").orderBy("doc_id"))))
+    tool = (turns.filter(F.col("role_id") == 3)  # 'tool' in the role map
+            .withColumn("rn", F.row_number().over(
+                Window.partitionBy("conv_id").orderBy("turn_idx")))
+            .withColumn("grp", F.col("turn_idx") - F.col("rn")))
+    runs = (tool.groupBy("conv_id", "grp")
+            .agg(F.count("*").alias("run_len")))
+    return (runs.groupBy("conv_id")
+            .agg(F.sum("run_len").alias("n_tool_turns"),
+                 F.count("*").alias("n_runs"),
+                 F.max("run_len").alias("max_run")))
+
+
+SQL_TRANSCRIPT_TOOL_RUNS = """
+WITH turns AS (
+  SELECT doc_id % 50 AS conv_id, doc_id,
+         doc_id % 4 AS role_id,
+         row_number() OVER (PARTITION BY doc_id % 50 ORDER BY doc_id)
+           AS turn_idx
+  FROM documents
+), tool AS (
+  SELECT conv_id, turn_idx,
+         turn_idx - row_number() OVER (PARTITION BY conv_id
+                                       ORDER BY turn_idx) AS grp
+  FROM turns WHERE role_id = 3
+), runs AS (
+  SELECT conv_id, grp, count(*) AS run_len FROM tool GROUP BY 1, 2
+)
+SELECT conv_id, CAST(sum(run_len) AS BIGINT) AS n_tool_turns,
+       count(*) AS n_runs, CAST(max(run_len) AS BIGINT) AS max_run
+FROM runs GROUP BY conv_id
+"""
+
+
 OPS: dict[str, tuple] = {
     # (spark_fn, oracle_sql_or_None)
     "scan_filter_project": (q_scan_filter_project, SQL_SCAN),
@@ -5005,4 +5110,7 @@ OPS: dict[str, tuple] = {
     "lineitem_quantiles_approx": (
         q_lineitem_quantiles_approx, SQL_LINEITEM_QUANTILES_APPROX),
     "dedup_reach_hops": (q_dedup_reach_hops, SQL_DEDUP_REACH_HOPS),
+    "dedup_lsh_eval": (q_dedup_lsh_eval, SQL_DEDUP_LSH_EVAL),
+    "transcript_tool_runs": (
+        q_transcript_tool_runs, SQL_TRANSCRIPT_TOOL_RUNS),
 }
