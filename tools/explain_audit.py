@@ -312,6 +312,48 @@ AUDITS = {
         ("SortMergeJoin", "hops come from Expand, not a window-table "
                           "join", 0),
     ],
+    "bpe_pair_counts": [
+        ("TakeOrderedAndProject", "rank<=32 over the global window is "
+                                  "rewritten by the window-group-limit "
+                                  "rule to a top-k — no full sort of "
+                                  "the pair vocabulary"),
+        ("Exchange", "two shuffles, both on bounded-vocabulary keys "
+                     "(word freq, then pair counts)", 2),
+    ],
+    "events_value_percentiles": [
+        ("Window", "percent_rank and cume_dist evaluated in ONE window "
+                   "pass", 1),
+        ("Exchange", "single shuffle on event_type", 1),
+    ],
+    "domain_doc_cap": [
+        ("Exchange", "the rank window and the per-source aggregate "
+                     "share the source partitioning — one shuffle "
+                     "total", 1),
+    ],
+    "lineitem_quantiles_approx": [
+        ("ObjectHashAggregate", "percentile_approx is a mergeable "
+                                "sketch: partial-aggregated map-side "
+                                "like any sum"),
+        ("BroadcastHashJoin", "the 9-row probe set broadcasts back "
+                              "over lineitem for the rank check"),
+        ("CartesianProduct", "never a cartesian", 0),
+    ],
+    "dedup_reach_hops": [
+        ("UnionLoop", "the recursive CTE executes as an iterative "
+                      "union loop with the explicit depth guard"),
+        ("LogicalRDD", "each recursion level joins the "
+                       "localCheckpointed edge RDD — the shingle job "
+                       "is never re-run per level", 2),
+    ],
+    "dedup_lsh_eval": [
+        ("LeftSemi", "true positives via a semi join on the pair key"),
+        ("CartesianProduct", "the single-row metric combine is "
+                             "broadcast, never a cartesian", 0),
+    ],
+    "transcript_tool_runs": [
+        ("Exchange", "both islands windows and both aggregations reuse "
+                     "the conv_id partitioning — one shuffle total", 1),
+    ],
 }
 
 
