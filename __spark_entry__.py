@@ -608,6 +608,8 @@ _PARKED_FOR_R8 = [
     "dedup_reach_hops",
     "dedup_lsh_eval",
     "transcript_tool_runs",
+    "events_variant_buckets",
+    "dedup_containment",
 ]
 _DRIVER_RECORD_CAP = 50
 

@@ -227,6 +227,50 @@ def test_transcript_tool_runs_islands(spark, tmp_path):
             row["max_run"]) == ("3", "5", "2", "3")
 
 
+# ------------------------------------------------- events_variant_buckets
+
+def test_events_variant_buckets_malformed_and_null(spark, tmp_path):
+    """try_parse_json nulls out malformed/missing props instead of
+    failing the job; buckets are k DIV 10 with exact min/max."""
+    rows = [(1, "a", '{"k": 7}'), (2, "a", '{"k": 12}'),
+            (3, "a", '{"k": 19}'), (4, "a", "not json"),
+            (5, "a", None), (6, "b", '{"j": 3}')]
+    _write(spark, tmp_path, "events",
+           "event_id long, event_type string, props string", rows)
+    out = _cross_check(spark, _duck(tmp_path, "events"), tmp_path,
+                       "events_variant_buckets")
+    got = {(r["event_type"], r["k_bucket"]):
+           (r["cnt"], r["k_min"], r["k_max"]) for _, r in out.iterrows()}
+    assert got == {("a", "0"): ("1", "7", "7"),
+                   ("a", "1"): ("2", "12", "19")}  # 4,5,6 all null out
+
+
+# ------------------------------------------------------- dedup_containment
+
+def test_dedup_containment_asymmetric_pair(spark, tmp_path):
+    """A short doc quoted wholesale inside a long one: containment = 1
+    while Jaccard stays under the 0.5 gate — the pair the symmetric op
+    must NOT emit and the containment op MUST."""
+    short = "alpha beta gamma delta epsilon zeta"  # 4 shingles
+    long_ = short + " " + " ".join(f"w{i}" for i in range(30))
+    rows = [(1, short, "en", "web", len(short)),
+            (2, long_, "en", "web", len(long_)),
+            (3, "unrelated text about other things entirely here now",
+             "en", "web", 50)]
+    _write(spark, tmp_path, "documents",
+           "doc_id long, text string, lang string, source string, "
+           "n_chars long", rows)
+    out = _cross_check(spark, _duck(tmp_path, "documents"), tmp_path,
+                       "dedup_containment")
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert (row["contained_id"], row["container_id"]) == ("1", "2")
+    assert row["containment_e4"] == "10000"  # all 4 shingles shared
+    # the symmetric jaccard op does not see this pair (J = 4/36 < 0.5)
+    jac = O.OPS["dedup_ngram_jaccard"][0](spark, str(tmp_path)).toPandas()
+    assert len(jac) == 0
+
+
 # ------------------------------------------------------------ dedup_reach_hops
 
 def test_reach_hops_path_and_cycle(spark):

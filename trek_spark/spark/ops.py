@@ -4991,6 +4991,125 @@ FROM runs GROUP BY conv_id
 """
 
 
+def q_events_variant_buckets(spark, sf_dir):
+    """Semi-structured aggregation through Spark 4's VARIANT type —
+    ``try_parse_json`` → ``variant_get`` — the engine-native successor
+    to per-access ``get_json_object`` string re-parsing (events_json
+    covers the classic path; this is the one a 100 TB pipeline should
+    use: parse once into the binary variant encoding, then typed
+    extractions are cheap, and malformed rows null out instead of
+    failing the job). Bucketed histogram of the extracted k value per
+    event_type: one shuffle, exact integer output; the oracle
+    re-derives it from DuckDB's JSON extraction, proving the variant
+    path decodes identically to a JSON-text reference."""
+    k = F.expr("variant_get(try_parse_json(props), '$.k', 'int')")
+    return (
+        _t(spark, sf_dir, "events")
+        .select("event_type", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type",
+                 F.expr("CAST(k DIV 10 AS INT)").alias("k_bucket"))
+        .agg(F.count("*").alias("cnt"),
+             F.min("k").alias("k_min"),
+             F.max("k").alias("k_max")))
+
+
+SQL_EVENTS_VARIANT_BUCKETS = """
+SELECT event_type, CAST(k // 10 AS INT) AS k_bucket,
+       count(*) AS cnt,
+       CAST(min(k) AS INT) AS k_min, CAST(max(k) AS INT) AS k_max
+FROM (SELECT event_type,
+             -- json_valid guard: DuckDB's json_extract THROWS on
+             -- malformed JSON where Spark's try_parse_json nulls out
+             CAST(CASE WHEN json_valid(props)
+                  THEN json_extract_string(props, '$.k') END AS INT) AS k
+      FROM events)
+WHERE k IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+_CONTAIN_PM = 700  # containment gate: shared >= 70.0% of the smaller set
+
+
+def q_dedup_containment(spark, sf_dir):
+    """Shingle CONTAINMENT near-dup pairs — the asymmetric metric
+    symmetric Jaccard misses: a short doc quoted wholesale inside a
+    long one scores C = |A∩B|/min(|A|,|B|) ≈ 1 while J stays low
+    (standard for quote/boilerplate-embedding detection in crawl
+    curation). Reuses the whole capped-shingle machinery of
+    dedup_ngram_jaccard (explode → hot-shingle document-frequency cap →
+    bucket-local pair counts — never pairwise), then gates on the
+    exact integer predicate 10³·shared ≥ pm·min(n_a, n_b) and emits
+    (contained, container) ordered by set size with containment in
+    10⁻⁴ units via rounded integer division. Scale notes inherited
+    from the jaccard op; the only new arithmetic is the min()."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", _shingles().alias("sh"))
+    sizes = d.select("doc_id", F.size("sh").alias("n"))
+    ex = d.select("doc_id", F.explode("sh").alias("shingle"))
+    safe = _drop_hot_keys(ex, ["shingle"], _SHINGLE_DF_CAP)
+    grouped = (
+        safe.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2))
+    pairs = (_explode_pairs(grouped)
+             .groupBy("id_a", "id_b")
+             .agg(F.count("*").alias("shared")))
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    return (
+        pairs.join(sa, F.col("id_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("id_b") == F.col("sb.doc_id"))
+        .withColumn("m", F.least("sa.n", "sb.n"))
+        .filter(F.expr(f"1000 * shared >= {_CONTAIN_PM} * m"))
+        .select(
+            F.expr("CASE WHEN sa.n < sb.n OR (sa.n = sb.n AND id_a < id_b)"
+                   " THEN id_a ELSE id_b END").alias("contained_id"),
+            F.expr("CASE WHEN sa.n < sb.n OR (sa.n = sb.n AND id_a < id_b)"
+                   " THEN id_b ELSE id_a END").alias("container_id"),
+            "shared",
+            F.expr("(2 * shared * 10000 + m) DIV (2 * m)")
+            .alias("containment_e4")))
+
+
+SQL_DEDUP_CONTAINMENT = f"""
+WITH sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+           range(1, greatest(length(regexp_split_to_array(trim(text), '\\s+')) - 2, 0) + 1),
+           i -> array_to_string(list_slice(regexp_split_to_array(trim(text), '\\s+'), i, i + 2), ' ')
+         )) AS shingles
+  FROM documents
+), sizes AS (
+  SELECT doc_id, length(shingles) AS n FROM sh
+), ex_all AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+), hot AS (
+  SELECT shingle FROM ex_all GROUP BY 1 HAVING count(*) > {_SHINGLE_DF_CAP}
+), ex AS (
+  SELECT * FROM ex_all WHERE shingle NOT IN (SELECT shingle FROM hot)
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), gated AS (
+  SELECT id_a, id_b, shared, least(sa.n, sb.n) AS m,
+         sa.n AS na, sb.n AS nb
+  FROM pairs
+  JOIN sizes sa ON id_a = sa.doc_id
+  JOIN sizes sb ON id_b = sb.doc_id
+  WHERE 1000 * shared >= {_CONTAIN_PM} * least(sa.n, sb.n)
+)
+SELECT CASE WHEN na < nb OR (na = nb AND id_a < id_b)
+            THEN id_a ELSE id_b END AS contained_id,
+       CASE WHEN na < nb OR (na = nb AND id_a < id_b)
+            THEN id_b ELSE id_a END AS container_id,
+       shared,
+       CAST((2 * shared * 10000 + m) // (2 * m) AS BIGINT)
+           AS containment_e4
+FROM gated
+"""
+
+
 OPS: dict[str, tuple] = {
     # (spark_fn, oracle_sql_or_None)
     "scan_filter_project": (q_scan_filter_project, SQL_SCAN),
@@ -5113,4 +5232,7 @@ OPS: dict[str, tuple] = {
     "dedup_lsh_eval": (q_dedup_lsh_eval, SQL_DEDUP_LSH_EVAL),
     "transcript_tool_runs": (
         q_transcript_tool_runs, SQL_TRANSCRIPT_TOOL_RUNS),
+    "events_variant_buckets": (
+        q_events_variant_buckets, SQL_EVENTS_VARIANT_BUCKETS),
+    "dedup_containment": (q_dedup_containment, SQL_DEDUP_CONTAINMENT),
 }
