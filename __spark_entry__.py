@@ -610,6 +610,8 @@ _PARKED_FOR_R8 = [
     "transcript_tool_runs",
     "events_variant_buckets",
     "dedup_containment",
+    "graph_kcore",
+    "orders_range_frame",
 ]
 _DRIVER_RECORD_CAP = 50
 

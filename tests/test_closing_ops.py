@@ -271,6 +271,47 @@ def test_dedup_containment_asymmetric_pair(spark, tmp_path):
     assert len(jac) == 0
 
 
+# ------------------------------------------------------------ graph_kcore
+
+def test_kcore_peels_chain_keeps_triangle(spark):
+    """Chain 1-2-3-4 dissolves under 2-core peeling (ends have degree 1,
+    removing them exposes the next layer — the multi-round effect a
+    single degree filter misses); triangle 10-11-12 survives with
+    core_deg 2; pendant 13 hanging off the triangle is peeled without
+    harming it."""
+    pairs = [(1, 2), (2, 3), (3, 4),
+             (10, 11), (11, 12), (10, 12), (10, 13)]
+    sym = pairs + [(b, a) for a, b in pairs]
+    edges = spark.createDataFrame(sym, "id_a long, id_b long")
+    out = {r["doc_id"]: r["core_deg"] for _, r in
+           O._kcore(edges).toPandas().iterrows()}
+    assert out == {10: 2, 11: 2, 12: 2}
+
+
+# ------------------------------------------------------- orders_range_frame
+
+def test_range_frame_value_bounds_and_peers(spark, tmp_path):
+    """Days 0, 10, 10, 35, 50 for one customer: the 30-day RANGE frame
+    includes same-day orders as peers (both day-10 rows see both
+    prices), day 35 reaches back to day 10 but not day 0, day 50
+    reaches 35 but not 10."""
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1)
+    mk = lambda d: base + dt.timedelta(days=d)
+    rows = [(13, 1, mk(0), 1.00), (26, 1, mk(10), 2.00),
+            (39, 1, mk(10), 4.00), (52, 1, mk(35), 8.00),
+            (65, 1, mk(50), 16.00)]
+    _write(spark, tmp_path, "orders",
+           "o_orderkey long, o_custkey long, o_orderdate timestamp, "
+           "o_totalprice double", rows)
+    out = {r["o_orderkey"]: r["trailing_30d_c"] for _, r in
+           (O.OPS["orders_range_frame"][0](spark, str(tmp_path))
+            .toPandas().iterrows())}
+    assert out == {13: 100, 26: 700, 39: 700, 52: 1400, 65: 2400}
+    _cross_check(spark, _duck(tmp_path, "orders"), tmp_path,
+                 "orders_range_frame")
+
+
 # ------------------------------------------------------------ dedup_reach_hops
 
 def test_reach_hops_path_and_cycle(spark):

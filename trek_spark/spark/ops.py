@@ -5110,6 +5110,110 @@ FROM gated
 """
 
 
+_KCORE_K = 2        # peel nodes of degree < k
+_KCORE_ROUNDS = 3   # fixed peeling rounds (see docstring)
+
+
+def q_graph_kcore(spark, sf_dir):
+    """k-core peeling over the near-dup similarity graph — the density
+    filter that isolates mutually-duplicating template farms (every
+    surviving doc has ≥ k near-dup partners AMONG other survivors,
+    which one-hop degree can't express): completes the graph-analytics
+    set next to CC (membership), PageRank (centrality) and triangles
+    (local density). ``_KCORE_ROUNDS`` synchronized peeling rounds of
+    the ``_KCORE_K``-core; like the PageRank op, the round count is
+    FIXED so the oracle can unroll the identical rounds as chained
+    CTEs — a production run loops to fixpoint exactly like
+    ``_min_label_cc`` (the peel is monotone, so rounds are bounded by
+    the graph's degeneracy ordering depth). Scale: each round is one
+    degree aggregation + two semi-joins on the shrinking edge list;
+    the edge list is localCheckpointed once upstream."""
+    return _kcore(_cluster_edges(spark, sf_dir))
+
+
+def _kcore(edges: DataFrame, k: int = _KCORE_K,
+           rounds: int = _KCORE_ROUNDS) -> DataFrame:
+    """``rounds`` synchronized peels of the ``k``-core over a SYMMETRIC
+    (id_a, id_b) edge list; see q_graph_kcore for the contract."""
+    alive = edges
+    for _ in range(rounds):
+        keep = (alive.groupBy("id_a")
+                .agg(F.count("*").alias("deg"))
+                .filter(F.col("deg") >= k)
+                .select("id_a"))
+        alive = (alive.join(keep, "id_a", "left_semi")
+                 .join(keep.withColumnRenamed("id_a", "id_b"),
+                       "id_b", "left_semi"))
+    return (alive.groupBy("id_a")
+            .agg(F.count("*").alias("core_deg"))
+            .select(F.col("id_a").alias("doc_id"), "core_deg"))
+
+
+def _sql_kcore_round(prev: str, i: int) -> str:
+    return (
+        f"k{i} AS (SELECT id_a FROM {prev} GROUP BY id_a"
+        f" HAVING count(*) >= {_KCORE_K}),\n"
+        f"e{i} AS (SELECT e.id_a, e.id_b FROM {prev} e"
+        f" JOIN k{i} a ON e.id_a = a.id_a"
+        f" JOIN k{i} b ON e.id_b = b.id_a)")
+
+
+SQL_GRAPH_KCORE = f"""
+WITH dpairs AS (
+  SELECT id_a, id_b FROM ({SQL_DEDUP_NGRAM}) t
+), e0 AS (
+  SELECT id_a, id_b FROM dpairs
+  UNION SELECT id_b, id_a FROM dpairs
+),
+{_sql_kcore_round('e0', 1)},
+{_sql_kcore_round('e1', 2)},
+{_sql_kcore_round('e2', 3)}
+SELECT id_a AS doc_id, CAST(count(*) AS BIGINT) AS core_deg
+FROM e3 GROUP BY 1
+"""
+
+
+def q_orders_range_frame(spark, sf_dir):
+    """RANGE-framed window aggregation — the VALUE-bounded frame the
+    inventory's moving average (a ROWS frame) doesn't cover: per
+    customer, total spend in the 30 days UP TO each order, however many
+    orders that spans (same-day orders are RANGE peers and all join the
+    frame, which a ROWS frame gets wrong). Order dates become exact
+    integer day numbers (unix seconds DIV 86400 — the event_gaps epoch
+    pairing) and prices exact cents, so the frame bound and the sum are
+    pure integer arithmetic in both engines. Output decimated to every
+    13th order key AFTER windowing. Scale: one shuffle on o_custkey;
+    RANGE frames evaluate with a sliding accumulator over each sorted
+    partition, same cost shape as the ROWS frame."""
+    day = F.expr("CAST(unix_timestamp(o_orderdate) DIV 86400 AS BIGINT)")
+    cents = F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+    w = (Window.partitionBy("o_custkey").orderBy("day")
+         .rangeBetween(-30, 0))
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", day.alias("day"),
+                cents.alias("price_c"))
+        .withColumn("trailing_30d_c", F.sum("price_c").over(w))
+        .filter(F.col("o_orderkey") % 13 == 0)
+        .select("o_orderkey", "o_custkey", "day", "trailing_30d_c"))
+
+
+SQL_ORDERS_RANGE_FRAME = """
+SELECT o_orderkey, o_custkey, day,
+       CAST(trailing_30d_c AS BIGINT) AS trailing_30d_c
+FROM (
+  SELECT o_orderkey, o_custkey, day,
+         sum(price_c) OVER (
+           PARTITION BY o_custkey ORDER BY day
+           RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS trailing_30d_c
+  FROM (SELECT o_orderkey, o_custkey,
+               CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS day,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c
+        FROM orders))
+WHERE o_orderkey % 13 = 0
+"""
+
+
 OPS: dict[str, tuple] = {
     # (spark_fn, oracle_sql_or_None)
     "scan_filter_project": (q_scan_filter_project, SQL_SCAN),
@@ -5235,4 +5339,6 @@ OPS: dict[str, tuple] = {
     "events_variant_buckets": (
         q_events_variant_buckets, SQL_EVENTS_VARIANT_BUCKETS),
     "dedup_containment": (q_dedup_containment, SQL_DEDUP_CONTAINMENT),
+    "graph_kcore": (q_graph_kcore, SQL_GRAPH_KCORE),
+    "orders_range_frame": (q_orders_range_frame, SQL_ORDERS_RANGE_FRAME),
 }
