@@ -354,6 +354,33 @@ AUDITS = {
         ("Exchange", "both islands windows and both aggregations reuse "
                      "the conv_id partitioning — one shuffle total", 1),
     ],
+    "events_variant_buckets": [
+        ("variant_get(static_invoke", "VARIANT extraction is a JVM "
+                                      "static invoke — no Python, no "
+                                      "per-access JSON re-parse"),
+        ("Exchange", "one shuffle for the bucket aggregation", 1),
+    ],
+    "dedup_containment": [
+        ("Window", "hot-shingle document-frequency cap before any "
+                   "collect_list (shared machinery with the jaccard "
+                   "op)", 1),
+        ("CartesianProduct", "pairs come from bucket-local explode, "
+                             "never a cartesian", 0),
+    ],
+    "graph_kcore": [
+        ("Exchange", "per-round lineage truncated by localCheckpoint: "
+                     "the final plan is ONE degree aggregation over "
+                     "the last peeled edge RDD (un-truncated, 3 "
+                     "rounds showed 53 Exchanges — O(2^rounds) plan "
+                     "doubling)", 1),
+        ("Scan ExistingRDD", "reads the checkpointed survivor edges "
+                             "once", 1),
+    ],
+    "orders_range_frame": [
+        ("Window", "RANGE frame evaluates as one sliding-accumulator "
+                   "window pass", 1),
+        ("Exchange", "single shuffle on o_custkey", 1),
+    ],
 }
 
 

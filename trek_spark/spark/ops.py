@@ -5141,9 +5141,14 @@ def _kcore(edges: DataFrame, k: int = _KCORE_K,
                 .agg(F.count("*").alias("deg"))
                 .filter(F.col("deg") >= k)
                 .select("id_a"))
+        # each round reads `alive` twice (degree agg + semi joins), so an
+        # un-truncated lineage DOUBLES per round — O(2^rounds) plan nodes
+        # (observed: 53 Exchanges for 3 rounds). localCheckpoint flattens
+        # it to one agg + two joins per round, the _min_label_cc pattern.
         alive = (alive.join(keep, "id_a", "left_semi")
                  .join(keep.withColumnRenamed("id_a", "id_b"),
-                       "id_b", "left_semi"))
+                       "id_b", "left_semi")
+                 .localCheckpoint(eager=True))
     return (alive.groupBy("id_a")
             .agg(F.count("*").alias("core_deg"))
             .select(F.col("id_a").alias("doc_id"), "core_deg"))
