@@ -612,6 +612,8 @@ _PARKED_FOR_R8 = [
     "dedup_containment",
     "graph_kcore",
     "orders_range_frame",
+    "transcript_context_trim",
+    "embedding_power_iteration",
 ]
 _DRIVER_RECORD_CAP = 50
 

@@ -312,6 +312,50 @@ def test_range_frame_value_bounds_and_peers(spark, tmp_path):
                  "orders_range_frame")
 
 
+# ------------------------------------------------- transcript_context_trim
+
+def test_context_trim_keeps_longest_suffix(spark, tmp_path):
+    """Turns of 300/300/100/50 tokens against the 512 budget: the
+    suffix 300+100+50 = 450 fits, adding the first turn (750) does not
+    -> keep the last three whole turns."""
+    toks = [300, 300, 100, 50]
+    ids = [7, 57, 107, 157]  # all conv 7, turn order by doc_id
+    rows = [(i, " ".join(["w"] * n), "en", "web", n)
+            for i, n in zip(ids, toks)]
+    _write(spark, tmp_path, "documents",
+           "doc_id long, text string, lang string, source string, "
+           "n_chars long", rows)
+    out = _cross_check(spark, _duck(tmp_path, "documents"), tmp_path,
+                       "transcript_context_trim")
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert (row["n_turns"], row["n_kept"], row["tokens_kept"],
+            row["first_kept_idx"]) == ("4", "3", "450", "2")
+
+
+# --------------------------------------------- embedding_power_iteration
+
+def test_power_iteration_finds_dominant_axis(spark, tmp_path):
+    """Vectors clustered along dimension 0 (with small dim-1 noise):
+    the integer power iteration must return ±1000 ticks on dim 0 and
+    near-zero everywhere past dim 1."""
+    def vec(a, b):
+        v = [0.0] * 64
+        v[0], v[1] = a, b
+        return v
+    rows = [(1, vec(8.0, 0.0), "x"), (2, vec(9.0, 1.0), "x"),
+            (3, vec(7.0, -1.0), "x")]
+    _write(spark, tmp_path, "embeddings",
+           "vec_id long, embedding array<float>, label string", rows)
+    out = _cross_check(spark, _duck(tmp_path, "embeddings"), tmp_path,
+                       "embedding_power_iteration")
+    ticks = {int(r["dim_idx"]): int(r["v_tick"]) for _, r in
+             out.iterrows()}
+    assert len(ticks) == 64
+    assert ticks[0] == 1000  # dominant axis at full tick magnitude
+    assert all(abs(ticks[j]) <= 100 for j in range(2, 64))
+
+
 # ------------------------------------------------------------ dedup_reach_hops
 
 def test_reach_hops_path_and_cycle(spark):

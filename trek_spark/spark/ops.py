@@ -5219,6 +5219,155 @@ WHERE o_orderkey % 13 = 0
 """
 
 
+_CTX_BUDGET = 512  # context-window token budget per conversation
+
+
+def q_transcript_context_trim(spark, sf_dir):
+    """Context-window packing — the serving-side twin of
+    pack_token_budget: for each conversation, keep the LONGEST SUFFIX of
+    turns whose whitespace-token total fits the budget (what an agent
+    runtime actually ships to the model: most-recent turns first, whole
+    turns only). A running suffix sum (window ordered turn_idx DESC)
+    prices each turn's tail, one comparison keeps it; emitted as the
+    per-conversation packing audit (kept/dropped turns, kept tokens,
+    truncation point). Same documents→turns derivation as
+    render_conversations. Exact integer arithmetic throughout; ONE
+    shuffle on conv_id shared by the turn_idx window and the suffix-sum
+    window and the final aggregate."""
+    turns = (
+        _t(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 50).alias("conv_id"), "doc_id",
+                F.size(F.split(F.trim(F.coalesce("text", F.lit(""))),
+                               r"\s+")).alias("n_tok"))
+        .withColumn("turn_idx", F.row_number().over(
+            Window.partitionBy("conv_id").orderBy("doc_id"))))
+    wsuf = (Window.partitionBy("conv_id").orderBy(F.desc("turn_idx"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    priced = turns.withColumn("suffix_tok", F.sum("n_tok").over(wsuf))
+    return (
+        priced.groupBy("conv_id")
+        .agg(F.count("*").alias("n_turns"),
+             F.sum(F.when(F.col("suffix_tok") <= _CTX_BUDGET, 1)
+                   .otherwise(0)).alias("n_kept"),
+             F.sum(F.when(F.col("suffix_tok") <= _CTX_BUDGET,
+                          F.col("n_tok")).otherwise(0))
+             .alias("tokens_kept"),
+             F.min(F.when(F.col("suffix_tok") <= _CTX_BUDGET,
+                          F.col("turn_idx"))).alias("first_kept_idx")))
+
+
+SQL_TRANSCRIPT_CONTEXT_TRIM = f"""
+WITH turns AS (
+  SELECT doc_id % 50 AS conv_id, doc_id,
+         length(regexp_split_to_array(trim(coalesce(text, '')), '\\s+'))
+             AS n_tok,
+         row_number() OVER (PARTITION BY doc_id % 50 ORDER BY doc_id)
+             AS turn_idx
+  FROM documents
+), priced AS (
+  SELECT conv_id, turn_idx, n_tok,
+         sum(n_tok) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+                          ROWS UNBOUNDED PRECEDING) AS suffix_tok
+  FROM turns
+)
+SELECT conv_id, count(*) AS n_turns,
+       CAST(sum(CASE WHEN suffix_tok <= {_CTX_BUDGET} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN suffix_tok <= {_CTX_BUDGET} THEN n_tok
+                ELSE 0 END) AS BIGINT) AS tokens_kept,
+       CAST(min(CASE WHEN suffix_tok <= {_CTX_BUDGET} THEN turn_idx END)
+            AS BIGINT) AS first_kept_idx
+FROM priced GROUP BY conv_id
+"""
+
+
+_POWER_ITERS = 2
+
+
+def q_embedding_power_iteration(spark, sf_dir):
+    """Dominant principal direction of the embedding table by power
+    iteration on XᵀX — in PURE INTEGER arithmetic, the trick that makes
+    an iterative numerical algorithm bit-portable across engines:
+    vectors are int8-quantized (per-vector absmax, floor(x·127/s + ½)),
+    the direction lives in integer ticks (∥v∥∞ = 1000), and each
+    iteration is s = Qv (per-row int dot), w = Qᵀs (per-dimension int
+    sum — order-independent, unlike float sums), v′ = w·1000 DIV
+    max|w|. Two iterations from the all-ones start; output is the
+    64-row direction in ticks. The DuckDB oracle unrolls the identical
+    iterations as chained CTEs over the same exploded (row, dim, q)
+    table.
+
+    Scale: the quantized triplet table is n×64 rows; each iteration is
+    one broadcast join on the 64-row direction + a groupBy(vec) and a
+    groupBy(dim) — both map-side-combining, no collect (the k-means
+    trainer's model-params collect isn't even needed here since v
+    stays a broadcastable 64-row DataFrame). Magnitudes: |s| ≤
+    64·127·1000 ≈ 8.1e6, |w| ≤ n·127·8.1e6 — int64-safe through
+    n ≈ 10⁹ rows; shard-and-rescale the s ticks beyond that."""
+    emb = _t(spark, sf_dir, "embeddings")
+    scale = F.expr(
+        "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))")
+    q = ("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+         " / _scale * 127 + 0.5) AS BIGINT))")
+    qd = (emb.withColumn("_scale", scale).filter(F.col("_scale") > 0)
+          .withColumn("_q", F.expr(q))
+          .select("vec_id", F.posexplode("_q").alias("j", "qj"))
+          .localCheckpoint(eager=True))
+    spark_ = spark
+    v = spark_.range(64).select(F.col("id").cast("int").alias("j"),
+                                F.lit(1000).cast("long").alias("t"))
+    for _ in range(_POWER_ITERS):
+        s = (qd.join(F.broadcast(v), "j")
+             .groupBy("vec_id")
+             .agg(F.sum(F.col("qj") * F.col("t")).alias("s")))
+        w = (qd.join(s, "vec_id")
+             .groupBy("j")
+             .agg(F.sum(F.col("qj") * F.col("s")).alias("w")))
+        wmax = w.agg(F.max(F.abs("w")).alias("wmax"))
+        v = (w.crossJoin(F.broadcast(wmax))
+             .select("j", F.expr(
+                 "CASE WHEN wmax = 0 THEN 0L"
+                 " ELSE (w * 1000) DIV wmax END").alias("t"))
+             .localCheckpoint(eager=True))
+    return v.select(F.col("j").alias("dim_idx"), F.col("t").alias("v_tick"))
+
+
+def _sql_power_iter(prev: str, i: int) -> str:
+    return (
+        f"s{i} AS (SELECT qd.vec_id, CAST(sum(qd.qj * v.t) AS BIGINT) AS s"
+        f" FROM qd JOIN {prev} v ON qd.j = v.j GROUP BY qd.vec_id),\n"
+        f"w{i} AS (SELECT qd.j, CAST(sum(qd.qj * s{i}.s) AS BIGINT) AS w"
+        f" FROM qd JOIN s{i} ON qd.vec_id = s{i}.vec_id GROUP BY qd.j),\n"
+        f"v{i} AS (SELECT j, CAST(CASE WHEN m.wmax = 0 THEN 0"
+        f" ELSE (w * 1000) // m.wmax END AS BIGINT) AS t"
+        f" FROM w{i}, (SELECT max(abs(w)) AS wmax FROM w{i}) m)")
+
+
+SQL_EMBEDDING_POWER_ITERATION = f"""
+WITH sc AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding,
+                  x -> abs(CAST(x AS DOUBLE)))) AS scale,
+         embedding
+  FROM embeddings
+), qv AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)
+           / scale * 127 + 0.5) AS BIGINT)) AS qarr
+  FROM sc WHERE scale > 0
+), qd AS (
+  SELECT vec_id, CAST(t.i - 1 AS INT) AS j, qarr[t.i] AS qj
+  FROM qv, unnest(generate_series(1, len(qarr))) AS t(i)
+), v0 AS (
+  SELECT CAST(range AS INT) AS j, CAST(1000 AS BIGINT) AS t
+  FROM range(64)
+),
+{_sql_power_iter('v0', 1)},
+{_sql_power_iter('v1', 2)}
+SELECT j AS dim_idx, t AS v_tick FROM v2
+"""
+
+
 OPS: dict[str, tuple] = {
     # (spark_fn, oracle_sql_or_None)
     "scan_filter_project": (q_scan_filter_project, SQL_SCAN),
@@ -5346,4 +5495,8 @@ OPS: dict[str, tuple] = {
     "dedup_containment": (q_dedup_containment, SQL_DEDUP_CONTAINMENT),
     "graph_kcore": (q_graph_kcore, SQL_GRAPH_KCORE),
     "orders_range_frame": (q_orders_range_frame, SQL_ORDERS_RANGE_FRAME),
+    "transcript_context_trim": (
+        q_transcript_context_trim, SQL_TRANSCRIPT_CONTEXT_TRIM),
+    "embedding_power_iteration": (
+        q_embedding_power_iteration, SQL_EMBEDDING_POWER_ITERATION),
 }
