@@ -381,6 +381,18 @@ AUDITS = {
                    "window pass", 1),
         ("Exchange", "single shuffle on o_custkey", 1),
     ],
+    "transcript_context_trim": [
+        ("Exchange", "turn-ordering window, suffix-sum window and the "
+                     "packing aggregate all reuse the conv_id "
+                     "partitioning — one shuffle total", 1),
+        ("Window", "two window passes (turn_idx, suffix sum) inside "
+                   "that one exchange", 2),
+    ],
+    "embedding_power_iteration": [
+        ("Scan ExistingRDD", "per-iteration localCheckpoint truncates "
+                             "lineage: the final plan reads the "
+                             "converged 64-row direction once", 1),
+    ],
 }
 
 
