@@ -13,7 +13,8 @@ Usage:
         --input  /path/with/documents.parquet    \
         --output /path/to/curated                \
         [--max-repetition-e4 N] [--skip-quality] [--gopher-gate] \
-        [--skip-dedup] [--skip-sample] [--skip-decontaminate]
+        [--skip-dedup] [--domain-cap N] [--skip-sample] \
+        [--skip-decontaminate]
 
 Plan shape (the part that matters at 100 TB): ONE scan of documents with
 a codegen'd sample filter plus two BROADCAST anti-joins — the dropped
@@ -49,6 +50,12 @@ def main() -> None:
                          "shuffle-bearing stage")
     ap.add_argument("--skip-dedup", action="store_true")
     ap.add_argument("--skip-sample", action="store_true")
+    ap.add_argument("--domain-cap", type=int, default=0,
+                    help="keep at most N docs per source (md5-tick "
+                         "lottery, RefinedWeb-style anti-domination "
+                         "cap); 0 disables. Runs after dedup so the "
+                         "cap budget is spent on survivors, not "
+                         "duplicates")
     ap.add_argument("--mix-sample", action="store_true",
                     help="temperature-scaled (alpha=0.5) SOURCE mixing "
                          "instead of / in addition to the lang-stratified "
@@ -109,6 +116,15 @@ def main() -> None:
             # no forced broadcast: the dropped set scales with the corpus
             # duplicate rate; AQE broadcasts it only when actually small
             curated = curated.join(dropped, "doc_id", "left_anti")
+
+        if args.domain_cap > 0:
+            # the one stage that shuffles the corpus (rank window on
+            # source) — deliberately after dedup so the per-domain
+            # budget is spent on survivors, not on duplicates that were
+            # about to be dropped anyway
+            before = curated.count()
+            curated = O.domain_cap_filter(curated, args.domain_cap)
+            ledger["domain_cap_dropped"] = before - curated.count()
 
         if not args.skip_sample:
             curated = curated.filter(O.sample_keep_cond())

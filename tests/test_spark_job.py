@@ -531,3 +531,48 @@ def test_aqe_skew_join_splits_hot_partition(spark):
         plan = j._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
     assert "skew=true" in plan, plan
+
+
+def test_curate_job_domain_cap_stage(spark, tmp_path_factory):
+    """--domain-cap 20: no source ships more than 20 docs, the kept set
+    per source is exactly the md5-tick lottery's top-20 among the
+    pre-cap survivors, and the ledger records the dropped count."""
+    import json
+    import sys
+    from unittest import mock
+
+    from jobs import curate_job
+    from trek_spark.spark import ops as O
+
+    out = str(tmp_path_factory.mktemp("curated_cap"))
+    argv = ["curate_job.py", "--input", "/root/testdata/sf0.001",
+            "--output", out, "--domain-cap", "20", "--skip-sample",
+            "--skip-decontaminate"]
+    printed = []
+    with mock.patch.object(sys, "argv", argv), \
+            mock.patch("builtins.print",
+                       side_effect=lambda *a, **k: printed.append(a)):
+        with mock.patch.object(spark, "stop"):
+            curate_job.main()
+    ledger = json.loads(printed[-1][0])
+    assert ledger["domain_cap_dropped"] > 0
+    got = spark.read.parquet(f"{out}/documents")
+    per_source = {r.source: r.n for r in got.groupBy("source")
+                  .agg(F.count("*").alias("n")).collect()}
+    assert per_source and all(n <= 20 for n in per_source.values())
+    assert got.count() == ledger["docs_out"]
+    # survivors == the cap filter applied to the pre-cap survivor set
+    # (quality gate + dedup, as the job composes them)
+    pre = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+    flagged = (O.q_docs_repetition_ratio(spark, "/root/testdata/sf0.001")
+               .filter(F.col("repetition_e4") > 6000).select("doc_id"))
+    labels, _r, _c = O._min_label_cc(
+        O._cluster_edges(spark, "/root/testdata/sf0.001"))
+    dropped = labels.filter(
+        F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    pre = (pre.join(flagged, "doc_id", "left_anti")
+           .join(dropped, "doc_id", "left_anti"))
+    expect = {r.doc_id for r in
+              O.domain_cap_filter(pre, 20).collect()}
+    assert {r.doc_id for r in got.collect()} == expect

@@ -4781,6 +4781,22 @@ FROM ranked GROUP BY source
 """
 
 
+def domain_cap_filter(docs: DataFrame, cap: int = _DOMAIN_CAP) -> DataFrame:
+    """Pipeline form of the per-domain cap (see q_domain_doc_cap): keep at
+    most ``cap`` docs per source by the deterministic md5-tick lottery.
+    ONE shuffle on source — the only corpus shuffle in curate_job when
+    enabled; a mega-domain is the hot key the cap targets, salt the rank
+    as documented on the audit op if one source exceeds executor memory."""
+    tick = F.expr(
+        "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10)"
+        " AS BIGINT)")
+    w = Window.partitionBy("source").orderBy("_tick", "doc_id")
+    return (docs.withColumn("_tick", tick)
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= cap)
+            .drop("_tick", "_rk"))
+
+
 def q_lineitem_quantiles_approx(spark, sf_dir):
     """Sketch twin of ``lineitem_quantiles`` (pattern:
     events_cardinality_approx): ``percentile_approx`` — the 100 TB
