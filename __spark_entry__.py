@@ -614,6 +614,9 @@ _PARKED_FOR_R8 = [
     "orders_range_frame",
     "transcript_context_trim",
     "embedding_power_iteration",
+    "transcript_role_transitions",
+    "docs_readability",
+    "events_value_zscores",
 ]
 _DRIVER_RECORD_CAP = 50
 

@@ -356,6 +356,67 @@ def test_power_iteration_finds_dominant_axis(spark, tmp_path):
     assert all(abs(ticks[j]) <= 100 for j in range(2, 64))
 
 
+# --------------------------------------------- transcript_role_transitions
+
+def test_role_transitions_counts(spark, tmp_path):
+    """conv 3 (ids stepping by 100 keep role 'tool', one +50 step flips
+    to 'assistant'): transitions tool->tool x2, tool->assistant x1,
+    assistant->tool x1."""
+    ids = [3, 103, 203, 253, 303]  # roles: tool,tool,tool,assistant,tool
+    rows = [(i, f"t {i}", "en", "web", 5) for i in ids]
+    _write(spark, tmp_path, "documents",
+           "doc_id long, text string, lang string, source string, "
+           "n_chars long", rows)
+    out = {(r["prev_role"], r["role"]): r["n_transitions"] for _, r in
+           _cross_check(spark, _duck(tmp_path, "documents"), tmp_path,
+                        "transcript_role_transitions").iterrows()}
+    assert out == {("tool", "tool"): "2", ("tool", "assistant"): "1",
+                   ("assistant", "tool"): "1"}
+
+
+# ------------------------------------------------------- docs_readability
+
+def test_docs_readability_known_score(spark, tmp_path):
+    """'The cat sat. The dog ran.' -> 6 words, 2 sentences, 6 vowel
+    runs: flesch*100 = 20683500/100 - 1015*6*100/(2*100) - 846*6*100
+    /(6*100) ... computed by hand below; null doc excluded."""
+    rows = [(1, "The cat sat. The dog ran.", "en", "web", 25),
+            (2, None, "en", "web", 0)]
+    _write(spark, tmp_path, "documents",
+           "doc_id long, text string, lang string, source string, "
+           "n_chars long", rows)
+    out = _cross_check(spark, _duck(tmp_path, "documents"), tmp_path,
+                       "docs_readability")
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert (row["n_words"], row["n_sents"], row["n_sylls"]) \
+        == ("6", "2", "6")
+    # flesch = 206.835 - 1.015*(6/2) - 84.6*(6/6) = 119.190 -> 11919
+    assert row["flesch_e2"] == "11919"
+
+
+# --------------------------------------------------- events_value_zscores
+
+def test_zscores_flag_planted_outlier(spark, tmp_path):
+    """100 values at 10.00 plus one at 1000.00: the spike is >3 sigma
+    (sigma ~= 98.5), everything else is within; exact mean/sigma checked
+    against a numpy recompute of the integer formulas."""
+    rows = [(i, "a", 10.0) for i in range(100)] + [(100, "a", 1000.0)]
+    _write(spark, tmp_path, "events",
+           "event_id long, event_type string, value double", rows)
+    out = _cross_check(spark, _duck(tmp_path, "events"), tmp_path,
+                       "events_value_zscores")
+    assert len(out) == 1
+    row = out.iloc[0]
+    import math
+    n, s1, s2 = 101, 100 * 1000 + 100000, 100 * 1000**2 + 100000**2
+    assert row["n"] == "101"
+    assert row["mean_c"] == str((2 * s1 + n) // (2 * n))
+    assert row["sigma_tick_e4"] == str(
+        math.floor(math.sqrt(n * s2 - s1 * s1) / n * 10000))
+    assert row["n_outliers"] == "1"
+
+
 # ------------------------------------------------------------ dedup_reach_hops
 
 def test_reach_hops_path_and_cycle(spark):

@@ -5384,6 +5384,167 @@ SELECT j AS dim_idx, t AS v_tick FROM v2
 """
 
 
+def q_transcript_role_transitions(spark, sf_dir):
+    """Role-transition matrix over conversation turns — the Markov
+    fingerprint of a transcript corpus (user→assistant should dominate;
+    a fat tool→tool cell is the loop signal transcript_tool_runs
+    measures per-conversation, here aggregated corpus-wide; an
+    assistant→assistant cell flags double-posts). One LAG window inside
+    the conv_id shuffle, then a bounded 16-cell aggregation (4 roles ×
+    4 roles) with map-side partials. Same documents→turns derivation as
+    render_conversations."""
+    roles = F.array(F.lit("user"), F.lit("assistant"),
+                    F.lit("system"), F.lit("tool"))
+    w = Window.partitionBy("conv_id").orderBy("doc_id")
+    turns = (
+        _t(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 50).alias("conv_id"), "doc_id",
+                F.element_at(roles, (F.col("doc_id") % 4).cast("int") + 1)
+                .alias("role")))
+    return (
+        turns.withColumn("prev_role", F.lag("role").over(w))
+        .filter(F.col("prev_role").isNotNull())
+        .groupBy("prev_role", "role")
+        .agg(F.count("*").alias("n_transitions")))
+
+
+SQL_TRANSCRIPT_ROLE_TRANSITIONS = """
+WITH turns AS (
+  SELECT doc_id % 50 AS conv_id, doc_id,
+         CASE CAST(doc_id % 4 AS INT)
+           WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+           WHEN 2 THEN 'system' ELSE 'tool' END AS role
+  FROM documents
+)
+SELECT prev_role, role, count(*) AS n_transitions
+FROM (SELECT role,
+             lag(role) OVER (PARTITION BY conv_id ORDER BY doc_id)
+                 AS prev_role
+      FROM turns)
+WHERE prev_role IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+def q_docs_readability(spark, sf_dir):
+    """Flesch-style readability scoring in exact integers — the
+    text-quality signal next to text_quality's ratio set: words per
+    sentence and (vowel-run) syllables per word, combined on the
+    Flesch scale ×100. Sentences are [.!?]+ splits, syllables the
+    classic vowel-group proxy ([aeiouy]+ runs) — both pure regexp
+    counts, so the whole score is integer arithmetic on three counts
+    (206835 − 1015·words·100/sentences − 84600·syll/words, all over a
+    common ×100 denominator, emitted DIV-rounded). Per-row JVM
+    expressions, Exchange-free like text_quality; null text scores as
+    an empty doc (0 words → excluded)."""
+    words = ("size(regexp_extract_all(lower(coalesce(text, '')),"
+             " '([a-z]+)', 1))")
+    sents = ("greatest(size(regexp_extract_all(coalesce(text, ''),"
+             " '([.!?]+)', 1)), 1)")
+    sylls = ("greatest(size(regexp_extract_all(lower(coalesce(text, '')),"
+             " '([aeiouy]+)', 1)), 1)")
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id",
+                F.expr(words).alias("n_words"),
+                F.expr(sents).alias("n_sents"),
+                F.expr(sylls).alias("n_sylls"))
+        .filter(F.col("n_words") > 0)
+        # flesch×100 = 20683500/100 − 1015·w/s − 84600·sy/w, over the
+        # common denominator s·w: one exact integer rounded division
+        .withColumn("flesch_e2", F.expr(
+            "(2 * (20683500 * n_sents * n_words"
+            " - 101500 * n_words * n_words"
+            " - 8460000 * n_sylls * n_sents)"
+            " + (1000 * n_sents * n_words))"
+            " DIV (2 * 1000 * n_sents * n_words)"))
+        .select("doc_id", "n_words", "n_sents", "n_sylls", "flesch_e2"))
+
+
+SQL_DOCS_READABILITY = """
+WITH counts AS (
+  SELECT doc_id,
+         length(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+'))
+             AS n_words,
+         greatest(length(regexp_extract_all(coalesce(text, ''),
+                  '[.!?]+')), 1) AS n_sents,
+         greatest(length(regexp_extract_all(lower(coalesce(text, '')),
+                  '[aeiouy]+')), 1) AS n_sylls
+  FROM documents
+)
+SELECT doc_id, n_words, n_sents, n_sylls,
+       CAST((2 * (20683500 * n_sents * n_words
+                  - 101500 * n_words * n_words
+                  - 8460000 * n_sylls * n_sents)
+             + (1000 * n_sents * n_words))
+            // (2 * 1000 * n_sents * n_words) AS BIGINT) AS flesch_e2
+FROM counts WHERE n_words > 0
+"""
+
+
+def q_events_value_zscores(spark, sf_dir):
+    """Integer-exact z-score outlier detection per event_type — the
+    data-quality gate over a metric stream. Values quantize to cents;
+    mean and variance come from the two exact integer sums (n·Σx² −
+    (Σx)² is an EXACT integer numerator, so unlike a float variance
+    there is no summation-order divergence), the σ needs one IEEE sqrt
+    on that exact integer — frozen to ticks via the shared
+    floor(√·10⁴) convention before any comparison. Emitted per type:
+    n, mean in cents, σ in tick units, and the |x−μ| > 3σ outlier
+    count (the comparison is integer: (100·x−100·μ)²·10⁸ > 9·σ_tick²
+    avoids even the sqrt at the gate — the σ tick is for the report).
+    Two aggregations, one shuffle on event_type."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("c"))
+    stats = (ev.groupBy("event_type")
+             .agg(F.count("*").alias("n"),
+                  F.sum("c").alias("s1"),
+                  F.sum(F.col("c") * F.col("c")).alias("s2")))
+    # var_num = n·Σx² − (Σx)² (exact, in cents²·n); σ·n = √var_num·√n —
+    # compare (n·x − Σx)² vs 9·var_num·n to avoid dividing early
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(F.max("n").alias("n"),
+             F.expr("CAST((2 * max(s1) + max(n)) DIV (2 * max(n))"
+                    " AS BIGINT)").alias("mean_c"),
+             F.expr("CAST(floor(sqrt(CAST(max(n) * max(s2)"
+                    " - max(s1) * max(s1) AS DOUBLE))"
+                    " / max(n) * 10000) AS BIGINT)")
+             .alias("sigma_tick_e4"),
+             F.sum(F.expr(
+                 "CASE WHEN (n * c - s1) * (n * c - s1)"
+                 " > 9 * (n * s2 - s1 * s1) THEN 1 ELSE 0 END"))
+             .alias("n_outliers")))
+
+
+SQL_EVENTS_VALUE_ZSCORES = """
+WITH ev AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events
+), stats AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(c) AS BIGINT) AS s1,
+         CAST(sum(c * c) AS BIGINT) AS s2
+  FROM ev GROUP BY 1
+)
+SELECT ev.event_type,
+       CAST(max(stats.n) AS BIGINT) AS n,
+       CAST((2 * max(s1) + max(stats.n)) // (2 * max(stats.n))
+            AS BIGINT) AS mean_c,
+       CAST(floor(sqrt(CAST(max(stats.n) * max(s2)
+                            - max(s1) * max(s1) AS DOUBLE))
+                  / max(stats.n) * 10000) AS BIGINT) AS sigma_tick_e4,
+       CAST(sum(CASE WHEN (stats.n * ev.c - s1) * (stats.n * ev.c - s1)
+                     > 9 * (stats.n * s2 - s1 * s1)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM ev JOIN stats USING (event_type)
+GROUP BY 1
+"""
+
+
 OPS: dict[str, tuple] = {
     # (spark_fn, oracle_sql_or_None)
     "scan_filter_project": (q_scan_filter_project, SQL_SCAN),
@@ -5515,4 +5676,9 @@ OPS: dict[str, tuple] = {
         q_transcript_context_trim, SQL_TRANSCRIPT_CONTEXT_TRIM),
     "embedding_power_iteration": (
         q_embedding_power_iteration, SQL_EMBEDDING_POWER_ITERATION),
+    "transcript_role_transitions": (
+        q_transcript_role_transitions, SQL_TRANSCRIPT_ROLE_TRANSITIONS),
+    "docs_readability": (q_docs_readability, SQL_DOCS_READABILITY),
+    "events_value_zscores": (
+        q_events_value_zscores, SQL_EVENTS_VALUE_ZSCORES),
 }
