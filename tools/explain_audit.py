@@ -393,6 +393,22 @@ AUDITS = {
                              "lineage: the final plan reads the "
                              "converged 64-row direction once", 1),
     ],
+    "transcript_role_transitions": [
+        ("Window", "one LAG pass inside the conv_id shuffle", 1),
+        ("Exchange", "conv window + the bounded 16-cell transition "
+                     "aggregation (map-side partials)", 2),
+    ],
+    "docs_readability": [
+        ("Exchange", "per-row integer scoring — Exchange-FREE like "
+                     "text_quality", 0),
+        ("Scan parquet", "one scan", 1),
+    ],
+    "events_value_zscores": [
+        ("BroadcastHashJoin", "the |types|-row stats table broadcasts "
+                              "back over the event stream for the "
+                              "outlier gate"),
+        ("CartesianProduct", "never a cartesian", 0),
+    ],
 }
 
 
