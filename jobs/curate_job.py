@@ -20,8 +20,11 @@ Plan shape (the part that matters at 100 TB): ONE scan of documents with
 a codegen'd sample filter plus two BROADCAST anti-joins — the dropped
 near-dup ids and the contaminated ids are both tiny relative to the
 corpus (only docs with a near-dup edge / benchmark overlap appear), so
-the corpus itself never shuffles. Stage counts come from the side tables
-(small aggregates), not extra corpus passes.
+the corpus itself never shuffles (except the opt-in --domain-cap rank
+window). The stage ledger rides the SAME single write action as
+Observation metrics (CollectMetrics at each stage boundary), so every
+`<stage>_dropped` delta is exact and costs zero extra corpus passes —
+the whole job is one corpus-wide action plus the small CC side jobs.
 """
 
 from __future__ import annotations
@@ -76,14 +79,30 @@ def main() -> None:
     from trek_spark.spark import ops as O
     from trek_spark.spark.session import get_spark
 
+    from pyspark.sql import Observation
+
     spark = get_spark("trek-curate")
     t0 = time.time()
     try:
         docs = spark.read.parquet(f"{args.input}/documents.parquet")
-        n_in = docs.count()
-        ledger = {"docs_in": n_in}
+        ledger = {}
 
-        curated = docs
+        # Stage counts ride the final write as Observation metrics
+        # (CollectMetrics nodes at each stage boundary): every
+        # `<stage>_dropped` number is a real between-stage delta and the
+        # whole ledger costs ZERO extra corpus actions — previously each
+        # stage paid its own .count() pass (6 extra scans of a 100 TB
+        # corpus). The only remaining pre-write action is --mix-sample's
+        # quota plan, which genuinely needs survivor counts BEFORE the
+        # keep filter can be constructed.
+        boundaries: list[tuple[str, Observation]] = []
+
+        def observe(df, name):
+            ob = Observation(f"curate_{name}")
+            boundaries.append((name, ob))
+            return df.observe(ob, F.count(F.lit(1)).alias("n"))
+
+        curated = observe(docs, "in")
         if not args.skip_quality:
             # repetition gate runs FIRST so template spam never reaches
             # the (pricier) shingle/dedup stages; the flagged set is the
@@ -93,8 +112,9 @@ def main() -> None:
                            .filter(F.col("repetition_e4")
                                    > args.max_repetition_e4)
                            .select("doc_id"))
-            ledger["repetition_dropped"] = flagged_rep.count()
-            curated = curated.join(flagged_rep, "doc_id", "left_anti")
+            curated = observe(
+                curated.join(flagged_rep, "doc_id", "left_anti"),
+                "repetition")
 
         if args.gopher_gate:
             # per-row column expressions only — the gate itself costs one
@@ -102,8 +122,8 @@ def main() -> None:
             # join side so the corpus still never shuffles
             failed = (O.q_gopher_quality_rules(spark, args.input)
                       .filter(~F.col("pass_all")).select("doc_id"))
-            ledger["gopher_dropped"] = failed.count()
-            curated = curated.join(failed, "doc_id", "left_anti")
+            curated = observe(
+                curated.join(failed, "doc_id", "left_anti"), "gopher")
 
         if not args.skip_dedup:
             labels, _rounds, converged = O._min_label_cc(
@@ -112,22 +132,23 @@ def main() -> None:
                 raise RuntimeError("near-dup clustering did not converge")
             dropped = labels.filter(
                 F.col("doc_id") != F.col("cluster_id")).select("doc_id")
-            ledger["dedup_dropped"] = dropped.count()
             # no forced broadcast: the dropped set scales with the corpus
             # duplicate rate; AQE broadcasts it only when actually small
-            curated = curated.join(dropped, "doc_id", "left_anti")
+            curated = observe(
+                curated.join(dropped, "doc_id", "left_anti"), "dedup")
 
         if args.domain_cap > 0:
             # the one stage that shuffles the corpus (rank window on
             # source) — deliberately after dedup so the per-domain
             # budget is spent on survivors, not on duplicates that were
             # about to be dropped anyway
-            before = curated.count()
-            curated = O.domain_cap_filter(curated, args.domain_cap)
-            ledger["domain_cap_dropped"] = before - curated.count()
+            curated = observe(
+                O.domain_cap_filter(curated, args.domain_cap),
+                "domain_cap")
 
         if not args.skip_sample:
-            curated = curated.filter(O.sample_keep_cond())
+            curated = observe(
+                curated.filter(O.sample_keep_cond()), "sample")
 
         if args.mix_sample:
             # quotas from the CURRENT survivor mix (post-gate/dedup),
@@ -136,10 +157,11 @@ def main() -> None:
             plan = O.mix_plan(curated)
             ledger["mix_budget"] = plan.agg(
                 F.sum("quota")).collect()[0][0]
-            curated = (curated
-                       .join(F.broadcast(plan), "source")
-                       .filter(F.expr(O.MIX_KEEP_COND))
-                       .drop("n_docs", "quota", "alpha_share_bp"))
+            curated = observe(
+                curated
+                .join(F.broadcast(plan), "source")
+                .filter(F.expr(O.MIX_KEEP_COND))
+                .drop("n_docs", "quota", "alpha_share_bp"), "mix")
 
         if not args.skip_decontaminate:
             flagged = O.q_benchmark_contamination(
@@ -148,16 +170,20 @@ def main() -> None:
                 flagged = flagged.unionAll(
                     O.q_benchmark_contamination_fuzzy(spark, args.input)
                     .select("doc_id")).distinct()
-            ledger["contaminated_flagged"] = flagged.count()
             curated = curated.join(flagged, "doc_id", "left_anti")
             # the benchmark documents THEMSELVES must never ship in the
             # training output — the contamination op only flags corpus
             # docs (doc_id >= _CONTAM_BENCH_MAX), so without this filter
             # the held-out set would leak into the curated set verbatim
-            curated = curated.filter(
-                F.col("doc_id") >= O._CONTAM_BENCH_MAX)
+            curated = observe(curated.filter(
+                F.col("doc_id") >= O._CONTAM_BENCH_MAX), "decontaminate")
 
         curated.write.mode("overwrite").parquet(f"{args.output}/documents")
+
+        counts = [(name, ob.get["n"]) for name, ob in boundaries]
+        ledger["docs_in"] = counts[0][1]
+        for (_prev_name, prev_n), (name, n) in zip(counts, counts[1:]):
+            ledger[f"{name}_dropped"] = prev_n - n
         out = spark.read.parquet(f"{args.output}/documents")
         ledger["docs_out"] = out.count()
         by_lang = {r.lang: r.n for r in
