@@ -417,6 +417,34 @@ def test_zscores_flag_planted_outlier(spark, tmp_path):
     assert row["n_outliers"] == "1"
 
 
+# ------------------------------------------------ partitioning invariance
+
+@pytest.mark.parametrize("name", [
+    "bpe_pair_counts",
+    "events_value_zscores",
+    "embedding_power_iteration",
+    "dedup_containment",
+    "domain_doc_cap",
+])
+def test_partitioning_invariance(spark, name):
+    """The cross-engine portability claims rest on order-independence
+    (integer sums, deterministic ticks, total-order windows). Changing
+    the shuffle width changes aggregation grouping and arrival order —
+    a result that shifts under shuffle=1 vs shuffle=7 would eventually
+    flip a driver hash on a real cluster even if both SF sweeps pass."""
+    fn = O.OPS[name][0]
+    sf = "/root/testdata/sf0.001"
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
+        a = _canon(fn(spark, sf).toPandas())
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        b = _canon(fn(spark, sf).toPandas())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert a.equals(b), f"{name} shifted under a different shuffle width"
+
+
 # ------------------------------------------------------------ dedup_reach_hops
 
 def test_reach_hops_path_and_cycle(spark):
