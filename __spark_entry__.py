@@ -617,6 +617,7 @@ _PARKED_FOR_R8 = [
     "transcript_role_transitions",
     "docs_readability",
     "events_value_zscores",
+    "terms_topk_approx",
 ]
 _DRIVER_RECORD_CAP = 50
 

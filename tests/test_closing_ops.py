@@ -417,6 +417,33 @@ def test_zscores_flag_planted_outlier(spark, tmp_path):
     assert row["n_outliers"] == "1"
 
 
+# --------------------------------------------------- terms_topk_approx
+
+def test_terms_topk_verifies_against_exact(spark, tmp_path):
+    """Corpus with >K distinct terms and a tie ACROSS the K-boundary:
+    whatever tie choice the sketch makes, every returned term's exact
+    count reaches the band threshold (=1 here), so the verification
+    row is exactly (K, K, 1)."""
+    import string
+    k = O._TOPK_K
+    # k-1 heavy LETTER-ONLY terms (freq i+2 — digits would be stripped
+    # by the [A-Za-z]+ tokenizer and collapse the vocabulary), then 5
+    # singleton terms fighting for the last band slot
+    parts = []
+    for i in range(k - 1):
+        parts += [f"term{string.ascii_lowercase[i]}x"] * (i + 2)
+    parts += [f"tie{string.ascii_lowercase[j]}" for j in range(5)]
+    rows = [(1, " ".join(parts), "en", "web", 10)]
+    _write(spark, tmp_path, "documents",
+           "doc_id long, text string, lang string, source string, "
+           "n_chars long", rows)
+    out = _cross_check(spark, _duck(tmp_path, "documents"), tmp_path,
+                       "terms_topk_approx")
+    row = out.iloc[0]
+    assert (row["k_returned"], row["k_in_band"], row["band_threshold"]) \
+        == (str(k), str(k), "1")
+
+
 # ------------------------------------------------ partitioning invariance
 
 @pytest.mark.parametrize("name", [

@@ -5545,6 +5545,72 @@ GROUP BY 1
 """
 
 
+_TOPK_K = 20
+
+
+def q_terms_topk_approx(spark, sf_dir):
+    """Heavy-hitter terms via Spark 4's ``approx_top_k`` sketch — the
+    third sketch op under the verified-bound oracle convention
+    (events_cardinality_approx / lineitem_quantiles_approx): the
+    sketch's own output can't cross engines (tie choices and tracked-
+    item eviction are implementation details), so the recorded row is
+    the VERIFICATION — every returned term's EXACT count must reach
+    the true K-th-largest count (the top-K band; ties make membership
+    interchangeable but the band boundary is unique). Emitted: K, how
+    many returned terms verify into the band, and the exact band
+    threshold — three integers the oracle derives from exact counts
+    alone. maxItemsTracked is set far above the corpus vocabulary so
+    tracked counts are exact; at a 10⁹-term vocabulary the same
+    verification works with the sketch's error bound widened into the
+    band check. Scale: the sketch aggregate is fixed-size mergeable
+    (map-side partials); the verification joins K rows against the
+    exact count table."""
+    words = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(F.expr(
+            "regexp_extract_all(text, '([A-Za-z]+)', 1)")).alias("w"))
+        .select(F.lower("w").alias("w"))
+        .filter(F.length("w") >= 3))
+    apx = (words.agg(F.expr(
+        f"approx_top_k(w, {_TOPK_K}, 100000)").alias("top"))
+        .select(F.explode("top").alias("e"))
+        .select(F.col("e.item").alias("w")))
+    exact = words.groupBy("w").agg(F.count("*").alias("cnt"))
+    kth = (exact.select(F.col("cnt").alias("kth_cnt"))
+           .orderBy(F.desc("kth_cnt")).limit(_TOPK_K)
+           .agg(F.min("kth_cnt").alias("kth_cnt")))
+    return (
+        apx.join(exact, "w")
+        .crossJoin(F.broadcast(kth))
+        .agg(F.count("*").alias("k_returned"),
+             F.sum(F.when(F.col("cnt") >= F.col("kth_cnt"), 1)
+                   .otherwise(0)).alias("k_in_band"),
+             F.max("kth_cnt").alias("band_threshold")))
+
+
+SQL_TERMS_TOPK_APPROX = f"""
+WITH words AS (
+  SELECT lower(unnest(regexp_extract_all(text, '[A-Za-z]+'))) AS w
+  FROM documents
+), filtered AS (
+  SELECT w FROM words WHERE length(w) >= 3
+), exact AS (
+  SELECT w, count(*) AS cnt FROM filtered GROUP BY 1
+), kth AS (
+  SELECT min(cnt) AS kth_cnt
+  FROM (SELECT cnt FROM exact ORDER BY cnt DESC LIMIT {_TOPK_K})
+)
+-- least() guard: a vocabulary smaller than K returns (and verifies)
+-- every term, not K of them
+SELECT CAST(least({_TOPK_K}, (SELECT count(*) FROM exact))
+            AS BIGINT) AS k_returned,
+       CAST(least({_TOPK_K}, (SELECT count(*) FROM exact))
+            AS BIGINT) AS k_in_band,
+       CAST(kth.kth_cnt AS BIGINT) AS band_threshold
+FROM kth
+"""
+
+
 OPS: dict[str, tuple] = {
     # (spark_fn, oracle_sql_or_None)
     "scan_filter_project": (q_scan_filter_project, SQL_SCAN),
@@ -5681,4 +5747,5 @@ OPS: dict[str, tuple] = {
     "docs_readability": (q_docs_readability, SQL_DOCS_READABILITY),
     "events_value_zscores": (
         q_events_value_zscores, SQL_EVENTS_VALUE_ZSCORES),
+    "terms_topk_approx": (q_terms_topk_approx, SQL_TERMS_TOPK_APPROX),
 }
