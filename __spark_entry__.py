@@ -618,6 +618,7 @@ _PARKED_FOR_R8 = [
     "docs_readability",
     "events_value_zscores",
     "terms_topk_approx",
+    "customer_lateral_top2",
 ]
 _DRIVER_RECORD_CAP = 50
 

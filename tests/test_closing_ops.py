@@ -444,6 +444,27 @@ def test_terms_topk_verifies_against_exact(spark, tmp_path):
         == (str(k), str(k), "1")
 
 
+# ------------------------------------------------ customer_lateral_top2
+
+def test_lateral_top2_per_customer(spark, tmp_path):
+    """Customer 0 has 3 orders, customer 59 has 1, customer 5 (not on
+    the modulo-59 record grid) has 2: the lateral returns exactly the
+    top-2 per kept customer (prices in cents, desc) — 2 rows for 0,
+    1 row for 59, none for 5."""
+    _write(spark, tmp_path, "customer", "c_custkey long",
+           [(0,), (5,), (59,)])
+    _write(spark, tmp_path, "orders",
+           "o_orderkey long, o_custkey long, o_totalprice double",
+           [(1, 0, 10.00), (2, 0, 30.00), (3, 0, 20.00),
+            (4, 59, 5.00), (5, 5, 1.00), (6, 5, 2.00)])
+    out = _cross_check(spark,
+                       _duck(tmp_path, "customer", "orders"),
+                       tmp_path, "customer_lateral_top2")
+    rows = sorted((int(r["c_custkey"]), int(r["o_orderkey"]),
+                   int(r["price_c"])) for _, r in out.iterrows())
+    assert rows == [(0, 2, 3000), (0, 3, 2000), (59, 4, 500)]
+
+
 # ------------------------------------------------ partitioning invariance
 
 @pytest.mark.parametrize("name", [

@@ -409,6 +409,15 @@ AUDITS = {
                               "outlier gate"),
         ("CartesianProduct", "never a cartesian", 0),
     ],
+    "customer_lateral_top2": [
+        ("WindowGroupLimit", "the per-customer ORDER BY/LIMIT lateral "
+                             "decorrelates into a group-limit pushed "
+                             "even below the shuffle — NOT a per-outer-"
+                             "row subquery"),
+        ("BroadcastNestedLoopJoin", "the correlation is an equi-join "
+                                    "key", 0),
+        ("CartesianProduct", "never a cartesian", 0),
+    ],
 }
 
 

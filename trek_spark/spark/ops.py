@@ -5611,6 +5611,46 @@ FROM kth
 """
 
 
+def q_customer_lateral_top2(spark, sf_dir):
+    """LATERAL correlated subquery — the join shape where the inner
+    query's ORDER BY/LIMIT runs PER OUTER ROW (each customer's top-2
+    orders by value), which a plain join cannot express and which
+    completes the correlated-subquery family next to the scalar and
+    decorrelated EXISTS forms. Spark decorrelates the lateral into a
+    ranked window join under the hood — same physical shape as
+    latest_order_per_customer — so the per-row LIMIT does NOT become a
+    per-row query at scale. Prices in exact cents; customers decimated
+    modulo 59 to bound the record (the predicate pushes into the
+    customer scan). SQL-first op (spark.sql over parquet.`path`), like
+    orders_grouping_sets."""
+    return spark.sql(f"""
+      SELECT c.c_custkey, t.o_orderkey, t.price_c
+      FROM parquet.`{sf_dir}/customer.parquet` c,
+      LATERAL (
+        SELECT o_orderkey,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c
+        FROM parquet.`{sf_dir}/orders.parquet` o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY price_c DESC, o_orderkey LIMIT 2
+      ) t
+      WHERE c.c_custkey % 59 = 0
+    """)
+
+
+SQL_CUSTOMER_LATERAL_TOP2 = """
+SELECT c.c_custkey, t.o_orderkey, t.price_c
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c
+  FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY price_c DESC, o_orderkey LIMIT 2
+) t
+WHERE c.c_custkey % 59 = 0
+"""
+
+
 OPS: dict[str, tuple] = {
     # (spark_fn, oracle_sql_or_None)
     "scan_filter_project": (q_scan_filter_project, SQL_SCAN),
@@ -5748,4 +5788,6 @@ OPS: dict[str, tuple] = {
     "events_value_zscores": (
         q_events_value_zscores, SQL_EVENTS_VALUE_ZSCORES),
     "terms_topk_approx": (q_terms_topk_approx, SQL_TERMS_TOPK_APPROX),
+    "customer_lateral_top2": (
+        q_customer_lateral_top2, SQL_CUSTOMER_LATERAL_TOP2),
 }
