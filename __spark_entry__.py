@@ -518,11 +518,34 @@ def _stream_dedup_within_watermark(spark: SparkSession,
 
 # Rows-only entries staged for the round-8 window (built late in r7;
 # the r7 window is frozen at 50 — see _PARKED_FOR_R8).
+def _synth_source_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only proof that the Spark-4 Python Data Source surface
+    (trek_spark/spark/sources.py, format `trek_transcripts`) runs in
+    the driver environment: 40 deterministically generated
+    conversations read partition-parallel through the registered
+    source, summarized per role (fixed 4-row record; the synthetic
+    rows are a pure md5 function of coordinates, so counts are stable
+    across runs and machines). sf_dir is unused — the source IS the
+    data."""
+    from pyspark.sql import functions as F
+
+    from trek_spark.spark import sources
+
+    sources.register(spark)
+    df = (spark.read.format("trek_transcripts")
+          .option("conversations", 40).option("numPartitions", 4).load())
+    return (df.groupBy("role")
+            .agg(F.count("*").alias("n_turns"),
+                 F.sum(F.length("text")).alias("text_chars"))
+            .orderBy("role"))
+
+
 _R8_ROWS_ONLY = {
     "stream_sessionize": _stream_sessionize,
     "stream_join_tool_results": _stream_join_tool_results,
     "stream_late_data_audit": _stream_late_data_audit,
     "stream_dedup_within_watermark": _stream_dedup_within_watermark,
+    "synth_source_turns": _synth_source_turns,
 }
 
 # The driver records AT MOST 50 queries() entries per round (empirical:
