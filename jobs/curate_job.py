@@ -185,10 +185,16 @@ def main() -> None:
         for (_prev_name, prev_n), (name, n) in zip(counts, counts[1:]):
             ledger[f"{name}_dropped"] = prev_n - n
         out = spark.read.parquet(f"{args.output}/documents")
-        ledger["docs_out"] = out.count()
+        # one read-back pass serves both numbers: docs_out is the
+        # by_lang sum (a second .count() scan of the output would be
+        # exactly the redundant corpus action the Observation ledger
+        # exists to avoid), and reading the written files — rather than
+        # reusing the final boundary observation — keeps docs_out an
+        # independent verification of what actually landed on disk
         by_lang = {r.lang: r.n for r in
                    out.groupBy("lang").agg(F.count("*").alias("n"))
                    .collect()}
+        ledger["docs_out"] = sum(by_lang.values())
         ledger["out_by_lang"] = dict(sorted(by_lang.items()))
         ledger["wall_sec"] = round(time.time() - t0, 2)
         print(json.dumps(ledger))

@@ -230,11 +230,18 @@ def test_transcript_tool_runs_islands(spark, tmp_path):
 # ------------------------------------------------- events_variant_buckets
 
 def test_events_variant_buckets_malformed_and_null(spark, tmp_path):
-    """try_parse_json nulls out malformed/missing props instead of
-    failing the job; buckets are k DIV 10 with exact min/max."""
+    """Every non-integer axis nulls out instead of failing the job or
+    silently coercing: malformed JSON, missing key, null props, a
+    string k (plain variant_get throws INVALID_VARIANT_CAST on it),
+    and FRACTIONAL k values — the review-found divergence where
+    Spark's variant-int truncates 12.7 to 12 but DuckDB's cast rounds
+    it to 13, hidden by the bucket aggregate until a value near a
+    bucket boundary. Buckets are k DIV 10 with exact min/max."""
     rows = [(1, "a", '{"k": 7}'), (2, "a", '{"k": 12}'),
             (3, "a", '{"k": 19}'), (4, "a", "not json"),
-            (5, "a", None), (6, "b", '{"j": 3}')]
+            (5, "a", None), (6, "b", '{"j": 3}'),
+            (7, "a", '{"k": "abc"}'), (8, "a", '{"k": 12.5}'),
+            (9, "a", '{"k": 12.7}'), (10, "a", '{"k": 19.7}')]
     _write(spark, tmp_path, "events",
            "event_id long, event_type string, props string", rows)
     out = _cross_check(spark, _duck(tmp_path, "events"), tmp_path,
@@ -242,7 +249,7 @@ def test_events_variant_buckets_malformed_and_null(spark, tmp_path):
     got = {(r["event_type"], r["k_bucket"]):
            (r["cnt"], r["k_min"], r["k_max"]) for _, r in out.iterrows()}
     assert got == {("a", "0"): ("1", "7", "7"),
-                   ("a", "1"): ("2", "12", "19")}  # 4,5,6 all null out
+                   ("a", "1"): ("2", "12", "19")}  # 4-10 all null out
 
 
 # ------------------------------------------------------- dedup_containment
@@ -412,9 +419,24 @@ def test_zscores_flag_planted_outlier(spark, tmp_path):
     n, s1, s2 = 101, 100 * 1000 + 100000, 100 * 1000**2 + 100000**2
     assert row["n"] == "101"
     assert row["mean_c"] == str((2 * s1 + n) // (2 * n))
-    assert row["sigma_tick_e4"] == str(
-        math.floor(math.sqrt(n * s2 - s1 * s1) / n * 10000))
+    # python floats replay the engines' identical IEEE expression tree
+    sigma = math.sqrt(s2 / n - (s1 / n) * (s1 / n))
+    assert row["sigma_tick_e4"] == str(math.floor(sigma * 10000))
     assert row["n_outliers"] == "1"
+
+
+def test_zscores_survive_large_values(spark, tmp_path):
+    """Overflow regression: 1,000 rows at $300k put n*s2 at ~9e20 —
+    the original all-integer gate squared n-scaled sums and died with
+    ARITHMETIC_OVERFLOW here; the double-formulated gate must run and
+    still flag the planted spike."""
+    rows = [(i, "a", 300000.0) for i in range(1000)] + \
+        [(1000, "a", 600000.0)]
+    _write(spark, tmp_path, "events",
+           "event_id long, event_type string, value double", rows)
+    out = _cross_check(spark, _duck(tmp_path, "events"), tmp_path,
+                       "events_value_zscores")
+    assert out.iloc[0]["n_outliers"] == "1"
 
 
 # --------------------------------------------------- terms_topk_approx

@@ -4734,6 +4734,16 @@ WHERE event_id % 97 = 0
 _DOMAIN_CAP = 60  # max docs kept per source (RefinedWeb-style cap)
 
 
+def _domain_tick() -> F.Column:
+    """The cap lottery's numeric tick — ONE definition shared by the
+    audit op and the pipeline filter so their rankings can never
+    diverge silently (conv(hex,16,10) / CAST('0x'||hex): the
+    cross-engine numeric-tick pair)."""
+    return F.expr(
+        "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10)"
+        " AS BIGINT)")
+
+
 def q_domain_doc_cap(spark, sf_dir):
     """Per-domain frequency cap — the standard crawl-curation guard
     against a single domain dominating the corpus (RefinedWeb / CCNet
@@ -4746,14 +4756,11 @@ def q_domain_doc_cap(spark, sf_dir):
     rank window; a mega-domain is exactly the hot key the cap exists
     for — salt the rank (two-level lottery: per-salt rank then take the
     cap's tick quantile) once a single domain exceeds executor memory."""
-    tick = F.expr(
-        "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10)"
-        " AS BIGINT)")
     w = Window.partitionBy("source").orderBy("tick", "doc_id")
     return (
         _t(spark, sf_dir, "documents")
         .select("doc_id", "source")
-        .withColumn("tick", tick)
+        .withColumn("tick", _domain_tick())
         .withColumn("rk", F.row_number().over(w))
         .groupBy("source")
         .agg(F.count("*").alias("n_docs"),
@@ -4787,11 +4794,8 @@ def domain_cap_filter(docs: DataFrame, cap: int = _DOMAIN_CAP) -> DataFrame:
     ONE shuffle on source — the only corpus shuffle in curate_job when
     enabled; a mega-domain is the hot key the cap targets, salt the rank
     as documented on the audit op if one source exceeds executor memory."""
-    tick = F.expr(
-        "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10)"
-        " AS BIGINT)")
     w = Window.partitionBy("source").orderBy("_tick", "doc_id")
-    return (docs.withColumn("_tick", tick)
+    return (docs.withColumn("_tick", _domain_tick())
             .withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") <= cap)
             .drop("_tick", "_rk"))
@@ -4869,19 +4873,21 @@ def q_dedup_reach_hops(spark, sf_dir):
 def _reach_hops(spark, edges: DataFrame) -> DataFrame:
     """Recursive min-hop walk over a SYMMETRIC (id_a, id_b) edge list the
     caller has already materialized (``_cluster_edges`` localCheckpoints;
-    a re-evaluated lazy edge plan would re-run per recursion level)."""
-    edges.createOrReplaceTempView("reach_edges_v")
+    a re-evaluated lazy edge plan would re-run per recursion level).
+    The edge DataFrame binds through parameterized ``spark.sql`` — a
+    fixed-name temp view would be shared mutable session state that two
+    interleaved callers could clobber (review finding)."""
     return spark.sql("""
       WITH RECURSIVE walk(root, node, depth) AS (
-        SELECT id_a, id_a, 0 FROM (SELECT DISTINCT id_a FROM reach_edges_v)
+        SELECT id_a, id_a, 0 FROM (SELECT DISTINCT id_a FROM {edges})
         UNION ALL
         SELECT w.root, e.id_b, w.depth + 1
-        FROM walk w JOIN reach_edges_v e ON w.node = e.id_a
+        FROM walk w JOIN {edges} e ON w.node = e.id_a
         WHERE w.depth < 4
       )
       SELECT root AS id_a, node AS id_b, CAST(min(depth) AS BIGINT) AS hops
       FROM walk WHERE root < node GROUP BY 1, 2
-    """)
+    """, edges=edges)
 
 
 SQL_DEDUP_REACH_HOPS = f"""
@@ -4953,6 +4959,41 @@ FROM m
 """
 
 
+#: ONE definition of the documents→turns derivation shared by the
+#: transcript-analytics ops (tool runs, context trim, role transitions)
+#: and mirrored 1:1 by ``_SQL_TRANSCRIPT_TURNS`` — the conversation
+#: grid (modulus 50, role = doc_id % 4, turn order = doc_id rank) must
+#: change in exactly two places or the oracles drift (review finding).
+#: render_conversations predates this helper and is in the frozen r7
+#: record window, so it keeps its own (identical) derivation.
+_SQL_TRANSCRIPT_TURNS = """
+  SELECT doc_id % 50 AS conv_id, doc_id, text,
+         CAST(doc_id % 4 AS INT) AS role_id,
+         CASE CAST(doc_id % 4 AS INT)
+           WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+           WHEN 2 THEN 'system' ELSE 'tool' END AS role,
+         row_number() OVER (PARTITION BY doc_id % 50 ORDER BY doc_id)
+             AS turn_idx
+  FROM documents
+"""
+
+
+def _transcript_turns(spark, sf_dir) -> DataFrame:
+    """(conv_id, doc_id, text, role_id, role, turn_idx) — the Spark twin
+    of ``_SQL_TRANSCRIPT_TURNS``."""
+    roles = F.array(F.lit("user"), F.lit("assistant"),
+                    F.lit("system"), F.lit("tool"))
+    return (
+        _t(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 50).alias("conv_id"), "doc_id", "text",
+                (F.col("doc_id") % 4).cast("int").alias("role_id"),
+                F.element_at(roles, (F.col("doc_id") % 4).cast("int") + 1)
+                .alias("role"))
+        .withColumn("turn_idx", F.row_number().over(
+            Window.partitionBy("conv_id").orderBy("doc_id"))))
+
+
+
 def q_transcript_tool_runs(spark, sf_dir):
     """Gaps-and-islands over conversation turns: the longest run of
     CONSECUTIVE tool turns per conversation, plus run and turn counts —
@@ -4968,12 +5009,7 @@ def q_transcript_tool_runs(spark, sf_dir):
     conv_id — ONE shuffle, the second window sorts within the same
     exchange; long-conversation skew is the salting case the extraction
     job already handles upstream."""
-    turns = (
-        _t(spark, sf_dir, "documents")
-        .select((F.col("doc_id") % 50).alias("conv_id"), "doc_id",
-                (F.col("doc_id") % 4).alias("role_id"))
-        .withColumn("turn_idx", F.row_number().over(
-            Window.partitionBy("conv_id").orderBy("doc_id"))))
+    turns = _transcript_turns(spark, sf_dir)
     tool = (turns.filter(F.col("role_id") == 3)  # 'tool' in the role map
             .withColumn("rn", F.row_number().over(
                 Window.partitionBy("conv_id").orderBy("turn_idx")))
@@ -4986,13 +5022,9 @@ def q_transcript_tool_runs(spark, sf_dir):
                  F.max("run_len").alias("max_run")))
 
 
-SQL_TRANSCRIPT_TOOL_RUNS = """
+SQL_TRANSCRIPT_TOOL_RUNS = f"""
 WITH turns AS (
-  SELECT doc_id % 50 AS conv_id, doc_id,
-         doc_id % 4 AS role_id,
-         row_number() OVER (PARTITION BY doc_id % 50 ORDER BY doc_id)
-           AS turn_idx
-  FROM documents
+{_SQL_TRANSCRIPT_TURNS}
 ), tool AS (
   SELECT conv_id, turn_idx,
          turn_idx - row_number() OVER (PARTITION BY conv_id
@@ -5009,16 +5041,28 @@ FROM runs GROUP BY conv_id
 
 def q_events_variant_buckets(spark, sf_dir):
     """Semi-structured aggregation through Spark 4's VARIANT type —
-    ``try_parse_json`` → ``variant_get`` — the engine-native successor
-    to per-access ``get_json_object`` string re-parsing (events_json
-    covers the classic path; this is the one a 100 TB pipeline should
-    use: parse once into the binary variant encoding, then typed
-    extractions are cheap, and malformed rows null out instead of
-    failing the job). Bucketed histogram of the extracted k value per
-    event_type: one shuffle, exact integer output; the oracle
-    re-derives it from DuckDB's JSON extraction, proving the variant
-    path decodes identically to a JSON-text reference."""
-    k = F.expr("variant_get(try_parse_json(props), '$.k', 'int')")
+    ``try_parse_json`` → ``try_variant_get`` — the engine-native
+    successor to per-access ``get_json_object`` string re-parsing
+    (events_json covers the classic path; this is the one a 100 TB
+    pipeline should use: parse once into the binary variant encoding,
+    then typed extractions are cheap). Non-int k values null out
+    instead of failing the job OR silently coercing: plain
+    variant_get THROWS INVALID_VARIANT_CAST on '{"k": "abc"}', and
+    try_variant_get(..., 'int') TRUNCATES 12.7 → 12 where DuckDB's
+    TRY_CAST ROUNDS it to 13 (both found in review — the bucket
+    aggregate masked the 12-vs-13 divergence until a fractional k
+    near a bucket boundary would flip the hash). So the extraction
+    goes through the STRING form with an integral-literal regex gate,
+    which both engines evaluate identically: only true integers
+    count. Bucketed histogram of the extracted k per event_type: one
+    shuffle, exact integer output; the oracle re-derives it from
+    DuckDB's JSON extraction, proving the variant path decodes
+    identically to a JSON-text reference."""
+    k = F.expr(
+        "CAST(CASE WHEN try_variant_get(try_parse_json(props),"
+        " '$.k', 'string') RLIKE '^-?[0-9]+$'"
+        " THEN try_variant_get(try_parse_json(props), '$.k', 'string')"
+        " END AS INT)")
     return (
         _t(spark, sf_dir, "events")
         .select("event_type", k.alias("k"))
@@ -5036,8 +5080,13 @@ SELECT event_type, CAST(k // 10 AS INT) AS k_bucket,
        CAST(min(k) AS INT) AS k_min, CAST(max(k) AS INT) AS k_max
 FROM (SELECT event_type,
              -- json_valid guard: DuckDB's json_extract THROWS on
-             -- malformed JSON where Spark's try_parse_json nulls out
+             -- malformed JSON where Spark's try_parse_json nulls out.
+             -- integral-literal regex gate: DuckDB CAST ROUNDS '12.7'
+             -- to 13 while Spark variant-int TRUNCATES to 12 — only
+             -- true integer literals may extract (same gate as Spark)
              CAST(CASE WHEN json_valid(props)
+                  AND regexp_matches(json_extract_string(props, '$.k'),
+                                     '^-?[0-9]+$')
                   THEN json_extract_string(props, '$.k') END AS INT) AS k
       FROM events)
 WHERE k IS NOT NULL
@@ -5246,17 +5295,14 @@ def q_transcript_context_trim(spark, sf_dir):
     turns only). A running suffix sum (window ordered turn_idx DESC)
     prices each turn's tail, one comparison keeps it; emitted as the
     per-conversation packing audit (kept/dropped turns, kept tokens,
-    truncation point). Same documents→turns derivation as
-    render_conversations. Exact integer arithmetic throughout; ONE
+    truncation point). Shared documents→turns derivation
+    (``_transcript_turns``). Exact integer arithmetic throughout; ONE
     shuffle on conv_id shared by the turn_idx window and the suffix-sum
     window and the final aggregate."""
-    turns = (
-        _t(spark, sf_dir, "documents")
-        .select((F.col("doc_id") % 50).alias("conv_id"), "doc_id",
-                F.size(F.split(F.trim(F.coalesce("text", F.lit(""))),
-                               r"\s+")).alias("n_tok"))
-        .withColumn("turn_idx", F.row_number().over(
-            Window.partitionBy("conv_id").orderBy("doc_id"))))
+    turns = _transcript_turns(spark, sf_dir).select(
+        "conv_id", "turn_idx",
+        F.size(F.split(F.trim(F.coalesce("text", F.lit(""))),
+                       r"\s+")).alias("n_tok"))
     wsuf = (Window.partitionBy("conv_id").orderBy(F.desc("turn_idx"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     priced = turns.withColumn("suffix_tok", F.sum("n_tok").over(wsuf))
@@ -5273,13 +5319,13 @@ def q_transcript_context_trim(spark, sf_dir):
 
 
 SQL_TRANSCRIPT_CONTEXT_TRIM = f"""
-WITH turns AS (
-  SELECT doc_id % 50 AS conv_id, doc_id,
+WITH turns0 AS (
+{_SQL_TRANSCRIPT_TURNS}
+), turns AS (
+  SELECT conv_id, turn_idx,
          length(regexp_split_to_array(trim(coalesce(text, '')), '\\s+'))
-             AS n_tok,
-         row_number() OVER (PARTITION BY doc_id % 50 ORDER BY doc_id)
-             AS turn_idx
-  FROM documents
+             AS n_tok
+  FROM turns0
 ), priced AS (
   SELECT conv_id, turn_idx, n_tok,
          sum(n_tok) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
@@ -5391,34 +5437,25 @@ def q_transcript_role_transitions(spark, sf_dir):
     measures per-conversation, here aggregated corpus-wide; an
     assistant→assistant cell flags double-posts). One LAG window inside
     the conv_id shuffle, then a bounded 16-cell aggregation (4 roles ×
-    4 roles) with map-side partials. Same documents→turns derivation as
-    render_conversations."""
-    roles = F.array(F.lit("user"), F.lit("assistant"),
-                    F.lit("system"), F.lit("tool"))
-    w = Window.partitionBy("conv_id").orderBy("doc_id")
-    turns = (
-        _t(spark, sf_dir, "documents")
-        .select((F.col("doc_id") % 50).alias("conv_id"), "doc_id",
-                F.element_at(roles, (F.col("doc_id") % 4).cast("int") + 1)
-                .alias("role")))
+    4 roles) with map-side partials. Shared documents→turns derivation
+    (``_transcript_turns``)."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
     return (
-        turns.withColumn("prev_role", F.lag("role").over(w))
+        _transcript_turns(spark, sf_dir)
+        .select("conv_id", "turn_idx", "role")
+        .withColumn("prev_role", F.lag("role").over(w))
         .filter(F.col("prev_role").isNotNull())
         .groupBy("prev_role", "role")
         .agg(F.count("*").alias("n_transitions")))
 
 
-SQL_TRANSCRIPT_ROLE_TRANSITIONS = """
+SQL_TRANSCRIPT_ROLE_TRANSITIONS = f"""
 WITH turns AS (
-  SELECT doc_id % 50 AS conv_id, doc_id,
-         CASE CAST(doc_id % 4 AS INT)
-           WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
-           WHEN 2 THEN 'system' ELSE 'tool' END AS role
-  FROM documents
+{_SQL_TRANSCRIPT_TURNS}
 )
 SELECT prev_role, role, count(*) AS n_transitions
 FROM (SELECT role,
-             lag(role) OVER (PARTITION BY conv_id ORDER BY doc_id)
+             lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
                  AS prev_role
       FROM turns)
 WHERE prev_role IS NOT NULL
@@ -5483,17 +5520,22 @@ FROM counts WHERE n_words > 0
 
 
 def q_events_value_zscores(spark, sf_dir):
-    """Integer-exact z-score outlier detection per event_type — the
-    data-quality gate over a metric stream. Values quantize to cents;
-    mean and variance come from the two exact integer sums (n·Σx² −
-    (Σx)² is an EXACT integer numerator, so unlike a float variance
-    there is no summation-order divergence), the σ needs one IEEE sqrt
-    on that exact integer — frozen to ticks via the shared
-    floor(√·10⁴) convention before any comparison. Emitted per type:
-    n, mean in cents, σ in tick units, and the |x−μ| > 3σ outlier
-    count (the comparison is integer: (100·x−100·μ)²·10⁸ > 9·σ_tick²
-    avoids even the sqrt at the gate — the σ tick is for the report).
-    Two aggregations, one shuffle on event_type."""
+    """z-score outlier detection per event_type — the data-quality gate
+    over a metric stream. Values quantize to cents and the ONLY sums
+    are the two exact integer sums Σx and Σx² (no float summation, so
+    no order divergence); mean/σ/gate then derive from those two
+    integers through IDENTICAL scalar IEEE expression trees in both
+    engines — deterministic because every input is the same exact
+    integer and scalar double ops are bit-reproducible (the
+    exact-integer convention's 'one or two IEEE ops' clause; what it
+    forbids is float SUMS and divergent algorithms like round()).
+    The double form is deliberate: the earlier all-integer gate
+    squared n-scaled sums, which overflows int64 at ~2·10⁵ rows of
+    $10⁴ values — confirmed ARITHMETIC_OVERFLOW under ANSI mode —
+    while s1/s2 themselves stay in-range to ~10¹² rows of $10⁴ values.
+    Emitted per type: n, exact mean in cents, σ in 10⁻⁴ ticks, and
+    the |x−μ| > 3σ outlier count. Two aggregations, one shuffle on
+    event_type."""
     ev = _t(spark, sf_dir, "events").select(
         "event_type",
         F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("c"))
@@ -5501,21 +5543,21 @@ def q_events_value_zscores(spark, sf_dir):
              .agg(F.count("*").alias("n"),
                   F.sum("c").alias("s1"),
                   F.sum(F.col("c") * F.col("c")).alias("s2")))
-    # var_num = n·Σx² − (Σx)² (exact, in cents²·n); σ·n = √var_num·√n —
-    # compare (n·x − Σx)² vs 9·var_num·n to avoid dividing early
+    # identical double expression text in both engines (see oracle)
+    sigma = ("sqrt(greatest(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)"
+             " - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+             " * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)), 0.0))")
+    gate = (f"abs(CAST(c AS DOUBLE)"
+            f" - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) > 3.0 * {sigma}")
     return (
         ev.join(F.broadcast(stats), "event_type")
         .groupBy("event_type")
         .agg(F.max("n").alias("n"),
              F.expr("CAST((2 * max(s1) + max(n)) DIV (2 * max(n))"
                     " AS BIGINT)").alias("mean_c"),
-             F.expr("CAST(floor(sqrt(CAST(max(n) * max(s2)"
-                    " - max(s1) * max(s1) AS DOUBLE))"
-                    " / max(n) * 10000) AS BIGINT)")
+             F.expr(f"CAST(floor(max({sigma}) * 10000) AS BIGINT)")
              .alias("sigma_tick_e4"),
-             F.sum(F.expr(
-                 "CASE WHEN (n * c - s1) * (n * c - s1)"
-                 " > 9 * (n * s2 - s1 * s1) THEN 1 ELSE 0 END"))
+             F.sum(F.expr(f"CASE WHEN {gate} THEN 1 ELSE 0 END"))
              .alias("n_outliers")))
 
 
@@ -5534,11 +5576,17 @@ SELECT ev.event_type,
        CAST(max(stats.n) AS BIGINT) AS n,
        CAST((2 * max(s1) + max(stats.n)) // (2 * max(stats.n))
             AS BIGINT) AS mean_c,
-       CAST(floor(sqrt(CAST(max(stats.n) * max(s2)
-                            - max(s1) * max(s1) AS DOUBLE))
-                  / max(stats.n) * 10000) AS BIGINT) AS sigma_tick_e4,
-       CAST(sum(CASE WHEN (stats.n * ev.c - s1) * (stats.n * ev.c - s1)
-                     > 9 * (stats.n * s2 - s1 * s1)
+       CAST(floor(max(sqrt(greatest(CAST(s2 AS DOUBLE)
+                / CAST(stats.n AS DOUBLE)
+                - (CAST(s1 AS DOUBLE) / CAST(stats.n AS DOUBLE))
+                * (CAST(s1 AS DOUBLE) / CAST(stats.n AS DOUBLE)), 0.0)))
+            * 10000) AS BIGINT) AS sigma_tick_e4,
+       CAST(sum(CASE WHEN abs(CAST(ev.c AS DOUBLE)
+                - CAST(s1 AS DOUBLE) / CAST(stats.n AS DOUBLE))
+                > 3.0 * sqrt(greatest(CAST(s2 AS DOUBLE)
+                  / CAST(stats.n AS DOUBLE)
+                  - (CAST(s1 AS DOUBLE) / CAST(stats.n AS DOUBLE))
+                  * (CAST(s1 AS DOUBLE) / CAST(stats.n AS DOUBLE)), 0.0))
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
 FROM ev JOIN stats USING (event_type)
 GROUP BY 1
