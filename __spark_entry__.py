@@ -642,6 +642,10 @@ _PARKED_FOR_R8 = [
     "events_value_zscores",
     "terms_topk_approx",
     "customer_lateral_top2",
+    "events_window_distinct",
+    "dataset_split",
+    "events_scd2_intervals",
+    "events_time_weighted",
 ]
 _DRIVER_RECORD_CAP = 50
 

@@ -394,9 +394,12 @@ AUDITS = {
                              "converged 64-row direction once", 1),
     ],
     "transcript_role_transitions": [
-        ("Window", "one LAG pass inside the conv_id shuffle", 1),
-        ("Exchange", "conv window + the bounded 16-cell transition "
-                     "aggregation (map-side partials)", 2),
+        ("Window", "turn_idx row_number (shared _transcript_turns "
+                   "derivation) + the LAG pass — both inside the SAME "
+                   "conv_id shuffle", 2),
+        ("Exchange", "one conv_id shuffle feeding both windows + the "
+                     "bounded 16-cell transition aggregation "
+                     "(map-side partials)", 2),
     ],
     "docs_readability": [
         ("Exchange", "per-row integer scoring — Exchange-FREE like "
@@ -408,6 +411,34 @@ AUDITS = {
                               "back over the event stream for the "
                               "outlier gate"),
         ("CartesianProduct", "never a cartesian", 0),
+    ],
+    "events_window_distinct": [
+        ("Window", "one running collect_set pass inside the "
+                   "event_type shuffle", 1),
+        ("Exchange", "single shuffle on event_type", 1),
+        ("Filter", "the event_id decimation stays ABOVE the window "
+                   "(the running set must see every row) but below "
+                   "nothing else — exactly the scan's IsNotNull + "
+                   "the post-window mod filter"),
+    ],
+    "dataset_split": [
+        ("HashAggregate", "partial (map-side) aggregation before the "
+                          "shuffle — the md5 tick is computed per row "
+                          "pre-shuffle"),
+        ("Exchange", "single shuffle on (source, split)", 1),
+        ("Scan parquet", "one scan", 1),
+    ],
+    "events_scd2_intervals": [
+        ("Window", "lag() and lead() are separate passes (lead runs "
+                   "over the change rows only)", 2),
+        ("Exchange", "both windows share ONE user_id shuffle — the "
+                     "second window's partitioning is satisfied by "
+                     "the first's", 1),
+    ],
+    "events_time_weighted": [
+        ("Window", "one lead() pass inside the user_id shuffle", 1),
+        ("Exchange", "window and groupBy share the user_id "
+                     "partitioning — one shuffle total", 1),
     ],
     "customer_lateral_top2": [
         ("WindowGroupLimit", "the per-customer ORDER BY/LIMIT lateral "

@@ -5699,6 +5699,179 @@ WHERE c.c_custkey % 59 = 0
 """
 
 
+def q_events_window_distinct(spark, sf_dir):
+    """Running COUNT(DISTINCT) over a window — the cumulative-audience
+    curve ("unique users seen so far per event type"). Spark has no
+    DISTINCT window aggregate, so the portable formulation is
+    ``size(collect_set(user_id))`` over a ROWS frame; DuckDB's native
+    ``count(DISTINCT …) OVER`` is the oracle, so the hash certifies the
+    two formulations agree row-for-row. Order key is (ts, event_id) —
+    event_id breaks timestamp ties so the running set is deterministic
+    — and the frame is ROWS (RANGE would merge tied timestamps and the
+    engines could disagree on peer handling). One shuffle on
+    event_type; the per-partition state is one hash set per type, which
+    at 100 TB is bounded by |distinct users|, not |rows| — for
+    larger-than-memory audiences the approx twin is
+    events_cardinality_approx. Output decimated to event_id % 7 AFTER
+    the window (the curve itself must see every row)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (Window.partitionBy("event_type").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (ev.select(
+                "event_type", "event_id",
+                F.size(F.collect_set("user_id").over(w))
+                .cast("bigint").alias("distinct_users_so_far"))
+            .where(F.col("event_id") % 7 == 0))
+
+
+SQL_EVENTS_WINDOW_DISTINCT = """
+SELECT * FROM (
+  SELECT event_type, event_id,
+         count(DISTINCT user_id) OVER (
+           PARTITION BY event_type ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS distinct_users_so_far
+  FROM events
+) WHERE event_id % 7 = 0
+"""
+
+
+def q_dataset_split(spark, sf_dir):
+    """Deterministic train/val/test split — the assignment every
+    training pipeline needs to be REPRODUCIBLE and JOIN-FREE: split
+    membership is a pure function of doc_id (md5 tick mod 100 →
+    80/10/10), so any later stage (or a rerun on a different cluster
+    shape) re-derives it without a membership table or a shuffle.
+    The tick is the numeric-hex convention: Spark
+    ``conv(substr(md5,1,8),16,10)``, DuckDB ``CAST('0x'||… AS BIGINT)``
+    — identical 32-bit integer in both engines. Aggregated per
+    (source, split) with doc + char counts so the record certifies the
+    split proportions AND that they hold per-source (hash-uniformity),
+    not just globally. Single shuffle on the group key."""
+    d = _t(spark, sf_dir, "documents")
+    tick = ("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)"
+            " AS BIGINT) % 100")
+    split = (f"CASE WHEN {tick} < 80 THEN 'train'"
+             f" WHEN {tick} < 90 THEN 'val' ELSE 'test' END")
+    return (d.groupBy(F.col("source"), F.expr(split).alias("split"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("sum_chars")))
+
+
+SQL_DATASET_SPLIT = """
+WITH ticked AS (
+  SELECT source, n_chars,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+           % 100 AS tick
+  FROM documents
+)
+SELECT source,
+       CASE WHEN tick < 80 THEN 'train'
+            WHEN tick < 90 THEN 'val' ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM ticked GROUP BY 1, 2
+"""
+
+
+def q_events_scd2_intervals(spark, sf_dir):
+    """Slowly-changing-dimension (type 2) interval construction — turn
+    an event stream into validity intervals [valid_from, valid_to) per
+    user, opening a new interval whenever the user's value band (cents
+    DIV 2000) changes. The CDC/state-history shape: two windows over
+    the SAME (user_id → ts, event_id) ordering — lag() to find band
+    changes, then lead() over the change rows for the closing edge —
+    so Catalyst plans ONE Exchange and both Window operators share it
+    (the second window's partitioning is satisfied by the first's).
+    Open intervals close at -1, not NULL (portable: no NULL-ordering
+    semantics in the compare). Timestamps travel as unix seconds
+    (Spark unix_timestamp ≡ DuckDB floor(epoch()) — exact integers;
+    unix_millis rejects the parquet TIMESTAMP_NTZ column). Users
+    decimated mod 13 at the SCAN (predicate pushdown), which is valid
+    because every window partitions by user_id."""
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("user_id") % 13 == 0)
+          .select("user_id", "event_id",
+                  F.unix_timestamp("ts").alias("s"),
+                  F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"
+                         " DIV 2000").alias("band")))
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    changes = (ev.withColumn("prev_band", F.lag("band").over(w))
+               .where(F.col("prev_band").isNull()
+                      | (F.col("prev_band") != F.col("band"))))
+    return (changes.select(
+        "user_id", "band", F.col("s").alias("valid_from_s"),
+        F.coalesce(F.lead("s").over(w), F.lit(-1).cast("bigint"))
+        .alias("valid_to_s")))
+
+
+SQL_EVENTS_SCD2_INTERVALS = """
+WITH ev AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) // 2000 AS band
+  FROM events WHERE user_id % 13 = 0
+), changes AS (
+  SELECT * FROM (
+    SELECT user_id, event_id, s, band,
+           lag(band) OVER (PARTITION BY user_id ORDER BY s, event_id)
+             AS prev_band
+    FROM ev
+  ) WHERE prev_band IS NULL OR prev_band <> band
+)
+SELECT user_id, band, s AS valid_from_s,
+       coalesce(lead(s) OVER (PARTITION BY user_id ORDER BY s, event_id),
+                -1) AS valid_to_s
+FROM changes
+"""
+
+
+def q_events_time_weighted(spark, sf_dir):
+    """Time-weighted value aggregation — the metering/billing shape
+    where a value holds until the next observation, so its weight is
+    the interval length, not 1. Per user (decimated mod 11 at the
+    scan): each event contributes value_cents × Δt_seconds to the
+    weighted sum, where Δt = seconds to the user's next event (last
+    event contributes nothing — half-open intervals). All arithmetic
+    exact bigint: cents ≤10⁶, Δt_seconds ≤10⁷ ⇒ per-row product ≤10¹³,
+    safe to ~10⁵ rows/user under ANSI; the TWA itself is left to the
+    consumer as wsum/tsum (no float division crosses the oracle).
+    Seconds via unix_timestamp ≡ DuckDB floor(epoch()) (exact integer
+    seconds; positive epochs, so floor/truncate agree). One Exchange:
+    the lead() window and the groupBy share the user_id hash
+    partitioning."""
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("user_id") % 11 == 0)
+          .select("user_id", "event_id",
+                  F.unix_timestamp("ts").alias("s"),
+                  F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+                  .alias("c")))
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    return (ev.withColumn("dt", F.lead("s").over(w) - F.col("s"))
+            .where(F.col("dt").isNotNull())
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n_intervals"),
+                 F.sum(F.col("c") * F.col("dt")).alias("wsum"),
+                 F.sum("dt").alias("tsum")))
+
+
+SQL_EVENTS_TIME_WEIGHTED = """
+WITH ev AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events WHERE user_id % 11 = 0
+), spans AS (
+  SELECT user_id, c,
+         lead(s) OVER (PARTITION BY user_id ORDER BY s, event_id) - s AS dt
+  FROM ev
+)
+SELECT user_id, count(*) AS n_intervals,
+       CAST(sum(c * dt) AS BIGINT) AS wsum,
+       CAST(sum(dt) AS BIGINT) AS tsum
+FROM spans WHERE dt IS NOT NULL
+GROUP BY 1
+"""
+
+
 OPS: dict[str, tuple] = {
     # (spark_fn, oracle_sql_or_None)
     "scan_filter_project": (q_scan_filter_project, SQL_SCAN),
@@ -5838,4 +6011,11 @@ OPS: dict[str, tuple] = {
     "terms_topk_approx": (q_terms_topk_approx, SQL_TERMS_TOPK_APPROX),
     "customer_lateral_top2": (
         q_customer_lateral_top2, SQL_CUSTOMER_LATERAL_TOP2),
+    "events_window_distinct": (
+        q_events_window_distinct, SQL_EVENTS_WINDOW_DISTINCT),
+    "dataset_split": (q_dataset_split, SQL_DATASET_SPLIT),
+    "events_scd2_intervals": (
+        q_events_scd2_intervals, SQL_EVENTS_SCD2_INTERVALS),
+    "events_time_weighted": (
+        q_events_time_weighted, SQL_EVENTS_TIME_WEIGHTED),
 }
