@@ -646,6 +646,10 @@ _PARKED_FOR_R8 = [
     "dataset_split",
     "events_scd2_intervals",
     "events_time_weighted",
+    "events_bitmap_distinct",
+    "events_type_sequence",
+    "source_lang_entropy",
+    "dedup_shingle_novelty",
 ]
 _DRIVER_RECORD_CAP = 50
 

@@ -184,3 +184,102 @@ def test_time_weighted_single_event_user_drops(spark, tmp_path):
     out = _cross_check(spark, _duck(tmp_path, "events"), tmp_path,
                        "events_time_weighted")
     assert [int(r["user_id"]) for _, r in out.iterrows()] == [22]
+
+
+# ----------------------------------------------------- events_bitmap_distinct
+
+def test_bitmap_distinct_word_boundary(spark, tmp_path):
+    """Users 61,62,63 straddle the 62-bit word boundary (61 is the last
+    bit of word 0; 62,63 are bits 0,1 of word 1): 3 distinct users over
+    2 words, duplicates collapse."""
+    rows = [(i, _ts(i), u, "a", 1.0)
+            for i, u in enumerate([61, 62, 63, 61, 62])]
+    _write(spark, tmp_path, "events", _EV_SCHEMA, rows)
+    out = _cross_check(spark, _duck(tmp_path, "events"), tmp_path,
+                       "events_bitmap_distinct")
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert (int(row["n_words"]), int(row["n_distinct"])) == (2, 3)
+
+
+def test_bitmap_distinct_equals_count_distinct(spark, tmp_path):
+    """The bitmap fold is EXACT: it equals count(DISTINCT) on a spread
+    of ids including repeats and multiple types."""
+    users = [u * 37 % 500 for u in range(200)] + [3, 3, 3]
+    rows = [(i, _ts(i), u, "t" + str(u % 2), 1.0)
+            for i, u in enumerate(users)]
+    _write(spark, tmp_path, "events", _EV_SCHEMA, rows)
+    out = _cross_check(spark, _duck(tmp_path, "events"), tmp_path,
+                       "events_bitmap_distinct")
+    expect = {}
+    for u in users:
+        expect.setdefault("t" + str(u % 2), set()).add(u)
+    got = {r["event_type"]: int(r["n_distinct"]) for _, r in out.iterrows()}
+    assert got == {k: len(v) for k, v in expect.items()}
+
+
+# ------------------------------------------------------- events_type_sequence
+
+def test_type_sequence_orders_by_ts_and_flags_funnel(spark, tmp_path):
+    """Rows arrive shuffled; the path follows (ts, event_id). User 3
+    hits view>click>purchase in order; user 6 has the same multiset but
+    purchase BEFORE click, so the ordered flag stays 0."""
+    rows = [
+        (2, _ts(30), 3, "purchase", 1.0),
+        (0, _ts(10), 3, "view", 1.0),
+        (1, _ts(20), 3, "click", 1.0),
+        (5, _ts(30), 6, "click", 1.0),
+        (3, _ts(10), 6, "view", 1.0),
+        (4, _ts(20), 6, "purchase", 1.0),
+    ]
+    _write(spark, tmp_path, "events", _EV_SCHEMA, rows)
+    out = _cross_check(spark, _duck(tmp_path, "events"), tmp_path,
+                       "events_type_sequence")
+    got = {int(r["user_id"]): (r["path"], int(r["hit_funnel"]))
+           for _, r in out.iterrows()}
+    assert got == {3: ("view>click>purchase", 1),
+                   6: ("view>purchase>click", 0)}
+
+
+def test_type_sequence_event_id_breaks_ties(spark, tmp_path):
+    """Two events on the same second order by event_id."""
+    rows = [(9, _ts(0), 3, "b", 1.0), (1, _ts(0), 3, "a", 1.0)]
+    _write(spark, tmp_path, "events", _EV_SCHEMA, rows)
+    out = _cross_check(spark, _duck(tmp_path, "events"), tmp_path,
+                       "events_type_sequence")
+    assert out.iloc[0]["path"] == "a>b"
+
+
+# -------------------------------------------------------- source_lang_entropy
+
+def test_lang_entropy_known_values(spark, tmp_path):
+    """Single-language source: H = 0 exactly. Two equal langs over 4
+    docs: flog(4)=2000, flog(2)=1000 -> H_total = 4*2000 - 2*(2*1000)
+    = 4000 millibits, 1000/doc (one bit, as Shannon says)."""
+    rows = ([(i, "pure", "en") for i in range(5)]
+            + [(10 + i, "mixed", ["en", "de"][i % 2]) for i in range(4)])
+    _write(spark, tmp_path, "documents",
+           "doc_id long, source string, lang string", rows)
+    out = _cross_check(spark, _duck(tmp_path, "documents"), tmp_path,
+                       "source_lang_entropy")
+    got = {r["source"]: (int(r["n_docs"]), int(r["n_langs"]),
+                         int(r["h_millibits_total"]),
+                         int(r["h_mb_per_doc"]))
+           for _, r in out.iterrows()}
+    assert got == {"pure": (5, 1, 0, 0), "mixed": (4, 2, 4000, 1000)}
+
+
+# ------------------------------------------------------ dedup_shingle_novelty
+
+def test_shingle_novelty_copy_vs_fresh(spark, tmp_path):
+    """doc 0 is first-seen (10000 bp novel), doc 7 is its exact copy
+    (every shingle first seen at 0 -> 0 bp), doc 14 is fresh text
+    (10000 bp). Short docs (<8 words) drop out in both engines."""
+    base = " ".join(f"alpha{i} beta{i}" for i in range(6))
+    fresh = " ".join(f"gamma{i} delta{i}" for i in range(6))
+    rows = [(0, base), (7, base), (14, fresh), (21, "too short text")]
+    _write(spark, tmp_path, "documents", "doc_id long, text string", rows)
+    out = _cross_check(spark, _duck(tmp_path, "documents"), tmp_path,
+                       "dedup_shingle_novelty")
+    got = {int(r["doc_id"]): int(r["novel_bp"]) for _, r in out.iterrows()}
+    assert got == {0: 10000, 7: 0, 14: 10000}

@@ -440,6 +440,32 @@ AUDITS = {
         ("Exchange", "window and groupBy share the user_id "
                      "partitioning — one shuffle total", 1),
     ],
+    "events_bitmap_distinct": [
+        ("HashAggregate", "both the word fold and the per-type sum "
+                          "are map-side combinable"),
+        ("Exchange", "two bounded shuffles: (type, word) then type — "
+                     "never a distinct-value shuffle", 2),
+    ],
+    "events_type_sequence": [
+        ("Exchange", "sort-inside-aggregate: ONE user_id shuffle, no "
+                     "window pass", 1),
+        ("Window", "no window operator at all", 0),
+    ],
+    "source_lang_entropy": [
+        ("Exchange", "two bounded aggregations ((source,lang) then "
+                     "source)", 2),
+        ("Scan parquet", "one scan reading only (source, lang)", 1),
+    ],
+    "dedup_shingle_novelty": [
+        ("HashAggregate", "distinct pairs, min-doc, and per-doc fold "
+                          "all partial-aggregate"),
+        ("Join Inner", "the shingle join is an equi-join on the "
+                       "content key — bucket-by-content, never "
+                       "all-pairs (broadcast at this SF; AQE picks "
+                       "SMJ once the min-doc side outgrows the "
+                       "threshold)"),
+        ("CartesianProduct", "never a cartesian", 0),
+    ],
     "customer_lateral_top2": [
         ("WindowGroupLimit", "the per-customer ORDER BY/LIMIT lateral "
                              "decorrelates into a group-limit pushed "

@@ -5872,6 +5872,198 @@ GROUP BY 1
 """
 
 
+def q_events_bitmap_distinct(spark, sf_dir):
+    """Exact distinct-count via bitmap words — the roaring-bitmap trick
+    in pure SQL: user_ids pack into 62-bit words (word = id DIV 62,
+    bit = id % 62; 62 not 64 because bit 63 overflows a signed shift in
+    DuckDB and bit 62 is the sign bit — staying below both keeps every
+    word positive and portable), bit_or folds each word's members, and
+    Σ bit_count(word) is the EXACT distinct count. Why it matters at
+    100 TB: the inner (type, word) aggregate is map-side combinable and
+    its output is bounded by |id-space|/62 rows per type — unlike
+    count(DISTINCT) which shuffles every distinct value — and bitmap
+    words persist/merge incrementally (the materialized-rollup story).
+    n_words rides along so the record also certifies the packing
+    density. A pytest cross-checks against plain count(DISTINCT)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("user_id DIV 62").alias("word"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 62 AS INT))")
+        .alias("bit"))
+    words = (ev.groupBy("event_type", "word")
+             .agg(F.expr("bit_or(bit)").alias("bits")))
+    return (words.groupBy("event_type")
+            .agg(F.count("*").alias("n_words"),
+                 F.expr("CAST(sum(bit_count(bits)) AS BIGINT)")
+                 .alias("n_distinct")))
+
+
+SQL_EVENTS_BITMAP_DISTINCT = """
+WITH words AS (
+  SELECT event_type, user_id // 62 AS word,
+         bit_or(1::BIGINT << CAST(user_id % 62 AS INT)) AS bits
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, count(*) AS n_words,
+       CAST(sum(bit_count(bits)) AS BIGINT) AS n_distinct
+FROM words GROUP BY 1
+"""
+
+
+def q_events_type_sequence(spark, sf_dir):
+    """Per-user event-type PATH — the clickstream-mining shape where
+    the ordered sequence itself is the feature (funnel detection,
+    Markov-path clustering, sequence-embedding input). Spark builds it
+    as array_join(transform(array_sort(collect_list(struct(s, id,
+    type))))) — sort INSIDE the aggregate, so no window pass and ONE
+    shuffle; DuckDB's native ordered string_agg is the oracle, which
+    certifies the struct-sort path assembly byte-for-byte. The tie key
+    (epoch seconds, event_id) makes the path deterministic. A LIKE
+    funnel flag (view…click…purchase in order) rides along — ordered
+    containment is exactly what the path string makes O(len) that the
+    raw rows cannot answer without a 3-way self-join. Users decimated
+    mod 3 at the scan."""
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("user_id") % 3 == 0)
+          .select("user_id",
+                  F.unix_timestamp("ts").alias("s"),
+                  "event_id", "event_type"))
+    return (ev.groupBy("user_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.expr(
+                     "array_join(transform(array_sort(collect_list("
+                     "struct(s, event_id, event_type))), "
+                     "x -> x.event_type), '>')").alias("path"))
+            .withColumn(
+                "hit_funnel",
+                F.expr("CAST(path LIKE '%view%click%purchase%'"
+                       " AS INT)")))
+
+
+SQL_EVENTS_TYPE_SEQUENCE = """
+WITH ev AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s, event_id,
+         event_type
+  FROM events WHERE user_id % 3 = 0
+)
+SELECT user_id, count(*) AS n_events,
+       string_agg(event_type, '>' ORDER BY s, event_id) AS path,
+       CAST(string_agg(event_type, '>' ORDER BY s, event_id)
+            LIKE '%view%click%purchase%' AS INT) AS hit_funnel
+FROM ev GROUP BY 1
+"""
+
+
+def q_source_lang_entropy(spark, sf_dir):
+    """Language-mix entropy per source — the corpus-composition health
+    signal (a source whose lang distribution collapses to one language
+    or fragments into noise shows up as an entropy shift). Shannon
+    entropy needs log₂ of counts, which is float — so each term is
+    FROZEN per the sqrt-freeze convention: flog(x) = floor(log₂(x)·
+    1000) is one IEEE log + one multiply + floor on an exact integer
+    (bit-portable), and H_millibits = n·flog(n) − Σ cᵢ·flog(cᵢ) is then
+    exact bigint arithmetic — order-independent, no float sums. That is
+    n·H in millibits up to the freezing error; h_mb_per_doc = DIV n
+    normalizes. Two bounded aggregations: (source, lang) counts, then
+    per-source fold — both map-side combinable, output bounded by
+    |sources|×|langs|."""
+    flog = ("CAST(floor(log2(CAST({x} AS DOUBLE)) * 1000) AS BIGINT)")
+    by_lang = (_t(spark, sf_dir, "documents")
+               .groupBy("source", "lang").agg(F.count("*").alias("c")))
+    return (by_lang.groupBy("source")
+            .agg(F.sum("c").alias("n_docs"),
+                 F.count("*").alias("n_langs"),
+                 F.expr(f"sum(c * {flog.format(x='c')})").alias("sum_cf"))
+            .select(
+                "source", "n_docs", "n_langs",
+                F.expr(f"n_docs * {flog.format(x='n_docs')} - sum_cf")
+                .alias("h_millibits_total"))
+            .withColumn("h_mb_per_doc",
+                        F.expr("h_millibits_total DIV n_docs")))
+
+
+SQL_SOURCE_LANG_ENTROPY = """
+WITH by_lang AS (
+  SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2
+), folded AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+         count(*) AS n_langs,
+         CAST(sum(c * CAST(floor(log2(CAST(c AS DOUBLE)) * 1000)
+                           AS BIGINT)) AS BIGINT) AS sum_cf
+  FROM by_lang GROUP BY 1
+)
+SELECT source, n_docs, n_langs,
+       n_docs * CAST(floor(log2(CAST(n_docs AS DOUBLE)) * 1000)
+                     AS BIGINT) - sum_cf AS h_millibits_total,
+       (n_docs * CAST(floor(log2(CAST(n_docs AS DOUBLE)) * 1000)
+                      AS BIGINT) - sum_cf) // n_docs AS h_mb_per_doc
+FROM folded
+"""
+
+
+def q_dedup_shingle_novelty(spark, sf_dir):
+    """Per-document novelty against the whole corpus — the
+    incremental-crawl signal ("how much of this doc has the corpus
+    never seen?"): a doc's 8-gram shingle is NOVEL iff the globally
+    first document containing it (min doc_id — the deterministic
+    arrival order) is this doc. Two shuffles: distinct (doc, shingle)
+    pairs, then a per-shingle min-doc aggregate joined back on the
+    shingle — the same bucket-by-content strategy as the dedup family,
+    never all-pairs. Novelty in basis points via rounded integer
+    division. Output decimated to doc_id % 7 AFTER the global
+    aggregation (every doc must contribute its shingles to min-doc)."""
+    toks = (_t(spark, sf_dir, "documents")
+            .select("doc_id",
+                    F.expr("split(lower(text), '[^a-z0-9]+')").alias("w"))
+            # sequence(0, n) DESCENDS when n < 0 — guard out short docs
+            # (DuckDB's range() is empty there, so the engines agree)
+            .where(F.expr("size(w) >= 8")))
+    sh = (toks.select(
+        "doc_id",
+        F.explode(F.expr(
+            "filter(transform(sequence(0, size(w) - 8), "
+            "i -> array_join(slice(w, i + 1, 8), ' ')), "
+            "x -> length(x) >= 16)")).alias("shingle"))
+        .distinct())
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (sh.join(first, "shingle")
+               .groupBy("doc_id")
+               .agg(F.count("*").alias("n_shingles"),
+                    F.sum(F.expr(
+                        "CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END"))
+                    .alias("n_novel")))
+    return (per_doc.where(F.col("doc_id") % 7 == 0)
+            .withColumn("novel_bp",
+                        F.expr("CAST((2 * n_novel * 10000 + n_shingles)"
+                               " DIV (2 * n_shingles) AS BIGINT)")))
+
+
+SQL_DEDUP_SHINGLE_NOVELTY = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS w
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           array_to_string(w[i + 1:i + 8], ' ') AS shingle
+    FROM toks, UNNEST(range(0, len(w) - 7)) AS t(i)
+  ) WHERE length(shingle) >= 16
+), first AS (
+  SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1
+), per_doc AS (
+  SELECT sh.doc_id, count(*) AS n_shingles,
+         CAST(sum(CASE WHEN first.first_doc = sh.doc_id
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+  FROM sh JOIN first USING (shingle)
+  GROUP BY 1
+)
+SELECT doc_id, n_shingles, n_novel,
+       CAST((2 * n_novel * 10000 + n_shingles) // (2 * n_shingles)
+            AS BIGINT) AS novel_bp
+FROM per_doc WHERE doc_id % 7 = 0
+"""
+
+
 OPS: dict[str, tuple] = {
     # (spark_fn, oracle_sql_or_None)
     "scan_filter_project": (q_scan_filter_project, SQL_SCAN),
@@ -6018,4 +6210,12 @@ OPS: dict[str, tuple] = {
         q_events_scd2_intervals, SQL_EVENTS_SCD2_INTERVALS),
     "events_time_weighted": (
         q_events_time_weighted, SQL_EVENTS_TIME_WEIGHTED),
+    "events_bitmap_distinct": (
+        q_events_bitmap_distinct, SQL_EVENTS_BITMAP_DISTINCT),
+    "events_type_sequence": (
+        q_events_type_sequence, SQL_EVENTS_TYPE_SEQUENCE),
+    "source_lang_entropy": (
+        q_source_lang_entropy, SQL_SOURCE_LANG_ENTROPY),
+    "dedup_shingle_novelty": (
+        q_dedup_shingle_novelty, SQL_DEDUP_SHINGLE_NOVELTY),
 }
