@@ -131,6 +131,9 @@ def _probe_candidates(stripped: str) -> list[str]:
     footnote labels, list enumerators, link/image syntax, inline
     emphasis) is stripped or truncated away rather than searched for."""
     cands: list[str] = []
+    # below-8-char probes appended AFTER the length filter (tried last):
+    # identifiers from token-wrapped code, structural markers
+    short_structural: list[str] = []
     s = stripped.lstrip(_SPAN_TRIM)
     if stripped.startswith("```"):
         # fence info line ("```python") is renderer-made: probe the
@@ -144,6 +147,12 @@ def _probe_candidates(stripped: str) -> list[str]:
         body = body.strip().lstrip(_SPAN_TRIM)
         cands.append(body[:40])
         cands.append(body.split("\n", 1)[0][:40])
+        # highlighters that wrap every TOKEN in markup (chroma line
+        # spans, pygments linenos, hexo <br>) leave no contiguous line —
+        # the longest single identifier still survives verbatim
+        btoks = re.findall(r"[A-Za-z0-9_]{5,}", body[:200])
+        if btoks:
+            short_structural.append(max(btoks, key=len))
     m = _IMAGE_LEAD.match(s)
     if m:
         cands.append(m.group(2)[:80])        # src URL survives verbatim
@@ -152,6 +161,11 @@ def _probe_candidates(stripped: str) -> list[str]:
     if m:
         cands.append(m.group(1).lstrip(_SPAN_TRIM)[:40])  # anchor text
         cands.append(m.group(2)[:80])                     # href
+        # relative_urls rewrites hrefs absolute — the PATH+QUERY part
+        # is what the source actually contains
+        path = re.sub(r"^[a-z][a-z0-9+.-]*://[^/?#]+", "", m.group(2))
+        if path != m.group(2):
+            cands.append(path[:60])
     m = _FOOTNOTE_LEAD.match(s)
     if m:
         cands.append(m.group(1).lstrip(_SPAN_TRIM)[:40])
@@ -162,12 +176,24 @@ def _probe_candidates(stripped: str) -> list[str]:
     m = _CALLOUT_LEAD.match(s)
     if m:                                    # "[!tip]- Title" → "Title"
         cands.append(m.group(1).lstrip(_SPAN_TRIM + "\n")[:40])
+    if s.startswith(">"):
+        # blockquote/callout: the "> " quote markers are renderer-made;
+        # probe the first inner line that isn't a marker or fence
+        inner = re.sub(r"^>\s?", "", s[:400], flags=re.M)
+        for ln in inner.splitlines():
+            ln = ln.strip().lstrip(_SPAN_TRIM)
+            if ln and not ln.startswith(("[!", "```", ">")):
+                cands.append(ln[:40])
+                break
     if s.startswith("|"):                    # table row: first cell text
         cells = [c.strip() for c in s.split("\n", 1)[0].split("|")]
         cands.extend(c[:40] for c in cells if c.strip(" -:"))
     cands.append(s[:40])
     if "\\" in s[:40]:                       # markdown escapes undone
         cands.append(_MD_UNESCAPE.sub(r"\1", s[:48])[:40])
+    if "*" in s[:48]:                        # emphasis markers removed:
+        # "Use **contain** when:" reads "Use contain when:" in source
+        cands.append(re.sub(r"\*+", "", s[:48])[:40])
     # inline-syntax truncation: keep the contiguous prefix before the
     # first renderer-inserted char (footnote ref, backtick, emphasis…)
     for c in list(cands):
@@ -181,6 +207,14 @@ def _probe_candidates(stripped: str) -> list[str]:
         m = rx.search(head)
         if m:
             cands.append(m.group(1).strip()[:40])
+    # math blocks: the serialized TeX ($…$/$$…$$) is SYNTHESIZED from
+    # MathML and never appears in the source — probe the text BETWEEN
+    # the math runs instead (the longest $-free segment)
+    if "$" in s:
+        segs = [p.strip() for p in s[:200].split("$")]
+        segs = [p for p in segs if len(p) >= 8]
+        if segs:
+            cands.append(max(segs, key=len)[:40])
     # last resort: one distinctive token from the block head
     toks = _TOKEN.findall(s[:120])
     if toks:
@@ -191,7 +225,17 @@ def _probe_candidates(stripped: str) -> list[str]:
         if len(c) >= 8 and c not in seen:
             seen.add(c)
             out.append(c)
-    return out[:14]
+    out = out[:14]
+    for c in short_structural:
+        if len(c) >= 5 and c not in seen:
+            seen.add(c)
+            out.append(c)
+    # structural last resort for math blocks with no locatable text
+    # (display equations): the next <math> element from the cursor IS
+    # the block's source region — document order makes it the right one
+    if "$" in s:
+        out.append("<math")
+    return out
 
 
 def _tail_candidates(stripped: str) -> list[str]:
@@ -218,6 +262,10 @@ def _tail_candidates(stripped: str) -> list[str]:
         if len(c) >= 8 and c not in seen:
             seen.add(c)
             out.append(c)
+    # math blocks: close at the MathML element's end when no text tail
+    # matches (tried last; see the <math> lead probe)
+    if "$" in stripped:
+        out.append("</math>")
     return out
 
 
@@ -251,17 +299,27 @@ def _spans_with_attempts(source: str,
                 break
         if idx < 0:
             return None
-        # end: locate the block's trailing text fragment after the lead
+        # end: locate the block's trailing text fragment after the lead.
+        # The search is WINDOW-BOUNDED: a tail fragment that first occurs
+        # far past any plausible markup inflation of this block is a
+        # wrong-instance match (the same words appearing later in the
+        # document), and accepting it overshoots the cursor and starves
+        # every following block — one 108-char block once claimed 8700
+        # source chars and took 37 later blocks' spans with it. 10x the
+        # block length + 1000 covers real HTML inflation (tags, hrefs,
+        # tracking attributes) with room to spare.
         end = idx + matched
+        window = idx + 10 * len(stripped) + 1000
         for t in _tail_candidates(stripped):
+            hit_end = -1
             for frag in (t, t[-16:]):
                 tidx = source.find(frag, idx)
-                if tidx >= 0:
-                    end = max(end, tidx + len(frag))
+                if tidx >= 0 and tidx + len(frag) <= window:
+                    hit_end = tidx + len(frag)
                     break
-            else:
-                continue
-            break
+            if hit_end > 0:
+                end = max(end, hit_end)
+                break
         end = min(end, n)
         return (idx, end) if end > idx else None
 
@@ -280,20 +338,43 @@ def _spans_with_attempts(source: str,
         cursor = hit[1]  # non-overlap: next span starts at/after this end
 
     # Second pass: markdown reorders some content (footnote definitions
-    # render at the END of the document but live EARLIER in the source),
-    # so a monotonic cursor can never find them. Retry misses from the
-    # top of the source and merge any hit that doesn't overlap an
-    # already-claimed region — output stays non-overlapping + monotonic.
+    # render at the END of the document but live EARLIER in the source)
+    # and a wrong-instance lead match can jump the cursor past a run of
+    # blocks, so a monotonic cursor can never find them. Retry misses
+    # from the top of the source, scanning SUCCESSIVE occurrences of
+    # each probe for a hit that doesn't overlap an already-claimed
+    # region (the first occurrence often lands inside the very span the
+    # wrong-instance jump claimed) — output stays non-overlapping +
+    # monotonic.
     if missed:
         claimed = [(s["start"], s["end"]) for s in spans]
         extra = []
         for stripped, cands in missed:
-            hit = locate(stripped, cands, 0)
+            hit = None
+            probes = []
+            for p in cands:
+                probes.append(p)
+                if len(p) > 16:
+                    probes.append(p[:16])
+            for probe in probes:
+                frm = 0
+                for _ in range(8):
+                    idx = source.find(probe, frm)
+                    if idx < 0:
+                        break
+                    cand = locate(stripped, [probe], idx)
+                    if cand is not None:
+                        lo, hi = cand
+                        if not any(lo < e and c < hi
+                                   for c, e in claimed):
+                            hit = cand
+                            break
+                    frm = idx + 1
+                if hit is not None:
+                    break
             if hit is None:
                 continue
             lo, hi = hit
-            if any(lo < e and c < hi for c, e in claimed):
-                continue
             claimed.append((lo, hi))
             extra.append({"start": lo, "end": hi, "kind": "block"})
         if extra:
