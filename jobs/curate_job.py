@@ -66,6 +66,13 @@ def main() -> None:
                          "post-dedup counts, keep decisions are a pure "
                          "hash of doc_id (typically used with "
                          "--skip-sample)")
+    ap.add_argument("--split", action="store_true",
+                    help="assign the deterministic md5-tick 80/10/10 "
+                         "train/val/test split (pure function of "
+                         "doc_id — reproducible across reruns and "
+                         "cluster shapes) and PARTITION the output by "
+                         "it, so downstream training reads its split "
+                         "by directory without a filter scan")
     ap.add_argument("--skip-decontaminate", action="store_true")
     ap.add_argument("--fuzzy-decontaminate", action="store_true",
                     help="ALSO drop docs within 10%% edit distance of a "
@@ -178,7 +185,16 @@ def main() -> None:
             curated = observe(curated.filter(
                 F.col("doc_id") >= O._CONTAM_BENCH_MAX), "decontaminate")
 
-        curated.write.mode("overwrite").parquet(f"{args.output}/documents")
+        if args.split:
+            # pure per-row expression (no shuffle); partitionBy routes
+            # rows to split directories at write time, so training jobs
+            # read train/ val/ test/ via partition pruning, never a scan
+            curated = curated.withColumn("split", F.expr(O.SPLIT_EXPR))
+            (curated.write.mode("overwrite").partitionBy("split")
+             .parquet(f"{args.output}/documents"))
+        else:
+            curated.write.mode("overwrite").parquet(
+                f"{args.output}/documents")
 
         counts = [(name, ob.get["n"]) for name, ob in boundaries]
         ledger["docs_in"] = counts[0][1]
@@ -196,6 +212,11 @@ def main() -> None:
                    .collect()}
         ledger["docs_out"] = sum(by_lang.values())
         ledger["out_by_lang"] = dict(sorted(by_lang.items()))
+        if args.split:
+            by_split = {r.split: r.n for r in
+                        out.groupBy("split")
+                        .agg(F.count("*").alias("n")).collect()}
+            ledger["out_by_split"] = dict(sorted(by_split.items()))
         ledger["wall_sec"] = round(time.time() - t0, 2)
         print(json.dumps(ledger))
     finally:

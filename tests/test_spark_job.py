@@ -576,3 +576,40 @@ def test_curate_job_domain_cap_stage(spark, tmp_path_factory):
     expect = {r.doc_id for r in
               O.domain_cap_filter(pre, 20).collect()}
     assert {r.doc_id for r in got.collect()} == expect
+
+
+def test_curate_job_split_stage(spark, tmp_path_factory):
+    """--split: the output is PARTITIONED by the deterministic
+    train/val/test assignment (split=... directories exist), every
+    row's split re-derives from its doc_id via the shared expression,
+    and the ledger's out_by_split sums to docs_out."""
+    import hashlib
+    import json
+    import os
+    import sys
+    from unittest import mock
+
+    from jobs import curate_job
+
+    out = str(tmp_path_factory.mktemp("curated_split"))
+    argv = ["curate_job.py", "--input", "/root/testdata/sf0.001",
+            "--output", out, "--split"]
+    printed = []
+    with mock.patch.object(sys, "argv", argv), \
+            mock.patch("builtins.print",
+                       side_effect=lambda *a, **k: printed.append(a)):
+        with mock.patch.object(spark, "stop"):
+            curate_job.main()
+    ledger = json.loads(printed[-1][0])
+    assert sum(ledger["out_by_split"].values()) == ledger["docs_out"] > 0
+    # physical layout: hive-style split= directories (partition pruning)
+    dirs = {d for d in os.listdir(f"{out}/documents")
+            if d.startswith("split=")}
+    assert dirs == {f"split={s}" for s in ledger["out_by_split"]}
+    # membership is the pure doc_id function
+    got = spark.read.parquet(f"{out}/documents").collect()
+    for r in got:
+        tick = int(hashlib.md5(
+            str(r.doc_id).encode()).hexdigest()[:8], 16) % 100
+        want = "train" if tick < 80 else ("val" if tick < 90 else "test")
+        assert r.split == want

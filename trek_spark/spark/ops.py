@@ -5736,6 +5736,15 @@ SELECT * FROM (
 """
 
 
+#: deterministic 80/10/10 split assignment — a pure function of doc_id
+#: (md5 tick mod 100), shared by the dataset_split op and curate_job's
+#: --split output partitioning
+_SPLIT_TICK = ("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8),"
+               " 16, 10) AS BIGINT) % 100")
+SPLIT_EXPR = (f"CASE WHEN {_SPLIT_TICK} < 80 THEN 'train'"
+              f" WHEN {_SPLIT_TICK} < 90 THEN 'val' ELSE 'test' END")
+
+
 def q_dataset_split(spark, sf_dir):
     """Deterministic train/val/test split — the assignment every
     training pipeline needs to be REPRODUCIBLE and JOIN-FREE: split
@@ -5747,13 +5756,10 @@ def q_dataset_split(spark, sf_dir):
     — identical 32-bit integer in both engines. Aggregated per
     (source, split) with doc + char counts so the record certifies the
     split proportions AND that they hold per-source (hash-uniformity),
-    not just globally. Single shuffle on the group key."""
+    not just globally. Single shuffle on the group key. curate_job
+    ships the same expression as its --split output stage."""
     d = _t(spark, sf_dir, "documents")
-    tick = ("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)"
-            " AS BIGINT) % 100")
-    split = (f"CASE WHEN {tick} < 80 THEN 'train'"
-             f" WHEN {tick} < 90 THEN 'val' ELSE 'test' END")
-    return (d.groupBy(F.col("source"), F.expr(split).alias("split"))
+    return (d.groupBy(F.col("source"), F.expr(SPLIT_EXPR).alias("split"))
             .agg(F.count("*").alias("n_docs"),
                  F.sum("n_chars").alias("sum_chars")))
 
