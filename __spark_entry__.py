@@ -650,6 +650,9 @@ _PARKED_FOR_R8 = [
     "events_type_sequence",
     "source_lang_entropy",
     "dedup_shingle_novelty",
+    "events_locf",
+    "events_interval_merge",
+    "events_resample_daily",
 ]
 _DRIVER_RECORD_CAP = 50
 

@@ -466,6 +466,31 @@ AUDITS = {
                        "threshold)"),
         ("CartesianProduct", "never a cartesian", 0),
     ],
+    "events_locf": [
+        ("Window", "the fill is ONE running-last window pass — no "
+                   "self-join, no grid", 1),
+        ("Exchange", "one user_id shuffle", 1),
+        ("Scan parquet", "one scan, projection pruned to 5 columns", 1),
+    ],
+    "events_interval_merge": [
+        ("Window", "running-max flag pass + running-sum island pass", 2),
+        ("Exchange", "both windows AND the island groupBy share ONE "
+                     "user_id shuffle (hash(user_id) satisfies the "
+                     "(user_id, island) clustering)", 1),
+        ("HashAggregate", "the island collapse partial-aggregates "
+                          "inside the window stage"),
+    ],
+    "events_resample_daily": [
+        ("WindowGroupLimit", "the daily-last rn=1 filter pushes down "
+                             "as a group-limit below the shuffle — "
+                             "never materializes full ranks"),
+        ("hashpartitioning(user_id", "grid agg and daily window "
+                                     "shuffle on user-keys only"),
+        ("PushedFilters: [IsNotNull(user_id)",
+         "the %3 user decimation reaches the scan"),
+        ("CartesianProduct", "the grid is built per-user by sequence(), "
+                             "never a cross join", 0),
+    ],
     "customer_lateral_top2": [
         ("WindowGroupLimit", "the per-customer ORDER BY/LIMIT lateral "
                              "decorrelates into a group-limit pushed "

@@ -6070,6 +6070,186 @@ FROM per_doc WHERE doc_id % 7 = 0
 """
 
 
+def q_events_locf(spark, sf_dir):
+    """Last-observation-carried-forward gap fill — the sensor/state
+    back-fill shape (reference scope: none; standard feature-pipeline
+    tooling). Only ``purchase`` events carry a reading (value in
+    cents); every other event's reading is NULL and inherits the
+    user's most recent purchase amount via ``last(..., ignorenulls)``
+    over an unbounded-preceding row frame. Leading NULLs (users whose
+    history starts before any purchase) close at -1, not NULL — the
+    portable convention (no NULL-ordering semantics in the compare).
+
+    Scale: ONE Exchange on user_id; the fill is a single Window pass
+    with a running ``last`` — no self-join, no grid materialization.
+    The output decimation (event_id % 5) happens AFTER the window
+    (the fill needs every row) but the projection is pruned to four
+    columns at the scan. DuckDB twin: ``last_value(x IGNORE NULLS)``
+    with an explicit ROWS frame."""
+    ev = (_t(spark, sf_dir, "events")
+          .select("user_id", "event_id",
+                  F.unix_timestamp("ts").alias("s"),
+                  F.when(F.col("event_type") == "purchase",
+                         F.expr("CAST(floor(value * 100 + 0.5)"
+                                " AS BIGINT)")).alias("reading")))
+    w = (Window.partitionBy("user_id").orderBy("s", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (ev.withColumn(
+                "filled",
+                F.coalesce(F.last("reading", ignorenulls=True).over(w),
+                           F.lit(-1).cast("bigint")))
+            .where(F.col("event_id") % 5 == 0)
+            .select("user_id", "event_id", "s", "filled"))
+
+
+SQL_EVENTS_LOCF = """
+WITH ev AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CASE WHEN event_type = 'purchase'
+              THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END AS reading
+  FROM events
+)
+SELECT user_id, event_id, s,
+       coalesce(last_value(reading IGNORE NULLS) OVER (
+                  PARTITION BY user_id ORDER BY s, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                -1) AS filled
+FROM ev QUALIFY event_id % 5 = 0
+"""
+
+
+def q_events_interval_merge(spark, sf_dir):
+    """Interval union / coverage merge — each event opens a 300-second
+    activity interval [s, s+300); overlapping intervals per user merge
+    into maximal islands (the uptime-coverage / meeting-room shape;
+    reference scope: none). Classic running-max formulation: an
+    interval starts a NEW island exactly when its start exceeds the
+    max end among all PRECEDING intervals (rows 1-preceding frame);
+    a running sum of those flags numbers the islands; one groupBy
+    collapses them to (start, end, n_events, span_s).
+
+    Scale: both Window passes and the final aggregate share ONE
+    user_id Exchange (same partitioning, Catalyst plans one shuffle).
+    No self-join, no explode — O(n) per user regardless of interval
+    overlap depth, which is the plan that survives hot users with
+    thousands of overlapping intervals."""
+    ev = (_t(spark, sf_dir, "events")
+          .select("user_id", "event_id",
+                  F.unix_timestamp("ts").alias("s"))
+          .withColumn("e", F.col("s") + 300))
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    prev_max = (w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = ev.withColumn(
+        "new_island",
+        F.when(F.col("s") > F.coalesce(F.max("e").over(prev_max),
+                                       F.lit(-1).cast("bigint")), 1)
+        .otherwise(0))
+    islands = flagged.withColumn(
+        "island",
+        F.sum("new_island").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    return (islands.groupBy("user_id", "island")
+            .agg(F.min("s").alias("start_s"),
+                 F.max("e").alias("end_s"),
+                 F.count("*").alias("n_events"))
+            .withColumn("span_s", F.col("end_s") - F.col("start_s")))
+
+
+SQL_EVENTS_INTERVAL_MERGE = """
+WITH ev AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(floor(epoch(ts)) AS BIGINT) + 300 AS e
+  FROM events
+), flagged AS (
+  SELECT user_id, event_id, s, e,
+         CASE WHEN s > coalesce(max(e) OVER (
+                  PARTITION BY user_id ORDER BY s, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_island
+  FROM ev
+), islands AS (
+  SELECT user_id, s, e,
+         sum(new_island) OVER (
+           PARTITION BY user_id ORDER BY s, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged
+)
+SELECT user_id, CAST(island AS BIGINT) AS island,
+       min(s) AS start_s, max(e) AS end_s, count(*) AS n_events,
+       max(e) - min(s) AS span_s
+FROM islands GROUP BY 1, 2
+"""
+
+
+def q_events_resample_daily(spark, sf_dir):
+    """Resample an irregular event stream onto a regular daily grid
+    with forward fill — the feature-store / time-series-alignment
+    shape (reference scope: none). Per user: (1) daily last value in
+    cents (row_number DESC within (user, day)); (2) a dense day grid
+    from the user's first to last active day via ``sequence`` +
+    explode; (3) left join the daily values onto the grid and LOCF
+    the holes. Days travel as integer epoch-days (s DIV 86400) so the
+    grid is pure bigint arithmetic in both engines.
+
+    Scale: the explode is bounded by the DATE RANGE per user, not the
+    event count — a user with 10^6 events over 90 days grids to 90
+    rows. Daily-last, grid, join, and fill all key on user_id, so AQE
+    coalesces them onto one partitioning; the grid side is built from
+    a per-user min/max aggregate (tiny) and the join is an equi-join
+    on (user_id, day). Users decimated mod 3 at the scan (pushed)."""
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("user_id") % 3 == 0)
+          .select("user_id", "event_id",
+                  F.unix_timestamp("ts").alias("s"),
+                  F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+                  .alias("cents"))
+          .withColumn("day", F.expr("s DIV 86400")))
+    wd = Window.partitionBy("user_id", "day").orderBy(
+        F.desc("s"), F.desc("event_id"))
+    daily = (ev.withColumn("rn", F.row_number().over(wd))
+             .where(F.col("rn") == 1)
+             .select("user_id", "day", F.col("cents").alias("day_last")))
+    grid = (ev.groupBy("user_id")
+            .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+            .select("user_id",
+                    F.explode(F.sequence("d0", "d1")).alias("day")))
+    wf = (Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (grid.join(daily, ["user_id", "day"], "left")
+            .withColumn("filled",
+                        F.last("day_last", ignorenulls=True).over(wf))
+            .select("user_id", "day", "filled",
+                    F.when(F.col("day_last").isNotNull(), 1)
+                    .otherwise(0).alias("observed")))
+
+
+SQL_EVENTS_RESAMPLE_DAILY = """
+WITH ev AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+  FROM events WHERE user_id % 3 = 0
+), daily AS (
+  SELECT user_id, day, cents AS day_last FROM (
+    SELECT user_id, day, cents,
+           row_number() OVER (PARTITION BY user_id, day
+                              ORDER BY s DESC, event_id DESC) AS rn
+    FROM ev
+  ) WHERE rn = 1
+), grid AS (
+  SELECT user_id, unnest(generate_series(min(day), max(day))) AS day
+  FROM ev GROUP BY user_id
+)
+SELECT g.user_id, g.day,
+       last_value(d.day_last IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+       CASE WHEN d.day_last IS NOT NULL THEN 1 ELSE 0 END AS observed
+FROM grid g LEFT JOIN daily d
+  ON g.user_id = d.user_id AND g.day = d.day
+"""
+
+
 OPS: dict[str, tuple] = {
     # (spark_fn, oracle_sql_or_None)
     "scan_filter_project": (q_scan_filter_project, SQL_SCAN),
@@ -6224,4 +6404,9 @@ OPS: dict[str, tuple] = {
         q_source_lang_entropy, SQL_SOURCE_LANG_ENTROPY),
     "dedup_shingle_novelty": (
         q_dedup_shingle_novelty, SQL_DEDUP_SHINGLE_NOVELTY),
+    "events_locf": (q_events_locf, SQL_EVENTS_LOCF),
+    "events_interval_merge": (
+        q_events_interval_merge, SQL_EVENTS_INTERVAL_MERGE),
+    "events_resample_daily": (
+        q_events_resample_daily, SQL_EVENTS_RESAMPLE_DAILY),
 }
