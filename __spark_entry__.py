@@ -653,6 +653,9 @@ _PARKED_FOR_R8 = [
     "events_locf",
     "events_interval_merge",
     "events_resample_daily",
+    "terms_freq_of_freqs",
+    "vocab_growth",
+    "docs_stable_ids",
 ]
 _DRIVER_RECORD_CAP = 50
 

@@ -491,6 +491,29 @@ AUDITS = {
         ("CartesianProduct", "the grid is built per-user by sequence(), "
                              "never a cross join", 0),
     ],
+    "terms_freq_of_freqs": [
+        ("HashAggregate", "term-count and count-histogram aggregates "
+                          "both partial-aggregate map-side"),
+        ("Exchange", "two bounded-key shuffles (vocabulary, then "
+                     "distinct frequencies)", 2),
+        ("Window", "no window, no sort of the corpus", 0),
+    ],
+    "vocab_growth": [
+        ("HashAggregate", "per-term min(doc_id) is map-side "
+                          "combinable"),
+        ("CartesianProduct", "checkpoint fan-out is a literal-array "
+                             "explode, never a cross join", 0),
+    ],
+    "docs_stable_ids": [
+        ("hashpartitioning(band", "the per-doc ranking window is "
+                                  "PARTITIONED by band — the corpus "
+                                  "never funnels through one task"),
+        ("SinglePartition", "the only single-partition exchange is "
+                            "the tiny band directory (offsets "
+                            "window), downstream of the band-count "
+                            "aggregate — never the corpus"),
+        ("BroadcastHashJoin", "band offsets broadcast back"),
+    ],
     "customer_lateral_top2": [
         ("WindowGroupLimit", "the per-customer ORDER BY/LIMIT lateral "
                              "decorrelates into a group-limit pushed "

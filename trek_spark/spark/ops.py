@@ -6250,6 +6250,144 @@ FROM grid g LEFT JOIN daily d
 """
 
 
+def q_terms_freq_of_freqs(spark, sf_dir):
+    """Frequency-of-frequencies table — the Good–Turing smoothing
+    input (how many terms occur exactly r times) and the vocabulary
+    health check every tokenizer-training run starts with (reference
+    scope: none; standard corpus tooling). Tokenization is the BPE
+    convention: ASCII letter runs, lowered, length ≥ 2 — the
+    locale-safe alphabet both engines lower identically.
+
+    Scale: explode → term-count agg → count-histogram agg. Both
+    shuffles key on bounded-vocabulary values with map-side partial
+    aggregation; the second aggregate's key space is the number of
+    DISTINCT frequencies (≤ a few thousand at any corpus size — Zipf
+    collapses the tail into r=1,2,3…), so the output never needs a
+    cap. singleton share (n_1/N) is the Good–Turing unseen-mass
+    estimate; left as exact integers for the caller."""
+    docs = _t(spark, sf_dir, "documents")
+    words = (docs.select(F.explode(F.expr(
+        "regexp_extract_all(text, '([A-Za-z]+)', 1)")).alias("w"))
+        .select(F.lower("w").alias("w"))
+        .filter(F.length("w") >= 2))
+    tf = words.groupBy("w").agg(F.count("*").alias("r"))
+    return (tf.groupBy("r").agg(F.count("*").alias("n_terms"))
+            .select(F.col("r").alias("freq"), "n_terms"))
+
+
+SQL_TERMS_FREQ_OF_FREQS = """
+WITH words AS (
+  SELECT lower(unnest(regexp_extract_all(text, '[A-Za-z]+'))) AS w
+  FROM documents
+), tf AS (
+  SELECT w, count(*) AS r FROM words WHERE length(w) >= 2 GROUP BY 1
+)
+SELECT r AS freq, count(*) AS n_terms FROM tf GROUP BY 1
+"""
+
+
+_VOCAB_CHECKPOINTS = [16, 64, 256, 1024, 4096, 16384, 65536]
+
+
+def q_vocab_growth(spark, sf_dir):
+    """Heaps-law vocabulary growth curve — distinct vocabulary after
+    the first N documents, at geometric checkpoints (reference scope:
+    none; the dedup/quality diagnostic that tells you whether a crawl
+    is still finding new language or re-crawling itself). "First N
+    docs" is the deterministic doc_id order, so the curve is a pure
+    function of the corpus, not of partitioning.
+
+    Scale: per-term min(doc_id) is ONE map-side-combinable aggregate
+    over the exploded terms; the checkpoint fan-out then explodes a
+    7-element literal array per DISTINCT term (vocabulary-bounded,
+    not corpus-bounded) and re-aggregates on the 7 checkpoint keys.
+    The doc-count side is a 7-row aggregate joined back broadcast.
+    Checkpoints past the corpus end report the full-corpus value —
+    they are kept (not filtered) so the output schema is stable
+    across SFs."""
+    docs = _t(spark, sf_dir, "documents")
+    cps = F.array([F.lit(n) for n in _VOCAB_CHECKPOINTS])
+    words = (docs.select("doc_id", F.explode(F.expr(
+        "regexp_extract_all(text, '([A-Za-z]+)', 1)")).alias("w"))
+        .select("doc_id", F.lower("w").alias("w"))
+        .filter(F.length("w") >= 2))
+    first = words.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
+    vocab = (first.select(F.explode(cps).alias("cp"), "first_doc")
+             .where(F.col("first_doc") < F.col("cp"))
+             .groupBy("cp").agg(F.count("*").alias("vocab")))
+    ndocs = (docs.select(F.explode(cps).alias("cp"), "doc_id")
+             .where(F.col("doc_id") < F.col("cp"))
+             .groupBy("cp").agg(F.count("*").alias("n_docs")))
+    return (ndocs.join(vocab, "cp", "left")
+            .select("cp", "n_docs",
+                    F.coalesce("vocab", F.lit(0).cast("bigint"))
+                    .alias("vocab"))
+            .where(F.col("n_docs") > 0))
+
+
+SQL_VOCAB_GROWTH = """
+WITH cps AS (
+  SELECT unnest([16, 64, 256, 1024, 4096, 16384, 65536]) AS cp
+), words AS (
+  SELECT doc_id, lower(unnest(regexp_extract_all(text, '[A-Za-z]+'))) AS w
+  FROM documents
+), first AS (
+  SELECT w, min(doc_id) AS first_doc FROM words
+  WHERE length(w) >= 2 GROUP BY 1
+), vocab AS (
+  SELECT cp, count(*) AS vocab FROM first JOIN cps ON first_doc < cp
+  GROUP BY 1
+), ndocs AS (
+  SELECT cp, count(*) AS n_docs FROM documents JOIN cps ON doc_id < cp
+  GROUP BY 1
+)
+SELECT n.cp, n.n_docs, coalesce(v.vocab, 0) AS vocab
+FROM ndocs n LEFT JOIN vocab v USING (cp) WHERE n.n_docs > 0
+"""
+
+
+def q_docs_stable_ids(spark, sf_dir):
+    """Dense contiguous id assignment over a total order — the
+    shard-and-sort-free formulation of ROW_NUMBER() OVER (ORDER BY …)
+    (reference scope: none; every training run needs stable example
+    ids). A naive global row_number funnels the whole table through
+    ONE partition; this op instead (1) bands rows by the sort prefix
+    (n_chars DIV 64 — bounded key space), (2) aggregates per-band
+    counts (tiny), (3) computes band offsets with a window over the
+    BAND TABLE (thousands of rows, the only single-partition step),
+    (4) broadcast-joins offsets back and row_numbers WITHIN each band
+    in parallel. id = band_offset + local_rank. At 10^12 rows the
+    heavy data only ever sorts within bands; the single-partition
+    piece is the band directory, not the corpus.
+
+    Oracle: the plain global ROW_NUMBER — certifying the banded
+    decomposition reproduces the exact total order
+    (n_chars DESC, doc_id ASC)."""
+    docs = (_t(spark, sf_dir, "documents")
+            .select("doc_id", "n_chars")
+            .withColumn("band", F.expr("n_chars DIV 64")))
+    band_counts = docs.groupBy("band").agg(F.count("*").alias("n"))
+    w_bands = (Window.orderBy(F.desc("band"))
+               .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = band_counts.withColumn(
+        "offset", F.coalesce(F.sum("n").over(w_bands),
+                             F.lit(0).cast("bigint")))
+    w_in_band = Window.partitionBy("band").orderBy(
+        F.desc("n_chars"), F.asc("doc_id"))
+    return (docs.join(F.broadcast(offsets.select("band", "offset")),
+                      "band")
+            .withColumn("stable_id",
+                        F.col("offset") + F.row_number().over(w_in_band))
+            .select("doc_id", "n_chars", "stable_id"))
+
+
+SQL_DOCS_STABLE_IDS = """
+SELECT doc_id, n_chars,
+       row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS stable_id
+FROM documents
+"""
+
+
 OPS: dict[str, tuple] = {
     # (spark_fn, oracle_sql_or_None)
     "scan_filter_project": (q_scan_filter_project, SQL_SCAN),
@@ -6409,4 +6547,8 @@ OPS: dict[str, tuple] = {
         q_events_interval_merge, SQL_EVENTS_INTERVAL_MERGE),
     "events_resample_daily": (
         q_events_resample_daily, SQL_EVENTS_RESAMPLE_DAILY),
+    "terms_freq_of_freqs": (
+        q_terms_freq_of_freqs, SQL_TERMS_FREQ_OF_FREQS),
+    "vocab_growth": (q_vocab_growth, SQL_VOCAB_GROWTH),
+    "docs_stable_ids": (q_docs_stable_ids, SQL_DOCS_STABLE_IDS),
 }
