@@ -656,6 +656,10 @@ _PARKED_FOR_R8 = [
     "terms_freq_of_freqs",
     "vocab_growth",
     "docs_stable_ids",
+    "events_salted_topk",
+    "referential_integrity_audit",
+    "events_rolling_median",
+    "docs_column_profile",
 ]
 _DRIVER_RECORD_CAP = 50
 

@@ -514,6 +514,35 @@ AUDITS = {
                             "aggregate — never the corpus"),
         ("BroadcastHashJoin", "band offsets broadcast back"),
     ],
+    "events_salted_topk": [
+        ("hashpartitioning(event_type", "phase-2 re-rank shuffles "
+                                        "only the pruned survivors "
+                                        "on the bare key"),
+        ("hashpartitioning(event_type", "phase-1 local rank runs on "
+                                        "(event_type, salt) — the "
+                                        "hot key fans over 16 "
+                                        "slices"),
+        ("WindowGroupLimit", "both rank<=5 filters push down as "
+                             "group-limits"),
+    ],
+    "referential_integrity_audit": [
+        ("LeftAnti", "every FK edge is an anti-join, never a "
+                     "row-multiplying outer join"),
+        ("Union", "one action validates all four edges"),
+        ("CartesianProduct", "never a cartesian", 0),
+    ],
+    "events_rolling_median": [
+        ("Window", "one frame-bounded collect per row — the array is "
+                   "capped at 11 elements BY THE FRAME", 1),
+        ("Exchange", "one user_id shuffle", 1),
+        ("PushedFilters: [IsNotNull(user_id)",
+         "the %5 user decimation reaches the scan"),
+    ],
+    "docs_column_profile": [
+        ("Scan parquet", "all eight statistics come from ONE scan", 1),
+        ("Expand", "count_distinct over multiple columns plans as a "
+                   "single Expand pass, not per-column rescans"),
+    ],
     "customer_lateral_top2": [
         ("WindowGroupLimit", "the per-customer ORDER BY/LIMIT lateral "
                              "decorrelates into a group-limit pushed "

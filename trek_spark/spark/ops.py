@@ -6388,6 +6388,200 @@ FROM documents
 """
 
 
+def q_events_salted_topk(spark, sf_dir):
+    """Two-phase (salted) per-key top-k — the skew-defusing rewrite of
+    "top 5 values per event_type" for when one key owns most of the
+    table (reference scope: none; the pattern every hot-key
+    aggregation at 100 TB needs). Phase 1 ranks within (event_type,
+    salt=event_id % 16) partitions — 16-way parallel even for a key
+    holding 99% of rows — and PRUNES to the local top 5; phase 2
+    re-ranks the ≤ 16×5 survivors per key. Correct because a global
+    top-5 row is necessarily a top-5 row of its salt slice. The
+    second shuffle moves ≤ 80 rows per key regardless of input size.
+
+    Oracle: the single-window global top-k — hash equality certifies
+    the salted decomposition loses nothing. Ties break by event_id
+    (deterministic both phases)."""
+    ev = (_t(spark, sf_dir, "events")
+          .select("event_type", "event_id",
+                  F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+                  .alias("cents"))
+          .withColumn("salt", F.col("event_id") % 16))
+    w_local = Window.partitionBy("event_type", "salt").orderBy(
+        F.desc("cents"), F.asc("event_id"))
+    survivors = (ev.withColumn("lr", F.row_number().over(w_local))
+                 .where(F.col("lr") <= 5))
+    w_global = Window.partitionBy("event_type").orderBy(
+        F.desc("cents"), F.asc("event_id"))
+    return (survivors.withColumn("rank", F.row_number().over(w_global))
+            .where(F.col("rank") <= 5)
+            .select("event_type", "rank", "event_id", "cents"))
+
+
+SQL_EVENTS_SALTED_TOPK = """
+SELECT event_type, rank, event_id, cents FROM (
+  SELECT event_type, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY CAST(floor(value * 100 + 0.5)
+                                          AS BIGINT) DESC,
+                                     event_id ASC) AS rank
+  FROM events
+) WHERE rank <= 5
+"""
+
+
+def q_referential_integrity_audit(spark, sf_dir):
+    """Foreign-key conformance audit across the star schema — orphan
+    counts for the four FK edges a warehouse load would validate
+    (reference scope: none; standard data-quality tooling). Each edge
+    is a LEFT ANTI join (child minus parent key set) collapsed to a
+    count and tagged with the edge name; the four audits union into
+    one 4-row report so a single action validates the whole load.
+
+    Scale: every anti-join is an equi-join on the FK — AQE broadcasts
+    the parent key set while it fits and falls back to shuffled SMJ
+    beyond; the child side projects ONLY the FK column (pruned scan),
+    so each audit reads one column of the child table. Zero rows
+    escape to the driver besides the 4-row report."""
+    def orphans(child, fk, parent, pk, edge):
+        c = _t(spark, sf_dir, child).select(F.col(fk).alias("k"))
+        p = _t(spark, sf_dir, parent).select(F.col(pk).alias("k"))
+        return (c.join(p, "k", "left_anti")
+                .agg(F.count("*").alias("n_orphans"))
+                .select(F.lit(edge).alias("fk_edge"), "n_orphans"))
+
+    edges = [
+        orphans("orders", "o_custkey", "customer", "c_custkey",
+                "orders.o_custkey->customer"),
+        orphans("lineitem", "l_orderkey", "orders", "o_orderkey",
+                "lineitem.l_orderkey->orders"),
+        orphans("customer", "c_nationkey", "nation", "n_nationkey",
+                "customer.c_nationkey->nation"),
+        orphans("supplier", "s_nationkey", "nation", "n_nationkey",
+                "supplier.s_nationkey->nation"),
+    ]
+    out = edges[0]
+    for e in edges[1:]:
+        out = out.unionAll(e)
+    return out
+
+
+SQL_REFERENTIAL_INTEGRITY_AUDIT = """
+SELECT 'orders.o_custkey->customer' AS fk_edge, count(*) AS n_orphans
+FROM orders o WHERE NOT EXISTS
+  (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'lineitem.l_orderkey->orders', count(*)
+FROM lineitem l WHERE NOT EXISTS
+  (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'customer.c_nationkey->nation', count(*)
+FROM customer c WHERE NOT EXISTS
+  (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+UNION ALL
+SELECT 'supplier.s_nationkey->nation', count(*)
+FROM supplier s WHERE NOT EXISTS
+  (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey)
+"""
+
+
+def q_events_rolling_median(spark, sf_dir):
+    """Exact rolling median over a trailing 11-row frame — the robust
+    smoother percentile_approx can't give you per-row (reference
+    scope: none). The frame's values are collected, sorted, and the
+    lower-middle element taken: element_at(sorted, (n+1) DIV 2) —
+    integer-exact for even frames too (no averaging, no floats
+    crossing the oracle). The collected array is bounded at 11
+    elements BY THE FRAME, so this is O(k log k) per row with zero
+    spill risk — the safe shape for windowed order statistics, where
+    an unbounded collect_list would not be.
+
+    Scale: ONE user_id Exchange; the output decimation (event_id % 3)
+    is post-window (the frame needs every row). Users decimated
+    mod 5 at the scan (pushed — valid because the window partitions
+    by user)."""
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("user_id") % 5 == 0)
+          .select("user_id", "event_id",
+                  F.unix_timestamp("ts").alias("s"),
+                  F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+                  .alias("cents")))
+    w = (Window.partitionBy("user_id").orderBy("s", "event_id")
+         .rowsBetween(-10, Window.currentRow))
+    return (ev.withColumn("frame", F.collect_list("cents").over(w))
+            .withColumn("frame", F.array_sort("frame"))
+            .withColumn(
+                "roll_median",
+                F.expr("element_at(frame,"
+                       " CAST((size(frame) + 1) DIV 2 AS INT))"))
+            .where(F.col("event_id") % 3 == 0)
+            .select("user_id", "event_id", "s", "cents", "roll_median"))
+
+
+SQL_EVENTS_ROLLING_MEDIAN = """
+WITH ev AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE user_id % 5 = 0
+), framed AS (
+  SELECT user_id, event_id, s, cents,
+         list_sort(list(cents) OVER (
+           PARTITION BY user_id ORDER BY s, event_id
+           ROWS BETWEEN 10 PRECEDING AND CURRENT ROW)) AS frame
+  FROM ev
+)
+SELECT user_id, event_id, s, cents,
+       frame[(len(frame) + 1) // 2] AS roll_median
+FROM framed WHERE event_id % 3 = 0
+"""
+
+
+def q_docs_column_profile(spark, sf_dir):
+    """Column-level data profile of the documents table — null count
+    and exact distinct cardinality per column, the schema-drift /
+    load-sanity report every ingestion run emits (reference scope:
+    none). ONE aggregate computes all eight statistics in a single
+    scan (count_distinct partial-aggregates per column in the same
+    pass); a literal ``stack`` unpivots the 1×8 result into the
+    4-row (column, n_null, n_distinct) report — no per-column
+    rescans. At 10^12 rows the text column's exact distinct would
+    move too much data; the swap is approx_count_distinct in the
+    same aggregate (documented, not taken — the oracle certifies the
+    exact path)."""
+    d = _t(spark, sf_dir, "documents")
+    agg = d.agg(
+        *[F.sum(F.col(c).isNull().cast("bigint")).alias(f"nn_{c}")
+          for c in ("text", "lang", "source", "n_chars")],
+        *[F.count_distinct(F.col(c)).alias(f"nd_{c}")
+          for c in ("text", "lang", "source", "n_chars")])
+    return agg.select(F.expr(
+        "stack(4, 'text', nn_text, nd_text, 'lang', nn_lang, nd_lang,"
+        " 'source', nn_source, nd_source,"
+        " 'n_chars', nn_n_chars, nd_n_chars)"
+        " AS (column_name, n_null, n_distinct)"))
+
+
+SQL_DOCS_COLUMN_PROFILE = """
+SELECT 'text' AS column_name,
+       CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null,
+       count(DISTINCT text) AS n_distinct FROM documents
+UNION ALL
+SELECT 'lang',
+       CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT lang) FROM documents
+UNION ALL
+SELECT 'source',
+       CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT source) FROM documents
+UNION ALL
+SELECT 'n_chars',
+       CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT n_chars) FROM documents
+"""
+
+
 OPS: dict[str, tuple] = {
     # (spark_fn, oracle_sql_or_None)
     "scan_filter_project": (q_scan_filter_project, SQL_SCAN),
@@ -6551,4 +6745,12 @@ OPS: dict[str, tuple] = {
         q_terms_freq_of_freqs, SQL_TERMS_FREQ_OF_FREQS),
     "vocab_growth": (q_vocab_growth, SQL_VOCAB_GROWTH),
     "docs_stable_ids": (q_docs_stable_ids, SQL_DOCS_STABLE_IDS),
+    "events_salted_topk": (
+        q_events_salted_topk, SQL_EVENTS_SALTED_TOPK),
+    "referential_integrity_audit": (
+        q_referential_integrity_audit, SQL_REFERENTIAL_INTEGRITY_AUDIT),
+    "events_rolling_median": (
+        q_events_rolling_median, SQL_EVENTS_ROLLING_MEDIAN),
+    "docs_column_profile": (
+        q_docs_column_profile, SQL_DOCS_COLUMN_PROFILE),
 }
