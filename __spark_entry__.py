@@ -660,6 +660,9 @@ _PARKED_FOR_R8 = [
     "referential_integrity_audit",
     "events_rolling_median",
     "docs_column_profile",
+    "lineitem_median_histogram",
+    "split_leakage_audit",
+    "events_anomaly_mad",
 ]
 _DRIVER_RECORD_CAP = 50
 

@@ -543,6 +543,30 @@ AUDITS = {
         ("Expand", "count_distinct over multiple columns plans as a "
                    "single Expand pass, not per-column rescans"),
     ],
+    "lineitem_median_histogram": [
+        ("BroadcastHashJoin", "the 6-row bucket directory broadcasts "
+                              "back; pass 2 touches only target-"
+                              "bucket rows"),
+        ("Scan parquet", "two passes = two scans (histogram, then "
+                         "bucket rescan) — never a full-group sort",
+         2),
+    ],
+    "split_leakage_audit": [
+        ("Join Inner", "inherits the near-dup op's bucket-by-content "
+                       "equi-join"),
+        ("CartesianProduct", "never a cartesian", 0),
+        ("HashAggregate", "the split tag is a per-row expression — "
+                          "the audit adds one bounded aggregate, no "
+                          "membership join"),
+    ],
+    "events_anomaly_mad": [
+        ("BroadcastHashJoin", "per-type med and MAD (≤|event_type| "
+                              "rows) broadcast back"),
+        ("WindowGroupLimit", "both rn=(n+1)/2 selections keep the "
+                             "count window (no group-limit: the "
+                             "target rank isn't a constant)", 0),
+        ("CartesianProduct", "never a cartesian", 0),
+    ],
     "customer_lateral_top2": [
         ("WindowGroupLimit", "the per-customer ORDER BY/LIMIT lateral "
                              "decorrelates into a group-limit pushed "

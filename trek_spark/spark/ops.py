@@ -6582,6 +6582,184 @@ SELECT 'n_chars',
 """
 
 
+def q_lineitem_median_histogram(spark, sf_dir):
+    """Exact per-group median by two-pass histogram refinement — the
+    formulation that survives groups too large to sort (reference
+    scope: none; the classic BigQuery/Hive exact-median rewrite).
+    Pass 1 histograms cents into DIV-10000 buckets per
+    (l_returnflag, l_linestatus) — a bounded directory, never the
+    rows. A window over THE DIRECTORY locates the bucket holding the
+    k-th element (k = (n+1) DIV 2, the lower-middle) and how many
+    elements precede it. Pass 2 rescans ONLY the target bucket's rows
+    (broadcast semi-join on the 6-row directory; the bucket predicate
+    prunes everything else) and row_numbers within it — each group
+    sorts ≤ one bucket's rows, not the whole group.
+
+    Oracle: the plain global per-group ROW_NUMBER median — hash
+    equality certifies the two-pass refinement finds the exact same
+    element. lineitem_quantiles is the sort-the-group shape; this is
+    its 10^10-rows-per-group replacement."""
+    li = (_t(spark, sf_dir, "lineitem")
+          .select("l_returnflag", "l_linestatus",
+                  F.expr("CAST(floor(l_extendedprice * 100 + 0.5)"
+                         " AS BIGINT)").alias("cents"))
+          .withColumn("bucket", F.expr("cents DIV 10000")))
+    hist = (li.groupBy("l_returnflag", "l_linestatus", "bucket")
+            .agg(F.count("*").alias("bn")))
+    wg = Window.partitionBy("l_returnflag", "l_linestatus")
+    wcum = wg.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    directory = (hist
+                 .withColumn("n", F.sum("bn").over(wg))
+                 .withColumn("k", F.expr("(n + 1) DIV 2"))
+                 .withColumn("cum", F.sum("bn").over(wcum))
+                 .where((F.col("cum") >= F.col("k"))
+                        & (F.col("cum") - F.col("bn") < F.col("k")))
+                 .select("l_returnflag", "l_linestatus", "bucket",
+                         (F.col("k") - (F.col("cum") - F.col("bn")))
+                         .alias("k_in_bucket")))
+    w_in = wg.orderBy("cents")
+    return (li.join(F.broadcast(directory),
+                    ["l_returnflag", "l_linestatus", "bucket"])
+            .withColumn("rn", F.row_number().over(w_in))
+            .where(F.col("rn") == F.col("k_in_bucket"))
+            .select("l_returnflag", "l_linestatus",
+                    F.col("cents").alias("median_cents")))
+
+
+SQL_LINEITEM_MEDIAN_HISTOGRAM = """
+WITH li AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM lineitem
+), ranked AS (
+  SELECT l_returnflag, l_linestatus, cents,
+         row_number() OVER (PARTITION BY l_returnflag, l_linestatus
+                            ORDER BY cents) AS rn,
+         count(*) OVER (PARTITION BY l_returnflag, l_linestatus) AS n
+  FROM li
+)
+SELECT l_returnflag, l_linestatus, cents AS median_cents
+FROM ranked WHERE rn = (n + 1) // 2
+"""
+
+
+def q_split_leakage_audit(spark, sf_dir):
+    """Train/test contamination audit — near-duplicate document pairs
+    that STRADDLE the dataset split (reference scope: none; the
+    eval-hygiene check every training run needs: a test doc with a
+    train-side near-dup inflates the score). Reuses the capped
+    shingle-join near-dup pairs (dedup_ngram_jaccard, J ≥ 0.5) and
+    attaches each side's split with the SAME deterministic md5-tick
+    expression the split itself uses — a pure per-row expression on
+    the pair, so NO join against a membership table. Pairs aggregate
+    to (split_lo, split_hi, n_pairs); any row with split_lo ≠
+    split_hi is leakage.
+
+    Scale: inherits the near-dup op's bucket-by-content join and
+    hot-shingle cap; the audit adds only two codegen'd expressions
+    and one bounded (≤ 6-key) aggregate on top."""
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir)
+    split_a = F.expr(SPLIT_EXPR.replace("doc_id", "id_a"))
+    split_b = F.expr(SPLIT_EXPR.replace("doc_id", "id_b"))
+    return (pairs
+            .withColumn("split_lo", F.least(split_a, split_b))
+            .withColumn("split_hi", F.greatest(split_a, split_b))
+            .groupBy("split_lo", "split_hi")
+            .agg(F.count("*").alias("n_pairs"),
+                 F.sum((split_a != split_b).cast("bigint"))
+                 .alias("n_cross")))
+
+
+_SPLIT_TICK_SQL = ("CAST('0x' || substr(md5(CAST({id} AS VARCHAR)), 1, 8)"
+                   " AS BIGINT) % 100")
+_SPLIT_CASE_SQL = (f"CASE WHEN {_SPLIT_TICK_SQL} < 80 THEN 'train'"
+                   f" WHEN {_SPLIT_TICK_SQL} < 90 THEN 'val'"
+                   " ELSE 'test' END")
+
+SQL_SPLIT_LEAKAGE_AUDIT = f"""
+WITH jac AS ({{jaccard}}),
+tagged AS (
+  SELECT {_SPLIT_CASE_SQL.format(id='id_a')} AS split_a,
+         {_SPLIT_CASE_SQL.format(id='id_b')} AS split_b
+  FROM jac
+)
+SELECT least(split_a, split_b) AS split_lo,
+       greatest(split_a, split_b) AS split_hi,
+       count(*) AS n_pairs,
+       CAST(sum(CASE WHEN split_a <> split_b THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_cross
+FROM tagged GROUP BY 1, 2
+"""
+
+
+def q_events_anomaly_mad(spark, sf_dir):
+    """Robust outlier detection by median absolute deviation — the
+    heavy-tail-safe alternative to z-scores (events_value_zscores),
+    whose mean and σ a single extreme value drags (reference scope:
+    none). Per event_type: med = lower-middle median of cents, MAD =
+    lower-middle median of |cents − med|, outlier ⇔ dev > 3·MAD —
+    every comparison on exact integers, no scale factor crossing the
+    oracle. The two medians are rn = (n+1) DIV 2 selections joined
+    back broadcast (the per-type medians are a ≤|event_type|-row
+    table). event_type cardinality is bounded; for the giant-group
+    regime swap each median selection for the
+    lineitem_median_histogram two-pass refinement — same selection,
+    no full-group sort."""
+    ev = (_t(spark, sf_dir, "events")
+          .select("event_id", "event_type",
+                  F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+                  .alias("cents")))
+    wt = Window.partitionBy("event_type")
+
+    def lower_middle(df, col, out):
+        w = wt.orderBy(F.col(col), F.col("event_id"))
+        return (df.withColumn("rn", F.row_number().over(w))
+                .withColumn("n", F.count("*").over(wt))
+                .where(F.col("rn") == F.expr("(n + 1) DIV 2"))
+                .select("event_type", F.col(col).alias(out)))
+
+    med = lower_middle(ev, "cents", "med")
+    dev = (ev.join(F.broadcast(med), "event_type")
+           .withColumn("dev", F.abs(F.col("cents") - F.col("med"))))
+    mad = lower_middle(dev, "dev", "mad")
+    return (dev.join(F.broadcast(mad), "event_type")
+            .where(F.col("dev") > 3 * F.col("mad"))
+            .select("event_id", "event_type", "cents", "med", "mad"))
+
+
+SQL_EVENTS_ANOMALY_MAD = """
+WITH ev AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+), med AS (
+  SELECT event_type, cents AS med FROM (
+    SELECT event_type, cents,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY cents, event_id) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM ev
+  ) WHERE rn = (n + 1) // 2
+), dev AS (
+  SELECT ev.event_id, ev.event_type, ev.cents, med.med,
+         abs(ev.cents - med.med) AS dev
+  FROM ev JOIN med USING (event_type)
+), mad AS (
+  SELECT event_type, dev AS mad FROM (
+    SELECT event_type, dev, event_id,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY dev, event_id) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM dev
+  ) WHERE rn = (n + 1) // 2
+)
+SELECT d.event_id, d.event_type, d.cents, d.med, m.mad
+FROM dev d JOIN mad m USING (event_type)
+WHERE d.dev > 3 * m.mad
+"""
+
+
 OPS: dict[str, tuple] = {
     # (spark_fn, oracle_sql_or_None)
     "scan_filter_project": (q_scan_filter_project, SQL_SCAN),
@@ -6753,4 +6931,11 @@ OPS: dict[str, tuple] = {
         q_events_rolling_median, SQL_EVENTS_ROLLING_MEDIAN),
     "docs_column_profile": (
         q_docs_column_profile, SQL_DOCS_COLUMN_PROFILE),
+    "lineitem_median_histogram": (
+        q_lineitem_median_histogram, SQL_LINEITEM_MEDIAN_HISTOGRAM),
+    "split_leakage_audit": (
+        q_split_leakage_audit,
+        SQL_SPLIT_LEAKAGE_AUDIT.format(jaccard=SQL_DEDUP_NGRAM)),
+    "events_anomaly_mad": (
+        q_events_anomaly_mad, SQL_EVENTS_ANOMALY_MAD),
 }
