@@ -663,6 +663,9 @@ _PARKED_FOR_R8 = [
     "lineitem_median_histogram",
     "split_leakage_audit",
     "events_anomaly_mad",
+    "events_changepoint_cusum",
+    "customer_rfm_segments",
+    "basket_part_pairs",
 ]
 _DRIVER_RECORD_CAP = 50
 

@@ -567,6 +567,36 @@ AUDITS = {
                              "target rank isn't a constant)", 0),
         ("CartesianProduct", "never a cartesian", 0),
     ],
+    "events_changepoint_cusum": [
+        ("Exchange", "prefix/total/argmax windows all share ONE "
+                     "user_id shuffle", 1),
+        ("Window", "running sums, whole-partition totals, and the "
+                   "argmax pick are separate passes (plus a "
+                   "WindowGroupLimit prune) — all inside the one "
+                   "shuffle", 4),
+        ("PushedFilters: [IsNotNull(user_id)",
+         "the %7 decimation reaches the scan"),
+    ],
+    "customer_rfm_segments": [
+        ("SinglePartition", "the ntile sort runs over the CUSTOMER "
+                            "AGGREGATE, not the orders (the "
+                            "documented deciles caveat; swap for "
+                            "percentile_approx cutoffs at 10^9 "
+                            "customers)"),
+        ("BroadcastNestedLoopJoin", "the scalar max-day rides as a "
+                                    "broadcast 1-row join"),
+        ("HashAggregate", "per-customer triple partial-aggregates "
+                          "map-side"),
+    ],
+    "basket_part_pairs": [
+        ("HashAggregate", "basket collect + pair counts + part "
+                          "counts all partial-aggregate"),
+        ("CartesianProduct", "pairs explode WITHIN baskets (capped "
+                             "at 200 parts), never across the "
+                             "catalog", 0),
+        ("BroadcastNestedLoopJoin", "the scalar N rides as a "
+                                    "broadcast 1-row join"),
+    ],
     "customer_lateral_top2": [
         ("WindowGroupLimit", "the per-customer ORDER BY/LIMIT lateral "
                              "decorrelates into a group-limit pushed "

@@ -6760,6 +6760,216 @@ WHERE d.dev > 3 * m.mad
 """
 
 
+def q_events_changepoint_cusum(spark, sf_dir):
+    """CUSUM mean-shift changepoint per user — where in each user's
+    event stream the value level most likely changed (reference
+    scope: none; standard drift-detection tooling). The CUSUM
+    statistic at position k is prefix_sum_k − k·mean; multiplying by
+    n clears the division: stat_k = n·prefix_sum_k − k·total_sum,
+    exact bigint end to end (the sqrt-freeze convention's no-float-
+    sums rule). The changepoint is the position maximizing |stat_k|,
+    tie-broken to the earliest position.
+
+    Scale: prefix sum, total, and position all come from ONE user_id
+    window pass; the argmax is a second window over the SAME
+    partitioning (one Exchange total). Users decimated mod 7 at the
+    scan. Users with a single event emit stat 0 at position 1 —
+    kept, schema-stable."""
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("user_id") % 7 == 0)
+          .select("user_id", "event_id",
+                  F.unix_timestamp("ts").alias("s"),
+                  F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+                  .alias("cents")))
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = (Window.partitionBy("user_id")
+            .rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing))
+    scored = (ev
+              .withColumn("k", F.row_number().over(w))
+              .withColumn("prefix", F.sum("cents").over(wrun))
+              .withColumn("n", F.count("*").over(wall))
+              .withColumn("total", F.sum("cents").over(wall))
+              .withColumn("stat", F.abs(
+                  F.col("n") * F.col("prefix")
+                  - F.col("k") * F.col("total"))))
+    w_best = Window.partitionBy("user_id").orderBy(
+        F.desc("stat"), F.asc("k"))
+    return (scored.withColumn("pick", F.row_number().over(w_best))
+            .where(F.col("pick") == 1)
+            .select("user_id", F.col("k").alias("change_pos"),
+                    "n", F.col("stat").alias("cusum_stat")))
+
+
+SQL_EVENTS_CHANGEPOINT_CUSUM = """
+WITH ev AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE user_id % 7 = 0
+), scored AS (
+  SELECT user_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY s, event_id)
+           AS k,
+         CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY s, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS prefix,
+         count(*) OVER (PARTITION BY user_id) AS n,
+         CAST(sum(cents) OVER (PARTITION BY user_id) AS BIGINT) AS total
+  FROM ev
+)
+SELECT user_id, k AS change_pos, n,
+       abs(n * prefix - k * total) AS cusum_stat
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY abs(n * prefix - k * total) DESC,
+                                    k ASC) = 1
+"""
+
+
+def q_customer_rfm_segments(spark, sf_dir):
+    """RFM (recency / frequency / monetary) quartile segmentation —
+    the classic customer-analytics coding (reference scope: none).
+    Per customer: R = days between their last order and the corpus
+    max date (smaller is better), F = order count, M = lifetime
+    cents. Each axis is ntile(4)-coded over customers (R ascending so
+    quartile 1 = most recent), and customers aggregate per 3-digit
+    segment code with counts — the output is the segment directory,
+    not the per-customer table.
+
+    Scale: one groupBy(custkey) pass builds the per-customer triple;
+    the three ntiles share ONE single-partition sort over the
+    CUSTOMER AGGREGATE (not the orders), the same documented caveat
+    as customer_value_deciles — at 10^9 customers swap ntile for
+    percentile_approx cutoffs (the deciles_approx precedent). The
+    corpus max date is a scalar broadcast."""
+    o = (_t(spark, sf_dir, "orders")
+         .select("o_custkey",
+                 F.expr("unix_timestamp(o_orderdate) DIV 86400")
+                 .alias("day"),
+                 F.expr("CAST(floor(o_totalprice * 100 + 0.5)"
+                        " AS BIGINT)").alias("cents")))
+    per_cust = (o.groupBy("o_custkey")
+                .agg(F.max("day").alias("last_day"),
+                     F.count("*").alias("freq"),
+                     F.sum("cents").alias("monetary")))
+    max_day = per_cust.agg(F.max("last_day").alias("mx"))
+    scored = (per_cust.join(F.broadcast(max_day))
+              .withColumn("recency",
+                          F.col("mx") - F.col("last_day")))
+    wr = Window.orderBy(F.asc("recency"), F.asc("o_custkey"))
+    wf = Window.orderBy(F.desc("freq"), F.asc("o_custkey"))
+    wm = Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
+    coded = (scored
+             .withColumn("r_q", F.ntile(4).over(wr))
+             .withColumn("f_q", F.ntile(4).over(wf))
+             .withColumn("m_q", F.ntile(4).over(wm)))
+    return (coded.groupBy("r_q", "f_q", "m_q")
+            .agg(F.count("*").alias("n_customers"),
+                 F.sum("monetary").alias("segment_cents")))
+
+
+SQL_CUSTOMER_RFM_SEGMENTS = """
+WITH o AS (
+  SELECT o_custkey,
+         CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS day,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+), per_cust AS (
+  SELECT o_custkey, max(day) AS last_day, count(*) AS freq,
+         CAST(sum(cents) AS BIGINT) AS monetary
+  FROM o GROUP BY 1
+), scored AS (
+  SELECT *, (SELECT max(last_day) FROM per_cust) - last_day AS recency
+  FROM per_cust
+), coded AS (
+  SELECT ntile(4) OVER (ORDER BY recency ASC, o_custkey ASC) AS r_q,
+         ntile(4) OVER (ORDER BY freq DESC, o_custkey ASC) AS f_q,
+         ntile(4) OVER (ORDER BY monetary DESC, o_custkey ASC) AS m_q,
+         monetary
+  FROM scored
+)
+SELECT r_q, f_q, m_q, count(*) AS n_customers,
+       CAST(sum(monetary) AS BIGINT) AS segment_cents
+FROM coded GROUP BY 1, 2, 3
+"""
+
+
+_BASKET_ORDER_CAP = 200
+
+
+def q_basket_part_pairs(spark, sf_dir):
+    """Market-basket co-occurrence — part pairs ordered together,
+    with support and integer-frozen lift (reference scope: none; the
+    association-rules first pass). The join key is the ORDER (pairs
+    explode within a basket, never across the catalog), with the
+    same hot-key discipline as the dedup family: baskets larger than
+    200 distinct parts are dropped BEFORE pair expansion (a single
+    10^5-item wholesale order would otherwise expand to 5·10^9
+    pairs); the cap is far above any test-corpus basket so the
+    oracle sees identical results. lift_e4 =
+    10000·N·cooc DIV (cnt_a·cnt_b) — exact integers, >10000 means
+    positively associated. Pairs below support 2 are pruned (noise
+    and output volume)."""
+    li = (_t(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct())
+    sized = (li.groupBy("l_orderkey")
+             .agg(F.sort_array(F.collect_list("l_partkey"))
+                  .alias("parts"))
+             .where(F.size("parts") <= _BASKET_ORDER_CAP)
+             .where(F.size("parts") >= 2))
+    pairs = sized.select(F.explode(F.expr(
+        "flatten(transform(sequence(1, size(parts) - 1),"
+        " i -> transform(sequence(0, i - 1),"
+        " j -> struct(parts[j] AS pa, parts[i] AS pb))))"))
+        .alias("p")).select("p.pa", "p.pb")
+    cooc = (pairs.groupBy("pa", "pb")
+            .agg(F.count("*").alias("support"))
+            .where(F.col("support") >= 2))
+    counts = (li.groupBy("l_partkey")
+              .agg(F.count_distinct("l_orderkey").alias("cnt")))
+    # scalar N rides the plan as a broadcast 1-row aggregate — no
+    # driver-side action at plan-construction time
+    n_orders = li.agg(
+        F.count_distinct("l_orderkey").alias("n_orders"))
+    ca = counts.select(F.col("l_partkey").alias("pa"),
+                       F.col("cnt").alias("cnt_a"))
+    cb = counts.select(F.col("l_partkey").alias("pb"),
+                       F.col("cnt").alias("cnt_b"))
+    return (cooc.join(ca, "pa").join(cb, "pb")
+            .join(F.broadcast(n_orders))
+            .select("pa", "pb", "support",
+                    F.expr("(10000 * n_orders * support)"
+                           " DIV (cnt_a * cnt_b)").alias("lift_e4")))
+
+
+SQL_BASKET_PART_PAIRS = f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), sized AS (
+  SELECT l_orderkey, count(*) AS sz FROM li GROUP BY 1
+  HAVING count(*) BETWEEN 2 AND {_BASKET_ORDER_CAP}
+), pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+  JOIN sized s ON a.l_orderkey = s.l_orderkey
+), cooc AS (
+  SELECT pa, pb, count(*) AS support FROM pairs GROUP BY 1, 2
+  HAVING count(*) >= 2
+), counts AS (
+  SELECT l_partkey, count(DISTINCT l_orderkey) AS cnt FROM li GROUP BY 1
+), n AS (
+  SELECT count(DISTINCT l_orderkey) AS n_orders FROM li
+)
+SELECT pa, pb, support,
+       (10000 * n.n_orders * support) // (ca.cnt * cb.cnt) AS lift_e4
+FROM cooc, n
+JOIN counts ca ON ca.l_partkey = pa
+JOIN counts cb ON cb.l_partkey = pb
+"""
+
+
 OPS: dict[str, tuple] = {
     # (spark_fn, oracle_sql_or_None)
     "scan_filter_project": (q_scan_filter_project, SQL_SCAN),
@@ -6938,4 +7148,10 @@ OPS: dict[str, tuple] = {
         SQL_SPLIT_LEAKAGE_AUDIT.format(jaccard=SQL_DEDUP_NGRAM)),
     "events_anomaly_mad": (
         q_events_anomaly_mad, SQL_EVENTS_ANOMALY_MAD),
+    "events_changepoint_cusum": (
+        q_events_changepoint_cusum, SQL_EVENTS_CHANGEPOINT_CUSUM),
+    "customer_rfm_segments": (
+        q_customer_rfm_segments, SQL_CUSTOMER_RFM_SEGMENTS),
+    "basket_part_pairs": (
+        q_basket_part_pairs, SQL_BASKET_PART_PAIRS),
 }
