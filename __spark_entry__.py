@@ -666,6 +666,9 @@ _PARKED_FOR_R8 = [
     "events_changepoint_cusum",
     "customer_rfm_segments",
     "basket_part_pairs",
+    "orders_mom_yoy",
+    "orders_pareto_cume",
+    "terms_continuation_counts",
 ]
 _DRIVER_RECORD_CAP = 50
 

@@ -597,6 +597,26 @@ AUDITS = {
         ("BroadcastNestedLoopJoin", "the scalar N rides as a "
                                     "broadcast 1-row join"),
     ],
+    "orders_mom_yoy": [
+        ("HashAggregate", "monthly totals partial-aggregate before "
+                          "the shuffle"),
+        ("Window", "MoM lag over the month series + YoY lag "
+                   "partitioned by month-of-year — both over the "
+                   "bounded month DIRECTORY", 2),
+    ],
+    "orders_pareto_cume": [
+        ("SinglePartition", "the global rank sorts the CUSTOMER "
+                            "AGGREGATE, not the orders (documented "
+                            "approx swap at 10^9 customers)"),
+        ("BroadcastNestedLoopJoin", "the corpus total rides as a "
+                                    "broadcast 1-row join"),
+    ],
+    "terms_continuation_counts": [
+        ("HashAggregate", "distinct bigrams, continuation counts, "
+                          "and raw counts all partial-aggregate"),
+        ("CartesianProduct", "bigrams come from a per-doc array "
+                             "transform, never a self-join", 0),
+    ],
     "customer_lateral_top2": [
         ("WindowGroupLimit", "the per-customer ORDER BY/LIMIT lateral "
                              "decorrelates into a group-limit pushed "

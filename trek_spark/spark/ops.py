@@ -6970,6 +6970,194 @@ JOIN counts cb ON cb.l_partkey = pb
 """
 
 
+def q_orders_mom_yoy(spark, sf_dir):
+    """Month-over-month and year-over-year revenue deltas — the
+    reporting staple (reference scope: none). Orders aggregate to
+    (year, month) cents totals; MoM is lag(1) over the month series,
+    YoY is lag(1) over the SAME month across years (partition by
+    month-of-year). Deltas stay NULL-free with a -1 sentinel when no
+    prior period exists? No — here absolute deltas against 0 would
+    lie; missing priors surface as prev = -1 and delta computed only
+    when prev >= 0 (CASE-guarded, portable — no NULL-ordering in the
+    compare).
+
+    Scale: the month directory is bounded (12 rows per year of
+    history), so both windows run over an AGGREGATE, and the
+    single-partition month-series sort is the directory, never the
+    orders. One shuffle for the aggregate; everything after is
+    directory-sized."""
+    o = (_t(spark, sf_dir, "orders")
+         .select(F.year("o_orderdate").alias("y"),
+                 F.month("o_orderdate").alias("m"),
+                 F.expr("CAST(floor(o_totalprice * 100 + 0.5)"
+                        " AS BIGINT)").alias("cents")))
+    monthly = o.groupBy("y", "m").agg(F.sum("cents").alias("revenue"))
+    w_mom = Window.orderBy("y", "m")
+    w_yoy = Window.partitionBy("m").orderBy("y")
+    lagged = (monthly
+              .withColumn("prev_m",
+                          F.coalesce(F.lag("revenue").over(w_mom),
+                                     F.lit(-1).cast("bigint")))
+              .withColumn("prev_y",
+                          F.coalesce(F.lag("revenue").over(w_yoy),
+                                     F.lit(-1).cast("bigint"))))
+    return lagged.select(
+        "y", "m", "revenue",
+        F.when(F.col("prev_m") >= 0,
+               F.col("revenue") - F.col("prev_m"))
+        .otherwise(F.lit(0).cast("bigint")).alias("mom_delta"),
+        F.when(F.col("prev_y") >= 0,
+               F.col("revenue") - F.col("prev_y"))
+        .otherwise(F.lit(0).cast("bigint")).alias("yoy_delta"),
+        (F.col("prev_m") >= 0).cast("bigint").alias("has_mom"),
+        (F.col("prev_y") >= 0).cast("bigint").alias("has_yoy"))
+
+
+SQL_ORDERS_MOM_YOY = """
+WITH monthly AS (
+  SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS revenue
+  FROM orders GROUP BY 1, 2
+), lagged AS (
+  SELECT y, m, revenue,
+         coalesce(lag(revenue) OVER (ORDER BY y, m), -1) AS prev_m,
+         coalesce(lag(revenue) OVER (PARTITION BY m ORDER BY y), -1)
+           AS prev_y
+  FROM monthly
+)
+SELECT y, m, revenue,
+       CASE WHEN prev_m >= 0 THEN revenue - prev_m ELSE 0 END
+         AS mom_delta,
+       CASE WHEN prev_y >= 0 THEN revenue - prev_y ELSE 0 END
+         AS yoy_delta,
+       CAST(CASE WHEN prev_m >= 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS has_mom,
+       CAST(CASE WHEN prev_y >= 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS has_yoy
+FROM lagged
+"""
+
+
+def q_orders_pareto_cume(spark, sf_dir):
+    """Pareto / contribution analysis — customers ranked by revenue
+    with cumulative share, flagging the head that drives 80% of
+    revenue (reference scope: none; the 80/20 report). Shares are
+    integer-frozen: share_e4 = 10000·cents DIV total, cume_share_e4
+    from the running sum — no float division crosses the oracle. The
+    head flag uses the PREVIOUS row's cumulative (strictly-before
+    mass < 80%), so the customer that crosses the threshold is
+    included, which is the standard Pareto cut.
+
+    Scale: per-customer totals are one shuffle; the ranking window
+    is a global sort over the CUSTOMER AGGREGATE (the deciles
+    caveat, documented swap to approx cutoffs at 10^9 customers);
+    the corpus total rides as a broadcast 1-row aggregate. Output
+    decimated to every 7th rank plus all head-boundary rows."""
+    o = (_t(spark, sf_dir, "orders")
+         .select("o_custkey",
+                 F.expr("CAST(floor(o_totalprice * 100 + 0.5)"
+                        " AS BIGINT)").alias("cents")))
+    per_cust = o.groupBy("o_custkey").agg(F.sum("cents").alias("rev"))
+    total = per_cust.agg(F.sum("rev").alias("total"))
+    w = Window.orderBy(F.desc("rev"), F.asc("o_custkey"))
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = (per_cust.join(F.broadcast(total))
+              .withColumn("rank", F.row_number().over(w))
+              .withColumn("cume", F.sum("rev").over(wrun))
+              .withColumn("share_e4",
+                          F.expr("(10000 * rev) DIV total"))
+              .withColumn("cume_share_e4",
+                          F.expr("(10000 * cume) DIV total"))
+              .withColumn("in_head",
+                          F.expr("CAST(10 * (cume - rev) < 8 * total"
+                                 " AS BIGINT)")))
+    return (ranked
+            .where((F.col("rank") % 7 == 1)
+                   | (F.col("cume_share_e4") >= 7500)
+                   & (F.expr("10 * (cume - rev) < 8 * total")))
+            .select("rank", "o_custkey", "rev", "share_e4",
+                    "cume_share_e4", "in_head"))
+
+
+SQL_ORDERS_PARETO_CUME = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS rev
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT o_custkey, rev,
+         row_number() OVER (ORDER BY rev DESC, o_custkey ASC) AS rank,
+         CAST(sum(rev) OVER (ORDER BY rev DESC, o_custkey ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS cume,
+         (SELECT CAST(sum(rev) AS BIGINT) FROM per_cust) AS total
+  FROM per_cust
+)
+SELECT rank, o_custkey, rev,
+       (10000 * rev) // total AS share_e4,
+       (10000 * cume) // total AS cume_share_e4,
+       CAST(10 * (cume - rev) < 8 * total AS BIGINT) AS in_head
+FROM ranked
+WHERE rank % 7 = 1
+   OR ((10000 * cume) // total >= 7500
+       AND 10 * (cume - rev) < 8 * total)
+"""
+
+
+def q_terms_continuation_counts(spark, sf_dir):
+    """Kneser–Ney continuation statistics — for each word, how many
+    DISTINCT left contexts it follows (the KN lower-order weight
+    N1+(•w)), alongside its raw frequency (reference scope: none;
+    n-gram LM training input). The contrast is the point: "francisco"
+    is frequent but follows almost only "san" — continuation counts
+    expose that, raw counts don't. Tokenization is the BPE-convention
+    ASCII alphabet; bigrams come from each doc's word array via a
+    zip-with-next transform (no self-join).
+
+    Scale: distinct (w1, w2) bigram pairs partial-aggregate map-side;
+    the continuation count is then a bounded-vocabulary aggregate on
+    w2. Output pruned to words with raw frequency ≥ 5 (noise and
+    volume; same gate both engines)."""
+    docs = _t(spark, sf_dir, "documents")
+    # size >= 2 guard: Spark sequence(1, n) DESCENDS for n < 1 (the
+    # dedup_shingle_novelty gotcha) — short docs must not reach it
+    words = (docs.select(F.expr(
+        "regexp_extract_all(lower(text), '([a-z]+)', 1)").alias("ws"))
+        .where(F.size("ws") >= 2))
+    bigrams = (words.select(F.explode(F.expr(
+        "transform(sequence(1, size(ws) - 1),"
+        " i -> struct(ws[i - 1] AS w1, ws[i] AS w2))")).alias("b"))
+        .select("b.w1", "b.w2"))
+    cont = (bigrams.distinct()
+            .groupBy("w2").agg(F.count("*").alias("n_contexts")))
+    freq = (bigrams.groupBy("w2").agg(F.count("*").alias("raw_freq")))
+    return (freq.join(cont, "w2")
+            .where(F.col("raw_freq") >= 5)
+            .select(F.col("w2").alias("word"), "raw_freq",
+                    "n_contexts"))
+
+
+SQL_TERMS_CONTINUATION_COUNTS = """
+WITH ws AS (
+  SELECT regexp_extract_all(lower(text), '[a-z]+') AS w FROM documents
+), bigrams AS (
+  SELECT w[i] AS w1, w[i + 1] AS w2
+  FROM ws, UNNEST(range(1, len(w))) AS t(i)
+), cont AS (
+  SELECT w2, count(*) AS n_contexts FROM (
+    SELECT DISTINCT w1, w2 FROM bigrams
+  ) GROUP BY 1
+), freq AS (
+  SELECT w2, count(*) AS raw_freq FROM bigrams GROUP BY 1
+)
+SELECT freq.w2 AS word, raw_freq, n_contexts
+FROM freq JOIN cont USING (w2)
+WHERE raw_freq >= 5
+"""
+
+
 OPS: dict[str, tuple] = {
     # (spark_fn, oracle_sql_or_None)
     "scan_filter_project": (q_scan_filter_project, SQL_SCAN),
@@ -7154,4 +7342,9 @@ OPS: dict[str, tuple] = {
         q_customer_rfm_segments, SQL_CUSTOMER_RFM_SEGMENTS),
     "basket_part_pairs": (
         q_basket_part_pairs, SQL_BASKET_PART_PAIRS),
+    "orders_mom_yoy": (q_orders_mom_yoy, SQL_ORDERS_MOM_YOY),
+    "orders_pareto_cume": (
+        q_orders_pareto_cume, SQL_ORDERS_PARETO_CUME),
+    "terms_continuation_counts": (
+        q_terms_continuation_counts, SQL_TERMS_CONTINUATION_COUNTS),
 }
