@@ -669,6 +669,16 @@ _PARKED_FOR_R8 = [
     "orders_mom_yoy",
     "orders_pareto_cume",
     "terms_continuation_counts",
+    "tpch_volume_shipping",
+    "tpch_market_share",
+    "tpch_profit_by_nation",
+    "tpch_promo_revenue",
+    "tpch_top_supplier",
+    "tpch_small_qty_revenue",
+    "tpch_large_orders",
+    "tpch_disjunctive_join",
+    "tpch_sole_failure_suppliers",
+    "tpch_inactive_premium_customers",
 ]
 _DRIVER_RECORD_CAP = 50
 

@@ -626,6 +626,44 @@ AUDITS = {
                                     "key", 0),
         ("CartesianProduct", "never a cartesian", 0),
     ],
+    "tpch_volume_shipping": [
+        ("BroadcastHashJoin", "all four dims broadcast; only the "
+                              "lineitem-orders edge can shuffle"),
+        ("PushedFilters: [IsNotNull(l_shipdate)",
+         "the two-year ship window reaches the lineitem scan"),
+        ("CartesianProduct", "the nation-pair disjunction stays a "
+                             "residual, never degrades the join", 0),
+    ],
+    "tpch_disjunctive_join": [
+        ("BroadcastHashJoin", "Q19's OR-of-ANDs still plans as a hash "
+                              "join on l_partkey = p_partkey with the "
+                              "disjunction as residual"),
+        ("BroadcastNestedLoopJoin", "not a nested-loop", 0),
+        ("CartesianProduct", "not a cartesian", 0),
+    ],
+    "tpch_top_supplier": [
+        ("BroadcastHashJoin", "the one-row max joins back by broadcast "
+                              "— no driver collect for the scalar"),
+        ("PushedFilters: [IsNotNull(l_shipdate)",
+         "quarter window pushed to the scan"),
+    ],
+    "tpch_sole_failure_suppliers": [
+        ("LeftSemi", "EXISTS(other supplier) is a semi-join"),
+        ("LeftAnti", "NOT EXISTS(other returner) is an anti-join"),
+        ("CartesianProduct", "the suppkey inequality rides the "
+                             "orderkey equi-join as residual", 0),
+    ],
+    "tpch_small_qty_revenue": [
+        ("PushedFilters: [IsNotNull(p_brand), EqualTo(p_brand",
+         "brand filter reaches the part scan"),
+        ("BroadcastHashJoin", "filtered part dim broadcasts"),
+    ],
+    "tpch_inactive_premium_customers": [
+        ("LeftAnti", "no-recent-orders is an anti-join, not a "
+                     "correlated re-scan"),
+        ("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate",
+         "the recency cutoff reaches the orders scan"),
+    ],
 }
 
 

@@ -7158,6 +7158,484 @@ WHERE raw_freq >= 5
 """
 
 
+# --------------------------------------------------------------------------
+# Canonical TPC-H heavyweights, adapted to the available columns
+# (no partsupp table, no commit/receipt dates — substitutions documented
+# per-op). These exercise the relational shapes the suite lacked:
+# 6-way join trees with disjunctive residuals, double-correlated
+# EXISTS/NOT-EXISTS, scalar-max subqueries over aggregates, and
+# market-share ratio queries — all with exact-integer emission.
+# --------------------------------------------------------------------------
+
+_CENTS_P = "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+_DISC_E4 = (
+    "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+    " * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))")
+
+
+def q_tpch_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 (volume shipping): revenue between two trading nations
+    by (supplier nation, customer nation, ship year) for 1996–1997.
+    Join tree: lineitem↔orders is the one fact-fact shuffle; supplier,
+    customer, and both nation aliases broadcast. The nation-pair
+    disjunction ((N1→N2) OR (N2→N1)) is applied AFTER both nation
+    names are attached — Catalyst pushes each half to the dim scans.
+    At 100 TB the plan is unchanged: one SMJ/shuffle on l_orderkey,
+    dims stay broadcast."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") <= F.lit("1997-12-31")))
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_3")))
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(F.expr(_DISC_E4)).alias("revenue_e4"))
+    )
+
+
+SQL_TPCH_VOLUME_SHIPPING = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+            AS BIGINT) AS revenue_e4
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+  AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_3'))
+GROUP BY 1, 2, 3
+"""
+
+
+def q_tpch_market_share(spark, sf_dir):
+    """TPC-H Q8 (national market share): of all ECONOMY-type parts sold
+    to ASIA-region customers in 1996–1997, what share of discounted
+    revenue came from NATION_3 suppliers, per order year. The ratio is
+    emitted as the exact integer pair (nation_rev_e4, total_rev_e4)
+    plus a rounded-integer-division share in basis points — never a
+    float sum (module convention). The share CASE runs inside one
+    aggregate pass: no second scan for the numerator."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") <= F.lit("1997-12-31"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat_c = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), "n_regionkey")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat_s = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat_c), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat_s), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(F.expr(
+                f"CASE WHEN supp_nation = 'NATION_3' THEN {_DISC_E4} ELSE 0 END"))
+            .alias("nation_rev_e4"),
+            F.sum(F.expr(_DISC_E4)).alias("total_rev_e4"))
+        .withColumn("share_bp", F.expr(
+            "(2 * nation_rev_e4 * 10000 + total_rev_e4) DIV (2 * total_rev_e4)"))
+    )
+
+
+SQL_TPCH_MARKET_SHARE = """
+WITH sold AS (
+  SELECT year(o_orderdate) AS o_year,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+         * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS rev_e4,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+)
+SELECT o_year,
+       CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev_e4 ELSE 0 END)
+            AS BIGINT) AS nation_rev_e4,
+       CAST(sum(rev_e4) AS BIGINT) AS total_rev_e4,
+       CAST((2 * sum(CASE WHEN supp_nation = 'NATION_3' THEN rev_e4 ELSE 0 END)
+             * 10000 + sum(rev_e4)) // (2 * sum(rev_e4)) AS BIGINT) AS share_bp
+FROM sold GROUP BY 1
+"""
+
+
+def q_tpch_profit_by_nation(spark, sf_dir):
+    """TPC-H Q9 shape (product-type profit), adapted: no partsupp table
+    in this corpus (reference data model lacks it), so profit is the
+    discounted revenue sum — the join tree and grouping are the Q9
+    exercise (part-name LIKE filter, supplier nation, ship year).
+    The p_name filter broadcasts a pre-filtered part dim; lineitem
+    never scans parts that fail the LIKE."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("widget")).select("p_partkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(F.expr(_DISC_E4)).alias("profit_e4"),
+             F.count("*").alias("line_cnt"))
+    )
+
+
+SQL_TPCH_PROFIT_BY_NATION = """
+SELECT n_name AS nation, year(l_shipdate) AS l_year,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+            AS BIGINT) AS profit_e4,
+       count(*) AS line_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY 1, 2
+"""
+
+
+def q_tpch_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 (promotion effect): per ship month, discounted revenue
+    from PROMO-type parts vs all parts, share in basis points. Exact
+    integers throughout; the promo flag is resolved by a broadcast
+    part join and the CASE folds into one aggregate pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.sum(F.expr(
+                f"CASE WHEN p_type = 'PROMO' THEN {_DISC_E4} ELSE 0 END"))
+            .alias("promo_rev_e4"),
+            F.sum(F.expr(_DISC_E4)).alias("total_rev_e4"))
+        .withColumn("promo_bp", F.expr(
+            "(2 * promo_rev_e4 * 10000 + total_rev_e4) DIV (2 * total_rev_e4)"))
+    )
+
+
+SQL_TPCH_PROMO_REVENUE = """
+SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+       CAST(sum(CASE WHEN p_type = 'PROMO' THEN
+                CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+                ELSE 0 END) AS BIGINT) AS promo_rev_e4,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+            AS BIGINT) AS total_rev_e4,
+       CAST((2 * sum(CASE WHEN p_type = 'PROMO' THEN
+                     CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                     * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+                     ELSE 0 END) * 10000
+             + sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                   * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))))
+            // (2 * sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                        * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))))
+            AS BIGINT) AS promo_bp
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+"""
+
+
+def q_tpch_top_supplier(spark, sf_dir):
+    """TPC-H Q15 (top supplier): revenue per supplier over one quarter,
+    return the supplier(s) whose revenue equals the global max — the
+    scalar-max-over-an-aggregate shape (Q15's CREATE VIEW folded into
+    a CTE). The per-supplier aggregate is computed ONCE and reused for
+    both the max and the final filter (same subtree → AQE
+    ReusedExchange, the deciles_approx precedent); the max itself is
+    a broadcast one-row cross join, not a driver collect."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01")))
+    rev = (li.groupBy("l_suppkey")
+           .agg(F.sum(F.expr(_DISC_E4)).alias("total_revenue_e4")))
+    mx = rev.agg(F.max("total_revenue_e4").alias("mx"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue_e4 == mx.mx)
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue_e4")
+    )
+
+
+SQL_TPCH_TOP_SUPPLIER = """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                  * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+              AS BIGINT) AS total_revenue_e4
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-04-01'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, total_revenue_e4
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue_e4 = (SELECT max(total_revenue_e4) FROM rev)
+"""
+
+
+def q_tpch_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 (small-quantity-order revenue): for one brand, the
+    revenue from lines whose quantity is below 20% of that part's
+    average quantity. The correlated AVG subquery is decorrelated by
+    hand into a per-part aggregate joined back (what Catalyst does to
+    the SQL form); the threshold compare is exact-integer —
+    5·qty·cnt < Σqty — so no float average ever materializes.
+    Scale: the brand filter broadcasts; the per-part aggregate and
+    join-back shuffle on p_partkey only for the brand's lines."""
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#13").select("p_partkey")
+    li = (_t(spark, sf_dir, "lineitem")
+          .join(F.broadcast(part),
+                F.col("l_partkey") == F.col("p_partkey"))
+          .select("l_partkey",
+                  F.expr("CAST(floor(l_quantity + 0.5) AS BIGINT)").alias("qty_i"),
+                  F.expr(_CENTS_P).alias("price_c")))
+    per_part = (li.groupBy("l_partkey")
+                .agg(F.sum("qty_i").alias("sum_qty"),
+                     F.count("*").alias("cnt")))
+    return (
+        li.join(per_part, "l_partkey")
+        .filter(F.expr("5 * qty_i * cnt < sum_qty"))
+        .agg(F.sum("price_c").alias("small_qty_revenue_c"),
+             F.count("*").alias("n_lines"))
+    )
+
+
+SQL_TPCH_SMALL_QTY_REVENUE = """
+WITH li AS (
+  SELECT l_partkey,
+         CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty_i,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#13'
+), per_part AS (
+  SELECT l_partkey, sum(qty_i) AS sum_qty, count(*) AS cnt
+  FROM li GROUP BY 1
+)
+SELECT CAST(sum(price_c) AS BIGINT) AS small_qty_revenue_c,
+       count(*) AS n_lines
+FROM li JOIN per_part USING (l_partkey)
+WHERE 5 * qty_i * cnt < sum_qty
+"""
+
+
+def q_tpch_large_orders(spark, sf_dir):
+    """TPC-H Q18 (large-volume customer): orders whose total line
+    quantity exceeds 250 units, with the customer attached. The
+    HAVING-subquery-IN shape decorrelates to: aggregate lineitem on
+    l_orderkey, filter, then join orders + broadcast customer — one
+    shuffle on the fact key. Quantities are integral → bigint sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum(F.expr("CAST(floor(l_quantity + 0.5) AS BIGINT)"))
+                .alias("sum_qty"))
+           .filter(F.col("sum_qty") > 250))
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate",
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+        .alias("o_totalprice_c"))
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                "o_totalprice_c", "sum_qty")
+    )
+
+
+SQL_TPCH_LARGE_ORDERS = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS o_totalprice_c,
+       sq.sum_qty
+FROM (
+  SELECT l_orderkey,
+         CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_qty
+  FROM lineitem GROUP BY 1 HAVING sum_qty > 250
+) sq
+JOIN orders ON sq.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_tpch_disjunctive_join(spark, sf_dir):
+    """TPC-H Q19 (discounted revenue, disjunctive predicate): an
+    OR-of-ANDs residual over three (brand, size range, quantity range)
+    clauses on top of the partkey equi-join. The exercise: Catalyst
+    must still extract l_partkey = p_partkey as the join key and keep
+    the disjunction as a residual filter (a naive planner degrades to
+    a cartesian). part is broadcast, so the whole query is one scan of
+    lineitem with zero shuffles before the final scalar aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    clause = (
+        "((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15"
+        "  AND l_quantity BETWEEN 1 AND 11)"
+        " OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25"
+        "  AND l_quantity BETWEEN 10 AND 20)"
+        " OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35"
+        "  AND l_quantity BETWEEN 20 AND 30))")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(F.expr(clause))
+        .agg(F.sum(F.expr(_DISC_E4)).alias("revenue_e4"),
+             F.count("*").alias("n_lines"))
+    )
+
+
+SQL_TPCH_DISJUNCTIVE_JOIN = """
+SELECT CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+            AS BIGINT) AS revenue_e4,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q_tpch_sole_failure_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who kept orders waiting), adapted:
+    no commit/receipt dates in this corpus, so the "late" flag is
+    l_returnflag = 'R'. For each supplier: count orders where (a) the
+    supplier had a returned line, (b) EXISTS another supplier's line
+    on the same order, and (c) NOT EXISTS a returned line from any
+    other supplier. The double correlation maps to a left-semi then a
+    left-anti join on (orderkey, ≠suppkey) — both shuffles share the
+    l_orderkey partitioning, and AQE broadcasts the probe sides at
+    small SF. Counted at (supplier, order) grain (DISTINCT before the
+    count) so multi-line returns don't double-count."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey",
+                                              "l_returnflag")
+    l1 = (li.filter(F.col("l_returnflag") == "R")
+          .select("l_orderkey", "l_suppkey").distinct())
+    l2 = li.select(F.col("l_orderkey").alias("o2"),
+                   F.col("l_suppkey").alias("s2")).distinct()
+    l3 = (li.filter(F.col("l_returnflag") == "R")
+          .select(F.col("l_orderkey").alias("o3"),
+                  F.col("l_suppkey").alias("s3")).distinct())
+    cand = l1.join(
+        l2, (l1.l_orderkey == l2.o2) & (l1.l_suppkey != l2.s2), "left_semi")
+    sole = cand.join(
+        l3, (cand.l_orderkey == l3.o3) & (cand.l_suppkey != l3.s3),
+        "left_anti")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole.groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_name", "numwait")
+    )
+
+
+SQL_TPCH_SOLE_FAILURE_SUPPLIERS = """
+WITH pairs AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+), returned AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+  WHERE l_returnflag = 'R'
+)
+SELECT s_name, count(*) AS numwait
+FROM returned l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE EXISTS (SELECT 1 FROM pairs l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM returned l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY 1
+"""
+
+
+def q_tpch_inactive_premium_customers(spark, sf_dir):
+    """TPC-H Q22 shape (global sales opportunity), adapted: customers
+    whose account balance exceeds the average POSITIVE balance and who
+    placed no order since 1999 — counted and summed per nation (the
+    corpus has no phone column; nationkey replaces the phone prefix).
+    The above-average gate is exact-integer (bal_c · n_pos > sum_c,
+    strict), computed once and broadcast as a one-row cross join; the
+    no-recent-orders clause is a left-anti join against the date-
+    filtered orders scan (filter pushed to parquet)."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey",
+        F.expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").alias("bal_c"))
+    pos = (cust.filter(F.col("bal_c") > 0)
+           .agg(F.sum("bal_c").alias("sum_c"), F.count("*").alias("n_pos")))
+    recent = (_t(spark, sf_dir, "orders")
+              .filter(F.col("o_orderdate") >= F.lit("1999-01-01"))
+              .select("o_custkey").distinct())
+    return (
+        cust.crossJoin(F.broadcast(pos))
+        .filter(F.expr("bal_c * n_pos > sum_c"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_customers"),
+             F.sum("bal_c").alias("total_bal_c"))
+    )
+
+
+SQL_TPCH_INACTIVE_PREMIUM_CUSTOMERS = """
+WITH cust AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c
+  FROM customer
+), pos AS (
+  SELECT CAST(sum(bal_c) AS BIGINT) AS sum_c, count(*) AS n_pos
+  FROM cust WHERE bal_c > 0
+)
+SELECT c_nationkey, count(*) AS n_customers,
+       CAST(sum(bal_c) AS BIGINT) AS total_bal_c
+FROM cust, pos
+WHERE bal_c * n_pos > sum_c
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= DATE '1999-01-01')
+GROUP BY 1
+"""
+
+
 OPS: dict[str, tuple] = {
     # (spark_fn, oracle_sql_or_None)
     "scan_filter_project": (q_scan_filter_project, SQL_SCAN),
@@ -7347,4 +7825,21 @@ OPS: dict[str, tuple] = {
         q_orders_pareto_cume, SQL_ORDERS_PARETO_CUME),
     "terms_continuation_counts": (
         q_terms_continuation_counts, SQL_TERMS_CONTINUATION_COUNTS),
+    "tpch_volume_shipping": (
+        q_tpch_volume_shipping, SQL_TPCH_VOLUME_SHIPPING),
+    "tpch_market_share": (q_tpch_market_share, SQL_TPCH_MARKET_SHARE),
+    "tpch_profit_by_nation": (
+        q_tpch_profit_by_nation, SQL_TPCH_PROFIT_BY_NATION),
+    "tpch_promo_revenue": (q_tpch_promo_revenue, SQL_TPCH_PROMO_REVENUE),
+    "tpch_top_supplier": (q_tpch_top_supplier, SQL_TPCH_TOP_SUPPLIER),
+    "tpch_small_qty_revenue": (
+        q_tpch_small_qty_revenue, SQL_TPCH_SMALL_QTY_REVENUE),
+    "tpch_large_orders": (q_tpch_large_orders, SQL_TPCH_LARGE_ORDERS),
+    "tpch_disjunctive_join": (
+        q_tpch_disjunctive_join, SQL_TPCH_DISJUNCTIVE_JOIN),
+    "tpch_sole_failure_suppliers": (
+        q_tpch_sole_failure_suppliers, SQL_TPCH_SOLE_FAILURE_SUPPLIERS),
+    "tpch_inactive_premium_customers": (
+        q_tpch_inactive_premium_customers,
+        SQL_TPCH_INACTIVE_PREMIUM_CUSTOMERS),
 }
