@@ -679,6 +679,11 @@ _PARKED_FOR_R8 = [
     "tpch_disjunctive_join",
     "tpch_sole_failure_suppliers",
     "tpch_inactive_premium_customers",
+    "orders_pipe_syntax",
+    "part_collated_brands",
+    "events_ks_drift",
+    "lineitem_benford",
+    "docs_chunks_udtf",
 ]
 _DRIVER_RECORD_CAP = 50
 

@@ -664,6 +664,23 @@ AUDITS = {
         ("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate",
          "the recency cutoff reaches the orders scan"),
     ],
+    "orders_pipe_syntax": [
+        ("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate",
+         "pipe-syntax |> WHERE lowers to the same pushed predicate "
+         "as the classic form — the |> stages don't fence pushdown"),
+        ("HashAggregate", "|> AGGREGATE partial-aggregates map-side"),
+    ],
+    "events_ks_drift": [
+        ("Window", "one ordered cumsum over DISTINCT values only"),
+        ("In(event_type, [click,view])",
+         "the two-slice IN filter reaches the events scan"),
+        ("CartesianProduct", "the totals/max joins are one-row "
+                             "broadcasts, never a real cartesian", 0),
+    ],
+    "lineitem_benford": [
+        ("HashAggregate", "9-key aggregate collapses map-side"),
+        ("Exchange", "exactly one tiny shuffle", 1),
+    ],
 }
 
 

@@ -7636,6 +7636,218 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# Spark-4 SQL surfaces (pipe syntax, collations, Python UDTF) and
+# exact-integer statistical tests — each with an independent-formulation
+# DuckDB oracle (the oracle never uses the Spark-only surface).
+# --------------------------------------------------------------------------
+
+
+def q_orders_pipe_syntax(spark, sf_dir):
+    """Spark 4 SQL *pipe syntax* (`|>`): the same filter → extend →
+    aggregate → having chain a DataFrame expresses, written as a SQL
+    pipeline. The oracle is classic ANSI SQL — proving the pipe form
+    plans to the identical result (Catalyst lowers each |> stage into
+    the same logical operators, so pushdown/partial-agg behavior is
+    unchanged). Reads via parquet.`path` (the grouping-sets
+    precedent: no temp-view session state)."""
+    return spark.sql(f"""
+        FROM parquet.`{sf_dir}/orders.parquet`
+        |> WHERE o_orderdate >= DATE '1997-01-01'
+        |> EXTEND CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c
+        |> AGGREGATE count(*) AS n_orders, sum(price_c) AS revenue_c
+           GROUP BY o_orderpriority
+        |> WHERE n_orders >= 5
+    """)
+
+
+SQL_ORDERS_PIPE_SYNTAX = """
+SELECT o_orderpriority, count(*) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS revenue_c
+FROM orders
+WHERE o_orderdate >= DATE '1997-01-01'
+GROUP BY 1 HAVING count(*) >= 5
+"""
+
+
+def q_part_collated_brands(spark, sf_dir):
+    """Spark 4 *collation* support: group by a UTF8_LCASE-collated
+    key. The case noise is injected deterministically (md5 tick of
+    partkey — even ticks upper-case the brand), then the collated
+    group-by must merge the variants exactly as the oracle's lower()
+    does. Output is lower()ed for cross-engine value stability (which
+    variant a collated group displays is engine-internal)."""
+    part = _t(spark, sf_dir, "part")
+    noisy = part.withColumn("b_noisy", F.expr(
+        "CASE WHEN conv(substring(md5(CAST(p_partkey AS STRING)), 1, 4),"
+        " 16, 10) % 2 = 0 THEN upper(p_brand) ELSE p_brand END"))
+    return (
+        noisy.groupBy(F.expr("collate(b_noisy, 'UTF8_LCASE')").alias("bc"))
+        .agg(F.count("*").alias("n_parts"),
+             F.sum(F.expr("CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)"))
+             .alias("retail_c"))
+        .select(F.lower(F.col("bc")).alias("brand_lc"), "n_parts",
+                "retail_c")
+    )
+
+
+SQL_PART_COLLATED_BRANDS = """
+SELECT lower(CASE WHEN CAST('0x' || substring(
+           md5(CAST(p_partkey AS VARCHAR)), 1, 4) AS BIGINT) % 2 = 0
+           THEN upper(p_brand) ELSE p_brand END) AS brand_lc,
+       count(*) AS n_parts,
+       CAST(sum(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS retail_c
+FROM part GROUP BY 1
+"""
+
+
+def q_events_ks_drift(spark, sf_dir):
+    """Exact two-sample Kolmogorov–Smirnov distance between the value
+    distributions of 'click' and 'view' events — the drift test a
+    training pipeline runs between data slices. Fully integer: values
+    quantize to cents, the CDF gap at each distinct value is
+    |c1·n2 − c2·n1| (common denominator n1·n2 never divides), and the
+    statistic is its max with the smallest attaining value reported.
+    Scale: one groupBy on value_c + one ordered cumsum window + the
+    scalar max joined back by broadcast (same aggregate subtree →
+    AQE ReusedExchange, the top_supplier precedent). The full-sort
+    window is over DISTINCT values (bounded, ≪ event count)."""
+    ev = (_t(spark, sf_dir, "events")
+          .filter(F.col("event_type").isin("click", "view"))
+          .select(F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+                  .alias("value_c"), "event_type"))
+    per_v = (ev.groupBy("value_c")
+             .agg(F.sum(F.expr(
+                     "CASE WHEN event_type = 'click' THEN 1 ELSE 0 END"))
+                  .alias("d1"),
+                  F.sum(F.expr(
+                     "CASE WHEN event_type = 'view' THEN 1 ELSE 0 END"))
+                  .alias("d2")))
+    w = Window.orderBy("value_c").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    cdf = (per_v
+           .withColumn("c1", F.sum("d1").over(w))
+           .withColumn("c2", F.sum("d2").over(w)))
+    tot = cdf.agg(F.max("c1").alias("n1"), F.max("c2").alias("n2"))
+    gaps = (cdf.crossJoin(F.broadcast(tot))
+            .withColumn("gap", F.expr("abs(c1 * n2 - c2 * n1)")))
+    mx = gaps.agg(F.max("gap").alias("ks_num"))
+    return (
+        gaps.join(F.broadcast(mx), gaps.gap == mx.ks_num)
+        .groupBy("n1", "n2", "ks_num")
+        .agg(F.min("value_c").alias("ks_at_value_c"))
+        .select("n1", "n2", "ks_num", "ks_at_value_c")
+    )
+
+
+SQL_EVENTS_KS_DRIFT = """
+WITH per_v AS (
+  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS d1,
+         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS d2
+  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1
+), cdf AS (
+  SELECT value_c,
+         CAST(sum(d1) OVER (ORDER BY value_c
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c1,
+         CAST(sum(d2) OVER (ORDER BY value_c
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c2
+  FROM per_v
+), gaps AS (
+  SELECT value_c, c1, c2,
+         (SELECT max(c1) FROM cdf) AS n1,
+         (SELECT max(c2) FROM cdf) AS n2,
+         abs(c1 * (SELECT max(c2) FROM cdf)
+             - c2 * (SELECT max(c1) FROM cdf)) AS gap
+  FROM cdf
+)
+SELECT n1, n2, CAST(gap AS BIGINT) AS ks_num,
+       CAST(min(value_c) AS BIGINT) AS ks_at_value_c
+FROM gaps WHERE gap = (SELECT max(gap) FROM gaps)
+GROUP BY 1, 2, 3
+"""
+
+
+def q_lineitem_benford(spark, sf_dir):
+    """Benford's-law audit of line prices: observed first-significant-
+    digit counts vs the expected log₁₀(1 + 1/d) share — the classic
+    fabricated-data screen. The expected share is a per-digit CONSTANT
+    (one log10+floor on a small integer literal — identical IEEE in
+    both engines); counts are exact. Single groupBy on a 9-value key:
+    the map-side partial agg reduces everything before one tiny
+    shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select(F.expr(
+            "CAST(substring(CAST(CAST(floor(l_extendedprice) AS BIGINT)"
+            " AS STRING), 1, 1) AS INT)").alias("digit"))
+        .filter(F.col("digit") >= 1)
+        .groupBy("digit")
+        .agg(F.count("*").alias("n"))
+        .withColumn("expected_e6", F.expr(
+            "CAST(floor(log10(1.0 + 1.0 / digit) * 1000000) AS BIGINT)"))
+    )
+
+
+SQL_LINEITEM_BENFORD = """
+SELECT CAST(substring(CAST(CAST(floor(l_extendedprice) AS BIGINT)
+            AS VARCHAR), 1, 1) AS INT) AS digit,
+       count(*) AS n,
+       CAST(floor(log10(1.0 + 1.0 / CAST(substring(CAST(CAST(
+            floor(l_extendedprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT))
+            * 1000000) AS BIGINT) AS expected_e6
+FROM lineitem
+WHERE CAST(substring(CAST(CAST(floor(l_extendedprice) AS BIGINT)
+          AS VARCHAR), 1, 1) AS INT) >= 1
+GROUP BY 1
+"""
+
+
+def q_docs_chunks_udtf(spark, sf_dir):
+    """Python *UDTF* surface (Spark 4): a user-defined table function
+    emitting fixed 10-word chunks per document via LATERAL join —
+    the table-generating API the reference exposes for custom
+    exploders. Deliberately NOT the hot path (dedup_passage_windows
+    is the JVM-side equivalent at scale); this op demonstrates and
+    pins the UDTF API: per-row eval, multi-row yield, LATERAL
+    correlation. The oracle replicates the chunking in pure SQL."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType=("chunk_idx int, n_words int, first_word string,"
+                      " last_word string"))
+    class WordChunks:
+        def eval(self, text: str):
+            import re
+            ws = re.findall(r"[a-z]+", (text or "").lower())
+            for i in range(0, len(ws), 10):
+                chunk = ws[i:i + 10]
+                yield (i // 10, len(chunk), chunk[0], chunk[-1])
+
+    spark.udtf.register("trek_word_chunks", WordChunks)
+    docs = _t(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("_udtf_docs")
+    return spark.sql("""
+        SELECT d.doc_id, c.chunk_idx, c.n_words, c.first_word, c.last_word
+        FROM _udtf_docs d, LATERAL trek_word_chunks(d.text) c
+    """)
+
+
+SQL_DOCS_CHUNKS_UDTF = """
+WITH ws AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w
+  FROM documents
+)
+SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+       CAST(least(10, len(w) - i * 10) AS INT) AS n_words,
+       w[i * 10 + 1] AS first_word,
+       w[least(len(w), i * 10 + 10)] AS last_word
+FROM ws, UNNEST(range((len(w) + 9) // 10)) AS t(i)
+WHERE len(w) > 0
+"""
+
+
 OPS: dict[str, tuple] = {
     # (spark_fn, oracle_sql_or_None)
     "scan_filter_project": (q_scan_filter_project, SQL_SCAN),
@@ -7842,4 +8054,10 @@ OPS: dict[str, tuple] = {
     "tpch_inactive_premium_customers": (
         q_tpch_inactive_premium_customers,
         SQL_TPCH_INACTIVE_PREMIUM_CUSTOMERS),
+    "orders_pipe_syntax": (q_orders_pipe_syntax, SQL_ORDERS_PIPE_SYNTAX),
+    "part_collated_brands": (
+        q_part_collated_brands, SQL_PART_COLLATED_BRANDS),
+    "events_ks_drift": (q_events_ks_drift, SQL_EVENTS_KS_DRIFT),
+    "lineitem_benford": (q_lineitem_benford, SQL_LINEITEM_BENFORD),
+    "docs_chunks_udtf": (q_docs_chunks_udtf, SQL_DOCS_CHUNKS_UDTF),
 }
