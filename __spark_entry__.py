@@ -684,6 +684,10 @@ _PARKED_FOR_R8 = [
     "events_ks_drift",
     "lineitem_benford",
     "docs_chunks_udtf",
+    "events_rank_sum",
+    "events_chi2_independence",
+    "events_null_semantics",
+    "orders_percent_of_total",
 ]
 _DRIVER_RECORD_CAP = 50
 

@@ -681,6 +681,16 @@ AUDITS = {
         ("HashAggregate", "9-key aggregate collapses map-side"),
         ("Exchange", "exactly one tiny shuffle", 1),
     ],
+    "events_rank_sum": [
+        ("Window", "ordered cumsum over DISTINCT values only"),
+        ("In(event_type, [click,view])",
+         "slice filter reaches the events scan"),
+    ],
+    "orders_percent_of_total": [
+        ("BroadcastHashJoin", "customer dim broadcast"),
+        ("Window", "nation total via window, not a second "
+                   "aggregate+join"),
+    ],
 }
 
 

@@ -7848,6 +7848,227 @@ WHERE len(w) > 0
 """
 
 
+# --------------------------------------------------------------------------
+# Statistical-testing completion (rank-sum, chi-square) + semantics
+# parity corners (NULL aggregate rules, window-over-aggregate shares).
+# --------------------------------------------------------------------------
+
+
+def q_events_rank_sum(spark, sf_dir):
+    """Exact Mann–Whitney U (Wilcoxon rank-sum) between 'click' and
+    'view' event values — the nonparametric twin of events_ks_drift.
+    Tie-averaged ranks stay integral by working in DOUBLED rank units:
+    a tie group at value v with cb items before it contributes
+    d_g · (2·cb + cnt + 1) to group g's doubled rank sum, so
+    U2_g = R2_g − n_g·(n_g+1) is exact bigint. The identity
+    U2_click + U2_view = 2·n1·n2 is emitted as a checked column.
+    Scale: one groupBy on distinct values + one ordered cumsum window
+    (distinct values ≪ events), then a single-row aggregate."""
+    ev = (_t(spark, sf_dir, "events")
+          .filter(F.col("event_type").isin("click", "view"))
+          .select(F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+                  .alias("value_c"), "event_type"))
+    per_v = (ev.groupBy("value_c")
+             .agg(F.sum(F.expr(
+                     "CASE WHEN event_type = 'click' THEN 1 ELSE 0 END"))
+                  .alias("d1"),
+                  F.sum(F.expr(
+                     "CASE WHEN event_type = 'view' THEN 1 ELSE 0 END"))
+                  .alias("d2")))
+    w = (Window.orderBy("value_c")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    ranked = (per_v
+              .withColumn("cb", F.coalesce(
+                  F.sum(F.expr("d1 + d2")).over(w), F.lit(0)))
+              .withColumn("r2_1", F.expr("d1 * (2 * cb + d1 + d2 + 1)"))
+              .withColumn("r2_2", F.expr("d2 * (2 * cb + d1 + d2 + 1)")))
+    return (
+        ranked.agg(F.sum("d1").alias("n1"), F.sum("d2").alias("n2"),
+                   F.sum("r2_1").alias("rank2_click"),
+                   F.sum("r2_2").alias("rank2_view"))
+        .withColumn("u2_click", F.expr("rank2_click - n1 * (n1 + 1)"))
+        .withColumn("u2_view", F.expr("rank2_view - n2 * (n2 + 1)"))
+        .withColumn("identity_ok", F.expr(
+            "CAST(u2_click + u2_view = 2 * n1 * n2 AS INT)"))
+        .select("n1", "n2", "u2_click", "u2_view", "identity_ok")
+    )
+
+
+SQL_EVENTS_RANK_SUM = """
+WITH per_v AS (
+  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS d1,
+         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS d2
+  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1
+), ranked AS (
+  SELECT d1, d2,
+         coalesce(sum(d1 + d2) OVER (ORDER BY value_c
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+  FROM per_v
+), tot AS (
+  SELECT CAST(sum(d1) AS BIGINT) AS n1, CAST(sum(d2) AS BIGINT) AS n2,
+         CAST(sum(d1 * (2 * cb + d1 + d2 + 1)) AS BIGINT) AS rank2_click,
+         CAST(sum(d2 * (2 * cb + d1 + d2 + 1)) AS BIGINT) AS rank2_view
+  FROM ranked
+)
+SELECT n1, n2,
+       rank2_click - n1 * (n1 + 1) AS u2_click,
+       rank2_view - n2 * (n2 + 1) AS u2_view,
+       CAST((rank2_click - n1 * (n1 + 1)) + (rank2_view - n2 * (n2 + 1))
+            = 2 * n1 * n2 AS INT) AS identity_ok
+FROM tot
+"""
+
+
+def q_events_chi2_independence(spark, sf_dir):
+    """Chi-square independence test: is event_type independent of the
+    day-of-week? The weekday is portable arithmetic (days since a
+    fixed Monday, mod 7 — no engine dow() convention involved). Each
+    cell's term ((O·N − R·C)² / (N·R·C), scaled ×10⁶) is one
+    IDENTICAL scalar double expression over exact integers, floored
+    to bigint BEFORE the cross-cell sum (the module convention: what
+    must never cross engines is a float SUM, not a deterministic
+    per-row IEEE tree — squaring O·N in pure int64 would overflow
+    under ANSI at ~10⁹ events, the r7 review lesson). Emits dof and
+    the observed cell count alongside chi2_e6."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(datediff(ts, DATE '1970-01-05') % 7 AS INT)")
+        .alias("wd"))
+    cells = ev.groupBy("event_type", "wd").agg(F.count("*").alias("o"))
+    rows = ev.groupBy("event_type").agg(F.count("*").alias("r"))
+    cols = ev.groupBy("wd").agg(F.count("*").alias("c"))
+    n = ev.agg(F.count("*").alias("n"))
+    terms = (cells
+             .join(F.broadcast(rows), "event_type")
+             .join(F.broadcast(cols), "wd")
+             .crossJoin(F.broadcast(n))
+             .withColumn("term_e6", F.expr(
+                 "CAST(floor(CAST(o * n - r * c AS DOUBLE)"
+                 " * CAST(o * n - r * c AS DOUBLE)"
+                 " / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE)"
+                 "    * CAST(c AS DOUBLE)) * 1000000) AS BIGINT)")))
+    return (
+        terms.agg(
+            F.sum("term_e6").alias("chi2_e6"),
+            F.count("*").alias("n_cells"),
+            F.expr("(count(DISTINCT event_type) - 1)"
+                   " * (count(DISTINCT wd) - 1)").alias("dof"))
+    )
+
+
+SQL_EVENTS_CHI2_INDEPENDENCE = """
+WITH ev AS (
+  SELECT event_type,
+         CAST(datediff('day', DATE '1970-01-05', ts) % 7 AS INT) AS wd
+  FROM events
+), cells AS (
+  SELECT event_type, wd, count(*) AS o FROM ev GROUP BY 1, 2
+), rws AS (
+  SELECT event_type, count(*) AS r FROM ev GROUP BY 1
+), cls AS (
+  SELECT wd, count(*) AS c FROM ev GROUP BY 1
+), tot AS (
+  SELECT count(*) AS n FROM ev
+), terms AS (
+  SELECT CAST(floor(CAST(o * n - r * c AS DOUBLE)
+              * CAST(o * n - r * c AS DOUBLE)
+              / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE)
+                 * CAST(c AS DOUBLE)) * 1000000) AS BIGINT) AS term_e6,
+         event_type, wd
+  FROM cells JOIN rws USING (event_type) JOIN cls USING (wd), tot
+)
+SELECT CAST(sum(term_e6) AS BIGINT) AS chi2_e6,
+       count(*) AS n_cells,
+       CAST((count(DISTINCT event_type) - 1)
+            * (count(DISTINCT wd) - 1) AS BIGINT) AS dof
+FROM terms
+"""
+
+
+def q_events_null_semantics(spark, sf_dir):
+    """NULL-semantics parity corner: nulls are INJECTED deterministically
+    (nullif on modular ticks) into both a group key and a measure, then
+    every aggregate whose null rule differs from naive intuition runs
+    over them — count(*) vs count(col), sum/min/max skipping nulls,
+    count(DISTINCT col) ignoring nulls, and the NULL group key forming
+    its own group (identical in Spark and ANSI SQL, but the #1 source
+    of silent drift in hand-rolled engines). A planted-null pytest
+    pins the exact expectations."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.expr("nullif(user_id % 5, 4)").alias("nk"),
+        F.expr("nullif(CAST(floor(value * 100 + 0.5) AS BIGINT) % 10, 0)")
+        .alias("v"))
+    return (
+        ev.groupBy("nk")
+        .agg(F.count("*").alias("n_all"),
+             F.count("v").alias("n_nonnull"),
+             F.sum("v").alias("sum_v"),
+             F.min("v").alias("min_v"),
+             F.max("v").alias("max_v"),
+             F.countDistinct("v").alias("n_distinct"))
+    )
+
+
+SQL_EVENTS_NULL_SEMANTICS = """
+SELECT nullif(user_id % 5, 4) AS nk,
+       count(*) AS n_all,
+       count(nullif(CAST(floor(value * 100 + 0.5) AS BIGINT) % 10, 0))
+           AS n_nonnull,
+       CAST(sum(nullif(CAST(floor(value * 100 + 0.5) AS BIGINT) % 10, 0))
+            AS BIGINT) AS sum_v,
+       CAST(min(nullif(CAST(floor(value * 100 + 0.5) AS BIGINT) % 10, 0))
+            AS BIGINT) AS min_v,
+       CAST(max(nullif(CAST(floor(value * 100 + 0.5) AS BIGINT) % 10, 0))
+            AS BIGINT) AS max_v,
+       count(DISTINCT nullif(CAST(floor(value * 100 + 0.5) AS BIGINT)
+             % 10, 0)) AS n_distinct
+FROM events GROUP BY 1
+"""
+
+
+def q_orders_percent_of_total(spark, sf_dir):
+    """Window-over-aggregate reporting shape (ratio_to_report): each
+    customer's revenue share of their nation's total, in basis points
+    by rounded integer division. One groupBy shuffle on (nation,
+    customer) + one window on nation reusing the same partitioning
+    prefix (no second exchange at scale since nation ⊂ the group
+    key... Catalyst plans the window on the nation key — the window
+    shuffle is the one unavoidable re-key from (nation, cust) to
+    (nation)). Customer dim broadcasts."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    per_cust = (
+        orders.join(F.broadcast(cust),
+                    orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey", "c_custkey")
+        .agg(F.sum(F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+             .alias("rev_c")))
+    w = Window.partitionBy("c_nationkey")
+    return (
+        per_cust.withColumn("nation_rev_c", F.sum("rev_c").over(w))
+        .withColumn("share_bp", F.expr(
+            "(2 * rev_c * 10000 + nation_rev_c) DIV (2 * nation_rev_c)"))
+        .select("c_nationkey", "c_custkey", "rev_c", "share_bp")
+    )
+
+
+SQL_ORDERS_PERCENT_OF_TOTAL = """
+WITH per_cust AS (
+  SELECT c_nationkey, c_custkey,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS rev_c
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+)
+SELECT c_nationkey, c_custkey, rev_c,
+       CAST((2 * rev_c * 10000 + sum(rev_c) OVER (PARTITION BY c_nationkey))
+            // (2 * sum(rev_c) OVER (PARTITION BY c_nationkey))
+            AS BIGINT) AS share_bp
+FROM per_cust
+"""
+
+
 OPS: dict[str, tuple] = {
     # (spark_fn, oracle_sql_or_None)
     "scan_filter_project": (q_scan_filter_project, SQL_SCAN),
@@ -8060,4 +8281,11 @@ OPS: dict[str, tuple] = {
     "events_ks_drift": (q_events_ks_drift, SQL_EVENTS_KS_DRIFT),
     "lineitem_benford": (q_lineitem_benford, SQL_LINEITEM_BENFORD),
     "docs_chunks_udtf": (q_docs_chunks_udtf, SQL_DOCS_CHUNKS_UDTF),
+    "events_rank_sum": (q_events_rank_sum, SQL_EVENTS_RANK_SUM),
+    "events_chi2_independence": (
+        q_events_chi2_independence, SQL_EVENTS_CHI2_INDEPENDENCE),
+    "events_null_semantics": (
+        q_events_null_semantics, SQL_EVENTS_NULL_SEMANTICS),
+    "orders_percent_of_total": (
+        q_orders_percent_of_total, SQL_ORDERS_PERCENT_OF_TOTAL),
 }
