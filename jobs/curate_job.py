@@ -73,6 +73,11 @@ def main() -> None:
                          "cluster shapes) and PARTITION the output by "
                          "it, so downstream training reads its split "
                          "by directory without a filter scan")
+    ap.add_argument("--pii-redact", action="store_true",
+                    help="scrub emails/IPv4s/phone numbers from the "
+                         "shipped text (fixed email->ip->phone "
+                         "placeholder order; ledger counts docs whose "
+                         "text changed)")
     ap.add_argument("--skip-decontaminate", action="store_true")
     ap.add_argument("--fuzzy-decontaminate", action="store_true",
                     help="ALSO drop docs within 10%% edit distance of a "
@@ -185,6 +190,24 @@ def main() -> None:
             curated = observe(curated.filter(
                 F.col("doc_id") >= O._CONTAM_BENCH_MAX), "decontaminate")
 
+        pii_ob = None
+        if args.pii_redact:
+            # last stage before write: scrub what actually ships (a
+            # redaction before dedup would waste work on rows about to
+            # be dropped). Per-row JVM regexp chain, zero shuffle; the
+            # changed-doc count rides the write as one more Observation
+            # metric — no extra corpus action
+            pii_ob = Observation("curate_pii")
+            curated = (
+                curated
+                .withColumn("_redacted", O.pii_redact_col(F.col("text")))
+                .observe(pii_ob, F.sum(
+                    (F.col("_redacted")
+                     != F.coalesce(F.col("text"), F.lit("")))
+                    .cast("long")).alias("n_changed"))
+                .withColumn("text", F.col("_redacted"))
+                .drop("_redacted"))
+
         if args.split:
             # pure per-row expression (no shuffle); partitionBy routes
             # rows to split directories at write time, so training jobs
@@ -196,6 +219,9 @@ def main() -> None:
             curated.write.mode("overwrite").parquet(
                 f"{args.output}/documents")
 
+        if pii_ob is not None:
+            ledger["pii_docs_redacted"] = int(
+                pii_ob.get["n_changed"] or 0)
         counts = [(name, ob.get["n"]) for name, ob in boundaries]
         ledger["docs_in"] = counts[0][1]
         for (_prev_name, prev_n), (name, n) in zip(counts, counts[1:]):

@@ -613,3 +613,46 @@ def test_curate_job_split_stage(spark, tmp_path_factory):
             str(r.doc_id).encode()).hexdigest()[:8], 16) % 100
         want = "train" if tick < 80 else ("val" if tick < 90 else "test")
         assert r.split == want
+
+
+def test_curate_job_pii_redact_stage(spark, tmp_path_factory):
+    """--pii-redact: planted emails/IPs/phones are scrubbed from the
+    shipped text in the fixed email->ip->phone order, clean docs pass
+    through byte-identical, and the ledger counts exactly the docs
+    whose text changed (via the Observation riding the write)."""
+    import json
+    import sys
+    from unittest import mock
+
+    from jobs import curate_job
+
+    src = str(tmp_path_factory.mktemp("pii_in"))
+    rows = [
+        (0, "reach me at alice@example.com or 10.0.0.1", "en", "srcA", 40),
+        (1, "call +4915712345678 now", "en", "srcA", 23),
+        (2, "perfectly clean text", "en", "srcB", 20),
+        (3, None, "en", "srcB", 0),
+    ]
+    (spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars int")
+     .write.mode("overwrite").parquet(f"{src}/documents.parquet"))
+
+    out = str(tmp_path_factory.mktemp("pii_out"))
+    argv = ["curate_job.py", "--input", src, "--output", out,
+            "--pii-redact", "--skip-quality", "--skip-dedup",
+            "--skip-sample", "--skip-decontaminate"]
+    printed = []
+    with mock.patch.object(sys, "argv", argv), \
+            mock.patch("builtins.print",
+                       side_effect=lambda *a, **k: printed.append(a)):
+        with mock.patch.object(spark, "stop"):
+            curate_job.main()
+    ledger = json.loads(printed[-1][0])
+    assert ledger["pii_docs_redacted"] == 2
+    got = {r.doc_id: r.text
+           for r in spark.read.parquet(f"{out}/documents").collect()}
+    assert got[0] == "reach me at <EMAIL> or <IP>"
+    assert got[1] == "call <PHONE> now"
+    assert got[2] == "perfectly clean text"
+    assert got[3] == ""  # null text coalesces through the redactor

@@ -3217,6 +3217,19 @@ def _pii_injected_col() -> F.Column:
     ).otherwise(F.coalesce(F.col("text"), F.lit("")))
 
 
+def pii_redact_col(col: F.Column) -> F.Column:
+    """Redaction expression shared by the ``pii_redact`` op and the
+    curate_job ``--pii-redact`` stage: placeholders substituted in a
+    FIXED order (email → ip → phone) so overlapping matches resolve
+    identically everywhere. Pure JVM regexp_replace chain — zero
+    shuffle, codegen'd, the 100 TB shape."""
+    red = F.coalesce(col, F.lit(""))
+    for pat, tok in ((_PII_EMAIL, "<EMAIL>"), (_PII_IPV4, "<IP>"),
+                     (_PII_PHONE, "<PHONE>")):
+        red = F.regexp_replace(red, pat, tok)
+    return red
+
+
 def q_pii_redact(spark, sf_dir):
     """PII scrub — the pre-training compliance pass every web-scale corpus
     runs before anything else: detect emails / IPv4 addresses / phone
@@ -3231,10 +3244,7 @@ def q_pii_redact(spark, sf_dir):
     deliberately RE2∩java.util.regex so the DuckDB oracle is exact."""
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", _pii_injected_col().alias("t"))
-    red = F.col("t")
-    for pat, tok in ((_PII_EMAIL, "<EMAIL>"), (_PII_IPV4, "<IP>"),
-                     (_PII_PHONE, "<PHONE>")):
-        red = F.regexp_replace(red, pat, tok)
+    red = pii_redact_col(F.col("t"))
     return d.select(
         "doc_id",
         F.size(F.regexp_extract_all("t", F.lit(_PII_EMAIL), F.lit(0))).alias("n_emails"),
