@@ -688,6 +688,8 @@ _PARKED_FOR_R8 = [
     "events_chi2_independence",
     "events_null_semantics",
     "orders_percent_of_total",
+    "semantic_dedup_medoid",
+    "embedding_label_noise",
 ]
 _DRIVER_RECORD_CAP = 50
 

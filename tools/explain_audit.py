@@ -691,6 +691,18 @@ AUDITS = {
         ("Window", "nation total via window, not a second "
                    "aggregate+join"),
     ],
+    "semantic_dedup_medoid": [
+        ("BroadcastHashJoin", "k medoid rows broadcast back to "
+                              "members"),
+        ("Window", "medoid selection is one window on cell"),
+        ("CartesianProduct", "centroid assignment is a literal map, "
+                             "not a join", 0),
+    ],
+    "embedding_label_noise": [
+        ("Window", "top-3 neighbors via window rank"),
+        ("CartesianProduct", "in-cell self-join is an equi-join on "
+                             "cell", 0),
+    ],
 }
 
 

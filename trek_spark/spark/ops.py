@@ -8079,6 +8079,210 @@ FROM per_cust
 """
 
 
+# --------------------------------------------------------------------------
+# Embedding-space curation: SemDeDup-style semantic dedup and kNN
+# label-noise detection — both reuse the trained-IVF cell machinery
+# (frozen centroid literals, zero-shuffle assignment).
+# --------------------------------------------------------------------------
+
+def _ivf_assigned_with_dist(spark, sf_dir):
+    """embeddings + (cell, d_own): nearest trained centroid and the
+    squared L2 to it — the shared front of both embedding-curation ops.
+    Centroids are plan literals (assign_ivf_cells provenance): pure
+    codegen'd map, no shuffle."""
+    if IVF_KMEANS_CENTROIDS is None:
+        raise RuntimeError("run tools/train_ivf.py to generate "
+                           "trek_spark/spark/ivf_centroids.py")
+    emb = _t(spark, sf_dir, "embeddings")
+    dists = F.array(*[
+        F.expr(
+            "aggregate(zip_with(embedding, array({cs}),"
+            " (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
+            " CAST(0 AS DOUBLE), (s, x) -> s + x)".format(
+                cs=",".join(f"CAST({x!r} AS DOUBLE)" for x in c)))
+        for c in IVF_KMEANS_CENTROIDS])
+    return (emb.withColumn("_dists", dists)
+            .withColumn("cell", F.expr(
+                "CAST(array_position(_dists, array_min(_dists)) AS INT)"))
+            .withColumn("d_own", F.expr("element_at(_dists, cell)"))
+            .drop("_dists"))
+
+
+_SEMDEDUP_COS = 0.92
+
+
+def q_semantic_dedup_medoid(spark, sf_dir):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023 shape):
+    within each trained k-means cell, the member closest to the
+    centroid is the kept representative (medoid proxy); any other
+    member whose cosine to that representative exceeds the threshold
+    is a semantic duplicate and dropped. Emits the full audit table
+    (cell, vec_id, medoid_id, dropped flag).
+
+    Cross-engine determinism: distances/cosines are identical
+    sequential-fold IEEE trees in both engines (the kmeans-assignment
+    precedent) and are only ORDERED/THRESHOLDED, never emitted; ties
+    break on vec_id. Scale: assignment is a zero-shuffle literal map;
+    the medoid window shuffles once on cell; the member↔medoid join
+    broadcasts k rows. At 10⁹ vectors you grow k so cells stay
+    bounded — the same knob as the IVF probe ops."""
+    assigned = _ivf_assigned_with_dist(spark, sf_dir)
+    w = Window.partitionBy("cell").orderBy("d_own", "vec_id")
+    med = (assigned.withColumn("rn", F.row_number().over(w))
+           .filter(F.col("rn") == 1)
+           .select("cell", F.col("vec_id").alias("medoid_id"),
+                   F.col("embedding").alias("mv")))
+    cos = F.expr(
+        "aggregate(zip_with(embedding, mv,"
+        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " CAST(0 AS DOUBLE), (s, x) -> s + x)"
+        " / (sqrt(aggregate(embedding, CAST(0 AS DOUBLE),"
+        "      (s, x) -> s + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+        "    * sqrt(aggregate(mv, CAST(0 AS DOUBLE),"
+        "      (s, x) -> s + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))")
+    return (
+        assigned.join(F.broadcast(med), "cell")
+        .withColumn("dropped",
+                    ((F.col("vec_id") != F.col("medoid_id"))
+                     & (cos > F.lit(_SEMDEDUP_COS))).cast("int"))
+        .select("cell", "vec_id", "medoid_id", "dropped")
+    )
+
+
+def _sql_semantic_dedup_medoid() -> str:
+    if IVF_KMEANS_CENTROIDS is None:
+        return None
+    rows = ",\n    ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            i, ",".join(repr(x) for x in c))
+        for i, c in enumerate(IVF_KMEANS_CENTROIDS, start=1))
+    # cid is 1-based to match Spark's array_position cell ids (this op
+    # EMITS the cell, unlike the IVF probes which only join on it)
+    return f"""
+WITH cent(cid, c) AS (VALUES
+    {rows}
+), dists AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         list_sum(list_transform(range(1, len(e.embedding) + 1),
+            i -> (CAST(e.embedding[i] AS DOUBLE) - c.c[i])
+                 * (CAST(e.embedding[i] AS DOUBLE) - c.c[i]))) AS d
+  FROM embeddings e CROSS JOIN cent c
+), assigned AS (
+  SELECT vec_id, embedding, cid AS cell, d AS d_own
+  FROM dists
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+), med AS (
+  SELECT cell, vec_id AS medoid_id, embedding AS mv
+  FROM assigned
+  QUALIFY row_number() OVER (PARTITION BY cell
+                             ORDER BY d_own, vec_id) = 1
+)
+SELECT a.cell, a.vec_id, m.medoid_id,
+       CAST(a.vec_id != m.medoid_id AND
+            list_sum(list_transform(range(1, len(a.embedding) + 1),
+               i -> CAST(a.embedding[i] AS DOUBLE)
+                    * CAST(m.mv[i] AS DOUBLE)))
+            / (sqrt(list_sum(list_transform(a.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(m.mv,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+            > {_SEMDEDUP_COS} AS INT) AS dropped
+FROM assigned a JOIN med m USING (cell)
+"""
+
+
+def q_embedding_label_noise(spark, sf_dir):
+    """kNN label-noise detection (confident-learning shape): for each
+    vector, its 3 nearest same-cell neighbors vote; a vector none of
+    whose neighbors share its label is flagged as probable label
+    noise — the audit a training pipeline runs before trusting a
+    labeled set. The in-cell self-join is the IVF probe shape
+    (equi-join on cell, work ∝ cell population, cells bounded by
+    growing k at scale). Cosines are ordered, never emitted; ties
+    break on neighbor vec_id."""
+    assigned = _ivf_assigned_with_dist(spark, sf_dir).drop("d_own")
+    other = assigned.select(F.col("cell").alias("cell2"),
+                            F.col("vec_id").alias("nbr_id"),
+                            F.col("embedding").alias("nv"),
+                            F.col("label").alias("nbr_label"))
+    cos = F.expr(
+        "aggregate(zip_with(embedding, nv,"
+        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " CAST(0 AS DOUBLE), (s, x) -> s + x)"
+        " / (sqrt(aggregate(embedding, CAST(0 AS DOUBLE),"
+        "      (s, x) -> s + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+        "    * sqrt(aggregate(nv, CAST(0 AS DOUBLE),"
+        "      (s, x) -> s + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))")
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos"), F.asc("nbr_id"))
+    return (
+        assigned.join(other, (F.col("cell") == F.col("cell2"))
+                      & (F.col("vec_id") != F.col("nbr_id")))
+        .withColumn("cos", cos)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .groupBy("vec_id", "label")
+        .agg(F.count("*").alias("n_neighbors"),
+             F.sum((F.col("nbr_label") == F.col("label")).cast("long"))
+             .alias("n_agree"))
+        .withColumn("flagged", F.expr(
+            "CAST(n_agree = 0 AND n_neighbors > 0 AS INT)"))
+    )
+
+
+SQL_SEMANTIC_DEDUP_MEDOID = _sql_semantic_dedup_medoid()
+
+
+def _sql_embedding_label_noise() -> str:
+    if IVF_KMEANS_CENTROIDS is None:
+        return None
+    rows = ",\n    ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            i, ",".join(repr(x) for x in c))
+        for i, c in enumerate(IVF_KMEANS_CENTROIDS))
+    return f"""
+WITH cent(cid, c) AS (VALUES
+    {rows}
+), dists AS (
+  SELECT e.vec_id, e.embedding, e.label, c.cid,
+         list_sum(list_transform(range(1, len(e.embedding) + 1),
+            i -> (CAST(e.embedding[i] AS DOUBLE) - c.c[i])
+                 * (CAST(e.embedding[i] AS DOUBLE) - c.c[i]))) AS d
+  FROM embeddings e CROSS JOIN cent c
+), assigned AS (
+  SELECT vec_id, embedding, label, cid AS cell
+  FROM dists
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+), knn AS (
+  SELECT a.vec_id, a.label, b.label AS nbr_label,
+         list_sum(list_transform(range(1, len(a.embedding) + 1),
+            i -> CAST(a.embedding[i] AS DOUBLE)
+                 * CAST(b.embedding[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(a.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(b.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos,
+         b.vec_id AS nbr_id
+  FROM assigned a JOIN assigned b
+    ON a.cell = b.cell AND a.vec_id != b.vec_id
+), top3 AS (
+  SELECT vec_id, label, nbr_label
+  FROM knn
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY cos DESC, nbr_id ASC) <= 3
+)
+SELECT vec_id, label, count(*) AS n_neighbors,
+       CAST(sum(CASE WHEN nbr_label = label THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_agree,
+       CAST(sum(CASE WHEN nbr_label = label THEN 1 ELSE 0 END) = 0
+            AND count(*) > 0 AS INT) AS flagged
+FROM top3 GROUP BY 1, 2
+"""
+
+
+SQL_EMBEDDING_LABEL_NOISE = _sql_embedding_label_noise()
+
+
 OPS: dict[str, tuple] = {
     # (spark_fn, oracle_sql_or_None)
     "scan_filter_project": (q_scan_filter_project, SQL_SCAN),
@@ -8298,4 +8502,8 @@ OPS: dict[str, tuple] = {
         q_events_null_semantics, SQL_EVENTS_NULL_SEMANTICS),
     "orders_percent_of_total": (
         q_orders_percent_of_total, SQL_ORDERS_PERCENT_OF_TOTAL),
+    "semantic_dedup_medoid": (
+        q_semantic_dedup_medoid, SQL_SEMANTIC_DEDUP_MEDOID),
+    "embedding_label_noise": (
+        q_embedding_label_noise, SQL_EMBEDDING_LABEL_NOISE),
 }
