@@ -690,6 +690,8 @@ _PARKED_FOR_R8 = [
     "orders_percent_of_total",
     "semantic_dedup_medoid",
     "embedding_label_noise",
+    "terms_kn_bigram_probs",
+    "terms_good_turing",
 ]
 _DRIVER_RECORD_CAP = 50
 

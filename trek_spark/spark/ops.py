@@ -8283,6 +8283,124 @@ FROM top3 GROUP BY 1, 2
 SQL_EMBEDDING_LABEL_NOISE = _sql_embedding_label_noise()
 
 
+# --------------------------------------------------------------------------
+# Exact-rational language-model smoothing: interpolated Kneser–Ney and
+# Good–Turing, both emitted as integer numerator/denominator pairs
+# (discount 0.75 = 3/4 makes every KN term a rational with denominator
+# 4·c(w1)·B — no float ever materializes).
+# --------------------------------------------------------------------------
+
+def q_terms_kn_bigram_probs(spark, sf_dir):
+    """Interpolated Kneser–Ney bigram probabilities with discount
+    D = 3/4, as EXACT RATIONALS: scaling by 4·c(w1)·B turns
+    P_KN(w2|w1) = max(c12−D,0)/c1 + D·N1+(w1•)/c1 · N1+(•w2)/B into
+    num = max(4·c12−3, 0)·B + 3·N1+(w1•)·N1+(•w2), den = 4·c1·B —
+    bigint arithmetic end to end (the continuation-counts op grown
+    into the full smoothed estimator). Output limited to bigrams with
+    c12 ≥ 3 (volume; same gate both engines).
+
+    Scale: bigram counts partial-aggregate map-side; the three side
+    statistics (left-context totals, fan-out, continuation counts) are
+    vocabulary-bounded aggregates joined back on w1/w2; B is a one-row
+    broadcast."""
+    docs = _t(spark, sf_dir, "documents")
+    words = (docs.select(F.expr(
+        "regexp_extract_all(lower(text), '([a-z]+)', 1)").alias("ws"))
+        .where(F.size("ws") >= 2))
+    bigrams = (words.select(F.explode(F.expr(
+        "transform(sequence(1, size(ws) - 1),"
+        " i -> struct(ws[i - 1] AS w1, ws[i] AS w2))")).alias("b"))
+        .select("b.w1", "b.w2"))
+    c12 = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    left = c12.groupBy("w1").agg(
+        F.sum("c12").alias("c1"),
+        F.count("*").alias("fanout"))          # N1+(w1 •)
+    cont = c12.groupBy("w2").agg(
+        F.count("*").alias("cont"))            # N1+(• w2)
+    btot = c12.agg(F.count("*").alias("b_types"))
+    return (
+        c12.join(left, "w1").join(cont, "w2")
+        .crossJoin(F.broadcast(btot))
+        .filter(F.col("c12") >= 3)
+        .select(
+            "w1", "w2", "c12",
+            F.expr("greatest(4 * c12 - 3, 0) * b_types"
+                   " + 3 * fanout * cont").alias("p_num"),
+            F.expr("4 * c1 * b_types").alias("p_den"))
+    )
+
+
+SQL_TERMS_KN_BIGRAM_PROBS = """
+WITH ws AS (
+  SELECT regexp_extract_all(lower(text), '[a-z]+') AS w FROM documents
+), bigrams AS (
+  SELECT w[i] AS w1, w[i + 1] AS w2
+  FROM ws, UNNEST(range(1, len(w))) AS t(i)
+  WHERE len(w) >= 2
+), c12 AS (
+  SELECT w1, w2, count(*) AS c12 FROM bigrams GROUP BY 1, 2
+), lft AS (
+  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, count(*) AS fanout
+  FROM c12 GROUP BY 1
+), cont AS (
+  SELECT w2, count(*) AS cont FROM c12 GROUP BY 1
+), btot AS (
+  SELECT count(*) AS b_types FROM c12
+)
+SELECT w1, w2, c12,
+       CAST(greatest(4 * c12 - 3, 0) * b_types
+            + 3 * fanout * cont AS BIGINT) AS p_num,
+       CAST(4 * c1 * b_types AS BIGINT) AS p_den
+FROM c12 JOIN lft USING (w1) JOIN cont USING (w2), btot
+WHERE c12 >= 3
+"""
+
+
+def q_terms_good_turing(spark, sf_dir):
+    """Good–Turing adjusted counts as exact rationals: for each
+    observed frequency r, the smoothed count r* = (r+1)·N_{r+1}/N_r
+    is emitted as the integer pair (rstar_num, rstar_den) — the
+    freq-of-freqs table joined to itself one step up via a lead
+    window over the (tiny, bounded) frequency directory. Rows where
+    N_{r+1} = 0 (gaps in the frequency spectrum) emit num 0 — the
+    classic GT estimator is undefined there and the 0 makes the gap
+    auditable rather than silently dropped."""
+    docs = _t(spark, sf_dir, "documents")
+    words = (docs.select(F.explode(F.expr(
+        "regexp_extract_all(lower(text), '([a-z]+)', 1)")).alias("w")))
+    freq = words.groupBy("w").agg(F.count("*").alias("r"))
+    nr = freq.groupBy("r").agg(F.count("*").alias("n_r"))
+    w = Window.orderBy("r")
+    return (
+        nr.withColumn("r_next", F.lead("r").over(w))
+        .withColumn("n_next", F.lead("n_r").over(w))
+        .select(
+            "r", "n_r",
+            F.expr("CASE WHEN r_next = r + 1"
+                   " THEN (r + 1) * n_next ELSE 0 END")
+            .alias("rstar_num"),
+            F.col("n_r").alias("rstar_den"))
+    )
+
+
+SQL_TERMS_GOOD_TURING = """
+WITH words AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  FROM documents
+), freq AS (
+  SELECT w, count(*) AS r FROM words GROUP BY 1
+), nr AS (
+  SELECT r, count(*) AS n_r FROM freq GROUP BY 1
+)
+SELECT r, n_r,
+       CAST(CASE WHEN lead(r) OVER (ORDER BY r) = r + 1
+            THEN (r + 1) * lead(n_r) OVER (ORDER BY r)
+            ELSE 0 END AS BIGINT) AS rstar_num,
+       n_r AS rstar_den
+FROM nr
+"""
+
+
 OPS: dict[str, tuple] = {
     # (spark_fn, oracle_sql_or_None)
     "scan_filter_project": (q_scan_filter_project, SQL_SCAN),
@@ -8506,4 +8624,7 @@ OPS: dict[str, tuple] = {
         q_semantic_dedup_medoid, SQL_SEMANTIC_DEDUP_MEDOID),
     "embedding_label_noise": (
         q_embedding_label_noise, SQL_EMBEDDING_LABEL_NOISE),
+    "terms_kn_bigram_probs": (
+        q_terms_kn_bigram_probs, SQL_TERMS_KN_BIGRAM_PROBS),
+    "terms_good_turing": (q_terms_good_turing, SQL_TERMS_GOOD_TURING),
 }
