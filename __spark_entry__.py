@@ -692,6 +692,9 @@ _PARKED_FOR_R8 = [
     "embedding_label_noise",
     "terms_kn_bigram_probs",
     "terms_good_turing",
+    "events_session_window_native",
+    "events_xml_parse",
+    "events_hll_merge",
 ]
 _DRIVER_RECORD_CAP = 50
 

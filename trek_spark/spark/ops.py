@@ -8401,6 +8401,121 @@ FROM nr
 """
 
 
+# --------------------------------------------------------------------------
+# Spark-4 surface batch 2: native batch session_window, from_xml, and
+# the DataSketches HLL two-phase (sketch → union) aggregation shape.
+# --------------------------------------------------------------------------
+
+
+def q_events_session_window_native(spark, sf_dir):
+    """Spark's NATIVE ``session_window`` in batch mode (the streaming
+    session operator applied to a static table), proven equivalent to
+    the classic lag-islands formulation by the oracle. Semantics under
+    test: a session spans [first event ts, last event ts + gap), and
+    an event EXACTLY gap after the last one still EXTENDS the session
+    (Spark merges on diff <= gap; only diff > gap starts a new
+    session — pinned by the boundary pytest, which is how this was
+    discovered: the first oracle guessed strict-< and real data never
+    hit the boundary). One shuffle on user_id."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp("session_window.start").alias("session_start_s"),
+            F.unix_timestamp("session_window.end").alias("session_end_s"),
+            "n_events")
+    )
+
+
+SQL_EVENTS_SESSION_WINDOW_NATIVE = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER (
+                  PARTITION BY user_id ORDER BY ts)) > 1800
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), grouped AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_s,
+       CAST(floor(epoch(max(ts))) + 1800 AS BIGINT) AS session_end_s,
+       count(*) AS n_events
+FROM grouped GROUP BY user_id, sid
+"""
+
+
+def q_events_xml_parse(spark, sf_dir):
+    """``from_xml`` (Spark 4): a deterministic XML envelope synthesized
+    per event is parsed back through the XML reader and aggregated on
+    the PARSED fields — the oracle aggregates the pre-envelope values
+    directly, so any parse drift (entity handling, whitespace, type
+    coercion) flips the hash. Per-row JVM expression, no shuffle
+    before the final aggregate."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.expr(
+            "concat('<e><t>', event_type, '</t><v>',"
+            " CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS STRING),"
+            " '</v></e>')").alias("xml"))
+    parsed = ev.select(
+        F.expr("from_xml(xml, 't STRING, v BIGINT')").alias("p"))
+    return (
+        parsed.groupBy(F.col("p.t").alias("event_type"))
+        .agg(F.count("*").alias("n"),
+             F.sum("p.v").alias("sum_value_c"))
+    )
+
+
+SQL_EVENTS_XML_PARSE = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_value_c
+FROM events GROUP BY 1
+"""
+
+
+def q_events_hll_merge(spark, sf_dir):
+    """DataSketches HLL two-phase aggregation (Spark 4
+    ``hll_sketch_agg`` → ``hll_union_agg``): per-type user sketches
+    are built independently, then MERGED — the shape that lets a
+    100 TB pipeline compute distinct counts per partition/day/source
+    once and re-aggregate them arbitrarily without rescanning. The
+    estimate is sketch-specific, so (cardinality_approx precedent)
+    the oracle verifies the exact global count and the
+    Spark-side-checked error-bound flag; a sketch drifting past 5%
+    flips the flag and fails the hash."""
+    ev = _t(spark, sf_dir, "events")
+    per_type = (ev.groupBy("event_type")
+                .agg(F.expr("hll_sketch_agg(CAST(user_id AS STRING))")
+                     .alias("sk")))
+    merged = per_type.agg(
+        F.expr("CAST(hll_sketch_estimate(hll_union_agg(sk)) AS BIGINT)")
+        .alias("union_estimate"),
+        F.count("*").alias("n_sketches"))
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_users"))
+    return (
+        merged.crossJoin(F.broadcast(exact))
+        .select(
+            "n_sketches", "exact_users",
+            (F.abs(F.col("union_estimate") - F.col("exact_users")) * 20
+             <= F.col("exact_users")).alias("union_within_5pct"))
+    )
+
+
+SQL_EVENTS_HLL_MERGE = """
+SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS n_sketches,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       true AS union_within_5pct
+FROM events
+"""
+
+
 OPS: dict[str, tuple] = {
     # (spark_fn, oracle_sql_or_None)
     "scan_filter_project": (q_scan_filter_project, SQL_SCAN),
@@ -8627,4 +8742,8 @@ OPS: dict[str, tuple] = {
     "terms_kn_bigram_probs": (
         q_terms_kn_bigram_probs, SQL_TERMS_KN_BIGRAM_PROBS),
     "terms_good_turing": (q_terms_good_turing, SQL_TERMS_GOOD_TURING),
+    "events_session_window_native": (
+        q_events_session_window_native, SQL_EVENTS_SESSION_WINDOW_NATIVE),
+    "events_xml_parse": (q_events_xml_parse, SQL_EVENTS_XML_PARSE),
+    "events_hll_merge": (q_events_hll_merge, SQL_EVENTS_HLL_MERGE),
 }
