@@ -695,6 +695,10 @@ _PARKED_FOR_R8 = [
     "events_session_window_native",
     "events_xml_parse",
     "events_hll_merge",
+    "events_median_by_type",
+    "events_transpose",
+    "events_string_agg",
+    "events_try_arithmetic",
 ]
 _DRIVER_RECORD_CAP = 50
 

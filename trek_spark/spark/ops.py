@@ -8516,6 +8516,169 @@ FROM events
 """
 
 
+# --------------------------------------------------------------------------
+# Aggregate-surface completion: built-in exact median (doubled to stay
+# integral), DataFrame.transpose, ordered string aggregation, and
+# ANSI-safe try_* arithmetic.
+# --------------------------------------------------------------------------
+
+
+def q_events_median_by_type(spark, sf_dir):
+    """The built-in ``median()`` aggregate (Spark 3.4+), emitted as
+    2×median so the even-count midpoint interpolation (a+b)/2 stays an
+    exact integer — the one float op is a single IEEE divide undone by
+    the doubling, bit-portable by the module convention. Complements
+    lineitem_median_histogram (the scalable two-pass shape) by pinning
+    the BUILT-IN's semantics against DuckDB's median."""
+    return (
+        _t(spark, sf_dir, "events")
+        .select("event_type",
+                F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+                .alias("value_c"))
+        .groupBy("event_type")
+        .agg(F.expr("CAST(2 * median(value_c) AS BIGINT)")
+             .alias("median2_c"),
+             F.count("*").alias("n"))
+    )
+
+
+SQL_EVENTS_MEDIAN_BY_TYPE = """
+SELECT event_type,
+       CAST(2 * median(CAST(floor(value * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS median2_c,
+       count(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+def q_events_transpose(spark, sf_dir):
+    """``DataFrame.transpose()`` (Spark 4): the per-type metrics matrix
+    flipped so each metric becomes a row and each event_type a column —
+    the report-layout pivot the reference exposes as its summary view.
+    Determinism: the frame is ordered by event_type BEFORE transposing
+    (transpose takes new column names from first-column values in row
+    order), and the metric rows keep their source-column names. The
+    oracle rebuilds the same layout with conditional aggregation."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    agg = (_t(spark, sf_dir, "events")
+           .groupBy("event_type")
+           .agg(F.count("*").alias("n_events"),
+                F.countDistinct("user_id").alias("n_users"))
+           .filter(F.col("event_type").isin(types)))
+    # pin the full type directory: transpose materializes a column per
+    # PRESENT row, so a corpus missing a type would change the schema —
+    # the left join keeps absent types as NULL-metric columns
+    tdir = spark.sql(
+        "SELECT explode(array({})) AS event_type".format(
+            ",".join(f"'{t}'" for t in types)))
+    m = tdir.join(agg, "event_type", "left").orderBy("event_type")
+    t = m.transpose()
+    return t.select(F.col("key").alias("metric"),
+                    *[F.col(c).cast("long").alias(c) for c in types])
+
+
+SQL_EVENTS_TRANSPOSE = """
+SELECT 'n_events' AS metric,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT)
+           AS click,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT)
+           AS error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT)
+           AS purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT)
+           AS signup,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT)
+           AS view
+FROM events
+UNION ALL
+SELECT 'n_users',
+       CAST(nullif(count(DISTINCT CASE WHEN event_type = 'click'
+                 THEN user_id END), 0) AS BIGINT),
+       CAST(nullif(count(DISTINCT CASE WHEN event_type = 'error'
+                 THEN user_id END), 0) AS BIGINT),
+       CAST(nullif(count(DISTINCT CASE WHEN event_type = 'purchase'
+                 THEN user_id END), 0) AS BIGINT),
+       CAST(nullif(count(DISTINCT CASE WHEN event_type = 'signup'
+                 THEN user_id END), 0) AS BIGINT),
+       CAST(nullif(count(DISTINCT CASE WHEN event_type = 'view'
+                 THEN user_id END), 0) AS BIGINT)
+FROM events
+"""
+
+
+def q_events_string_agg(spark, sf_dir):
+    """Ordered string aggregation: the 5 smallest distinct user ids per
+    type joined with commas. Spark composes it from
+    sort_array(collect_list(DISTINCT)) + slice + array_join (the
+    listagg WITHIN GROUP shape — 4.1's listagg doesn't parse here, the
+    composition is the portable spelling); DuckDB uses native
+    string_agg ORDER BY over a ranked subquery. Determinism comes from
+    the explicit sort, never collection order."""
+    ev = (_t(spark, sf_dir, "events")
+          .select("event_type", "user_id").distinct())
+    return (
+        ev.groupBy("event_type")
+        .agg(F.expr(
+            "array_join(slice(sort_array(collect_list(user_id)), 1, 5),"
+            " ',')").alias("first_users"),
+            F.count("*").alias("n_distinct_users"))
+    )
+
+
+SQL_EVENTS_STRING_AGG = """
+WITH d AS (
+  SELECT DISTINCT event_type, user_id FROM events
+), ranked AS (
+  SELECT event_type, user_id,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY user_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n_distinct_users
+  FROM d
+)
+SELECT event_type,
+       string_agg(CASE WHEN rn <= 5 THEN CAST(user_id AS VARCHAR) END,
+                  ',' ORDER BY user_id) AS first_users,
+       any_value(n_distinct_users) AS n_distinct_users
+FROM ranked GROUP BY 1
+"""
+
+
+def q_events_try_arithmetic(spark, sf_dir):
+    """ANSI-safe ``try_*`` arithmetic (Spark 4 runs ANSI mode ON, where
+    plain division by zero THROWS): try_divide/try_mod null out the
+    poison rows instead, and the aggregate skips them — the pattern
+    every production pipeline needs under ANSI. The divisor is made
+    deterministically zero on a slice (value_c % 3); the oracle uses
+    explicit NULLIF guards, proving try_* ≡ guarded SQL."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("v"))
+    return (
+        ev.withColumn("q", F.expr("try_divide(10000, v % 3)"))
+        .withColumn("m", F.expr("try_mod(v, v % 3)"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_all"),
+             F.count("q").alias("n_divisible"),
+             F.sum(F.expr("CAST(floor(q) AS BIGINT)")).alias("sum_q_floor"),
+             F.sum("m").alias("sum_m"))
+    )
+
+
+SQL_EVENTS_TRY_ARITHMETIC = """
+WITH ev AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+  FROM events
+)
+SELECT event_type, count(*) AS n_all,
+       count(10000 / nullif(v % 3, 0)) AS n_divisible,
+       CAST(sum(floor(10000 / nullif(v % 3, 0))) AS BIGINT)
+           AS sum_q_floor,
+       CAST(sum(v % nullif(v % 3, 0)) AS BIGINT) AS sum_m
+FROM ev GROUP BY 1
+"""
+
+
 OPS: dict[str, tuple] = {
     # (spark_fn, oracle_sql_or_None)
     "scan_filter_project": (q_scan_filter_project, SQL_SCAN),
@@ -8746,4 +8909,10 @@ OPS: dict[str, tuple] = {
         q_events_session_window_native, SQL_EVENTS_SESSION_WINDOW_NATIVE),
     "events_xml_parse": (q_events_xml_parse, SQL_EVENTS_XML_PARSE),
     "events_hll_merge": (q_events_hll_merge, SQL_EVENTS_HLL_MERGE),
+    "events_median_by_type": (
+        q_events_median_by_type, SQL_EVENTS_MEDIAN_BY_TYPE),
+    "events_transpose": (q_events_transpose, SQL_EVENTS_TRANSPOSE),
+    "events_string_agg": (q_events_string_agg, SQL_EVENTS_STRING_AGG),
+    "events_try_arithmetic": (
+        q_events_try_arithmetic, SQL_EVENTS_TRY_ARITHMETIC),
 }
