@@ -699,6 +699,8 @@ _PARKED_FOR_R8 = [
     "events_transpose",
     "events_string_agg",
     "events_try_arithmetic",
+    "terms_zipf_slope",
+    "events_linreg_exact",
 ]
 _DRIVER_RECORD_CAP = 50
 

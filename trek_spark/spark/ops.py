@@ -8679,6 +8679,115 @@ FROM ev GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# Exact regression statistics: Zipf slope in integer log2 space and
+# ordinary least squares as exact rationals (with the built-in regr_*
+# aggregates cross-checked via the verified-bound pattern).
+# --------------------------------------------------------------------------
+
+
+def q_terms_zipf_slope(spark, sf_dir):
+    """Zipf's-law fit of the word frequency spectrum: OLS slope of
+    flog2(freq) on flog2(rank), emitted as the exact rational
+    (slope_num, slope_den) = (n·Σxy − Σx·Σy, n·Σx² − (Σx)²). Both
+    coordinates are INTEGER floor-log2 (length(bin(x)) − 1 — the
+    dsir_importance precedent), so every sum is exact bigint and the
+    rational is bit-identical cross-engine; a healthy corpus lands
+    slope ≈ −1. Rank comes from one window over the (vocabulary-
+    bounded) frequency table with freq-then-word tiebreak."""
+    docs = _t(spark, sf_dir, "documents")
+    words = (docs.select(F.explode(F.expr(
+        "regexp_extract_all(lower(text), '([a-z]+)', 1)")).alias("w")))
+    freq = words.groupBy("w").agg(F.count("*").alias("f"))
+    w = Window.orderBy(F.desc("f"), F.asc("w"))
+    pts = (freq.withColumn("r", F.row_number().over(w))
+           .select(F.expr("CAST(length(bin(r)) - 1 AS BIGINT)").alias("x"),
+                   F.expr("CAST(length(bin(f)) - 1 AS BIGINT)").alias("y")))
+    return (
+        pts.agg(F.count("*").alias("n"),
+                F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                F.sum(F.expr("x * y")).alias("sxy"),
+                F.sum(F.expr("x * x")).alias("sxx"))
+        .select(
+            "n",
+            F.expr("n * sxy - sx * sy").alias("slope_num"),
+            F.expr("n * sxx - sx * sx").alias("slope_den"))
+    )
+
+
+SQL_TERMS_ZIPF_SLOPE = """
+WITH words AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  FROM documents
+), freq AS (
+  SELECT w, count(*) AS f FROM words GROUP BY 1
+), pts AS (
+  SELECT CAST(length(bin(row_number() OVER (ORDER BY f DESC, w ASC)))
+              - 1 AS BIGINT) AS x,
+         CAST(length(bin(f)) - 1 AS BIGINT) AS y
+  FROM freq
+)
+SELECT count(*) AS n,
+       CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT)
+           AS slope_num,
+       CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT)
+           AS slope_den
+FROM pts
+"""
+
+
+def q_events_linreg_exact(spark, sf_dir):
+    """Ordinary least squares of event value on time, as exact
+    rationals: x = days since the fixed epoch 1995-01-01 (bounded
+    integers), y = value cents; slope = (n·Σxy − Σx·Σy) /
+    (n·Σx² − (Σx)²) emitted as the bigint pair, intercept likewise
+    over the common denominator n·den. The built-in ``regr_slope``
+    runs alongside and is CHECKED against the rational (|regr −
+    num/den| ≤ 1e-9·|num/den|, the HLL verified-bound pattern) — the
+    float aggregate is engine-specific, the flag is the portable
+    truth. Overflow headroom: n·Σxy stays under 2⁶³ through sf0.1
+    (documented bound; at 10⁹ rows shift to per-partition Welford or
+    DECIMAL(38) sums)."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.expr("CAST(datediff(ts, DATE '1995-01-01') AS BIGINT)")
+        .alias("x"),
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("y"))
+    return (
+        ev.agg(F.count("*").alias("n"),
+               F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+               F.sum(F.expr("x * y")).alias("sxy"),
+               F.sum(F.expr("x * x")).alias("sxx"),
+               F.expr("regr_slope(CAST(y AS DOUBLE), CAST(x AS DOUBLE))")
+               .alias("builtin"))
+        .select(
+            "n",
+            F.expr("n * sxy - sx * sy").alias("slope_num"),
+            F.expr("n * sxx - sx * sx").alias("slope_den"),
+            F.expr(
+                "CAST(abs(builtin - CAST(n * sxy - sx * sy AS DOUBLE)"
+                " / CAST(n * sxx - sx * sx AS DOUBLE))"
+                " <= 1e-9 * abs(CAST(n * sxy - sx * sy AS DOUBLE)"
+                " / CAST(n * sxx - sx * sx AS DOUBLE)) AS INT)")
+            .alias("builtin_agrees"))
+    )
+
+
+SQL_EVENTS_LINREG_EXACT = """
+WITH ev AS (
+  SELECT CAST(datediff('day', DATE '1995-01-01', ts) AS BIGINT) AS x,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+  FROM events
+)
+SELECT count(*) AS n,
+       CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT)
+           AS slope_num,
+       CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT)
+           AS slope_den,
+       1 AS builtin_agrees
+FROM ev
+"""
+
+
 OPS: dict[str, tuple] = {
     # (spark_fn, oracle_sql_or_None)
     "scan_filter_project": (q_scan_filter_project, SQL_SCAN),
@@ -8915,4 +9024,7 @@ OPS: dict[str, tuple] = {
     "events_string_agg": (q_events_string_agg, SQL_EVENTS_STRING_AGG),
     "events_try_arithmetic": (
         q_events_try_arithmetic, SQL_EVENTS_TRY_ARITHMETIC),
+    "terms_zipf_slope": (q_terms_zipf_slope, SQL_TERMS_ZIPF_SLOPE),
+    "events_linreg_exact": (
+        q_events_linreg_exact, SQL_EVENTS_LINREG_EXACT),
 }
