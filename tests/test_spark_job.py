@@ -656,3 +656,53 @@ def test_curate_job_pii_redact_stage(spark, tmp_path_factory):
     assert got[1] == "call <PHONE> now"
     assert got[2] == "perfectly clean text"
     assert got[3] == ""  # null text coalesces through the redactor
+
+
+def test_embed_curate_job_end_to_end(spark, tmp_path_factory):
+    """The embedding-curation pipeline through its spark-submit main():
+    a planted exact duplicate OF A CELL MEDOID must be semantically
+    deduplicated (cos 1.0 > threshold to the kept representative, the
+    original wins the vec_id tiebreak), the label-noise gate drops the
+    flagged set when asked, the output is partitioned by cell, and the
+    ledger deltas reconcile."""
+    import json
+    import os
+    import sys
+    from unittest import mock
+
+    from jobs import embed_curate_job
+    from trek_spark.spark import ops as O
+
+    # pick a real medoid and plant an exact duplicate with a huge vec_id
+    med = (O.OPS["semantic_dedup_medoid"][0](spark, "/root/testdata/sf0.001")
+           .filter("vec_id = medoid_id").limit(1).collect()[0])
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dup = (emb.filter(emb.vec_id == med.vec_id)
+           .withColumn("vec_id", emb.vec_id * 0 + 900000))
+    src = str(tmp_path_factory.mktemp("emb_in"))
+    emb.unionByName(dup).write.mode("overwrite").parquet(
+        f"{src}/embeddings.parquet")
+
+    out = str(tmp_path_factory.mktemp("emb_out"))
+    argv = ["embed_curate_job.py", "--input", src, "--output", out,
+            "--drop-flagged-labels"]
+    printed = []
+    with mock.patch.object(sys, "argv", argv), \
+            mock.patch("builtins.print",
+                       side_effect=lambda *a, **k: printed.append(a)):
+        with mock.patch.object(spark, "stop"):
+            embed_curate_job.main()
+    ledger = json.loads(printed[-1][0])
+    assert ledger["vecs_in"] == 501
+    assert ledger["semdedup_dropped"] >= 1          # the planted dup
+    assert ledger["vecs_out"] == sum(ledger["out_by_cell"].values())
+    assert (ledger["vecs_in"] - ledger["semdedup_dropped"]
+            - ledger["label_noise_dropped"]) == ledger["vecs_out"]
+    # physical layout: hive-style cell= directories (partition pruning)
+    dirs = {d for d in os.listdir(f"{out}/embeddings")
+            if d.startswith("cell=")}
+    assert dirs == {f"cell={c}" for c in ledger["out_by_cell"]}
+    # the planted duplicate is gone, its medoid original survived
+    kept = {r.vec_id for r in
+            spark.read.parquet(f"{out}/embeddings").collect()}
+    assert 900000 not in kept and med.vec_id in kept
