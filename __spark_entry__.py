@@ -701,6 +701,9 @@ _PARKED_FOR_R8 = [
     "events_try_arithmetic",
     "terms_zipf_slope",
     "events_linreg_exact",
+    "orders_xyz_classes",
+    "events_seasonal_naive_error",
+    "orders_shuffle_hash_join",
 ]
 _DRIVER_RECORD_CAP = 50
 

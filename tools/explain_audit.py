@@ -703,6 +703,16 @@ AUDITS = {
         ("CartesianProduct", "in-cell self-join is an equi-join on "
                              "cell", 0),
     ],
+    "orders_shuffle_hash_join": [
+        ("ShuffledHashJoin", "the shuffle_hash hint actually plans a "
+                             "hash join (a silently-degraded hint is "
+                             "worse than none)"),
+        ("SortMergeJoin", "no SMJ double-sort", 0),
+    ],
+    "orders_xyz_classes": [
+        ("HashAggregate", "two bounded aggregates, map-side partials"),
+        ("CartesianProduct", "no join at all", 0),
+    ],
 }
 
 

@@ -8788,6 +8788,125 @@ FROM ev
 """
 
 
+# --------------------------------------------------------------------------
+# Warehouse analytics batch: XYZ demand-variability classes (exact CV²
+# threshold algebra), seasonal-naive forecast error, and the
+# shuffle-hash join-hint surface.
+# --------------------------------------------------------------------------
+
+
+def q_orders_xyz_classes(spark, sf_dir):
+    """XYZ inventory classification (the ABC/Pareto op's variability
+    twin): parts classed by the coefficient of variation of their
+    monthly demand. CV thresholds are EXACT integer algebra — CV² =
+    (n·Σq² − S²)/S², so "CV ≤ 1/4" is 16·(n·Σq² − S²) ≤ S² and
+    "CV ≤ 1/2" is 4·(n·Σq² − S²) ≤ S² — no sqrt, no float (the
+    z-score precedent: σ-style gates compare squares). n counts the
+    part's months WITH sales (deterministic horizon). Two bounded
+    aggregates: monthly sums shuffle on (part, month), then per-part."""
+    li = _t(spark, sf_dir, "lineitem")
+    monthly = (li.groupBy("l_partkey",
+                          F.date_format("l_shipdate", "yyyy-MM")
+                          .alias("m"))
+               .agg(F.sum(F.expr("CAST(floor(l_quantity + 0.5) AS BIGINT)"))
+                    .alias("q")))
+    return (
+        monthly.groupBy("l_partkey")
+        .agg(F.count("*").alias("n_months"),
+             F.sum("q").alias("s_qty"),
+             F.sum(F.expr("q * q")).alias("q2"))
+        .select(
+            "l_partkey", "n_months", "s_qty",
+            F.expr(
+                "CASE WHEN 16 * (n_months * q2 - s_qty * s_qty)"
+                " <= s_qty * s_qty THEN 'X'"
+                " WHEN 4 * (n_months * q2 - s_qty * s_qty)"
+                " <= s_qty * s_qty THEN 'Y'"
+                " ELSE 'Z' END").alias("xyz_class"))
+    )
+
+
+SQL_ORDERS_XYZ_CLASSES = """
+WITH monthly AS (
+  SELECT l_partkey, strftime(l_shipdate, '%Y-%m') AS m,
+         CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem GROUP BY 1, 2
+), per_part AS (
+  SELECT l_partkey, count(*) AS n_months,
+         CAST(sum(q) AS BIGINT) AS s_qty,
+         CAST(sum(q * q) AS BIGINT) AS q2
+  FROM monthly GROUP BY 1
+)
+SELECT l_partkey, n_months, s_qty,
+       CASE WHEN 16 * (n_months * q2 - s_qty * s_qty) <= s_qty * s_qty
+            THEN 'X'
+            WHEN 4 * (n_months * q2 - s_qty * s_qty) <= s_qty * s_qty
+            THEN 'Y'
+            ELSE 'Z' END AS xyz_class
+FROM per_part
+"""
+
+
+def q_events_seasonal_naive_error(spark, sf_dir):
+    """Seasonal-naive forecast backtest: predict each day's event count
+    with the count from the SAME WEEKDAY one week earlier (the
+    baseline every forecasting pipeline must beat), and emit the exact
+    integer error totals. The lag is a CALENDAR self-join on
+    day − 7 (not a 7-row window lag — gaps in the day directory would
+    silently misalign a row-based lag); the day directory is bounded,
+    so the self-join is tiny."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (ev.groupBy(F.to_date("ts").alias("d"))
+             .agg(F.count("*").alias("n")))
+    prior = daily.select(F.col("d").alias("d7"), F.col("n").alias("n7"))
+    return (
+        daily.join(prior, F.col("d") == F.expr("date_add(d7, 7)"))
+        .agg(F.count("*").alias("n_days_compared"),
+             F.sum(F.expr("abs(n - n7)")).alias("total_abs_err"),
+             F.sum("n").alias("total_actual"))
+    )
+
+
+SQL_EVENTS_SEASONAL_NAIVE_ERROR = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, count(*) AS n FROM events GROUP BY 1
+)
+SELECT count(*) AS n_days_compared,
+       CAST(sum(abs(a.n - b.n)) AS BIGINT) AS total_abs_err,
+       CAST(sum(a.n) AS BIGINT) AS total_actual
+FROM daily a JOIN daily b ON a.d = b.d + INTERVAL 7 DAY
+"""
+
+
+def q_orders_shuffle_hash_join(spark, sf_dir):
+    """Join-strategy HINT surface: the same orders⋈lineitem aggregate
+    with an explicit ``shuffle_hash`` hint — the knob you reach for at
+    scale when the build side fits executor memory per-partition but
+    not in the driver broadcast budget, and sort-merge's double sort
+    is the bottleneck. The result is hint-invariant (the oracle is the
+    plain join); the plan audit asserts ShuffledHashJoin actually
+    planned (a hint that silently degrades is worse than none)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority").hint("shuffle_hash")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_lines"),
+             F.sum(F.expr(_DISC_E4)).alias("revenue_e4"))
+    )
+
+
+SQL_ORDERS_SHUFFLE_HASH_JOIN = """
+SELECT o_orderpriority, count(*) AS n_lines,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+            AS BIGINT) AS revenue_e4
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+
 OPS: dict[str, tuple] = {
     # (spark_fn, oracle_sql_or_None)
     "scan_filter_project": (q_scan_filter_project, SQL_SCAN),
@@ -9027,4 +9146,9 @@ OPS: dict[str, tuple] = {
     "terms_zipf_slope": (q_terms_zipf_slope, SQL_TERMS_ZIPF_SLOPE),
     "events_linreg_exact": (
         q_events_linreg_exact, SQL_EVENTS_LINREG_EXACT),
+    "orders_xyz_classes": (q_orders_xyz_classes, SQL_ORDERS_XYZ_CLASSES),
+    "events_seasonal_naive_error": (
+        q_events_seasonal_naive_error, SQL_EVENTS_SEASONAL_NAIVE_ERROR),
+    "orders_shuffle_hash_join": (
+        q_orders_shuffle_hash_join, SQL_ORDERS_SHUFFLE_HASH_JOIN),
 }
