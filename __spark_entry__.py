@@ -704,6 +704,9 @@ _PARKED_FOR_R8 = [
     "orders_xyz_classes",
     "events_seasonal_naive_error",
     "orders_shuffle_hash_join",
+    "events_two_step_transitions",
+    "docs_inverted_index",
+    "tables_fingerprint",
 ]
 _DRIVER_RECORD_CAP = 50
 

@@ -8907,6 +8907,152 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# Batch 21: matrix-multiply-as-join (Markov composition), the inverted-
+# index build with WAND upper bounds, and order-independent table
+# fingerprints (the cross-cluster data-integrity primitive).
+# --------------------------------------------------------------------------
+
+
+def q_events_two_step_transitions(spark, sf_dir):
+    """Markov composition C² of the event-type transition matrix:
+    the expected two-step flow a→·→c is Σ_b C[a,b]·C[b,c] — a matrix
+    multiply expressed as the equi-join of the count matrix with
+    itself on the middle state (the scalable spelling: |types|²
+    rows, never touching the event stream twice). One-step counts
+    come from a lead window per user (ts, event_id tiebreak).
+    Exact bigint throughout; zero rows are absent, not emitted."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = (ev.withColumn("nxt", F.lead("event_type").over(w))
+             .filter(F.col("nxt").isNotNull()))
+    c = steps.groupBy(F.col("event_type").alias("a"),
+                      F.col("nxt").alias("b")).agg(
+        F.count("*").alias("n"))
+    c2 = c.select(F.col("a").alias("m"), F.col("b").alias("c_"),
+                  F.col("n").alias("n2"))
+    return (
+        c.join(c2, c.b == c2.m)
+        .groupBy("a", F.col("c_").alias("c"))
+        .agg(F.sum(F.expr("n * n2")).alias("paths2"))
+    )
+
+
+SQL_EVENTS_TWO_STEP_TRANSITIONS = """
+WITH steps AS (
+  SELECT event_type AS a,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS b
+  FROM events
+), c AS (
+  SELECT a, b, count(*) AS n FROM steps WHERE b IS NOT NULL GROUP BY 1, 2
+)
+SELECT c1.a, c2.b AS c, CAST(sum(c1.n * c2.n) AS BIGINT) AS paths2
+FROM c c1 JOIN c c2 ON c1.b = c2.a
+GROUP BY 1, 2
+"""
+
+
+def q_docs_inverted_index(spark, sf_dir):
+    """The inverted-index build (the IR core the BM25 op queries):
+    term → document frequency, max term-frequency (the WAND/MaxScore
+    upper bound that lets a query engine skip postings), and the head
+    of the posting list (5 smallest doc ids — deterministic sample of
+    the sorted postings). Per-doc tf aggregates map-side on (term,
+    doc); the per-term rollup is vocabulary-bounded."""
+    docs = _t(spark, sf_dir, "documents")
+    tf = (docs.select("doc_id", F.explode(F.expr(
+        "regexp_extract_all(lower(text), '([a-z]+)', 1)")).alias("w"))
+        .groupBy("w", "doc_id").agg(F.count("*").alias("tf")))
+    return (
+        tf.groupBy("w")
+        .agg(F.count("*").alias("df"),
+             F.max("tf").alias("max_tf"),
+             F.expr("array_join(slice(sort_array(collect_list(doc_id)),"
+                    " 1, 5), ',')").alias("posting_head"))
+        .filter(F.col("df") >= 3)
+        .select(F.col("w").alias("term"), "df", "max_tf", "posting_head")
+    )
+
+
+SQL_DOCS_INVERTED_INDEX = """
+WITH tf AS (
+  SELECT w, doc_id, count(*) AS tf
+  FROM (SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        FROM documents)
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT w, doc_id, tf,
+         row_number() OVER (PARTITION BY w ORDER BY doc_id) AS rn
+  FROM tf
+)
+SELECT w AS term, count(*) AS df,
+       CAST(max(tf) AS BIGINT) AS max_tf,
+       string_agg(CASE WHEN rn <= 5 THEN CAST(doc_id AS VARCHAR) END,
+                  ',' ORDER BY doc_id) AS posting_head
+FROM ranked GROUP BY 1 HAVING count(*) >= 3
+"""
+
+
+def q_tables_fingerprint(spark, sf_dir):
+    """Order-independent table fingerprints — the primitive for
+    verifying a copy/migration/engine-swap moved every row: per table,
+    the row count and the bit-XOR of a 60-bit md5-derived hash of the
+    canonicalized row (integer keys, cents-frozen money, ISO dates —
+    only cross-engine-stable renderings enter the hash). XOR is
+    commutative/associative and overflow-free, so the fingerprint is
+    partition-order independent and computable map-side with a 1-row
+    combine — the cheapest possible full-table integrity check at
+    100 TB."""
+    def fp(df, cols, name):
+        h = F.expr(
+            "conv(substring(md5(concat_ws('|', {})), 1, 15), 16, 10)"
+            .format(",".join(cols)))
+        return (df.select(h.cast("long").alias("h"))
+                .agg(F.count("*").alias("n_rows"),
+                     F.expr("bit_xor(h)").alias("fingerprint"))
+                .select(F.lit(name).alias("tbl"), "n_rows", "fingerprint"))
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    o = fp(orders, ["o_orderkey", "o_custkey",
+                    "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)",
+                    "o_orderstatus", "o_orderpriority",
+                    "date_format(o_orderdate, 'yyyy-MM-dd')"], "orders")
+    c = fp(cust, ["c_custkey", "c_nationkey",
+                  "CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)",
+                  "c_mktsegment"], "customer")
+    n = fp(nation, ["n_nationkey", "n_name", "n_regionkey"], "nation")
+    return o.unionByName(c).unionByName(n)
+
+
+SQL_TABLES_FINGERPRINT = """
+SELECT 'orders' AS tbl, count(*) AS n_rows,
+       CAST(bit_xor(CAST('0x' || substring(md5(concat_ws('|',
+            o_orderkey, o_custkey,
+            CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT),
+            o_orderstatus, o_orderpriority,
+            strftime(o_orderdate, '%Y-%m-%d'))), 1, 15) AS BIGINT))
+            AS BIGINT) AS fingerprint
+FROM orders
+UNION ALL
+SELECT 'customer', count(*),
+       CAST(bit_xor(CAST('0x' || substring(md5(concat_ws('|',
+            c_custkey, c_nationkey,
+            CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT),
+            c_mktsegment)), 1, 15) AS BIGINT)) AS BIGINT)
+FROM customer
+UNION ALL
+SELECT 'nation', count(*),
+       CAST(bit_xor(CAST('0x' || substring(md5(concat_ws('|',
+            n_nationkey, n_name, n_regionkey)), 1, 15) AS BIGINT))
+            AS BIGINT)
+FROM nation
+"""
+
+
 OPS: dict[str, tuple] = {
     # (spark_fn, oracle_sql_or_None)
     "scan_filter_project": (q_scan_filter_project, SQL_SCAN),
@@ -9151,4 +9297,9 @@ OPS: dict[str, tuple] = {
         q_events_seasonal_naive_error, SQL_EVENTS_SEASONAL_NAIVE_ERROR),
     "orders_shuffle_hash_join": (
         q_orders_shuffle_hash_join, SQL_ORDERS_SHUFFLE_HASH_JOIN),
+    "events_two_step_transitions": (
+        q_events_two_step_transitions, SQL_EVENTS_TWO_STEP_TRANSITIONS),
+    "docs_inverted_index": (
+        q_docs_inverted_index, SQL_DOCS_INVERTED_INDEX),
+    "tables_fingerprint": (q_tables_fingerprint, SQL_TABLES_FINGERPRINT),
 }
