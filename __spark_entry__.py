@@ -707,6 +707,8 @@ _PARKED_FOR_R8 = [
     "events_two_step_transitions",
     "docs_inverted_index",
     "tables_fingerprint",
+    "events_gap_interpolation",
+    "part_skyline",
 ]
 _DRIVER_RECORD_CAP = 50
 

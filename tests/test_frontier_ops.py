@@ -1,0 +1,73 @@
+"""Known-answer + cross-engine tests for batch 22: exact-rational gap
+interpolation (with the deterministic gap injection) and the 2-D
+skyline via running maxima.
+"""
+
+import datetime as dt
+
+import duckdb
+import pytest
+
+from trek_spark.spark import ops as O
+from trek_spark.spark.session import get_spark
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = get_spark("pytest-frontier", master="local[4]",
+                  shuffle_partitions=8)
+    yield s
+
+
+def _write(spark, path, table, schema, rows):
+    (spark.createDataFrame(rows, schema)
+     .write.mode("overwrite").parquet(f"{path}/{table}.parquet"))
+
+
+def _cross_check(spark, path, name, tables):
+    fn, sql = O.OPS[name]
+    con = duckdb.connect()
+    for t in tables:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"'{path}/{t}.parquet/*.parquet'")
+    a = fn(spark, str(path)).toPandas()
+    b = con.sql(sql).df()
+    a = a.reindex(sorted(a.columns), axis=1).astype(str)
+    b = b.reindex(sorted(b.columns), axis=1).astype(str)
+    a = a.sort_values(by=list(a.columns)).reset_index(drop=True)
+    b = b.sort_values(by=list(b.columns)).reset_index(drop=True)
+    assert a.equals(b), f"{name}: Spark vs DuckDB mismatch\n{a}\n{b}"
+    return a
+
+
+def test_gap_interpolation_exact_rationals(spark, tmp_path):
+    """Observed days x=0 (100c), x=3 (dropped by the %7 injection —
+    its 99999 value must NOT leak into the series), x=4 (500c):
+    interpolated days 1,2,3 carry num/den = (800,4),(1200,4),(1600,4)
+    — the exact line through the KEPT endpoints."""
+    rows = [(1, dt.datetime(1995, 1, 1), 1, "click", 1.00),   # x=0
+            (2, dt.datetime(1995, 1, 4), 1, "click", 999.99),  # x=3: dropped
+            (3, dt.datetime(1995, 1, 5), 1, "click", 5.00)]   # x=4
+    _write(spark, tmp_path, "events",
+           "event_id long, ts timestamp, user_id long, "
+           "event_type string, value double", rows)
+    out = _cross_check(spark, tmp_path, "events_gap_interpolation",
+                       ["events"])
+    got = {int(r["day_idx"]): (int(r["interp_num"]), int(r["interp_den"]))
+           for _, r in out.iterrows()}
+    assert got == {1: (800, 4), 2: (1200, 4), 3: (1600, 4)}
+
+
+def test_skyline_corners(spark, tmp_path):
+    """(50,3) survives as cheapest; (100,10) twice — equal duplicates
+    don't dominate each other, both survive; (100,5) killed by the
+    equal-price-larger point; (200,10) killed by the strictly-cheaper
+    equal-size point; (200,15) survives (strictly larger than all
+    cheaper)."""
+    rows = [(1, 0.50, 3), (2, 1.00, 10), (3, 1.00, 10),
+            (4, 1.00, 5), (5, 2.00, 10), (6, 2.00, 15)]
+    _write(spark, tmp_path, "part",
+           "p_partkey long, p_retailprice double, p_size integer", rows)
+    out = _cross_check(spark, tmp_path, "part_skyline", ["part"])
+    assert sorted(int(r["p_partkey"]) for _, r in out.iterrows()) == [
+        1, 2, 3, 6]

@@ -9053,6 +9053,117 @@ FROM nation
 """
 
 
+# --------------------------------------------------------------------------
+# Batch 22: exact-rational linear gap interpolation and the 2-D skyline
+# (Pareto frontier) via the single-sort running-max formulation.
+# --------------------------------------------------------------------------
+
+
+def q_events_gap_interpolation(spark, sf_dir):
+    """Linear interpolation of MISSING days in the daily value series —
+    the gap-filling twin of events_locf: between consecutive observed
+    days (x1,y1),(x2,y2) every absent day x gets the exact rational
+    y = (y1·(x2−x) + y2·(x−x1)) / (x2−x1), emitted as the bigint pair
+    (interp_num, interp_den) — no float division, endpoint-exact by
+    construction. Days are epoch-day integers; the generate step
+    explodes sequence(x1+1, x2−1) over the bounded day directory
+    (never the event stream). The synthetic corpus has an event every
+    day, so gaps are INJECTED deterministically (drop day_idx % 7 == 3
+    in BOTH engines — the PII/skew-injection convention: the op must
+    demonstrably engage, a zero-row pass proves nothing)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (ev.groupBy(
+        F.expr("CAST(datediff(ts, DATE '1995-01-01') AS BIGINT)")
+        .alias("x"))
+        .agg(F.sum(F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+             .alias("y"))
+        .filter(F.expr("x % 7 != 3")))
+    w = Window.orderBy("x")
+    seg = (daily
+           .withColumn("x2", F.lead("x").over(w))
+           .withColumn("y2", F.lead("y").over(w))
+           .filter(F.expr("x2 IS NOT NULL AND x2 > x + 1")))
+    return (
+        seg.select(
+            F.col("x").alias("x1"), "y", "x2", "y2",
+            F.explode(F.expr("sequence(x + 1, x2 - 1)")).alias("xm"))
+        .select(
+            F.col("xm").alias("day_idx"),
+            F.expr("y * (x2 - xm) + y2 * (xm - x1)").alias("interp_num"),
+            F.expr("x2 - x1").alias("interp_den"))
+    )
+
+
+SQL_EVENTS_GAP_INTERPOLATION = """
+WITH daily AS (
+  SELECT CAST(datediff('day', DATE '1995-01-01', ts) AS BIGINT) AS x,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS y
+  FROM events GROUP BY 1
+), kept AS (
+  SELECT * FROM daily WHERE x % 7 != 3
+), seg AS (
+  SELECT x AS x1, y AS y1,
+         lead(x) OVER (ORDER BY x) AS x2,
+         lead(y) OVER (ORDER BY x) AS y2
+  FROM kept
+)
+SELECT CAST(xm AS BIGINT) AS day_idx,
+       CAST(y1 * (x2 - xm) + y2 * (xm - x1) AS BIGINT) AS interp_num,
+       CAST(x2 - x1 AS BIGINT) AS interp_den
+FROM seg, UNNEST(range(x1 + 1, x2)) AS t(xm)
+WHERE x2 IS NOT NULL AND x2 > x1 + 1
+"""
+
+
+def q_part_skyline(spark, sf_dir):
+    """2-D skyline (Pareto frontier): parts not dominated on
+    (cheaper price, larger size) — the multi-objective shortlist
+    query. NOT the O(n²) anti-join: after one sort by price the
+    frontier falls out of two window maxima — a point is dominated iff
+    the max size over STRICTLY cheaper points (integer RANGE frame,
+    the orders_range_frame precedent) reaches its size, or an
+    equal-price point is strictly larger. O(n log n), one shuffle,
+    survives 10⁹ points where the naive inequality self-join is a
+    cartesian. Equal (price, size) duplicates don't dominate each
+    other (no strict coordinate) — both survive; the test pins that."""
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.expr("CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)")
+        .alias("price_c"),
+        F.col("p_size").cast("long").alias("size"))
+    w_lt = (Window.orderBy("price_c")
+            .rangeBetween(Window.unboundedPreceding, -1))
+    w_eq = Window.partitionBy("price_c")
+    return (
+        part
+        .withColumn("m_lt", F.max("size").over(w_lt))
+        .withColumn("m_eq", F.max("size").over(w_eq))
+        .filter(F.expr(
+            "(m_lt IS NULL OR m_lt < size) AND m_eq = size"))
+        .select("p_partkey", "price_c", "size")
+    )
+
+
+SQL_PART_SKYLINE = """
+WITH pts AS (
+  SELECT p_partkey,
+         CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_c,
+         CAST(p_size AS BIGINT) AS size
+  FROM part
+), marked AS (
+  SELECT p_partkey, price_c, size,
+         max(size) OVER (ORDER BY price_c
+             RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m_lt,
+         max(size) OVER (PARTITION BY price_c) AS m_eq
+  FROM pts
+)
+SELECT p_partkey, price_c, size
+FROM marked
+WHERE (m_lt IS NULL OR m_lt < size) AND m_eq = size
+"""
+
+
 OPS: dict[str, tuple] = {
     # (spark_fn, oracle_sql_or_None)
     "scan_filter_project": (q_scan_filter_project, SQL_SCAN),
@@ -9302,4 +9413,7 @@ OPS: dict[str, tuple] = {
     "docs_inverted_index": (
         q_docs_inverted_index, SQL_DOCS_INVERTED_INDEX),
     "tables_fingerprint": (q_tables_fingerprint, SQL_TABLES_FINGERPRINT),
+    "events_gap_interpolation": (
+        q_events_gap_interpolation, SQL_EVENTS_GAP_INTERPOLATION),
+    "part_skyline": (q_part_skyline, SQL_PART_SKYLINE),
 }
