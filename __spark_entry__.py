@@ -709,6 +709,11 @@ _PARKED_FOR_R8 = [
     "tables_fingerprint",
     "events_gap_interpolation",
     "part_skyline",
+    "tpch_shipping_priority",
+    "tpch_order_priority_check",
+    "tpch_forecast_revenue",
+    "tpch_returned_items",
+    "tpch_customer_distribution",
 ]
 _DRIVER_RECORD_CAP = 50
 

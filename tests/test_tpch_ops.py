@@ -243,3 +243,64 @@ def test_inactive_premium_strict_avg_and_recency(spark, tmp_path):
                                    int(r["total_bal_c"]))
            for _, r in out.iterrows()}
     assert got == {5: (1, 30000)}
+
+
+# ------------------------------------------- tpch_customer_distribution (Q13)
+
+def test_customer_distribution_zero_bucket(spark, tmp_path):
+    """Q13's point is the LEFT join: a customer with no orders lands in
+    the k=0 bucket instead of vanishing (an inner join drops them)."""
+    _write(spark, tmp_path, "customer",
+           "c_custkey long, c_name string",
+           [(1, "a"), (2, "b"), (3, "c")])
+    _write(spark, tmp_path, "orders",
+           "o_orderkey long, o_custkey long",
+           [(10, 1), (11, 1), (12, 2)])
+    out = _cross_check(spark, tmp_path, "tpch_customer_distribution",
+                       ["customer", "orders"])
+    got = {int(r["c_count"]): int(r["custdist"])
+           for _, r in out.iterrows()}
+    assert got == {2: 1, 1: 1, 0: 1}
+
+
+# ------------------------------------------------ tpch_forecast_revenue (Q6)
+
+def test_forecast_revenue_boundaries(spark, tmp_path):
+    """Discount endpoints 0.05/0.07 are INCLUSIVE, quantity 24 is
+    EXCLUSIVE (strict <), and revenue multiplies BY the discount."""
+    _write(spark, tmp_path, "lineitem", _LI_SCHEMA, [
+        _li(1, 1, 9, 10, 100.0, disc=0.05, ship=dt.datetime(1997, 2, 1)),
+        _li(2, 1, 9, 23, 200.0, disc=0.07, ship=dt.datetime(1997, 3, 1)),
+        _li(3, 1, 9, 24, 300.0, disc=0.06, ship=dt.datetime(1997, 4, 1)),
+        _li(4, 1, 9, 10, 400.0, disc=0.04, ship=dt.datetime(1997, 5, 1)),
+        _li(5, 1, 9, 10, 500.0, disc=0.06, ship=dt.datetime(1998, 2, 1)),
+    ])
+    out = _cross_check(spark, tmp_path, "tpch_forecast_revenue",
+                       ["lineitem"])
+    r = out.iloc[0]
+    assert int(r["n_lines"]) == 2
+    assert int(r["revenue_e4"]) == 10000 * 5 + 20000 * 7
+
+
+# --------------------------------------------- tpch_order_priority_check (Q4)
+
+def test_order_priority_semi_join_no_double_count(spark, tmp_path):
+    """An order with THREE returned lines counts once (semi-join, not
+    inner); an order with none doesn't count; out-of-quarter orders
+    are excluded before the join."""
+    _write(spark, tmp_path, "orders",
+           "o_orderkey long, o_orderdate timestamp, o_orderpriority string",
+           [(1, dt.datetime(1997, 2, 1), "HIGH"),
+            (2, dt.datetime(1997, 2, 2), "HIGH"),
+            (3, dt.datetime(1996, 2, 1), "HIGH")])
+    _write(spark, tmp_path, "lineitem", _LI_SCHEMA, [
+        _li(1, 1, 9, 1, 10.0, rf="R"), _li(1, 2, 9, 1, 10.0, rf="R"),
+        _li(1, 3, 9, 1, 10.0, rf="R"),
+        _li(2, 1, 9, 1, 10.0, rf="N"),
+        _li(3, 1, 9, 1, 10.0, rf="R"),
+    ])
+    out = _cross_check(spark, tmp_path, "tpch_order_priority_check",
+                       ["orders", "lineitem"])
+    got = {r["o_orderpriority"]: int(r["order_count"])
+           for _, r in out.iterrows()}
+    assert got == {"HIGH": 1}

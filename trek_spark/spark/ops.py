@@ -9164,6 +9164,200 @@ WHERE (m_lt IS NULL OR m_lt < size) AND m_eq = size
 """
 
 
+# --------------------------------------------------------------------------
+# Batch 23: the remaining adaptable TPC-H queries — Q3, Q4 (adapted),
+# Q6, Q10, Q13. With the batch-12 heavyweights this covers 17 of the
+# 22 canonical queries; the 5 absences (Q2, Q11, Q12, Q16, Q20) all
+# need the partsupp table / shipmode+commitdate columns this corpus
+# doesn't carry.
+# --------------------------------------------------------------------------
+
+
+def q_tpch_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 (shipping priority): top-10 unshipped-revenue orders
+    for one market segment around a cutoff date. Broadcast the
+    filtered customer dim; one fact-fact shuffle on o_orderkey; the
+    global top-10 is TakeOrdered (per-partition heads merged on the
+    driver — never a full sort)."""
+    cutoff = "1997-06-15"
+    cust = (_t(spark, sf_dir, "customer")
+            .filter(F.col("c_mktsegment") == "BUILDING")
+            .select("c_custkey"))
+    orders = (_t(spark, sf_dir, "orders")
+              .filter(F.col("o_orderdate") < F.lit(cutoff))
+              .select("o_orderkey", "o_custkey", "o_orderdate",
+                      "o_orderpriority"))
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter(F.col("l_shipdate") > F.lit(cutoff)))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(F.expr(_DISC_E4)).alias("revenue_e4"))
+        .orderBy(F.desc("revenue_e4"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_TPCH_SHIPPING_PRIORITY = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+            AS BIGINT) AS revenue_e4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < DATE '1997-06-15'
+  AND l_shipdate > DATE '1997-06-15'
+GROUP BY 1, 2, 3
+ORDER BY revenue_e4 DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_tpch_order_priority_check(spark, sf_dir):
+    """TPC-H Q4 shape (order priority checking), adapted: no
+    commit/receipt dates in this corpus, so the EXISTS predicate is
+    "the order has a returned line" (l_returnflag = 'R') instead of
+    "a late line". Counts per priority for one quarter; the EXISTS is
+    a left-semi join against the column-pruned lineitem scan."""
+    orders = (_t(spark, sf_dir, "orders")
+              .filter((F.col("o_orderdate") >= F.lit("1997-01-01"))
+                      & (F.col("o_orderdate") < F.lit("1997-04-01"))))
+    returned = (_t(spark, sf_dir, "lineitem")
+                .filter(F.col("l_returnflag") == "R")
+                .select("l_orderkey"))
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey,
+                    "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+SQL_TPCH_ORDER_PRIORITY_CHECK = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= DATE '1997-01-01'
+  AND o_orderdate < DATE '1997-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY 1
+"""
+
+
+def q_tpch_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 (forecasting revenue change): the pure scan-side
+    scalar — price×discount revenue from one year's low-quantity,
+    mid-discount lines. Every predicate pushes to the parquet scan;
+    the aggregate is one map-side partial + a 1-row combine. Revenue
+    here is price_c × disc_c (the Q6 definition multiplies BY the
+    discount, unlike the (1−disc) ops)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_shipdate") >= F.lit("1997-01-01"))
+                  & (F.col("l_shipdate") < F.lit("1998-01-01"))
+                  & (F.col("l_discount") >= 0.05)
+                  & (F.col("l_discount") <= 0.07)
+                  & (F.col("l_quantity") < 24))
+        .agg(F.sum(F.expr(
+            "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+            " * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)"))
+            .alias("revenue_e4"),
+            F.count("*").alias("n_lines"))
+    )
+
+
+SQL_TPCH_FORECAST_REVENUE = """
+SELECT CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS revenue_e4,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= DATE '1997-01-01'
+  AND l_shipdate < DATE '1998-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_tpch_returned_items(spark, sf_dir):
+    """TPC-H Q10 (returned item reporting): top-20 customers by
+    revenue lost to returns in one quarter, nation attached. Orders
+    date-filter pushes to its scan; customer and nation broadcast;
+    the top-20 is TakeOrdered with the customer-key tiebreak."""
+    orders = (_t(spark, sf_dir, "orders")
+              .filter((F.col("o_orderdate") >= F.lit("1997-01-01"))
+                      & (F.col("o_orderdate") < F.lit("1997-04-01")))
+              .select("o_orderkey", "o_custkey"))
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter(F.col("l_returnflag") == "R"))
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey",
+        F.expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)")
+        .alias("c_acctbal_c"))
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal_c",
+                 F.col("n_name").alias("nation"))
+        .agg(F.sum(F.expr(_DISC_E4)).alias("revenue_e4"))
+        .orderBy(F.desc("revenue_e4"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+SQL_TPCH_RETURNED_ITEMS = """
+SELECT c_custkey, c_name,
+       CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS c_acctbal_c,
+       n_name AS nation,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+            AS BIGINT) AS revenue_e4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= DATE '1997-01-01'
+  AND o_orderdate < DATE '1997-04-01'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue_e4 DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q_tpch_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 (customer distribution): how many customers placed
+    exactly k orders — INCLUDING k = 0, which forces the left outer
+    join (an inner join silently drops the zero bucket; the test
+    plants an orderless customer). Two-level aggregation: per-customer
+    counts shuffle on custkey, the k-histogram is bounded."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count("*").alias("custdist")))
+
+
+SQL_TPCH_CUSTOMER_DISTRIBUTION = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY 1
+)
+GROUP BY 1
+"""
+
+
 OPS: dict[str, tuple] = {
     # (spark_fn, oracle_sql_or_None)
     "scan_filter_project": (q_scan_filter_project, SQL_SCAN),
@@ -9416,4 +9610,14 @@ OPS: dict[str, tuple] = {
     "events_gap_interpolation": (
         q_events_gap_interpolation, SQL_EVENTS_GAP_INTERPOLATION),
     "part_skyline": (q_part_skyline, SQL_PART_SKYLINE),
+    "tpch_shipping_priority": (
+        q_tpch_shipping_priority, SQL_TPCH_SHIPPING_PRIORITY),
+    "tpch_order_priority_check": (
+        q_tpch_order_priority_check, SQL_TPCH_ORDER_PRIORITY_CHECK),
+    "tpch_forecast_revenue": (
+        q_tpch_forecast_revenue, SQL_TPCH_FORECAST_REVENUE),
+    "tpch_returned_items": (
+        q_tpch_returned_items, SQL_TPCH_RETURNED_ITEMS),
+    "tpch_customer_distribution": (
+        q_tpch_customer_distribution, SQL_TPCH_CUSTOMER_DISTRIBUTION),
 }
