@@ -714,6 +714,7 @@ _PARKED_FOR_R8 = [
     "tpch_forecast_revenue",
     "tpch_returned_items",
     "tpch_customer_distribution",
+    "events_autocorrelation",
 ]
 _DRIVER_RECORD_CAP = 50
 

@@ -71,3 +71,32 @@ def test_skyline_corners(spark, tmp_path):
     out = _cross_check(spark, tmp_path, "part_skyline", ["part"])
     assert sorted(int(r["p_partkey"]) for _, r in out.iterrows()) == [
         1, 2, 3, 6]
+
+
+def test_autocorrelation_perfect_period2(spark, tmp_path):
+    """Daily counts alternating 1,3,1,3,1,3: lag-2 pairs are identical
+    series (r=+1: num² = vx·vy, num>0); lag-1 pairs anti-align (r=−1).
+    Exact integers make the ±1 cases verifiable without float sqrt:
+    num_k² == var_x·var_y at both lags with opposite signs."""
+    import datetime as dt
+    rows = []
+    eid = 0
+    for day in range(6):
+        n = 1 if day % 2 == 0 else 3
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, dt.datetime(1995, 1, 1 + day), 1,
+                         "click", 1.0))
+    _write(spark, tmp_path, "events",
+           "event_id long, ts timestamp, user_id long, "
+           "event_type string, value double", rows)
+    out = _cross_check(spark, tmp_path, "events_autocorrelation",
+                       ["events"])
+    byk = {int(r["k"]): (int(r["n_pairs"]), int(r["pearson_num"]),
+                         int(r["var_x"]), int(r["var_y"]))
+           for _, r in out.iterrows()}
+    n1, num1, vx1, vy1 = byk[1]
+    assert n1 == 5 and num1 < 0 and num1 * num1 == vx1 * vy1   # r = -1
+    n2, num2, vx2, vy2 = byk[2]
+    assert n2 == 4 and num2 > 0 and num2 * num2 == vx2 * vy2   # r = +1
+    assert set(byk) == {1, 2, 3, 4, 5}  # lags 6,7 have no pairs

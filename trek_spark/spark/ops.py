@@ -9358,6 +9358,57 @@ GROUP BY 1
 """
 
 
+def q_events_autocorrelation(spark, sf_dir):
+    """Autocorrelation spectrum of the daily event-count series at
+    lags 1–7 (the periodicity probe — a weekly cycle spikes lag 7),
+    as EXACT integers: per lag k the Pearson numerator
+    n·Σxy − Σx·Σy and the two marginal variance terms n·Σx² − (Σx)²
+    are emitted raw; r_k = num/√(vx·vy) is one derived float the
+    CONSUMER computes — no sqrt or float sum ever crosses engines.
+    Lag pairs come from a calendar equi-join of the bounded day
+    directory against itself shifted by k (the seasonal-naive
+    precedent: calendar join, never a row-lag over gaps)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (ev.groupBy(
+        F.expr("CAST(datediff(ts, DATE '1995-01-01') AS BIGINT)")
+        .alias("d"))
+        .agg(F.count("*").alias("n")))
+    lags = spark.sql("SELECT explode(sequence(1, 7)) AS k")
+    cur = daily.select(F.col("d").alias("dc"), F.col("n").alias("x"))
+    prv = daily.select(F.col("d").alias("dp"), F.col("n").alias("y"))
+    return (
+        cur.crossJoin(F.broadcast(lags))
+        .join(prv, F.expr("dp = dc - k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("n_pairs"),
+             F.expr("count(*) * sum(x * y) - sum(x) * sum(y)")
+             .alias("pearson_num"),
+             F.expr("count(*) * sum(x * x) - sum(x) * sum(x)")
+             .alias("var_x"),
+             F.expr("count(*) * sum(y * y) - sum(y) * sum(y)")
+             .alias("var_y"))
+    )
+
+
+SQL_EVENTS_AUTOCORRELATION = """
+WITH daily AS (
+  SELECT CAST(datediff('day', DATE '1995-01-01', ts) AS BIGINT) AS d,
+         count(*) AS n
+  FROM events GROUP BY 1
+), lagged AS (
+  SELECT k, a.n AS x, b.n AS y
+  FROM daily a, UNNEST(range(1, 8)) AS t(k)
+  JOIN daily b ON b.d = a.d - k
+)
+SELECT CAST(k AS INT) AS k, count(*) AS n_pairs,
+       CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT)
+           AS pearson_num,
+       CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT) AS var_x,
+       CAST(count(*) * sum(y * y) - sum(y) * sum(y) AS BIGINT) AS var_y
+FROM lagged GROUP BY 1
+"""
+
+
 OPS: dict[str, tuple] = {
     # (spark_fn, oracle_sql_or_None)
     "scan_filter_project": (q_scan_filter_project, SQL_SCAN),
@@ -9620,4 +9671,6 @@ OPS: dict[str, tuple] = {
         q_tpch_returned_items, SQL_TPCH_RETURNED_ITEMS),
     "tpch_customer_distribution": (
         q_tpch_customer_distribution, SQL_TPCH_CUSTOMER_DISTRIBUTION),
+    "events_autocorrelation": (
+        q_events_autocorrelation, SQL_EVENTS_AUTOCORRELATION),
 }
