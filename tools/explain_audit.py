@@ -713,6 +713,30 @@ AUDITS = {
         ("HashAggregate", "two bounded aggregates, map-side partials"),
         ("CartesianProduct", "no join at all", 0),
     ],
+    "part_skyline": [
+        ("Window", "the frontier is two window maxima after ONE sort "
+                   "— no inequality self-join"),
+        ("CartesianProduct", "never the O(n²) anti-join shape", 0),
+        ("BroadcastNestedLoopJoin", "no join at all", 0),
+    ],
+    "tpch_shipping_priority": [
+        ("TakeOrderedAndProject", "global top-10 is per-partition "
+                                  "heads merged, never a full sort"),
+        ("BroadcastHashJoin", "filtered customer dim broadcast"),
+        ("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate",
+         "the ship-date cut reaches the lineitem scan"),
+    ],
+    "tpch_customer_distribution": [
+        ("LeftOuter", "the k=0 bucket needs the LEFT join — an inner "
+                      "join silently drops orderless customers"),
+    ],
+    "events_autocorrelation": [
+        ("BroadcastHashJoin", "the lag equi-join broadcasts the "
+                              "7-row lag directory side or the tiny "
+                              "day directory"),
+        ("CartesianProduct", "lags attach via broadcast, not a "
+                             "cartesian", 0),
+    ],
 }
 
 
