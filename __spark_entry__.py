@@ -715,6 +715,7 @@ _PARKED_FOR_R8 = [
     "tpch_returned_items",
     "tpch_customer_distribution",
     "events_autocorrelation",
+    "events_out_of_orderness",
 ]
 _DRIVER_RECORD_CAP = 50
 

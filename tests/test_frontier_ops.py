@@ -100,3 +100,41 @@ def test_autocorrelation_perfect_period2(spark, tmp_path):
     n2, num2, vx2, vy2 = byk[2]
     assert n2 == 4 and num2 > 0 and num2 * num2 == vx2 * vy2   # r = +1
     assert set(byk) == {1, 2, 3, 4, 5}  # lags 6,7 have no pairs
+
+
+def test_out_of_orderness_brute_force(spark, tmp_path):
+    """Pure-Python brute force of the same spec (md5-permuted arrival,
+    footrule, running-max lateness) over a small planted set — the
+    third implementation besides Spark and DuckDB."""
+    import datetime as dt
+    import hashlib
+    rows = [(eid, dt.datetime(2024, 1, 1, 0, eid % 60), eid % 2, "c", 1.0)
+            for eid in range(1, 21)]
+    _write(spark, tmp_path, "events",
+           "event_id long, ts timestamp, user_id long, "
+           "event_type string, value double", rows)
+    out = _cross_check(spark, tmp_path, "events_out_of_orderness",
+                       ["events"])
+    got = {int(r["user_id"]): (int(r["footrule"]),
+                               int(r["max_lateness_s"]), int(r["n_late"]))
+           for _, r in out.iterrows()}
+
+    from collections import defaultdict
+    byu = defaultdict(list)
+    for eid, ts, uid, _t, _v in rows:
+        byu[uid].append((eid, int(ts.timestamp())))
+    for uid, evs in byu.items():
+        arr = sorted(evs, key=lambda e: (
+            hashlib.md5(str(e[0]).encode()).hexdigest(), e[0]))
+        tim = sorted(evs, key=lambda e: (e[1], e[0]))
+        r_arr = {e[0]: i for i, e in enumerate(arr)}
+        r_tim = {e[0]: i for i, e in enumerate(tim)}
+        footrule = sum(abs(r_arr[k] - r_tim[k]) for k in r_arr)
+        run_max, max_late, n_late = None, 0, 0
+        for eid, t in arr:
+            if run_max is not None and run_max > t:
+                late = run_max - t
+                max_late = max(max_late, late)
+                n_late += 1
+            run_max = t if run_max is None else max(run_max, t)
+        assert got[uid] == (footrule, max_late, n_late), uid

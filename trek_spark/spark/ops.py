@@ -9409,6 +9409,75 @@ FROM lagged GROUP BY 1
 """
 
 
+def q_events_out_of_orderness(spark, sf_dir):
+    """Out-of-orderness audit — the number every streaming deployment
+    needs BEFORE picking a watermark: treating event_id as arrival
+    order, each event's lateness is (max event-time seen among
+    earlier-arrived events) − (own event time), floored at zero; the
+    per-user max lateness IS the minimum watermark that would drop
+    nothing, and the Spearman footrule Σ|rank_arrival − rank_time|
+    summarizes how shuffled the stream is (0 = already ordered).
+    All exact integers: epoch seconds and rank differences. Two
+    windows over the same user partitioning (one shuffle).
+
+    The synthetic corpus arrives perfectly ordered (footrule 0
+    everywhere — a vacuous audit), so arrival order is INJECTED as
+    the md5 permutation of event_id (the gap/PII/skew-injection
+    convention): the adversarial fully-shuffled arrival, identical
+    in both engines."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.md5(F.expr("CAST(event_id AS STRING)")).alias("a_key"),
+        F.expr("CAST(floor(unix_timestamp(ts)) AS BIGINT)").alias("t"))
+    w_arr = Window.partitionBy("user_id").orderBy("a_key", "event_id")
+    w_time = Window.partitionBy("user_id").orderBy("t", "event_id")
+    marked = (ev
+              .withColumn("r_arr", F.row_number().over(w_arr))
+              .withColumn("r_time", F.row_number().over(w_time))
+              .withColumn("late_s", F.expr(
+                  "greatest(max(t) OVER ("
+                  "PARTITION BY user_id ORDER BY a_key, event_id"
+                  " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+                  " - t, 0)")))
+    return (
+        marked.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"),
+             F.sum(F.expr("abs(r_arr - r_time)")).alias("footrule"),
+             F.max(F.coalesce(F.col("late_s"), F.lit(0)))
+             .alias("max_lateness_s"),
+             F.sum(F.expr(
+                 "CASE WHEN late_s > 0 THEN 1 ELSE 0 END"))
+             .alias("n_late"))
+    )
+
+
+SQL_EVENTS_OUT_OF_ORDERNESS = """
+WITH ev AS (
+  SELECT user_id, event_id,
+         md5(CAST(event_id AS VARCHAR)) AS a_key,
+         CAST(floor(epoch(ts)) AS BIGINT) AS t
+  FROM events
+), marked AS (
+  SELECT user_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY a_key, event_id) AS r_arr,
+         row_number() OVER (PARTITION BY user_id ORDER BY t, event_id)
+             AS r_time,
+         greatest(max(t) OVER (PARTITION BY user_id
+             ORDER BY a_key, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - t,
+             0) AS late_s
+  FROM ev
+)
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(abs(r_arr - r_time)) AS BIGINT) AS footrule,
+       CAST(max(coalesce(late_s, 0)) AS BIGINT) AS max_lateness_s,
+       CAST(sum(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_late
+FROM marked GROUP BY 1
+"""
+
+
 OPS: dict[str, tuple] = {
     # (spark_fn, oracle_sql_or_None)
     "scan_filter_project": (q_scan_filter_project, SQL_SCAN),
@@ -9673,4 +9742,6 @@ OPS: dict[str, tuple] = {
         q_tpch_customer_distribution, SQL_TPCH_CUSTOMER_DISTRIBUTION),
     "events_autocorrelation": (
         q_events_autocorrelation, SQL_EVENTS_AUTOCORRELATION),
+    "events_out_of_orderness": (
+        q_events_out_of_orderness, SQL_EVENTS_OUT_OF_ORDERNESS),
 }
