@@ -716,6 +716,7 @@ _PARKED_FOR_R8 = [
     "tpch_customer_distribution",
     "events_autocorrelation",
     "events_out_of_orderness",
+    "customer_balance_buckets",
 ]
 _DRIVER_RECORD_CAP = 50
 

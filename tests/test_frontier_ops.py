@@ -138,3 +138,22 @@ def test_out_of_orderness_brute_force(spark, tmp_path):
                 n_late += 1
             run_max = t if run_max is None else max(run_max, t)
         assert got[uid] == (footrule, max_late, n_late), uid
+
+
+def test_width_bucket_boundaries(spark, tmp_path):
+    """Below-range → bucket 0; exactly lo → 1; an interior edge value
+    ((hi-lo)/20 above lo → bucket 2's lower edge) → 2; exactly hi →
+    21 (the overflow bucket is AT-or-above)."""
+    vals = [-2000.00,            # bal_c -200000 < lo → 0
+            -1000.00,            # exactly lo → 1
+            -450.00,             # lo + 55000 (one bucket = 55000) → 2
+            10000.00,            # exactly hi → 21
+            0.00]                # interior → 1 + 100000*20//1100000 = 2
+    rows = [(i, 1, float(v)) for i, v in enumerate(vals)]
+    _write(spark, tmp_path, "customer",
+           "c_custkey long, c_nationkey long, c_acctbal double", rows)
+    out = _cross_check(spark, tmp_path, "customer_balance_buckets",
+                       ["customer"])
+    got = {int(r["bucket"]): int(r["n_customers"])
+           for _, r in out.iterrows()}
+    assert got == {0: 1, 1: 1, 2: 2, 21: 1}

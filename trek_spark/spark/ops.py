@@ -9478,6 +9478,44 @@ FROM marked GROUP BY 1
 """
 
 
+def q_customer_balance_buckets(spark, sf_dir):
+    """Equi-width histogram via the ``width_bucket`` built-in —
+    semantics pinned against an arithmetic oracle (DuckDB has no
+    width_bucket): bucket 0 holds below-range, n+1 at-or-above-range,
+    interior buckets are 1 + ⌊(x−lo)·n/(hi−lo)⌋. Bounds and cents are
+    exact integers, so the internal double divide is exact and
+    boundary values land identically in both engines. One tiny
+    groupBy on a ≤22-value key."""
+    lo, hi, n = -100_000, 1_000_000, 20
+    cust = _t(spark, sf_dir, "customer").select(
+        F.expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)")
+        .alias("bal_c"))
+    return (
+        cust.withColumn("bucket", F.expr(
+            f"CAST(width_bucket(bal_c, {lo}, {hi}, {n}) AS INT)"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_customers"),
+             F.min("bal_c").alias("min_bal_c"),
+             F.max("bal_c").alias("max_bal_c"))
+    )
+
+
+SQL_CUSTOMER_BALANCE_BUCKETS = """
+WITH cust AS (
+  SELECT CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c
+  FROM customer
+)
+SELECT CAST(CASE WHEN bal_c < -100000 THEN 0
+            WHEN bal_c >= 1000000 THEN 21
+            ELSE 1 + (bal_c - (-100000)) * 20 // (1000000 - (-100000))
+            END AS INT) AS bucket,
+       count(*) AS n_customers,
+       CAST(min(bal_c) AS BIGINT) AS min_bal_c,
+       CAST(max(bal_c) AS BIGINT) AS max_bal_c
+FROM cust GROUP BY 1
+"""
+
+
 OPS: dict[str, tuple] = {
     # (spark_fn, oracle_sql_or_None)
     "scan_filter_project": (q_scan_filter_project, SQL_SCAN),
@@ -9744,4 +9782,6 @@ OPS: dict[str, tuple] = {
         q_events_autocorrelation, SQL_EVENTS_AUTOCORRELATION),
     "events_out_of_orderness": (
         q_events_out_of_orderness, SQL_EVENTS_OUT_OF_ORDERNESS),
+    "customer_balance_buckets": (
+        q_customer_balance_buckets, SQL_CUSTOMER_BALANCE_BUCKETS),
 }
