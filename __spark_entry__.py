@@ -717,6 +717,9 @@ _PARKED_FOR_R8 = [
     "events_autocorrelation",
     "events_out_of_orderness",
     "customer_balance_buckets",
+    "customer_points_capped",
+    "orders_key_gap_audit",
+    "events_burstiness",
 ]
 _DRIVER_RECORD_CAP = 50
 

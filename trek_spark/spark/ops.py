@@ -9516,6 +9516,147 @@ FROM cust GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# Batch 26: sequentially-dependent running computation via recursive
+# CTE, sequential-key completeness audit, and burstiness (Fano factor).
+# --------------------------------------------------------------------------
+
+
+def q_customer_points_capped(spark, sf_dir):
+    """DOUBLE-CLAMPED running walk — the classic sequential computation
+    NO window frame can express: bal_n = clamp(bal_{n−1} + step_n,
+    0, 500) with SIGNED steps (step = dollars DIV 100 − 25, so the
+    walk moves both ways). A monotone capped sum collapses to
+    min(cumsum, cap) and a redemption loop to cumsum mod cap — both
+    window-expressible; only the two-sided clamp with signed steps is
+    genuinely sequential (every later value depends on where earlier
+    clamps bit — the known-answer test has a case where naive
+    clamp-of-cumsum gives 300, the true walk 200). Spark 4's
+    recursive CTE walks each customer's orders in date order, one
+    level per order position (depth = max orders/customer). The
+    ranked order list is localCheckpointed — each recursion level
+    joins the materialized table, never re-runs the ranking (the
+    reach_hops lesson). Output: final balance + count of top-clamped
+    steps."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate",
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+               " DIV 10000 - 25").alias("step"))
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate",
+                                                "o_orderkey")
+    ranked = (orders.withColumn("rn", F.row_number().over(w))
+              .select("o_custkey", "rn", "step")
+              .localCheckpoint())
+    walked = spark.sql("""
+      WITH RECURSIVE acc(o_custkey, rn, bal, hits) AS (
+        SELECT o_custkey, rn, greatest(0, least(step, 500)),
+               CASE WHEN step >= 500 THEN 1 ELSE 0 END
+        FROM {ranked} WHERE rn = 1
+        UNION ALL
+        SELECT r.o_custkey, r.rn,
+               greatest(0, least(a.bal + r.step, 500)),
+               a.hits + CASE WHEN a.bal + r.step >= 500
+                        THEN 1 ELSE 0 END
+        FROM acc a JOIN {ranked} r
+          ON r.o_custkey = a.o_custkey AND r.rn = a.rn + 1
+      )
+      SELECT o_custkey, max(rn) AS n_orders,
+             CAST(max_by(bal, rn) AS BIGINT) AS final_balance,
+             CAST(max_by(hits, rn) AS BIGINT) AS n_saturated
+      FROM acc GROUP BY 1
+    """, ranked=ranked)
+    return walked
+
+
+SQL_CUSTOMER_POINTS_CAPPED = """
+WITH RECURSIVE ranked AS (
+  SELECT o_custkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) // 10000 - 25
+             AS step
+  FROM orders
+), acc(o_custkey, rn, bal, hits) AS (
+  SELECT o_custkey, rn, greatest(0, least(step, 500)),
+         CASE WHEN step >= 500 THEN 1 ELSE 0 END
+  FROM ranked WHERE rn = 1
+  UNION ALL
+  SELECT r.o_custkey, r.rn, greatest(0, least(a.bal + r.step, 500)),
+         a.hits + CASE WHEN a.bal + r.step >= 500 THEN 1 ELSE 0 END
+  FROM acc a JOIN ranked r
+    ON r.o_custkey = a.o_custkey AND r.rn = a.rn + 1
+)
+SELECT o_custkey, max(rn) AS n_orders,
+       CAST(max_by(bal, rn) AS BIGINT) AS final_balance,
+       CAST(max_by(hits, rn) AS BIGINT) AS n_saturated
+FROM acc GROUP BY 1
+"""
+
+
+def q_orders_key_gap_audit(spark, sf_dir):
+    """Sequential-key completeness audit: runs of MISSING o_orderkey
+    values (the ingestion-loss detector for keys that are supposed to
+    be dense). One lag window over the sorted distinct keys emits each
+    gap's start and length; an empty result = the keyspace is dense.
+    The synthetic keys ARE dense, so holes are INJECTED (drop
+    key % 97 == 13, both engines — the engagement convention)."""
+    keys = (_t(spark, sf_dir, "orders")
+            .select("o_orderkey").distinct()
+            .filter(F.expr("o_orderkey % 97 != 13")))
+    w = Window.orderBy("o_orderkey")
+    return (
+        keys.withColumn("prev", F.lag("o_orderkey").over(w))
+        .filter(F.expr("prev IS NOT NULL AND o_orderkey > prev + 1"))
+        .select((F.col("prev") + 1).alias("gap_start"),
+                (F.col("o_orderkey") - F.col("prev") - 1).alias("gap_len"))
+    )
+
+
+SQL_ORDERS_KEY_GAP_AUDIT = """
+WITH keys AS (
+  SELECT DISTINCT o_orderkey FROM orders WHERE o_orderkey % 97 != 13
+), lagged AS (
+  SELECT o_orderkey, lag(o_orderkey) OVER (ORDER BY o_orderkey) AS prev
+  FROM keys
+)
+SELECT CAST(prev + 1 AS BIGINT) AS gap_start,
+       CAST(o_orderkey - prev - 1 AS BIGINT) AS gap_len
+FROM lagged
+WHERE prev IS NOT NULL AND o_orderkey > prev + 1
+"""
+
+
+def q_events_burstiness(spark, sf_dir):
+    """Burstiness (Fano factor: variance-to-mean of the daily count
+    series) per event type — Poisson arrivals sit at 1, bursty traffic
+    above. Emitted as the exact integer pair (n·Σx² − S², n·S): the
+    consumer's F = num/den is the one derived float. Two bounded
+    aggregates (day × type directory, then per type)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type", F.to_date("ts").alias("d"))
+             .agg(F.count("*").alias("x")))
+    return (
+        daily.groupBy("event_type")
+        .agg(F.count("*").alias("n_days"),
+             F.expr("count(*) * sum(x * x) - sum(x) * sum(x)")
+             .alias("fano_num"),
+             F.expr("count(*) * sum(x)").alias("fano_den"))
+    )
+
+
+SQL_EVENTS_BURSTINESS = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS x
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, count(*) AS n_days,
+       CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT)
+           AS fano_num,
+       CAST(count(*) * sum(x) AS BIGINT) AS fano_den
+FROM daily GROUP BY 1
+"""
+
+
 OPS: dict[str, tuple] = {
     # (spark_fn, oracle_sql_or_None)
     "scan_filter_project": (q_scan_filter_project, SQL_SCAN),
@@ -9784,4 +9925,9 @@ OPS: dict[str, tuple] = {
         q_events_out_of_orderness, SQL_EVENTS_OUT_OF_ORDERNESS),
     "customer_balance_buckets": (
         q_customer_balance_buckets, SQL_CUSTOMER_BALANCE_BUCKETS),
+    "customer_points_capped": (
+        q_customer_points_capped, SQL_CUSTOMER_POINTS_CAPPED),
+    "orders_key_gap_audit": (
+        q_orders_key_gap_audit, SQL_ORDERS_KEY_GAP_AUDIT),
+    "events_burstiness": (q_events_burstiness, SQL_EVENTS_BURSTINESS),
 }
