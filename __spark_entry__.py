@@ -720,6 +720,8 @@ _PARKED_FOR_R8 = [
     "customer_points_capped",
     "orders_key_gap_audit",
     "events_burstiness",
+    "nation_region_full_outer",
+    "orders_rank_family",
 ]
 _DRIVER_RECORD_CAP = 50
 

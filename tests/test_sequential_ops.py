@@ -110,3 +110,44 @@ def test_burstiness_constant_vs_bursty(spark, tmp_path):
                              int(r["fano_den"]))
            for _, r in out.iterrows()}
     assert got == {"flat": (2, 0, 12), "bursty": (2, 64, 20)}
+
+
+def test_full_outer_both_null_sides(spark, tmp_path):
+    """Region 0 kept with no kept nations → region-only row; nations
+    of dropped regions 2,3 → nation-only rows; region 1 matches."""
+    _write(spark, tmp_path, "region",
+           "r_regionkey long, r_name string",
+           [(0, "R0"), (1, "R1"), (2, "R2"), (3, "R3"), (4, "R4")])
+    _write(spark, tmp_path, "nation",
+           "n_nationkey long, n_name string, n_regionkey long",
+           [(1, "N1", 1), (2, "N2", 2), (3, "N3", 3), (4, "N4", 4)])
+    out = _cross_check(spark, tmp_path, "nation_region_full_outer",
+                       ["region", "nation"])
+    rows = {(r["nation"], r["region"]): (int(r["region_only"]),
+                                         int(r["nation_only"]))
+            for _, r in out.iterrows()}
+    nulls = ("None", "nan")
+    assert any(n in nulls and reg == "R0" and f == (1, 0)
+               for (n, reg), f in rows.items())          # region-only
+    assert any(n == "N2" and reg in nulls and f == (0, 1)
+               for (n, reg), f in rows.items())          # nation-only
+    assert rows[("N1", "R1")] == (0, 0)
+    assert rows[("N4", "R4")] == (0, 0)
+    assert len(rows) == 5
+
+
+def test_rank_family_tie_semantics(spark, tmp_path):
+    """Buckets [3,3,2,1] per one priority: rank = 1,1,3,4 (skips),
+    dense_rank = 1,1,2,3 (doesn't), row_number = 1,2,3,4 (orderkey
+    tiebreak inside the tie pair)."""
+    rows = [(1, "HIGH", 30000.0), (2, "HIGH", 30500.0),
+            (3, "HIGH", 20000.0), (4, "HIGH", 10000.0)]
+    _write(spark, tmp_path, "orders",
+           "o_orderkey long, o_orderpriority string, "
+           "o_totalprice double", rows)
+    out = _cross_check(spark, tmp_path, "orders_rank_family", ["orders"])
+    got = {int(r["o_orderkey"]): (int(r["rnk"]), int(r["drnk"]),
+                                  int(r["rn"]))
+           for _, r in out.iterrows()}
+    assert got == {1: (1, 1, 1), 2: (1, 1, 2),
+                   3: (3, 2, 3), 4: (4, 3, 4)}

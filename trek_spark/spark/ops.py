@@ -9657,6 +9657,94 @@ FROM daily GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# Batch 27: relational completeness — FULL OUTER join (the one join
+# type the suite lacked) and the rank-family tie semantics.
+# --------------------------------------------------------------------------
+
+
+def q_nation_region_full_outer(spark, sf_dir):
+    """FULL OUTER join — the last uncovered join type. Both unmatched
+    sides are INJECTED (the corpus is referentially intact, so a plain
+    full join degenerates to inner): regions kept {0,1,4} and nations
+    kept with n_regionkey ∈ {1,2,3,4} leave region 0 nation-less and
+    nations of regions 2/3 region-less. Null-side flags are emitted
+    explicitly (the null-handling is the point of the op); keys
+    coalesce across sides."""
+    region = (_t(spark, sf_dir, "region")
+              .filter(F.col("r_regionkey").isin(0, 1, 4)))
+    nation = (_t(spark, sf_dir, "nation")
+              .filter(F.col("n_regionkey").isin(1, 2, 3, 4)))
+    return (
+        nation.join(region,
+                    nation.n_regionkey == region.r_regionkey, "full_outer")
+        .select(
+            F.coalesce("n_regionkey", "r_regionkey").alias("regionkey"),
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+            F.expr("CAST(n_name IS NULL AS INT)").alias("region_only"),
+            F.expr("CAST(r_name IS NULL AS INT)").alias("nation_only"))
+    )
+
+
+SQL_NATION_REGION_FULL_OUTER = """
+SELECT coalesce(n_regionkey, r_regionkey) AS regionkey,
+       n_name AS nation, r_name AS region,
+       CAST(n_name IS NULL AS INT) AS region_only,
+       CAST(r_name IS NULL AS INT) AS nation_only
+FROM (SELECT * FROM nation WHERE n_regionkey IN (1, 2, 3, 4)) n
+FULL OUTER JOIN
+     (SELECT * FROM region WHERE r_regionkey IN (0, 1, 4)) r
+  ON n.n_regionkey = r.r_regionkey
+"""
+
+
+def q_orders_rank_family(spark, sf_dir):
+    """rank() vs dense_rank() vs row_number() on TIES — the semantics
+    triple every window implementation must agree on: revenue is
+    coarsened to $10k buckets so ties are guaranteed, rank/dense_rank
+    order by the COARSE key alone (ties share rank; rank skips,
+    dense_rank doesn't), while row_number carries the full
+    deterministic tiebreak (orderkey) that also picks which 5 rows per
+    priority are emitted."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority",
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+               " DIV 1000000").alias("rev_bucket"))
+    w_coarse = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("rev_bucket"))
+    w_full = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("rev_bucket"), F.asc("o_orderkey"))
+    return (
+        orders
+        .withColumn("rnk", F.rank().over(w_coarse))
+        .withColumn("drnk", F.dense_rank().over(w_coarse))
+        .withColumn("rn", F.row_number().over(w_full))
+        .filter(F.col("rn") <= 5)
+        .select("o_orderpriority", "o_orderkey", "rev_bucket",
+                "rnk", "drnk", "rn")
+    )
+
+
+SQL_ORDERS_RANK_FAMILY = """
+WITH o AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) // 1000000
+             AS rev_bucket
+  FROM orders
+)
+SELECT o_orderpriority, o_orderkey, rev_bucket,
+       rank() OVER (PARTITION BY o_orderpriority
+                    ORDER BY rev_bucket DESC) AS rnk,
+       dense_rank() OVER (PARTITION BY o_orderpriority
+                          ORDER BY rev_bucket DESC) AS drnk,
+       row_number() OVER (PARTITION BY o_orderpriority
+                          ORDER BY rev_bucket DESC, o_orderkey ASC) AS rn
+FROM o
+QUALIFY rn <= 5
+"""
+
+
 OPS: dict[str, tuple] = {
     # (spark_fn, oracle_sql_or_None)
     "scan_filter_project": (q_scan_filter_project, SQL_SCAN),
@@ -9930,4 +10018,8 @@ OPS: dict[str, tuple] = {
     "orders_key_gap_audit": (
         q_orders_key_gap_audit, SQL_ORDERS_KEY_GAP_AUDIT),
     "events_burstiness": (q_events_burstiness, SQL_EVENTS_BURSTINESS),
+    "nation_region_full_outer": (
+        q_nation_region_full_outer, SQL_NATION_REGION_FULL_OUTER),
+    "orders_rank_family": (
+        q_orders_rank_family, SQL_ORDERS_RANK_FAMILY),
 }
