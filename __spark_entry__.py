@@ -722,6 +722,9 @@ _PARKED_FOR_R8 = [
     "events_burstiness",
     "nation_region_full_outer",
     "orders_rank_family",
+    "terms_conditional_entropy",
+    "lineitem_weighted_median",
+    "events_gini_concentration",
 ]
 _DRIVER_RECORD_CAP = 50
 

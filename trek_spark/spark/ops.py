@@ -9745,6 +9745,161 @@ QUALIFY rn <= 5
 """
 
 
+# --------------------------------------------------------------------------
+# Batch 28: conditional entropy (frozen logs), weighted median, and
+# Gini concentration — the inequality/information measures as exact
+# integers.
+# --------------------------------------------------------------------------
+
+
+def q_terms_conditional_entropy(spark, sf_dir):
+    """Conditional bigram entropy H(w₂|w₁) — how predictable the next
+    word is given the current one (the LM-difficulty scalar next to
+    the KN probabilities). Every log term is FROZEN per the
+    source_lang_entropy convention (flog(x) = ⌊log₂(x)·1000⌋ on exact
+    counts), so n·H_millibits = Σ c₁₂·(flog(c₁) − flog(c₁₂)) is pure
+    bigint: order-independent, bit-portable. Bigram counts
+    partial-aggregate map-side; left-context totals join back on the
+    vocabulary-bounded w1 key."""
+    docs = _t(spark, sf_dir, "documents")
+    words = (docs.select(F.expr(
+        "regexp_extract_all(lower(text), '([a-z]+)', 1)").alias("ws"))
+        .where(F.size("ws") >= 2))
+    bigrams = (words.select(F.explode(F.expr(
+        "transform(sequence(1, size(ws) - 1),"
+        " i -> struct(ws[i - 1] AS w1, ws[i] AS w2))")).alias("b"))
+        .select("b.w1", "b.w2"))
+    flog = "CAST(floor(log2(CAST({x} AS DOUBLE)) * 1000) AS BIGINT)"
+    c12 = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    return (
+        c12.join(c1, "w1")
+        .agg(F.sum("c12").alias("n_bigrams"),
+             F.sum(F.expr(
+                 f"c12 * ({flog.format(x='c1')}"
+                 f" - {flog.format(x='c12')})")).alias("nh_millibits"))
+        .withColumn("h_mb_per_bigram",
+                    F.expr("nh_millibits DIV n_bigrams"))
+    )
+
+
+SQL_TERMS_CONDITIONAL_ENTROPY = """
+WITH ws AS (
+  SELECT regexp_extract_all(lower(text), '[a-z]+') AS w FROM documents
+), bigrams AS (
+  SELECT w[i] AS w1, w[i + 1] AS w2
+  FROM ws, UNNEST(range(1, len(w))) AS t(i)
+  WHERE len(w) >= 2
+), c12 AS (
+  SELECT w1, w2, count(*) AS c12 FROM bigrams GROUP BY 1, 2
+), c1 AS (
+  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1
+)
+SELECT CAST(sum(c12) AS BIGINT) AS n_bigrams,
+       CAST(sum(c12 * (CAST(floor(log2(CAST(c1 AS DOUBLE)) * 1000)
+                       AS BIGINT)
+                     - CAST(floor(log2(CAST(c12 AS DOUBLE)) * 1000)
+                       AS BIGINT))) AS BIGINT) AS nh_millibits,
+       CAST(sum(c12 * (CAST(floor(log2(CAST(c1 AS DOUBLE)) * 1000)
+                       AS BIGINT)
+                     - CAST(floor(log2(CAST(c12 AS DOUBLE)) * 1000)
+                       AS BIGINT)))
+            // sum(c12) AS BIGINT) AS h_mb_per_bigram
+FROM c12 JOIN c1 USING (w1)
+"""
+
+
+def q_lineitem_weighted_median(spark, sf_dir):
+    """QUANTITY-weighted median price per return flag — each line
+    votes with its quantity, so the answer is the price at which half
+    the UNITS (not half the lines) are cheaper: the first price (in
+    price order) whose running weight doubles past the total,
+    2·cumw ≥ W. Plain median() can't express it; one window + one
+    filtered aggregate per group can. All exact integers."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
+        .alias("price_c"),
+        F.expr("CAST(floor(l_quantity + 0.5) AS BIGINT)").alias("qty"))
+    per_price = (li.groupBy("l_returnflag", "price_c")
+                 .agg(F.sum("qty").alias("w")))
+    w_run = (Window.partitionBy("l_returnflag").orderBy("price_c")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_tot = Window.partitionBy("l_returnflag")
+    return (
+        per_price
+        .withColumn("cumw", F.sum("w").over(w_run))
+        .withColumn("totw", F.sum("w").over(w_tot))
+        .filter(F.expr("2 * cumw >= totw"))
+        .groupBy("l_returnflag")
+        .agg(F.min("price_c").alias("wmedian_price_c"),
+             F.max("totw").alias("total_units"))
+    )
+
+
+SQL_LINEITEM_WEIGHTED_MEDIAN = """
+WITH per_price AS (
+  SELECT l_returnflag,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c,
+         CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+             AS w
+  FROM lineitem GROUP BY 1, 2
+), run AS (
+  SELECT l_returnflag, price_c,
+         sum(w) OVER (PARTITION BY l_returnflag ORDER BY price_c
+                      ROWS UNBOUNDED PRECEDING) AS cumw,
+         sum(w) OVER (PARTITION BY l_returnflag) AS totw
+  FROM per_price
+)
+SELECT l_returnflag,
+       CAST(min(price_c) AS BIGINT) AS wmedian_price_c,
+       CAST(max(totw) AS BIGINT) AS total_units
+FROM run WHERE 2 * cumw >= totw
+GROUP BY 1
+"""
+
+
+def q_events_gini_concentration(spark, sf_dir):
+    """Gini coefficient of event value per type — the canonical
+    inequality scalar next to the Pareto table: with values sorted
+    ascending and ranked 1..n (event_id tiebreak, deterministic both
+    engines), G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx), emitted as the
+    exact integer pair (gini_num, gini_den). Uniform values pin
+    num = 0; maximal concentration approaches den·(n−1)/n. One rank
+    window + one aggregate per type."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "event_id",
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("x"))
+    w = Window.partitionBy("event_type").orderBy("x", "event_id")
+    return (
+        ev.withColumn("i", F.row_number().over(w))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"),
+             F.sum("x").alias("sx"),
+             F.sum(F.expr("i * x")).alias("six"))
+        .select("event_type", "n",
+                F.expr("2 * six - (n + 1) * sx").alias("gini_num"),
+                F.expr("n * sx").alias("gini_den"))
+    )
+
+
+SQL_EVENTS_GINI_CONCENTRATION = """
+WITH ranked AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS x,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY CAST(floor(value * 100 + 0.5)
+                                     AS BIGINT), event_id) AS i
+  FROM events
+)
+SELECT event_type, count(*) AS n,
+       CAST(2 * sum(i * x) - (count(*) + 1) * sum(x) AS BIGINT)
+           AS gini_num,
+       CAST(count(*) * sum(x) AS BIGINT) AS gini_den
+FROM ranked GROUP BY 1
+"""
+
+
 OPS: dict[str, tuple] = {
     # (spark_fn, oracle_sql_or_None)
     "scan_filter_project": (q_scan_filter_project, SQL_SCAN),
@@ -10022,4 +10177,10 @@ OPS: dict[str, tuple] = {
         q_nation_region_full_outer, SQL_NATION_REGION_FULL_OUTER),
     "orders_rank_family": (
         q_orders_rank_family, SQL_ORDERS_RANK_FAMILY),
+    "terms_conditional_entropy": (
+        q_terms_conditional_entropy, SQL_TERMS_CONDITIONAL_ENTROPY),
+    "lineitem_weighted_median": (
+        q_lineitem_weighted_median, SQL_LINEITEM_WEIGHTED_MEDIAN),
+    "events_gini_concentration": (
+        q_events_gini_concentration, SQL_EVENTS_GINI_CONCENTRATION),
 }
