@@ -555,10 +555,12 @@ _R8_ROWS_ONLY = {
 # CORRECTNESS_r{N}.json (or were red last time they did), rotate
 # long-stable staples out, and record the rotation manifest in SURVEY.
 #
-# Round-7 window: the 13 entries absent from CORRECTNESS_r06.json go
-# FIRST (source_mix_weights leads — it was r5's only red row and its fix
-# has never been driver-recorded), then this round's new ops, then the
-# previously-recorded ops minus the rotation set.
+# Round-8 window (r7 verdict #1, SURVEY §12 schedule): the 50 OLDEST
+# never-recorded parked ops, in _PARKED_FOR_R8 order — job-wired gates
+# first (pii_redact, gopher_quality_rules, line/passage dedup). The
+# overflow (69 ops), the 5 rows-only r8 candidates, the r7-recorded
+# newcomers and the rotated staples all park for the r9/r10 windows.
+# Historical round-7 manifests are kept below for the rotation ledger.
 _NEVER_RECORDED_R7 = [
     "source_mix_weights",
     "tfidf_top_terms",
@@ -728,39 +730,39 @@ _PARKED_FOR_R8 = [
 ]
 _DRIVER_RECORD_CAP = 50
 
+# The round-8 record window: exactly the 50 oldest never-recorded
+# parked ops (r7 verdict #1). Rows-only entries from earlier rounds
+# (multimodal/extraction/streaming) already carry driver records and
+# rotate back in with the r10 window; _R8_ROWS_ONLY waits for r10 too —
+# the 50-entry cap is fully consumed by the oracle backlog this round.
+_WINDOW_R8 = _PARKED_FOR_R8[:_DRIVER_RECORD_CAP]
+_PARKED_FOR_R9 = _PARKED_FOR_R8[_DRIVER_RECORD_CAP:]
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from trek_spark.spark.ops import OPS
 
-    rows_only: dict[str, Callable] = {
-        "multimodal_decode": _multimodal_decode,
-        "multimodal_features": _multimodal_features,
-        "extract_pdf_turns": _extract_pdf_turns,
-        "avi_frame_sample": _avi_frame_sample,
-        "stream_turn_rate": _stream_turn_rate,
-        "stream_dedup_exact": _stream_dedup_exact,
-        "extract_content_spans": _extract_spans,
-        "extract_fixture_turns": _extract_fixture_turns,
-    }
-
     out: dict[str, Callable] = {}
-    # 1. never-recorded oracle ops (r5/r6 window overflow victims)
-    for name in _NEVER_RECORDED_R7:
+    for name in _WINDOW_R8:
         out[name] = OPS[name][0]
-    # 2. new-this-round oracle ops
-    for name in _NEW_R7:
-        out[name] = OPS[name][0]
-    # 3. rows-only entries (never recorded either), cheapest first
-    out.update(rows_only)
-    # 4. previously-recorded ops, minus the rotation set, OPS order
-    skip = set(out) | set(_ROTATED_OUT_R7) | set(_PARKED_FOR_R8)
-    for name, (fn, _sql) in OPS.items():
-        if name not in skip:
-            out[name] = fn
     assert len(out) <= _DRIVER_RECORD_CAP, (
         f"queries() exposes {len(out)} entries; the driver records only "
-        f"{_DRIVER_RECORD_CAP} — grow _ROTATED_OUT_R7")
+        f"{_DRIVER_RECORD_CAP} — shrink _WINDOW_R8")
     return out
+
+
+# Rows-only entries NOT in the r8 window (previously recorded, or
+# staged for r10) — kept importable for bench/pytest coverage.
+_ROWS_ONLY_RECORDED = {
+    "multimodal_decode": _multimodal_decode,
+    "multimodal_features": _multimodal_features,
+    "extract_pdf_turns": _extract_pdf_turns,
+    "avi_frame_sample": _avi_frame_sample,
+    "stream_turn_rate": _stream_turn_rate,
+    "stream_dedup_exact": _stream_dedup_exact,
+    "extract_content_spans": _extract_spans,
+    "extract_fixture_turns": _extract_fixture_turns,
+}
 
 
 def oracle_sql() -> dict[str, str]:
