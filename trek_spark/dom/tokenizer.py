@@ -158,10 +158,15 @@ def scan(rawdata: str, h) -> None:
                 attrvalue = unescape(attrvalue)
             attrs.append((attrname.lower(), attrvalue))
             k = am.end()
-        end = rawdata[k:endpos].strip()
-        if end not in (">", "/>"):
-            handle_data(rawdata[start:endpos])
-            return endpos
+        # fast path: attrs consumed exactly up to '>' (the dominant tag
+        # shape) — skip the per-tag slice + strip allocation
+        if k == endpos - 1 and rawdata[k] == ">":
+            end = ">"
+        else:
+            end = rawdata[k:endpos].strip()
+            if end not in (">", "/>"):
+                handle_data(rawdata[start:endpos])
+                return endpos
         if end.endswith("/>"):
             h.handle_startendtag(tag, attrs)
         else:

@@ -481,14 +481,34 @@ def extract_pdf_one(text: Optional[str]) -> dict:
 
 def _extract_series(texts: pd.Series, urls: Optional[pd.Series],
                     tools: Optional[pd.Series] = None) -> pd.DataFrame:
+    # GC policy (bench-measured, see BENCH/DETAILS.json gc note): trek DOM
+    # trees are parent<->child reference CYCLES, so they are freed only by
+    # the cyclic collector. Under default thresholds the collector fires
+    # MID-parse (~3x/doc), promoting the live tree to gen1/gen2 whose
+    # full-heap scans then dominate (4 gen2 scans of ~100k objects per 187
+    # docs = 9.5% of parse wall). Instead: automatic collection off for
+    # the batch, ONE gen0 sweep per document at the doc boundary — the
+    # tree is dead young garbage there, nothing promotes, gen1/gen2 stay
+    # empty, and peak cyclic garbage is bounded by ONE document (the
+    # previous per-batch full collect held a whole Arrow batch of dead
+    # trees — a memory spike and a full heap scan, per batch, per worker).
+    import gc
+
     rows = []
     url_list = (list(urls) if urls is not None else [None] * len(texts))
     tool_list = (list(tools) if tools is not None else [None] * len(texts))
-    for t, u, tool in zip(texts, url_list, tool_list):
-        if tool == "pdf":
-            rows.append(extract_pdf_one(t))
-        else:
-            rows.append(extract_one(t, u if isinstance(u, str) else None))
+    was_enabled = gc.isenabled()
+    gc.disable()
+    try:
+        for t, u, tool in zip(texts, url_list, tool_list):
+            if tool == "pdf":
+                rows.append(extract_pdf_one(t))
+            else:
+                rows.append(extract_one(t, u if isinstance(u, str) else None))
+            gc.collect(0)
+    finally:
+        if was_enabled:
+            gc.enable()
     return pd.DataFrame(rows, columns=[f.name for f in RESULT_SCHEMA.fields])
 
 
@@ -521,8 +541,6 @@ def extract_map_in_pandas(iterator: Iterator[pd.DataFrame]
     (part_id, batch_idx)). Row-level counts (docs, failures) are derived by
     the job from count(*)/error — stamping batch totals on every row made
     the sums quadratic in batch size (round-1 ADVICE)."""
-    import gc
-
     from pyspark import TaskContext
     ctx = TaskContext.get()
     part_id = ctx.partitionId() if ctx is not None else -1
@@ -530,15 +548,8 @@ def extract_map_in_pandas(iterator: Iterator[pd.DataFrame]
         t0 = time.time()
         urls = pdf["url"] if "url" in pdf.columns else None
         tools = pdf["tool"] if "tool" in pdf.columns else None
-        # DOM trees are parent<->child reference cycles: the cycle collector
-        # pays bandwidth mid-parse for garbage we can free in one sweep at
-        # batch end. One collect per batch, zero during.
-        gc.disable()
-        try:
-            res = _extract_series(pdf["text"], urls, tools)
-        finally:
-            gc.enable()
-            gc.collect()
+        # per-document gen0 GC sweeps happen inside _extract_series
+        res = _extract_series(pdf["text"], urls, tools)
         out = pd.concat(
             [pdf.drop(columns=["text"]).reset_index(drop=True), res], axis=1)
         out["part_id"] = part_id
