@@ -165,7 +165,16 @@ def main() -> None:
         if args.mix_sample:
             # quotas from the CURRENT survivor mix (post-gate/dedup),
             # not the raw table — rebalancing what actually ships; the
-            # |sources|-row plan broadcasts back as a codegen'd filter
+            # |sources|-row plan broadcasts back as a codegen'd filter.
+            # r7 ADVICE closed: the quota aggregate is a corpus-wide
+            # action BEFORE the write, so without a materialization
+            # barrier the gates, dedup anti-join and domain-cap window
+            # would all execute twice (once for the plan, again for the
+            # final write). localCheckpoint pins the survivor set once
+            # (MEMORY_AND_DISK, spill-safe); the upstream Observation
+            # metrics ride this materialization instead of the write's,
+            # which reads them identically after the job completes.
+            curated = curated.localCheckpoint(eager=True)
             plan = O.mix_plan(curated)
             ledger["mix_budget"] = plan.agg(
                 F.sum("quota")).collect()[0][0]

@@ -889,7 +889,7 @@ def test_avi_frame_sample_real_and_bounds():
         d = M.jpeg_decode_pixels(fr)
         assert d is not None and d[:2] == (20, 14)
     # evenly spaced picks: chunk 0, 2, 4 of 7
-    _, chunks, _ = M._avi_walk(avi)
+    _, chunks, _, _ = M._avi_walk(avi)
     assert fs == [chunks[0], chunks[2], chunks[4]]
     # frame_sample_stub routes AVI to the real path
     assert M.frame_sample_stub(avi, 3) == fs
@@ -950,15 +950,40 @@ def test_avi_walk_hostile_sizes_bounded():
                 + b"AVI " + hdrl + lmovi)
     parsed = M._avi_walk(long_avi)
     assert parsed is not None
-    hdr, frames, nframes = parsed
+    hdr, frames, nframes, truncated = parsed
     assert hdr["width"] == 32 and hdr["total_frames"] == 5000
     assert 0 < nframes <= M._AVI_MAX_CHUNKS  # truncated, bounded
+    assert truncated  # the budget hit is SURFACED, not silent (r7 ADVICE)
     # header-only mode: same header, zero frame-byte copies
-    hdr2, frames2, nf2 = M._avi_walk(long_avi, collect_frames=False)
-    assert hdr2 == hdr and frames2 == [] and nf2 == nframes
+    hdr2, frames2, nf2, trunc2 = M._avi_walk(long_avi, collect_frames=False)
+    assert hdr2 == hdr and frames2 == [] and nf2 == nframes and trunc2
     info = M.avi_header_info(long_avi)
     assert info == {"mime": "video/x-msvideo", "width": 32, "height": 24,
-                    "duration_ms": 500_000}  # 5000 frames × 100 ms
+                    "duration_ms": 500_000,  # 5000 frames × 100 ms: past
+                    # the chunk budget the clamped header claim stands
+                    "truncated": True}
+
+
+def test_avi_header_info_hostile_header_clamped():
+    """r7 ADVICE: a hostile avih claiming 0xFFFFFFFF frames at
+    0xFFFFFFFF us/frame must not yield a ~1.8e13 ms duration. The walk
+    completes (2 real chunks), so the COUNTED chunks are the truth and
+    usec_per_frame is clamped to the plausible band."""
+    import struct
+
+    from trek_spark.spark import multimodal as M
+    avih = b"avih" + struct.pack("<I", 56) + struct.pack(
+        "<14I", 0xFFFFFFFF, 0, 0, 0, 0xFFFFFFFF, 0, 1, 0, 32, 24,
+        0, 0, 0, 0)
+    hdrl = b"LIST" + struct.pack("<I", 4 + len(avih)) + b"hdrl" + avih
+    body = (b"00dc" + struct.pack("<I", 4) + b"fake") * 2
+    movi = b"LIST" + struct.pack("<I", 4 + len(body)) + b"movi" + body
+    avi = (b"RIFF" + struct.pack("<I", 8 + len(hdrl) + len(movi))
+           + b"AVI " + hdrl + movi)
+    info = M.avi_header_info(avi)
+    # 2 counted frames × 10s/frame ceiling = 20_000 ms, no truncation
+    assert info == {"mime": "video/x-msvideo", "width": 32, "height": 24,
+                    "duration_ms": 20_000}
 
 
 def test_media_corpus_emits_avis(tmp_path):
@@ -1055,8 +1080,8 @@ def test_avi_resize_and_clip():
     _, _, cusec, cframes = M.avi_decode_frames(cl)
     assert cusec == 100_000 and len(cframes) == 3
     # frame payloads are preserved verbatim (clip never re-encodes)
-    _, orig_chunks, _ = M._avi_walk(avi)
-    _, clip_chunks, _ = M._avi_walk(cl)
+    _, orig_chunks, _, _ = M._avi_walk(avi)
+    _, clip_chunks, _, _ = M._avi_walk(cl)
     assert clip_chunks == orig_chunks[2:5]
 
     assert M.clip_avi(avi, 900, 1200) is None   # past the last frame

@@ -2010,11 +2010,12 @@ def _avi_walk(payload: bytes, collect_frames: bool = True):
             i = end + (size & 1)
         return True
 
-    if not walk(12, n, 0, [_AVI_MAX_CHUNKS]):
+    budget = [_AVI_MAX_CHUNKS]
+    if not walk(12, n, 0, budget):
         return None
     if header is None or nframes[0] == 0:
         return None
-    return header, frames, nframes[0]
+    return header, frames, nframes[0], budget[0] <= 0
 
 
 def avi_header_info(payload: bytes) -> dict | None:
@@ -2025,11 +2026,24 @@ def avi_header_info(payload: bytes) -> dict | None:
     parsed = _avi_walk(payload, collect_frames=False)
     if parsed is None:
         return None
-    hdr, _, nframes = parsed
-    nf = hdr["total_frames"] or nframes
-    return {"mime": "video/x-msvideo", "width": hdr["width"] or None,
-            "height": hdr["height"] or None,
-            "duration_ms": int(nf * hdr["usec_per_frame"] / 1000)}
+    hdr, _, nframes, truncated = parsed
+    # The avih fields are attacker-controlled: a hostile 24-byte header
+    # can claim usec_per_frame=total_frames=0xFFFFFFFF (~1.8e13 ms).
+    # Clamp both to plausible bounds and cross-check the frame count
+    # against the chunks the walk actually saw: when the walk completed,
+    # the counted chunks ARE the video — a header claiming more lies;
+    # when the walk hit the _AVI_MAX_CHUNKS budget the count is only a
+    # lower bound, so the (clamped) header claim is allowed to stand and
+    # the truncation is surfaced instead of silently understating.
+    usec = min(max(hdr["usec_per_frame"], 100), 10_000_000)  # 10kfps..0.1fps
+    claimed = min(hdr["total_frames"], 10_000_000)           # ~93h @30fps
+    nf = max(nframes, claimed) if truncated else nframes
+    out = {"mime": "video/x-msvideo", "width": hdr["width"] or None,
+           "height": hdr["height"] or None,
+           "duration_ms": int(nf * usec / 1000)}
+    if truncated:
+        out["truncated"] = True  # duration is a >= bound past the budget
+    return out
 
 
 def avi_decode_frames(payload: bytes, max_frames: int = 64):
@@ -2043,7 +2057,7 @@ def avi_decode_frames(payload: bytes, max_frames: int = 64):
     parsed = _avi_walk(payload)
     if parsed is None:
         return None
-    hdr, chunks, _ = parsed
+    hdr, chunks, _, _ = parsed
     decoded = []
     pixel_budget = 16_000_000
     for raw in chunks[:max_frames]:
@@ -2071,7 +2085,7 @@ def avi_frame_sample(payload: bytes, n_frames: int = 4) -> list[bytes] | None:
     parsed = _avi_walk(payload)
     if parsed is None or n_frames <= 0:
         return None
-    _, chunks, _ = parsed
+    _, chunks, _, _ = parsed
     k = len(chunks)
     picks = [min(k - 1, i * k // n_frames) for i in range(n_frames)] \
         if k >= n_frames else list(range(k))
@@ -2144,7 +2158,7 @@ def resize_avi(payload: bytes, target_w: int,
     parsed = _avi_walk(payload)
     if parsed is None:
         return None
-    hdr, chunks, _ = parsed
+    hdr, chunks, _, _ = parsed
     out = []
     for raw in chunks:
         rz = resize_jpeg(raw, target_w, target_h)
@@ -2162,7 +2176,7 @@ def clip_avi(payload: bytes, start_ms: int, end_ms: int) -> bytes | None:
     parsed = _avi_walk(payload)
     if parsed is None or end_ms <= start_ms:
         return None
-    hdr, chunks, _ = parsed
+    hdr, chunks, _, _ = parsed
     usec = hdr["usec_per_frame"] or 1
     kept = [raw for i, raw in enumerate(chunks)
             if start_ms <= i * usec / 1000 < end_ms]

@@ -26,6 +26,8 @@ Scale notes (per-op details in docstrings):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -9596,20 +9598,46 @@ FROM acc GROUP BY 1
 def q_orders_key_gap_audit(spark, sf_dir):
     """Sequential-key completeness audit: runs of MISSING o_orderkey
     values (the ingestion-loss detector for keys that are supposed to
-    be dense). One lag window over the sorted distinct keys emits each
-    gap's start and length; an empty result = the keyspace is dense.
-    The synthetic keys ARE dense, so holes are INJECTED (drop
-    key % 97 == 13, both engines — the engagement convention)."""
+    be dense). An empty result = the keyspace is dense. The synthetic
+    keys ARE dense, so holes are INJECTED (drop key % 97 == 13, both
+    engines — the engagement convention).
+
+    Scale shape (r7 ADVICE closed): the naive global ``lag() OVER
+    (ORDER BY key)`` forces every distinct key through ONE partition —
+    a scale-killer on a dense 100 TB keyspace. Instead the keyspace is
+    range-bucketed at B = ⌈√max_key⌉ and gaps split into two exhaustive,
+    disjoint classes: (a) WITHIN-bucket gaps from a lag window
+    PARTITIONED by bucket (fully parallel), and (b) CROSS-bucket gaps
+    between consecutive non-empty buckets, linked on the per-bucket
+    min/max DIRECTORY — ~√N rows, the only global window, the same
+    bounded-directory discipline as the other audit ops (empty buckets
+    between two non-empty ones collapse into one directory gap, which
+    is exactly the merged missing-run semantics). B = √N balances the
+    two sides: √(10^12) = 10^6-row directory over 10^6-key buckets."""
     keys = (_t(spark, sf_dir, "orders")
             .select("o_orderkey").distinct()
             .filter(F.expr("o_orderkey % 97 != 13")))
-    w = Window.orderBy("o_orderkey")
-    return (
-        keys.withColumn("prev", F.lag("o_orderkey").over(w))
+    hi = keys.agg(F.max("o_orderkey")).first()[0]  # 1-row scalar
+    b = max(int(math.isqrt(int(hi or 1))), 1)
+    bucketed = keys.withColumn("bkt", F.expr(f"o_orderkey DIV {b}"))
+    wb = Window.partitionBy("bkt").orderBy("o_orderkey")
+    within = (
+        bucketed.withColumn("prev", F.lag("o_orderkey").over(wb))
         .filter(F.expr("prev IS NOT NULL AND o_orderkey > prev + 1"))
         .select((F.col("prev") + 1).alias("gap_start"),
                 (F.col("o_orderkey") - F.col("prev") - 1).alias("gap_len"))
     )
+    directory = (bucketed.groupBy("bkt")
+                 .agg(F.min("o_orderkey").alias("lo"),
+                      F.max("o_orderkey").alias("hi")))
+    wd = Window.orderBy("bkt")  # ~sqrt(N) directory rows only
+    cross = (
+        directory.withColumn("prev_hi", F.lag("hi").over(wd))
+        .filter(F.expr("prev_hi IS NOT NULL AND lo > prev_hi + 1"))
+        .select((F.col("prev_hi") + 1).alias("gap_start"),
+                (F.col("lo") - F.col("prev_hi") - 1).alias("gap_len"))
+    )
+    return within.unionAll(cross)
 
 
 SQL_ORDERS_KEY_GAP_AUDIT = """
