@@ -727,6 +727,7 @@ _PARKED_FOR_R8 = [
     "terms_conditional_entropy",
     "lineitem_weighted_median",
     "events_gini_concentration",
+    "quality_classifier",  # new r8 (verdict #5) — past [:50], so r9/r10
 ]
 _DRIVER_RECORD_CAP = 50
 

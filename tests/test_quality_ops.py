@@ -148,3 +148,56 @@ def test_column_profile_nulls_and_distincts(spark, tmp_path):
            for _, r in out.iterrows()}
     assert got == {"text": ("1", "2"), "lang": ("2", "2"),
                    "source": ("0", "1"), "n_chars": ("0", "4")}
+
+
+# ---------------------------------------------------------------------------
+# quality_classifier (r8, verdict #5): fastText-style learned linear scorer
+# ---------------------------------------------------------------------------
+
+
+def _qc_doc(doc_id, text, source):
+    return (doc_id, text, "en", source, len(text))
+
+
+def test_quality_classifier_scores_content_not_label(spark, tmp_path):
+    """Known answer: the classifier must KEEP a negatively-LABELED doc
+    whose CONTENT is reference-like (it scores text, not provenance),
+    keep the reference docs, and drop the junk docs. Impostor: doc 100
+    lives in src9 but speaks the src0 vocabulary."""
+    ref = "thoughtful measured analysis with careful clear prose"
+    junk = "click winner casino jackpot free prize bonus spins"
+    rows = ([_qc_doc(i, ref, "src0") for i in range(1, 5)]
+            + [_qc_doc(i, junk, "src9") for i in range(10, 14)]
+            + [_qc_doc(100, ref, "src9")])
+    _write(spark, tmp_path, "documents",
+           "doc_id long, text string, lang string, source string, "
+           "n_chars long", rows)
+    out = _cross_check(spark, tmp_path, "quality_classifier",
+                       ["documents"])
+    keep = {int(r["doc_id"]): int(r["keep_flag"])
+            for _, r in out.iterrows()}
+    assert keep[100] == 1                       # impostor kept by content
+    assert all(keep[i] == 1 for i in range(1, 5))
+    assert all(keep[i] == 0 for i in range(10, 14))
+
+
+def test_quality_classifier_margin_monotone_in_mix(spark, tmp_path):
+    """A doc mixing reference and junk vocabulary lands strictly between
+    the pure docs' margins (per-feature), pinning that the margin is a
+    sum of per-feature evidence rather than any winner-take-all rule."""
+    ref = "thoughtful measured analysis with careful clear prose style"
+    junk = "click winner casino jackpot free prize bonus spins now"
+    mixed = ("thoughtful measured analysis with "
+             "click winner casino jackpot free")
+    rows = ([_qc_doc(i, ref, "src0") for i in range(1, 4)]
+            + [_qc_doc(i, junk, "src9") for i in range(10, 13)]
+            + [_qc_doc(200, mixed, "src9")])
+    _write(spark, tmp_path, "documents",
+           "doc_id long, text string, lang string, source string, "
+           "n_chars long", rows)
+    out = _cross_check(spark, tmp_path, "quality_classifier",
+                       ["documents"])
+    per_feat = {int(r["doc_id"]):
+                int(r["quality_margin"]) / int(r["n_feats"])
+                for _, r in out.iterrows()}
+    assert per_feat[10] < per_feat[200] < per_feat[1]

@@ -227,6 +227,20 @@ AUDITS = {
                               "shuffle keyed on raw n-grams"),
         ("CartesianProduct", "never a cartesian", 0),
     ],
+    "quality_classifier": [
+        # the returned plan is the SCORING stage (training already ran
+        # at build time through the bounded 4,096-bucket aggregation):
+        # weights are a frozen literal array, so scoring is one codegen
+        # stage over one scan
+        ("Exchange", "scoring is a pure per-row JVM expression against "
+                     "the frozen literal weight array: ZERO shuffle — "
+                     "no join, no groupBy, nothing keyed on raw "
+                     "tokens", 0),
+        ("Scan parquet", "one scan feeds features, margin and the "
+                         "learned-threshold decision", 1),
+        ("BatchEvalPython", "no Python anywhere — aggregate() over the "
+                            "feature array is JVM-side", 0),
+    ],
     "graph_pagerank": [
         ("CartesianProduct", "contribution routing is equi-joins on "
                              "node ids only", 0),

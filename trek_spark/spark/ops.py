@@ -3532,6 +3532,195 @@ FROM b JOIN w USING (bucket) GROUP BY doc_id
 
 
 # --------------------------------------------------------------------------
+# Learned quality classifier (fastText-style shallow linear scorer)
+# --------------------------------------------------------------------------
+
+_QC_BUCKETS = 4096
+_QC_POS_SOURCES = ("src0", "src1", "src2", "src3")  # "curated" slice
+
+
+def _qc_features(col="text") -> F.Column:
+    """fastText wordNgrams=2 feature stream: unigrams + word bigrams,
+    WITH multiplicity (the classifier counts occurrences). Same
+    let-binding trick as ``_bigram_occurrences`` so split() runs once
+    per row."""
+    words = rf"split(trim(lower(coalesce({col}, ''))), '\\s+')"
+    return F.expr(rf"""
+        element_at(transform(array({words}), ws ->
+          concat(ws, CASE WHEN size(ws) >= 2
+            THEN transform(sequence(1, size(ws) - 1),
+                           i -> concat_ws(' ', slice(ws, i, 2)))
+            ELSE CAST(array() AS ARRAY<STRING>) END)), 1)""")
+
+
+def q_quality_classifier(spark, sf_dir):
+    """Learned quality classifier — the fastText-style shallow linear
+    scorer every curation stack runs (Joulin et al. 2016 architecture:
+    hashed bag of unigram+bigram features → linear layer → sign; the
+    weights here are the closed-form multinomial-NB log-odds that the
+    linear limit of that model learns): score each doc against a
+    REFERENCE-QUALITY slice (the designated curated sources
+    ``_QC_POS_SOURCES``) vs the rest of the corpus. Per-bucket weight
+    (in MILLIBITS — the ``source_lang_entropy`` freeze precedent,
+    flog(x) = floor(log₂(x)·1000) on an exact integer, one IEEE log per
+    term, bit-portable) is the Laplace-smoothed, class-total-normalized
+    log-odds ``flog((cnt_pos+1)·(tot_neg+B)) −
+    flog((cnt_neg+1)·(tot_pos+B))``; a doc's margin is Σw over its
+    feature occurrences, and the DECISION THRESHOLD is learned too: the
+    midpoint between the class-conditional mean per-feature margins (a
+    1-D LDA-style cut — Laplace smoothing on a finite corpus shifts all
+    margins toward the majority class, so a fixed 0 cut would be
+    degenerate; the midpoint is where the two training slices actually
+    separate). keep_flag tests ``margin/n_feats > (Mp/Fp + Mn/Fn)/2``
+    as one exact-integer cross-multiplication — no float division
+    crosses the oracle.
+
+    Scale: training is ONE aggregation of the exploded feature stream
+    onto 4,096 hash buckets (map-side partials absorb hot tokens; no
+    shuffle keyed on raw n-grams). The per-bucket weights are computed
+    IN SPARK (so the frozen literals never pass through Python float
+    math) and collected — the k-row model-param convention, same as the
+    IVF centroids — then inlined as a 4,096-int literal array. SCORING
+    is then a pure per-row JVM expression (aggregate() over the feature
+    array indexing the literal): zero corpus shuffle, zero Python,
+    embarrassingly parallel at 100 TB. The count products would
+    overflow int64 past ~2⁶² — production divides both counts by their
+    totals first (same decision boundary, bounded operands)."""
+    docs = _t(spark, sf_dir, "documents")
+    pos = F.col("source").isin(*_QC_POS_SOURCES).cast("int")
+    bucket = F.expr(f"CAST(conv(substr(md5(f), 1, 4), 16, 10) AS BIGINT)"
+                    f" % {_QC_BUCKETS}")
+    stream = (docs.select(pos.alias("is_pos"),
+                          F.explode(_qc_features()).alias("f"))
+              .select("is_pos", bucket.alias("bucket")))
+    flog = "CAST(floor(log2(CAST({x} AS DOUBLE)) * 1000) AS BIGINT)"
+    counts = (stream.groupBy("bucket")
+              .agg(F.count("*").alias("cnt"),
+                   F.sum("is_pos").alias("cnt_p")))
+    totals = counts.agg(F.sum("cnt_p").alias("tot_p"),
+                        (F.sum("cnt") - F.sum("cnt_p")).alias("tot_n"))
+    num = f"(cnt_p + 1) * (tot_n + {_QC_BUCKETS})"
+    den = f"(cnt - cnt_p + 1) * (tot_p + {_QC_BUCKETS})"
+    wtab = (counts.crossJoin(F.broadcast(totals))
+            .select("bucket",
+                    F.expr(f"{flog.format(x=num)} - {flog.format(x=den)}")
+                    .alias("w")))
+    rows = wtab.collect()                  # <=4096 rows: model params
+    # Padding for buckets ABSENT from training. The scoring stream is
+    # the training stream, so every scored feature's bucket exists in
+    # `rows` and this value is never read in a compared output — Python
+    # float math is acceptable here only because of that.
+    t = totals.first()                     # 1-row scalar: prior weight
+    import math as _math
+    w0 = (_math.floor(_math.log2(t["tot_n"] + _QC_BUCKETS) * 1000)
+          - _math.floor(_math.log2(t["tot_p"] + _QC_BUCKETS) * 1000))
+    arr = [w0] * _QC_BUCKETS
+    for r in rows:
+        arr[int(r["bucket"])] = int(r["w"])
+    warr = "array(" + ",".join(str(v) for v in arr) + ")"
+    margin = F.expr(f"""
+        aggregate({_qc_feat_sql('text')}, 0L, (acc, f) ->
+          acc + element_at({warr},
+            CAST(CAST(conv(substr(md5(f), 1, 4), 16, 10) AS BIGINT)
+                 % {_QC_BUCKETS} AS INT) + 1))""")
+    scored = docs.select(
+        "doc_id", pos.alias("is_pos"),
+        F.size(_qc_features()).alias("n_feats"),
+        margin.alias("quality_margin"))
+    # learned threshold: 4 exact-integer sums (1-row scalar collect);
+    # a second corpus pass, like the training pass — at 100 TB persist
+    # `scored` so train/threshold/output share one materialization
+    th = scored.agg(
+        F.sum(F.when(F.col("is_pos") == 1, F.col("quality_margin"))
+              .otherwise(0)).alias("mp"),
+        F.sum(F.when(F.col("is_pos") == 1, F.col("n_feats"))
+              .otherwise(0)).alias("fp"),
+        F.sum(F.when(F.col("is_pos") == 0, F.col("quality_margin"))
+              .otherwise(0)).alias("mn"),
+        F.sum(F.when(F.col("is_pos") == 0, F.col("n_feats"))
+              .otherwise(0)).alias("fn")).first()
+    mp, fp, mn, fn = (int(th["mp"]), int(th["fp"]),
+                      int(th["mn"]), int(th["fn"]))
+    # margin/n > (Mp/Fp + Mn/Fn)/2  ⟺  2·margin·Fp·Fn > n·(Mp·Fn + Mn·Fp)
+    keep = F.expr(f"CAST(2 * quality_margin * {fp}L * {fn}L > "
+                  f"n_feats * ({mp}L * {fn}L + {mn}L * {fp}L) AS INT)")
+    return scored.select("doc_id", "n_feats", "quality_margin",
+                         keep.alias("keep_flag"))
+
+
+def _qc_feat_sql(col: str) -> str:
+    """The _qc_features expression as raw SQL text (for embedding inside
+    a larger expression string)."""
+    words = rf"split(trim(lower(coalesce({col}, ''))), '\\s+')"
+    return (f"element_at(transform(array({words}), ws -> "
+            "concat(ws, CASE WHEN size(ws) >= 2 "
+            "THEN transform(sequence(1, size(ws) - 1), "
+            "i -> concat_ws(' ', slice(ws, i, 2))) "
+            "ELSE CAST(array() AS ARRAY<STRING>) END)), 1)")
+
+
+_QC_POS_SQL = ", ".join(f"'{s}'" for s in _QC_POS_SOURCES)
+
+SQL_QUALITY_CLASSIFIER = f"""
+WITH docs AS (
+  SELECT doc_id, source,
+         regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+')
+             AS ws
+  FROM documents
+), feats AS (
+  SELECT doc_id, source,
+         unnest(list_concat(ws,
+           CASE WHEN len(ws) >= 2
+           THEN list_transform(range(1, len(ws)),
+                               i -> ws[i] || ' ' || ws[i + 1])
+           ELSE [] END)) AS f
+  FROM docs
+), b AS (
+  SELECT doc_id, source,
+         CAST('0x' || substr(md5(f), 1, 4) AS BIGINT)
+             % {_QC_BUCKETS} AS bucket
+  FROM feats
+), agg AS (
+  SELECT bucket, count(*) AS cnt,
+         CAST(sum(CASE WHEN source IN ({_QC_POS_SQL})
+                  THEN 1 ELSE 0 END) AS BIGINT) AS cnt_p
+  FROM b GROUP BY bucket
+), tots AS (
+  SELECT sum(cnt_p) AS tot_p, sum(cnt) - sum(cnt_p) AS tot_n FROM agg
+), w AS (
+  SELECT bucket,
+         CAST(floor(log2(CAST((cnt_p + 1) * (tot_n + {_QC_BUCKETS})
+                              AS DOUBLE)) * 1000) AS BIGINT)
+         - CAST(floor(log2(CAST((cnt - cnt_p + 1) * (tot_p + {_QC_BUCKETS})
+                                AS DOUBLE)) * 1000) AS BIGINT) AS w
+  FROM agg, tots
+), scored AS (
+  SELECT doc_id,
+         CAST(max(CASE WHEN source IN ({_QC_POS_SQL})
+                  THEN 1 ELSE 0 END) AS BIGINT) AS is_pos,
+         count(*) AS n_feats,
+         CAST(sum(w.w) AS BIGINT) AS quality_margin
+  FROM b JOIN w USING (bucket)
+  GROUP BY doc_id
+), th AS (
+  SELECT CAST(sum(CASE WHEN is_pos = 1 THEN quality_margin ELSE 0 END)
+              AS BIGINT) AS mp,
+         CAST(sum(CASE WHEN is_pos = 1 THEN n_feats ELSE 0 END)
+              AS BIGINT) AS fp,
+         CAST(sum(CASE WHEN is_pos = 0 THEN quality_margin ELSE 0 END)
+              AS BIGINT) AS mn,
+         CAST(sum(CASE WHEN is_pos = 0 THEN n_feats ELSE 0 END)
+              AS BIGINT) AS fn
+  FROM scored
+)
+SELECT doc_id, n_feats, quality_margin,
+       CAST(2 * quality_margin * fp * fn
+            > n_feats * (mp * fn + mn * fp) AS INT) AS keep_flag
+FROM scored, th
+"""
+
+
+# --------------------------------------------------------------------------
 # PageRank over the near-dup similarity graph
 # --------------------------------------------------------------------------
 
@@ -10211,4 +10400,5 @@ OPS: dict[str, tuple] = {
         q_lineitem_weighted_median, SQL_LINEITEM_WEIGHTED_MEDIAN),
     "events_gini_concentration": (
         q_events_gini_concentration, SQL_EVENTS_GINI_CONCENTRATION),
+    "quality_classifier": (q_quality_classifier, SQL_QUALITY_CLASSIFIER),
 }
