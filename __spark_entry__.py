@@ -728,6 +728,7 @@ _PARKED_FOR_R8 = [
     "lineitem_weighted_median",
     "events_gini_concentration",
     "quality_classifier",  # new r8 (verdict #5) — past [:50], so r9/r10
+    "train_export_manifest",  # new r8 (verdict #4) — r9/r10 window
 ]
 _DRIVER_RECORD_CAP = 50
 

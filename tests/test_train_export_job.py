@@ -116,3 +116,22 @@ def test_pii_redaction_reaches_packed_text(spark, tmp_path):
              spark.read.parquet(f"{out}/sequences").collect()]
     assert all("alice@example.com" not in t for t in texts)
     assert any("clean text" in t for t in texts)
+
+
+def test_manifest_op_matches_job_output(spark, tmp_path):
+    """The oracle-checked ops.train_export_manifest equals the manifest
+    the job actually writes — the record-window entry certifies the
+    shipped job's derivation, not a lookalike."""
+    from trek_spark.spark.ops import OPS
+
+    out = str(tmp_path / "out")
+    _run_job(spark, "/root/testdata/sf0.001", out)
+    op = (OPS["train_export_manifest"][0](spark, "/root/testdata/sf0.001")
+          .toPandas())
+    job = spark.read.parquet(f"{out}/manifest").toPandas()
+
+    def canon(df):
+        df = df.reindex(sorted(df.columns), axis=1).astype(str)
+        return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+    assert canon(op).equals(canon(job))

@@ -3659,6 +3659,78 @@ def _qc_feat_sql(col: str) -> str:
             "ELSE CAST(array() AS ARRAY<STRING>) END)), 1)")
 
 
+def q_train_export_manifest(spark, sf_dir):
+    """The lineage manifest jobs/train_export_job.py writes, as an
+    oracle-checked op: per (split, lang, shard) — sequence count, docs,
+    token sum, first/last doc id — for the split+pack composition
+    (``SPLIT_EXPR`` md5-tick 80/10/10 × ``q_pack_token_budget``
+    GPT-style packing, doc assigned to the sequence where it starts).
+    This certifies the JOB's derivation end-to-end against DuckDB: the
+    job's written manifest equals this DataFrame by construction (same
+    expressions, same constants).
+
+    Scale shape = the job's: the packing window partitions on
+    (split, lang, shard); BOTH groupBys cluster on supersets/subsets of
+    those keys, so the whole plan runs on ONE corpus Exchange (the
+    manifest groupBy reuses the window's partitioning)."""
+    n_tok = F.size(F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))),
+                           r"\s+"))
+    staged = (_t(spark, sf_dir, "documents")
+              .select("doc_id", "lang",
+                      F.expr(SPLIT_EXPR).alias("split"),
+                      n_tok.alias("n_tokens"),
+                      F.expr(f"doc_id DIV {_PACK_SHARD}").alias("shard")))
+    w = (Window.partitionBy("split", "lang", "shard").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    packed = (staged.withColumn("cum", F.sum("n_tokens").over(w))
+              .withColumn("seq_id", F.expr(
+                  f"(cum - n_tokens) DIV {_PACK_CAPACITY}")))
+    seqs = (packed.groupBy("split", "lang", "shard", "seq_id")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").alias("seq_tokens"),
+                 F.min("doc_id").alias("first_doc"),
+                 F.max("doc_id").alias("last_doc")))
+    return (seqs.groupBy("split", "lang", "shard")
+            .agg(F.count("*").alias("n_seqs"),
+                 F.sum("n_docs").alias("n_docs"),
+                 F.sum("seq_tokens").alias("n_tokens"),
+                 F.min("first_doc").alias("first_doc"),
+                 F.max("last_doc").alias("last_doc")))
+
+
+SQL_TRAIN_EXPORT_MANIFEST = f"""
+WITH staged AS (
+  SELECT doc_id, lang,
+         CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                        AS BIGINT) % 100 < 80 THEN 'train'
+              WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                        AS BIGINT) % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split,
+         len(regexp_split_to_array(trim(coalesce(text, '')), '\\s+'))
+             AS n_tokens,
+         doc_id // {_PACK_SHARD} AS shard
+  FROM documents
+), cums AS (
+  SELECT *, sum(n_tokens) OVER (PARTITION BY split, lang, shard
+                                ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum
+  FROM staged
+), seqs AS (
+  SELECT split, lang, shard,
+         (cum - n_tokens) // {_PACK_CAPACITY} AS seq_id,
+         count(*) AS n_docs, sum(n_tokens) AS seq_tokens,
+         min(doc_id) AS first_doc, max(doc_id) AS last_doc
+  FROM cums GROUP BY 1, 2, 3, 4
+)
+SELECT split, lang, shard, count(*) AS n_seqs,
+       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       CAST(sum(seq_tokens) AS BIGINT) AS n_tokens,
+       min(first_doc) AS first_doc, max(last_doc) AS last_doc
+FROM seqs GROUP BY 1, 2, 3
+"""
+
+
 _QC_POS_SQL = ", ".join(f"'{s}'" for s in _QC_POS_SOURCES)
 
 SQL_QUALITY_CLASSIFIER = f"""
@@ -10401,4 +10473,6 @@ OPS: dict[str, tuple] = {
     "events_gini_concentration": (
         q_events_gini_concentration, SQL_EVENTS_GINI_CONCENTRATION),
     "quality_classifier": (q_quality_classifier, SQL_QUALITY_CLASSIFIER),
+    "train_export_manifest": (
+        q_train_export_manifest, SQL_TRAIN_EXPORT_MANIFEST),
 }
