@@ -91,7 +91,15 @@ def test_span_coverage_floor_over_corpus():
     tail can't overshoot the cursor and starve following blocks,
     multi-occurrence overlap-free rescue in the second pass, and probes
     for MathML blocks, token-wrapped code, quoted callout bodies,
-    rewritten link URLs, and emphasis-stripped leads)."""
+    rewritten link URLs, and emphasis-stripped leads); 0.9906 after the
+    r8 short-probe families (first-line-only callout leads, sub-8-char
+    fence/table-cell/inline-code/emphasis text, entity-escape and
+    label-split truncation, fence line-TAIL probes for token-wrapping
+    highlighters, and the 6-7-char best-token fallback that the >=8
+    candidate filter used to drop silently). The remaining structural
+    misses are ONE family: renderer-SYNTHESIZED '## Comments' section
+    headings (the comments extractor inserts them; no source text
+    exists to attribute) — permanently non-attributable by design."""
     from trek_spark.extract.pipeline import trek_parse
     from trek_spark.spark.udf import span_coverage
 
@@ -101,4 +109,4 @@ def test_span_coverage_floor_over_corpus():
         pairs.append((fx.html, r["content_markdown"] or ""))
     stats = span_coverage(pairs)
     assert stats["blocks"] > 1500
-    assert stats["coverage"] >= 0.96
+    assert stats["coverage"] >= 0.98

@@ -104,7 +104,15 @@ _MD_UNESCAPE = re.compile(r"\\([\\`*_{}\[\]()#+.!|>~-])")
 _EMPHASIS_SPAN = re.compile(r"\*{1,2}([^*\n]{8,}?)\*{1,2}")
 _CODE_SPAN = re.compile(r"`([^`\n]{8,}?)`")
 _BRACKET_SPAN = re.compile(r"\[([^\]^\n][^\]\n]{7,}?)\]")
+# short variants (>=4 inner chars): last-resort probes for blocks whose
+# only verbatim-in-source text is a short emphasized/code token
+# ("**contain**", "`Array()`")
+_EMPHASIS_SHORT = re.compile(r"\*{1,2}([^*\n]{4,}?)\*{1,2}")
+_CODE_SHORT = re.compile(r"`([^`\n]{4,}?)`")
 _TOKEN = re.compile(r"[A-Za-z0-9_]{6,}")
+# entity-escape boundary: '<' '>' '&' in markdown text are escaped in
+# the HTML source, so a probe crossing one can never match verbatim
+_ENTITY_BREAK = re.compile(r"[<>&]")
 
 
 def _fence_aware_blocks(markdown: str) -> list[str]:
@@ -153,6 +161,18 @@ def _probe_candidates(stripped: str) -> list[str]:
         btoks = re.findall(r"[A-Za-z0-9_]{5,}", body[:200])
         if btoks:
             short_structural.append(max(btoks, key=len))
+        # short-token code ("foo bar", lean signatures): no >=8 fragment
+        # and no >=5 identifier exists — fall back to the short first
+        # line / head as last-resort probes (window-bounded ends keep a
+        # wrong-instance hit small)
+        first_ln = body.split("\n", 1)[0].strip()
+        if 4 <= len(first_ln) < 8:
+            short_structural.append(first_ln)
+        elif len(first_ln) >= 8:
+            short_structural.append(first_ln[:16])
+            # tail-anchored: token-wrapping highlighters often leave the
+            # LINE TAIL as one contiguous text run ("(x : Nat) : Nat :=")
+            short_structural.append(first_ln[-16:].strip())
     m = _IMAGE_LEAD.match(s)
     if m:
         cands.append(m.group(2)[:80])        # src URL survives verbatim
@@ -175,7 +195,19 @@ def _probe_candidates(stripped: str) -> list[str]:
                                       m.group(1).lstrip(_SPAN_TRIM))[:40])
     m = _CALLOUT_LEAD.match(s)
     if m:                                    # "[!tip]- Title" → "Title"
-        cands.append(m.group(1).lstrip(_SPAN_TRIM + "\n")[:40])
+        # FIRST LINE only: group(1) is DOTALL and would otherwise carry
+        # the "\n> body" continuation into the probe, which never
+        # matches the source (the quote markers are renderer-made)
+        inner = m.group(1).lstrip(_SPAN_TRIM + "\n")
+        first, _, rest = inner.partition("\n")
+        cands.append(first.strip()[:40])
+        # callout body line (title divs are often restyled beyond
+        # recognition while the body text survives verbatim)
+        for ln in rest.splitlines():
+            ln = ln.strip().lstrip(_SPAN_TRIM)
+            if ln and not ln.startswith(("[!", "```")):
+                cands.append(ln[:40])
+                break
     if s.startswith(">"):
         # blockquote/callout: the "> " quote markers are renderer-made;
         # probe the first inner line that isn't a marker or fence
@@ -188,6 +220,13 @@ def _probe_candidates(stripped: str) -> list[str]:
     if s.startswith("|"):                    # table row: first cell text
         cells = [c.strip() for c in s.split("\n", 1)[0].split("|")]
         cands.extend(c[:40] for c in cells if c.strip(" -:"))
+        # sub-8-char cells ("Name", "Alice"): survive verbatim inside
+        # <td>/<th> — last-resort short probes over the first two rows
+        for row in s.split("\n", 3)[:3]:
+            for c in row.split("|"):
+                c = c.strip()
+                if 4 <= len(c) < 8 and c.strip(" -:"):
+                    short_structural.append(c)
     cands.append(s[:40])
     if "\\" in s[:40]:                       # markdown escapes undone
         cands.append(_MD_UNESCAPE.sub(r"\1", s[:48])[:40])
@@ -200,6 +239,19 @@ def _probe_candidates(stripped: str) -> list[str]:
         b = _INLINE_BREAK.search(c, 1)
         if b and b.start() >= 8:
             cands.append(c[:b.start()])
+        elif b and b.start() >= 4:          # short prefix: last resort
+            short_structural.append(c[:b.start()].strip())
+        # entity-escape truncation: "From: Example <hello@…>" reads
+        # "…&lt;hello@…&gt;" in the source — probe the prefix before
+        # the first escaped char
+        e = _ENTITY_BREAK.search(c, 1)
+        if e and e.start() >= 8:
+            cands.append(c[:e.start()])
+        # label-split: "<span>From:</span> Example …" breaks the
+        # contiguity at the label — the text AFTER ": " survives
+        if ": " in c[:24]:
+            short_structural.append(
+                c.split(": ", 1)[1].split("<")[0].strip()[:24])
     # content INSIDE the first emphasis / code span / bracket — the
     # text between renderer-inserted markers is contiguous in source
     head = s[:160]
@@ -207,18 +259,31 @@ def _probe_candidates(stripped: str) -> list[str]:
         m = rx.search(head)
         if m:
             cands.append(m.group(1).strip()[:40])
+    for rx in (_EMPHASIS_SHORT, _CODE_SHORT):  # short inner: last resort
+        m = rx.search(head)
+        if m and 4 <= len(m.group(1).strip()) < 8:
+            short_structural.append(m.group(1).strip())
     # math blocks: the serialized TeX ($…$/$$…$$) is SYNTHESIZED from
     # MathML and never appears in the source — probe the text BETWEEN
-    # the math runs instead (the longest $-free segment)
+    # the math runs instead (the longest $-free segment). RAW-latex
+    # sources ($$F = ma$$ passed through verbatim) keep even short
+    # segments, so those fall back as short probes.
     if "$" in s:
         segs = [p.strip() for p in s[:200].split("$")]
-        segs = [p for p in segs if len(p) >= 8]
-        if segs:
-            cands.append(max(segs, key=len)[:40])
-    # last resort: one distinctive token from the block head
+        long_segs = [p for p in segs if len(p) >= 8]
+        if long_segs:
+            cands.append(max(long_segs, key=len)[:40])
+        short_segs = [p for p in segs if 4 <= len(p) < 8]
+        if short_segs:
+            short_structural.append(max(short_segs, key=len))
+    # last resort: one distinctive token from the block head (tokens
+    # under the 8-char candidate filter go through the short list —
+    # previously a 6-7 char best token like "viewBox" was silently
+    # dropped by the length filter below)
     toks = _TOKEN.findall(s[:120])
     if toks:
-        cands.append(max(toks, key=len))
+        best = max(toks, key=len)
+        (cands if len(best) >= 8 else short_structural).append(best)
     out, seen = [], set()
     for c in cands:
         c = c.strip()
