@@ -69,6 +69,8 @@ BENCH_QUERIES = [
     "dedup_minhash_estimate",
     "events_asof_join", "events_sessionize", "docs_repetition_ratio",
     "dedup_hot_shingle_audit", "dedup_prefix_filter",
+    "quality_classifier",  # r8: learned scorer (train agg + frozen-
+                           # literal per-row scoring + threshold pass)
 ]
 
 
