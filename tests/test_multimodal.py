@@ -1099,3 +1099,27 @@ def test_avi_resize_and_clip():
     assert rows[2] is None and rows[3] is None
     got = M.avi_decode_frames(bytes(rows[1]))
     assert got is not None and len(got[3]) == 3  # frames at 0,100,200 ms
+
+
+def test_avi_exact_budget_walk_is_not_truncated():
+    """Off-by-one guard: an AVI whose chunk count exactly exhausts the
+    walk budget was still FULLY walked — truncated must stay False and
+    the counted chunks (not a hostile header claim) give the duration."""
+    import struct
+
+    from trek_spark.spark import multimodal as M
+    avih = b"avih" + struct.pack("<I", 56) + struct.pack(
+        "<14I", 100_000, 0, 0, 0, 9_999_999, 0, 1, 0, 32, 24,
+        0, 0, 0, 0)
+    hdrl = b"LIST" + struct.pack("<I", 4 + len(avih)) + b"hdrl" + avih
+    # budget decrements: LIST hdrl + avih + LIST movi + N frames
+    n = M._AVI_MAX_CHUNKS - 3
+    body = (b"00dc" + struct.pack("<I", 4) + b"fake") * n
+    movi = b"LIST" + struct.pack("<I", 4 + len(body)) + b"movi" + body
+    avi = (b"RIFF" + struct.pack("<I", 8 + len(hdrl) + len(movi))
+           + b"AVI " + hdrl + movi)
+    hdr, _, nframes, truncated = M._avi_walk(avi, collect_frames=False)
+    assert nframes == n and not truncated
+    info = M.avi_header_info(avi)
+    assert "truncated" not in info
+    assert info["duration_ms"] == n * 100  # counted, not the 9,999,999

@@ -168,7 +168,10 @@ def test_quality_classifier_scores_content_not_label(spark, tmp_path):
     junk = "click winner casino jackpot free prize bonus spins"
     rows = ([_qc_doc(i, ref, "src0") for i in range(1, 5)]
             + [_qc_doc(i, junk, "src9") for i in range(10, 14)]
-            + [_qc_doc(100, ref, "src9")])
+            + [_qc_doc(100, ref, "src9")]
+            # NULL source must count as NEGATIVE class in BOTH engines
+            # (Spark isin(NULL) is NULL — the when/otherwise guard)
+            + [_qc_doc(101, junk, None)])
     _write(spark, tmp_path, "documents",
            "doc_id long, text string, lang string, source string, "
            "n_chars long", rows)
@@ -179,6 +182,7 @@ def test_quality_classifier_scores_content_not_label(spark, tmp_path):
     assert keep[100] == 1                       # impostor kept by content
     assert all(keep[i] == 1 for i in range(1, 5))
     assert all(keep[i] == 0 for i in range(10, 14))
+    assert keep[101] == 0                       # NULL-source junk dropped
 
 
 def test_quality_classifier_margin_monotone_in_mix(spark, tmp_path):

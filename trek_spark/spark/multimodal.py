@@ -1978,6 +1978,8 @@ def _avi_walk(payload: bytes, collect_frames: bool = True):
     frames: list[bytes] = []
     nframes = [0]
 
+    truncated = [False]
+
     def walk(lo: int, hi: int, depth: int, budget: list) -> bool:
         nonlocal header
         if depth > 4:
@@ -1985,7 +1987,12 @@ def _avi_walk(payload: bytes, collect_frames: bool = True):
         i = lo
         while i + 8 <= hi:
             if budget[0] <= 0:
-                return True          # budget spent: truncate, not fail
+                # budget spent WITH bytes still unread: truncate, not
+                # fail — and record it (an AVI with exactly
+                # _AVI_MAX_CHUNKS chunks exhausts the budget on its
+                # last chunk but was fully walked: NOT truncated)
+                truncated[0] = True
+                return True
             budget[0] -= 1
             cid = d[i:i + 4]
             size = struct.unpack("<I", d[i + 4:i + 8])[0]
@@ -2015,7 +2022,7 @@ def _avi_walk(payload: bytes, collect_frames: bool = True):
         return None
     if header is None or nframes[0] == 0:
         return None
-    return header, frames, nframes[0], budget[0] <= 0
+    return header, frames, nframes[0], truncated[0]
 
 
 def avi_header_info(payload: bytes) -> dict | None:

@@ -3539,18 +3539,22 @@ _QC_BUCKETS = 4096
 _QC_POS_SOURCES = ("src0", "src1", "src2", "src3")  # "curated" slice
 
 
-def _qc_features(col="text") -> F.Column:
-    """fastText wordNgrams=2 feature stream: unigrams + word bigrams,
-    WITH multiplicity (the classifier counts occurrences). Same
-    let-binding trick as ``_bigram_occurrences`` so split() runs once
-    per row."""
+def _qc_feat_sql(col: str) -> str:
+    """fastText wordNgrams=2 feature stream (unigrams + word bigrams,
+    WITH multiplicity) as raw SQL text — the ONE source of truth for
+    both the training explode and the scoring expression (a hand-synced
+    second copy would silently desynchronize them). Same let-binding
+    trick as ``_bigram_occurrences`` so split() runs once per row."""
     words = rf"split(trim(lower(coalesce({col}, ''))), '\\s+')"
-    return F.expr(rf"""
-        element_at(transform(array({words}), ws ->
-          concat(ws, CASE WHEN size(ws) >= 2
-            THEN transform(sequence(1, size(ws) - 1),
-                           i -> concat_ws(' ', slice(ws, i, 2)))
-            ELSE CAST(array() AS ARRAY<STRING>) END)), 1)""")
+    return (f"element_at(transform(array({words}), ws -> "
+            "concat(ws, CASE WHEN size(ws) >= 2 "
+            "THEN transform(sequence(1, size(ws) - 1), "
+            "i -> concat_ws(' ', slice(ws, i, 2))) "
+            "ELSE CAST(array() AS ARRAY<STRING>) END)), 1)")
+
+
+def _qc_features(col="text") -> F.Column:
+    return F.expr(_qc_feat_sql(col))
 
 
 def q_quality_classifier(spark, sf_dir):
@@ -3587,7 +3591,11 @@ def q_quality_classifier(spark, sf_dir):
     overflow int64 past ~2⁶² — production divides both counts by their
     totals first (same decision boundary, bounded operands)."""
     docs = _t(spark, sf_dir, "documents")
-    pos = F.col("source").isin(*_QC_POS_SOURCES).cast("int")
+    # NULL source counts as NEGATIVE class (when/otherwise, NOT
+    # isin().cast(): isin on NULL yields NULL, which would silently
+    # exclude the doc from BOTH threshold classes while DuckDB's
+    # CASE WHEN counts it negative — a cross-engine threshold skew)
+    pos = F.when(F.col("source").isin(*_QC_POS_SOURCES), 1).otherwise(0)
     bucket = F.expr(f"CAST(conv(substr(md5(f), 1, 4), 16, 10) AS BIGINT)"
                     f" % {_QC_BUCKETS}")
     stream = (docs.select(pos.alias("is_pos"),
@@ -3596,7 +3604,11 @@ def q_quality_classifier(spark, sf_dir):
     flog = "CAST(floor(log2(CAST({x} AS DOUBLE)) * 1000) AS BIGINT)"
     counts = (stream.groupBy("bucket")
               .agg(F.count("*").alias("cnt"),
-                   F.sum("is_pos").alias("cnt_p")))
+                   F.sum("is_pos").alias("cnt_p"))
+              # <=4,096 rows; pins the explode+aggregate to ONE corpus
+              # pass — wtab.collect() and totals.first() below are two
+              # actions over this tiny table, not over the corpus
+              .localCheckpoint(eager=True))
     totals = counts.agg(F.sum("cnt_p").alias("tot_p"),
                         (F.sum("cnt") - F.sum("cnt_p")).alias("tot_n"))
     num = f"(cnt_p + 1) * (tot_n + {_QC_BUCKETS})"
@@ -3641,22 +3653,24 @@ def q_quality_classifier(spark, sf_dir):
               .otherwise(0)).alias("fn")).first()
     mp, fp, mn, fn = (int(th["mp"]), int(th["fp"]),
                       int(th["mn"]), int(th["fn"]))
-    # margin/n > (Mp/Fp + Mn/Fn)/2  ⟺  2·margin·Fp·Fn > n·(Mp·Fn + Mn·Fp)
-    keep = F.expr(f"CAST(2 * quality_margin * {fp}L * {fn}L > "
-                  f"n_feats * ({mp}L * {fn}L + {mn}L * {fp}L) AS INT)")
+    # Freeze the threshold to ONE integer in microbits/feature:
+    # T = trunc((Mp·Fn + Mn·Fp)·1000 / (2·Fp·Fn)). The raw
+    # cross-multiplication margin·2·Fp·Fn would overflow int64 once each
+    # class holds ~3e9 features (Fp·Fn alone passes 2^63) — Spark wraps
+    # silently with ANSI off. Computed in driver Python (arbitrary
+    # precision), truncated TOWARD ZERO to match DuckDB's HUGEINT `//`;
+    # the per-row test 1000·margin > n_feats·T stays within int64 at any
+    # corpus size (margin ≤ n_feats·|w|max, |T| ≤ |w|max·1000).
+    b = 2 * fp * fn
+    if b == 0:
+        keep = F.lit(0)                    # a one-class corpus: no cut
+    else:
+        a = (mp * fn + mn * fp) * 1000
+        t_micro = -((-a) // b) if a < 0 else a // b   # trunc toward 0
+        keep = F.expr(f"CAST(1000 * quality_margin > "
+                      f"n_feats * {t_micro}L AS INT)")
     return scored.select("doc_id", "n_feats", "quality_margin",
                          keep.alias("keep_flag"))
-
-
-def _qc_feat_sql(col: str) -> str:
-    """The _qc_features expression as raw SQL text (for embedding inside
-    a larger expression string)."""
-    words = rf"split(trim(lower(coalesce({col}, ''))), '\\s+')"
-    return (f"element_at(transform(array({words}), ws -> "
-            "concat(ws, CASE WHEN size(ws) >= 2 "
-            "THEN transform(sequence(1, size(ws) - 1), "
-            "i -> concat_ws(' ', slice(ws, i, 2))) "
-            "ELSE CAST(array() AS ARRAY<STRING>) END)), 1)")
 
 
 def q_train_export_manifest(spark, sf_dir):
@@ -3786,8 +3800,10 @@ WITH docs AS (
   FROM scored
 )
 SELECT doc_id, n_feats, quality_margin,
-       CAST(2 * quality_margin * fp * fn
-            > n_feats * (mp * fn + mn * fp) AS INT) AS keep_flag
+       CASE WHEN fp = 0 OR fn = 0 THEN 0
+            WHEN 1000 * quality_margin
+                 > n_feats * ((mp * fn + mn * fp) * 1000 // (2 * fp * fn))
+            THEN 1 ELSE 0 END AS keep_flag
 FROM scored, th
 """
 

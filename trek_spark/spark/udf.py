@@ -292,7 +292,10 @@ def _probe_candidates(stripped: str) -> list[str]:
             out.append(c)
     out = out[:14]
     for c in short_structural:
-        if len(c) >= 5 and c not in seen:
+        c = c.strip()
+        # >=4, matching the short-probe producers above (a >=5 filter
+        # here silently dropped their 4-char candidates, e.g. "Name")
+        if len(c) >= 4 and c not in seen:
             seen.add(c)
             out.append(c)
     # structural last resort for math blocks with no locatable text
