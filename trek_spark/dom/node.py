@@ -138,7 +138,15 @@ class Node:
         return c.split() if c else []
 
     def has_class(self, name: str) -> bool:
-        return name in self.classes()
+        a = self.attrs
+        if a is None:
+            return False
+        c = a.get("class")
+        # substring precheck: a token can't be present unless its text is —
+        # skips the split() allocation for the dominant negative case
+        if not c or name not in c:
+            return False
+        return name in c.split()
 
     def id(self) -> str:
         return self.get("id") or ""

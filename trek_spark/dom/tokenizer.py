@@ -62,6 +62,22 @@ except ImportError:  # pragma: no cover - future-stdlib guard
       \s*                                # trailing whitespace
     """, re.VERBOSE)
 
+# One-pass fast path for the dominant well-formed start-tag shape:
+# simple tag name, attrs that are `\s+ name` or `\s+ name = 'v'|"v"`
+# (quoted or valueless ONLY — bare values fall through to the tolerant
+# slow path, whose `/>`-vs-bare-value ambiguity this shape cannot
+# express). For any input this matches, the tolerant automatons parse
+# the identical tag/attr/endpos — the attr region is still handed to
+# attrfind_tolerant itself, so attribute semantics (=+, unescape,
+# lowercasing) cannot diverge; the fast path only skips the redundant
+# locatestarttagend + tagfind rescans (the tag text was scanned ~3x).
+_faststart = re.compile(
+    r"<([a-zA-Z][a-zA-Z0-9-]*)"
+    r"((?:\s+[a-zA-Z_:@][^\s/=>]*"
+    r"(?:\s*=\s*(?:'[^']*'|\"[^\"]*\"))?)*)"
+    r"\s*(/?)>")
+_ws_skip = re.compile(r"\s*")
+
 _commentclose = re.compile(r"--\s*>")
 _markedsectionclose = re.compile(r"]\s*]\s*>")
 _msmarkedsectionclose = re.compile(r"]\s*>")
@@ -122,6 +138,38 @@ def scan(rawdata: str, h) -> None:
         return s.strip().lower(), m.end()
 
     def parse_starttag(start: int) -> int:
+        nonlocal cdata_elem
+        fm = _faststart.match(rawdata, start)
+        if fm is not None:
+            tag = fm.group(1).lower()
+            attrs = []
+            a_lo, a_hi = fm.span(2)
+            if a_lo < a_hi:
+                # group 2 leads with \s+ (tagfind's tail consumed this
+                # in the slow path — attrfind's lookbehind needs it
+                # BEHIND k, not at k)
+                k = _ws_skip.match(rawdata, a_lo).end()
+                while k < a_hi:
+                    am = attrfind_tolerant.match(rawdata, k)
+                    if not am:  # pragma: no cover - shape guarantees match
+                        break
+                    attrname, rest, attrvalue = am.group(1, 2, 3)
+                    if not rest:
+                        attrvalue = None
+                    elif attrvalue[:1] == "'" == attrvalue[-1:] or \
+                            attrvalue[:1] == '"' == attrvalue[-1:]:
+                        attrvalue = attrvalue[1:-1]
+                    if attrvalue:
+                        attrvalue = unescape(attrvalue)
+                    attrs.append((attrname.lower(), attrvalue))
+                    k = am.end()
+            if fm.group(3):
+                h.handle_startendtag(tag, attrs)
+            else:
+                h.handle_starttag(tag, attrs)
+                if tag in _CDATA_CONTENT_ELEMENTS:
+                    cdata_elem = tag
+            return fm.end()
         m = locatestarttagend_tolerant.match(rawdata, start)
         j = m.end()
         nxt = rawdata[j:j + 1]
@@ -172,7 +220,6 @@ def scan(rawdata: str, h) -> None:
         else:
             h.handle_starttag(tag, attrs)
             if tag in _CDATA_CONTENT_ELEMENTS:
-                nonlocal cdata_elem
                 cdata_elem = tag
         return endpos
 

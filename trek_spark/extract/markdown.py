@@ -28,6 +28,7 @@ _INLINE_TAGS = frozenset(
     "math".split()
 )
 
+_ASCII_WS_RUN = re.compile(r"[ \t\n\r\f\v]+")
 _EMPTY_LINK_RE = re.compile(r"(?m)(?:^|[^!])\[\]\([^)]*\)")
 _BANG_BANG_RE = re.compile(r"!(!\[|\[!\[)")
 _MULTI_NL_RE = re.compile(r"\n{3,}")
@@ -794,22 +795,14 @@ class Renderer:
             # word-adjacent or node-boundary nbsp becomes a space
             raw = re.sub("(?<=[\\w\\s])\u00a0(?=[:;!?\u00bb\u00ab])|(?<=[:;!?\u00ab])\u00a0", "", raw)
             raw = raw.replace("\u00a0", " ")
-        buf = []
-        prev_space = False
-        for c in raw:
-            if c == "\ufeff":
-                continue
-            # collapse ASCII whitespace only \u2014 typographic spaces (U+2009
-            # thin space etc.) are content and survive verbatim in the
-            # golden corpus
-            if c in " \t\n\r\f\v":
-                if not prev_space:
-                    buf.append(" ")
-                prev_space = True
-            else:
-                buf.append(c)
-                prev_space = False
-        return escape_md_text("".join(buf))
+        # collapse ASCII whitespace only \u2014 typographic spaces (U+2009
+        # thin space etc.) are content and survive verbatim in the golden
+        # corpus. BOM/zero-width-no-break (U+FEFF) is removed first: the
+        # old per-char loop skipped it WITHOUT resetting the in-run flag,
+        # which is exactly "delete, then collapse".
+        if "\ufeff" in raw:
+            raw = raw.replace("\ufeff", "")
+        return escape_md_text(_ASCII_WS_RUN.sub(" ", raw))
 
     def render_inline(self, node: Node) -> str:
         out = _Out()

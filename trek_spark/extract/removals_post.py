@@ -10,6 +10,7 @@ from __future__ import annotations
 import re
 
 from ..constants import NAVIGATION_INDICATORS
+from ..dom import node as _nodemod
 from ..dom.node import ELEMENT, TEXT, Node
 
 _HEADING_TAGS = frozenset(("h1", "h2", "h3", "h4", "h5", "h6"))
@@ -71,7 +72,6 @@ _memo_tick = [-1]
 
 
 def _memo_fresh() -> None:
-    from ..dom import node as _nodemod
     if _nodemod._TICK != _memo_tick[0]:
         _text_memo.clear()
         _ltl_memo.clear()

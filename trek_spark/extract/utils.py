@@ -16,12 +16,18 @@ def strip_html_tags(html: str) -> str:
     return _WS_RE.sub(" ", _TAG_RE.sub(" ", html)).strip()
 
 
+# exactly the four per-char ranges of the CJK word-count rule below
+_CJK_ANY_RE = re.compile("[\u3040-\u30ff\u3400-\u9fff\uac00-\ud7af\uf900-\ufaff]")
+
+
 def count_words(html: str) -> int:
     text = strip_html_tags(html)
+    # no CJK anywhere: every whitespace token counts exactly 1 (the
+    # dominant case -- skips the per-word per-char range scan)
+    if _CJK_ANY_RE.search(text) is None:
+        return len(text.split())
     n = 0
     for w in text.split():
-        if not w:
-            continue
         # CJK scripts don't use spaces — count each ideograph/kana/hangul
         # as a word so the low-content-retry threshold behaves for zh/ja/ko
         cjk = sum(1 for c in w
