@@ -384,8 +384,9 @@ def _merge_verso_fragments(root: Node) -> None:
     fragment texts keep their internal newlines and join with a single
     newline (empty fragments become blank lines)."""
     def is_verso(n: Node) -> bool:
-        toks = _tokens(n.get("class"))
-        return n.tag in ("code", "pre") and "hl" in toks
+        if n.tag not in ("code", "pre"):
+            return False
+        return "hl" in _tokens(n.attrs.get("class"))
 
     processed = set()
     for container in root.descendants_snapshot():

@@ -83,17 +83,26 @@ def normalize_callouts(root: Node) -> None:
     # hot path since this normalizer runs three times per document).
     obsidian, gh_alerts, blockquotes, asides, admonitions, alerts = \
         [], [], [], [], [], []
-    for n in root.iter():
-        if n.type != ELEMENT:
+    for n in root.iter_elements():
+        if n.tag == "blockquote":
+            blockquotes.append(n)
+        # raw class string precheck: split() only when a candidate
+        # substring is present at all (the dominant case is neither)
+        raw = n.attrs.get("class")
+        if not raw:
             continue
-        cls = n.classes()
-        if "callout" in cls and ("is-collapsed" in cls or "is-collapsible" in cls):
+        need_alert = "alert" in raw
+        need_callout = "callout" in raw
+        if not (need_alert or need_callout or "admonition" in raw):
+            continue
+        cls = raw.split()
+        if "callout" in cls and ("is-collapsed" in cls
+                                 or "is-collapsible" in cls):
             obsidian.append(n)
         if "markdown-alert" in cls:
             gh_alerts.append(n)
-        if n.tag == "blockquote":
-            blockquotes.append(n)
-        if n.tag == "aside" and any("callout" in c for c in cls):
+        if n.tag == "aside" and need_callout \
+                and any("callout" in c for c in cls):
             asides.append(n)
         if "admonition" in cls:
             admonitions.append(n)
@@ -529,10 +538,11 @@ def _is_canonical_pre_code(node: Node, lang: str) -> bool:
 
 
 def _is_copy_button(n: Node) -> bool:
-    cls = n.get("class") or ""
-    aria = n.get("aria-label")
+    aget = n.attrs.get  # element: attrs is always a dict
+    cls = aget("class") or ""
+    aria = aget("aria-label")
     if n.tag == "button":
-        if "copy" in n.classes() or n.get("data-copy") is not None \
+        if "copy" in cls.split() or aget("data-copy") is not None \
                 or "codeblock-button" in cls:
             return True
         if aria in ("Copy", "Copy code"):
@@ -1081,9 +1091,15 @@ def _collect_id_indexed_paragraphs(root: Node) -> None:
 def _drop_delimiter_before_known(root: Node) -> None:
     known = []
     for n in root.iter_elements():
-        cls = n.classes()
+        if n.tag not in ("section", "aside", "ol", "div"):
+            continue
+        a = n.attrs
+        if not a:
+            continue
+        raw = a.get("class")
+        cls = raw.split() if raw and "footnote" in raw else ()
         if (n.tag in ("section", "aside") and "footnotes" in cls) \
-                or (n.tag == "section" and n.get("data-footnotes") is not None) \
+                or (n.tag == "section" and a.get("data-footnotes") is not None) \
                 or (n.tag == "ol" and ("footnotes-list" in cls or "footnotes" in cls)) \
                 or (n.tag == "div" and "footnote-definition" in cls):
             known.append(n)
@@ -1901,8 +1917,10 @@ def _wrap_raw_latex(root: Node) -> None:
     elements (`src/elements/math/base.rs:503-…`); $-forms require a LaTeX
     command/structure char so currency text stays intact."""
     for n in root.iter_elements():
-        if n.tag == "math" or n.get("data-math") is not None \
-                or "katex" in (n.get("class") or "").lower():
+        a = n.attrs  # element: attrs is always a dict
+        if n.tag == "math" or (a and (
+                a.get("data-math") is not None
+                or "katex" in (a.get("class") or "").lower())):
             return  # rendered math present — other passes handle it
     text_nodes = []
     for t in root.iter():

@@ -264,8 +264,10 @@ def remove_clutter(body: Node, remove_exact: bool = True,
             continue
         if t in _PARTIAL_CHECK_TAGS or t == "img":
             should_remove = False
+            # elements-only snapshot: attrs is always a dict here
+            aget = n.attrs.get
             if remove_exact:
-                cls = n.get("class")
+                cls = aget("class")
                 if cls:
                     lc = cls.lower()
                     if "splash" in lc or "readingprogress" in lc \
@@ -275,16 +277,16 @@ def remove_clutter(body: Node, remove_exact: bool = True,
                         if c in ("navigation", "sidebar", "toc"):
                             should_remove = True
                             break
-                if n.get("id") == "toc":
+                if aget("id") == "toc":
                     should_remove = True
             if t == "span" and "mw-headline" in n.classes():
                 continue  # heading label span is content; [edit] spans go
-            if not should_remove and remove_partial:
+            if not should_remove and remove_partial and n.attrs:
                 is_heading = t in _HEADING_TAGS
                 for attr in TEST_ATTRIBUTES:
                     if is_heading and attr != "class":
                         continue
-                    v = n.get(attr)
+                    v = aget(attr)
                     if v is not None and value_matches_partial(v, attr):
                         if _captioned_header_block(n):
                             break
@@ -358,19 +360,25 @@ def selectors_pass(body: Node) -> int:
         # e.g. <ads-breadcrumbs> ("breadcrumb"); standard tags never do
         if "-" in n.tag and _PARTIAL_RE.search(n.tag):
             matched = True
-        # interactive ARIA widgets are UI chrome (stripe docs toolbar /
-        # code-language listbox)
-        if (n.get("role") or "").lower() in ("toolbar", "listbox"):
-            matched = True
-        for attr in TEST_ATTRIBUTES:
-            if matched:
-                break
-            if is_h and attr != "class":
-                continue
-            v = n.get(attr)
-            if v is not None and _class_token_matches_partial(v, attr):
+        # direct attrs access: descendants_snapshot() yields elements
+        # only, whose attrs is always a dict (7 n.get() calls per node
+        # were ~5% of the pass)
+        a = n.attrs
+        if a and not matched:
+            # interactive ARIA widgets are UI chrome (stripe docs
+            # toolbar / code-language listbox)
+            if (a.get("role") or "").lower() in ("toolbar", "listbox"):
                 matched = True
-                break
+            else:
+                aget = a.get
+                for attr in TEST_ATTRIBUTES:
+                    if is_h and attr != "class":
+                        continue
+                    v = aget(attr)
+                    if v is not None and \
+                            _class_token_matches_partial(v, attr):
+                        matched = True
+                        break
         if matched and n.tag in _HEADING_TAGS \
                 and "sr-only" in n.classes() \
                 and _inside_footnotes_container(n):
@@ -440,7 +448,12 @@ def hidden_pass(body: Node) -> int:
     for n in body.descendants_snapshot():
         if n.parent is None or n.tag in ("html", "body", "head"):
             continue
-        style = n.get("style")
+        # elements-only snapshot: attrs is always a dict here
+        a = n.attrs
+        if not a:
+            continue
+        aget = a.get
+        style = aget("style")
         if style and _HIDDEN_STYLE_RE.search(style):
             # hidden-until-hover footnote bodies are content: the footnote
             # normalizer collects them into definitions
@@ -450,13 +463,13 @@ def hidden_pass(body: Node) -> int:
                         and n.parent.has_class("inline-footnote"))):
                 to_remove.append(n)
                 continue
-        if n.get("hidden") is not None:
+        if aget("hidden") is not None:
             # React streaming-SSR stashes real content in `<div hidden
             # id="S:n">` and unhides it with JS — keep those
-            if not (n.get("id") or "").startswith("S:"):
+            if not (aget("id") or "").startswith("S:"):
                 to_remove.append(n)
                 continue
-        cls = n.get("class")
+        cls = aget("class")
         if cls:
             if _has_responsive_show(cls):
                 continue
@@ -542,13 +555,17 @@ _LEGACY_CLASS_HINTS = ("article", "content", "footnote", "reference",
 
 
 def _legacy_div_flattenable(n: Node) -> bool:
+    attrs = n.attrs  # element: attrs is always a dict
+    if not attrs:
+        return True
+    aget = attrs.get
     for a in _LEGACY_FLATTEN_KEEP_ATTRS:
-        if n.get(a) is not None:
+        if aget(a) is not None:
             return False
-    style = n.get("style")
+    style = aget("style")
     if style and _HIDDEN_STYLE_RE.search(style):
         return False  # keep the wrapper so hidden_pass removes the subtree
-    cls = n.get("class")
+    cls = aget("class")
     if cls and _class_marks_hidden(cls) and not _has_responsive_show(cls):
         return False  # ditto for class-hidden wrappers (sm:hidden)
     if cls and "disclaimer" in cls.lower():
@@ -598,12 +615,16 @@ _BLOCK_TAGS = frozenset((
 
 
 def _has_semantic_attrs(n: Node) -> bool:
+    attrs = n.attrs  # element: attrs is always a dict
+    if not attrs:
+        return False
+    aget = attrs.get
     for a in ("role", "aria-label", "itemscope", "data-callout",
               "data-callout-fold", "data-callout-metadata", "data-mathml",
               "data-component-name"):
-        if n.get(a) is not None:
+        if aget(a) is not None:
             return True
-    cls = n.get("class")
+    cls = aget("class")
     if cls:
         cl = cls.lower()
         if any(h in cl for h in _SEMANTIC_CLASS_HINTS):
@@ -983,8 +1004,11 @@ def find_entry_point(body: Node):
     the clutter passes. Returns None when no marked container with real
     text exists."""
     for n in body.iter_elements():
-        nid = n.get("id") or ""
-        cls = n.get("class") or ""
+        a = n.attrs  # elements-only walk: attrs is always a dict
+        if not a:
+            continue
+        nid = a.get("id") or ""
+        cls = a.get("class") or ""
         hit = nid in _ENTRY_POINT_IDS
         if not hit and cls:
             for tok in cls.split():
