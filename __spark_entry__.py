@@ -729,6 +729,10 @@ _PARKED_FOR_R8 = [
     "events_gini_concentration",
     "quality_classifier",  # new r8 (verdict #5) — past [:50], so r9/r10
     "train_export_manifest",  # new r8 (verdict #4) — r9/r10 window
+    "docs_duplicate_ngram_fraction",  # new r8 late wave — r9/r10
+    "ccnet_perplexity_buckets",  # new r8 late wave — r9/r10
+    "transcript_pack_masked",  # new r8 late wave — r9/r10
+    "dedup_keep_best_quality",  # new r8 late wave — r9/r10
 ]
 _DRIVER_RECORD_CAP = 50
 

@@ -562,3 +562,121 @@ def test_hopping_counts_two_hops_per_event(spark, tmp_path):
     con.sql(f"CREATE VIEW events AS SELECT * FROM "
             f"'{tmp_path}/events.parquet/*.parquet'")
     _cross_check(spark, con, tmp_path, "events_hopping_counts")
+
+
+# ------------------------------------------- docs_duplicate_ngram_fraction
+
+def test_duplicate_ngram_fraction_known_answers(spark, tmp_path):
+    """docs 1/2 share exactly one of their two 5-grams (permille 500);
+    doc 3's single gram is unique (0); doc 4 has <5 words (absent);
+    doc 5 repeats one gram 6× WITHIN itself — within-doc repetition is
+    NOT cross-doc duplication (distinct-per-doc semantics), so 0."""
+    rows = [
+        (1, "a b c d e f", "en", "web", 11),
+        (2, "a b c d e x", "en", "web", 11),
+        (3, "p q r s t", "en", "web", 9),
+        (4, "too short", "en", "web", 9),
+        (5, "z z z z z z z z z z", "en", "web", 19),
+    ]
+    _write_documents(spark, tmp_path, rows)
+    out = (O.OPS["docs_duplicate_ngram_fraction"][0](spark, str(tmp_path))
+           .toPandas().set_index("doc_id"))
+    assert sorted(out.index) == [1, 2, 3, 5]          # doc 4 absent
+    assert (int(out.loc[1, "n_grams"]), int(out.loc[1, "dup_grams"]),
+            int(out.loc[1, "dup_permille"])) == (2, 1, 500)
+    assert (int(out.loc[2, "n_grams"]), int(out.loc[2, "dup_grams"]),
+            int(out.loc[2, "dup_permille"])) == (2, 1, 500)
+    assert (int(out.loc[3, "dup_grams"]),
+            int(out.loc[3, "dup_permille"])) == (0, 0)
+    assert (int(out.loc[5, "n_grams"]),
+            int(out.loc[5, "dup_grams"])) == (1, 0)
+    _cross_check(spark, _duck(tmp_path), tmp_path,
+                 "docs_duplicate_ngram_fraction")
+
+
+# ------------------------------------------------ ccnet_perplexity_buckets
+
+def test_ccnet_buckets_respect_tercile_rule(spark, tmp_path):
+    """Value-based terciles on the tick directory: every head tick ≤
+    every middle tick ≤ every tail tick; head holds ≥ N/3 docs and
+    head∪middle ≥ 2N/3 (the min-tick-with-3·cum≥N cut rule); docs with
+    the SAME tick always share a bucket."""
+    import random
+    rng = random.Random(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+             "qqq", "xxx", "zzz"]
+    rows = [(i, " ".join(rng.choice(vocab) for _ in range(30)),
+             "en", "web", 120) for i in range(40)]
+    _write_documents(spark, tmp_path, rows)
+    out = (O.OPS["ccnet_perplexity_buckets"][0](spark, str(tmp_path))
+           .toPandas())
+    n = len(out)
+    assert n == 40
+    by = {b: g["ppl_tick"] for b, g in out.groupby("ppl_bucket")}
+    assert len(by["head"]) * 3 >= n
+    assert (len(by["head"]) + len(by.get("middle", []))) * 3 >= 2 * n
+    if "middle" in by:
+        assert by["head"].max() < by["middle"].min()
+        if "tail" in by:
+            assert by["middle"].max() < by["tail"].min()
+    # same tick -> same bucket (value-based, never mid-tie split)
+    assert (out.groupby("ppl_tick")["ppl_bucket"].nunique() == 1).all()
+    _cross_check(spark, _duck(tmp_path), tmp_path,
+                 "ccnet_perplexity_buckets")
+
+
+# -------------------------------------------------- transcript_pack_masked
+
+def test_transcript_pack_masked_boundaries_and_mask(spark, tmp_path):
+    """8 single-turn conversations of 600 tokens (conv_id = doc_id % 50,
+    role = doc_id % 4 → docs 1 and 5 are assistant turns). Starts at
+    0/600/…/4200 with capacity 2048 → sequences {0,0,0,0,1,1,1,2};
+    masks: seq 0 carries conv 1's 600 of 2400 (250‰), seq 1 conv 5's
+    600 of 1800 (333‰), seq 2 nothing."""
+    body = ("tok " * 600).strip()
+    rows = [(i, body, "en", "web", len(body)) for i in range(8)]
+    _write_documents(spark, tmp_path, rows)
+    out = (O.OPS["transcript_pack_masked"][0](spark, str(tmp_path))
+           .toPandas().sort_values("seq_id").reset_index(drop=True))
+    assert list(out["seq_id"]) == [0, 1, 2]
+    assert list(out["n_convs"]) == [4, 3, 1]
+    assert list(out["seq_tokens"]) == [2400, 1800, 600]
+    assert list(out["mask_tokens"]) == [600, 600, 0]
+    assert list(out["mask_turns"]) == [1, 1, 0]
+    assert list(out["mask_permille"]) == [250, 333, 0]
+    _cross_check(spark, _duck(tmp_path), tmp_path,
+                 "transcript_pack_masked")
+
+
+# ------------------------------------------------- dedup_keep_best_quality
+
+def test_keep_best_quality_beats_min_id(spark, tmp_path):
+    """Docs 20/21 are near-dups (19 of 20 words shared → shingle
+    Jaccard 15/21 ≥ 0.5) differing in ONE word: doc 20 carries the
+    junk-vocabulary token, doc 21 the reference-vocabulary token. The
+    min-id rule would keep 20; quality-priority keeps 21."""
+    ref = ("theorem proof lemma corollary axiom derivation "
+           "integral manifold topology algebra")
+    junk = ("casino jackpot winner prize bonus spins "
+            "free click offer deal")
+    base = ("the quick brown fox jumps over one lazy dog while "
+            "rain falls on green hills near {} old stone bridges")
+    rows = (
+        # classifier training slices: 4 curated (src0), 4 junk (src9) —
+        # mutually non-dup (distinct suffixes break shingle overlap)
+        [(i, f"{ref} unique{i} marker{i} tail{i} pad{i} end{i}",
+          "en", "src0", 80) for i in range(1, 5)]
+        + [(i, f"{junk} unique{i} marker{i} tail{i} pad{i} end{i}",
+            "en", "src9", 80) for i in range(10, 14)]
+        + [(20, base.format("casino"), "en", "src9", 100),
+           (21, base.format("theorem"), "en", "src9", 100)])
+    _write_documents(spark, tmp_path, rows)
+    out = (O.OPS["dedup_keep_best_quality"][0](spark, str(tmp_path))
+           .toPandas())
+    assert len(out) == 1                      # the only near-dup cluster
+    r = out.iloc[0]
+    assert int(r["cluster_id"]) == 20         # min reachable id labels it
+    assert int(r["kept_doc"]) == 21           # quality wins over min-id
+    assert int(r["n_members"]) == 2
+    _cross_check(spark, _duck(tmp_path), tmp_path,
+                 "dedup_keep_best_quality")

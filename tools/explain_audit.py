@@ -221,6 +221,26 @@ AUDITS = {
                               "(lang, shard), so ordering is local to "
                               "each shard", 0),
     ],
+    "transcript_pack_masked": [
+        ("Window", "running conv-token sum per shard partition"),
+        ("rangepartitioning", "no GLOBAL sort: the packing window "
+                              "partitions on shard, ordering is local",
+         0),
+    ],
+    "docs_duplicate_ngram_fraction": [
+        ("CartesianProduct", "gram df join is a hash equi-join on the "
+                             "48-bit gram hash — never all-pairs", 0),
+        ("BroadcastNestedLoopJoin", "ditto — no nested-loop fallback", 0),
+    ],
+    "ccnet_perplexity_buckets": [
+        ("BroadcastExchange", "the tercile cuts (1 row) and the "
+                              "4,096-bucket surprisal model broadcast "
+                              "onto the corpus — the corpus itself "
+                              "never re-sorts or re-shuffles for "
+                              "bucketing"),
+        ("rangepartitioning", "no global NTILE: bucket assignment is a "
+                              "per-row CASE against broadcast cuts", 0),
+    ],
     "dsir_importance": [
         ("BroadcastHashJoin", "the 1,024-row bucket-weight table "
                               "broadcasts onto the bigram stream — no "

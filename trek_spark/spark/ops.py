@@ -10205,6 +10205,286 @@ FROM ranked GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# r8 late wave: duplicate-ngram fraction, CCNet buckets, masked packing,
+# quality-priority canonical dedup
+# --------------------------------------------------------------------------
+
+_DUPNG_N = 5  # word n-gram order for the duplicate-fraction metric
+
+
+def q_docs_duplicate_ngram_fraction(spark, sf_dir):
+    """Per-document duplicate-n-gram fraction — the RefinedWeb/Gopher
+    repetition signal measured ACROSS documents: the share of a doc's
+    DISTINCT word 5-grams that also occur in at least one other doc.
+    High values mark boilerplate and template farms that survive
+    exact-hash dedup because the documents differ elsewhere; pipelines
+    gate on the fraction rather than a pair join. Emitted per doc with
+    ≥1 gram: gram counts plus an exact integer permille.
+
+    Scale: grams are 48-bit md5-hashed (no raw-string shuffle), distinct
+    WITHIN a doc before exploding (array_distinct per row, so a
+    boilerplate line repeated 1,000× inside one doc contributes one
+    stream row), then ONE groupBy on the hash builds the document-
+    frequency table (map-side partials absorb hot grams) and one
+    shuffled equi-join hands each gram its df — the same bounded
+    two-shuffle shape as dedup_passage_windows; no pair explosion, no
+    driver state. At 100 TB the df table scales with distinct grams,
+    not documents² — the hash keyspace keeps partitions balanced."""
+    words = r"split(trim(lower(coalesce(text, ''))), '\\s+')"
+    grams = F.expr(rf"""
+        element_at(transform(array({words}), ws ->
+          CASE WHEN size(ws) >= {_DUPNG_N}
+          THEN array_distinct(transform(
+                 sequence(1, size(ws) - {_DUPNG_N - 1}),
+                 i -> concat_ws(' ', slice(ws, i, {_DUPNG_N}))))
+          ELSE CAST(array() AS ARRAY<STRING>) END), 1)""")
+    stream = (_t(spark, sf_dir, "documents")
+              .select("doc_id", F.explode(grams).alias("g"))
+              .select("doc_id", F.expr(
+                  "CAST(conv(substr(md5(g), 1, 12), 16, 10) AS BIGINT)")
+                  .alias("h")))
+    df_tab = stream.groupBy("h").agg(F.count("*").alias("n_docs"))
+    return (stream.join(df_tab, "h")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_grams"),
+                 F.sum(F.expr("CAST(n_docs > 1 AS INT)"))
+                 .alias("dup_grams"))
+            .select("doc_id", "n_grams", "dup_grams",
+                    F.expr("dup_grams * 1000 DIV n_grams")
+                    .alias("dup_permille")))
+
+
+SQL_DOCS_DUPLICATE_NGRAM_FRACTION = f"""
+WITH ws AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+')
+             AS w
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id,
+         CAST('0x' || substr(md5(t.g), 1, 12) AS BIGINT) AS h
+  FROM ws, unnest(list_transform(
+        range(1, len(w) - {_DUPNG_N - 1} + 1),
+        i -> array_to_string(list_slice(w, i, i + {_DUPNG_N - 1}), ' ')))
+       AS t(g)
+  WHERE len(w) >= {_DUPNG_N}
+), df_tab AS (
+  SELECT h, count(*) AS n_docs FROM grams GROUP BY h
+)
+SELECT doc_id, count(*) AS n_grams,
+       CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS dup_grams,
+       CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) * 1000
+            // count(*) AS BIGINT) AS dup_permille
+FROM grams JOIN df_tab USING (h) GROUP BY doc_id
+"""
+
+
+def q_ccnet_perplexity_buckets(spark, sf_dir):
+    """CCNet's head/middle/tail split: docs bucketed by the terciles of
+    the corpus's own perplexity score (q_char_trigram_perplexity's
+    integer ppl_tick) — 'head' = lowest-perplexity third, the slice
+    CCNet keeps outright. Cut values are EXACT terciles computed on the
+    tick directory (ppl_tick has a tiny integer domain, ~10–60 distinct
+    values), so buckets are value-based: ties share a bucket and counts
+    need not be N/3 — deterministic in both engines, no mid-tie split.
+
+    Scale: the per-doc score inherits the perplexity op's one bounded
+    aggregation + broadcast-model shape; the tercile cuts come from a
+    groupBy onto the ≤64-row tick directory (its global window sorts
+    ≤64 rows, not the corpus) and broadcast back as a 1-row cross join.
+    The corpus itself never sorts — unlike a global NTILE(3), which
+    would single-partition 10¹² rows."""
+    scores = q_char_trigram_perplexity(spark, sf_dir)
+    dirt = scores.groupBy("ppl_tick").agg(F.count("*").alias("cnt"))
+    w = (Window.orderBy("ppl_tick")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cums = (dirt.withColumn("cum", F.sum("cnt").over(w))
+            .withColumn("n", F.sum("cnt").over(
+                Window.partitionBy(F.lit(1)))))
+    cuts = cums.agg(
+        F.min(F.when(F.expr("3 * cum >= n"), F.col("ppl_tick")))
+        .alias("c1"),
+        F.min(F.when(F.expr("3 * cum >= 2 * n"), F.col("ppl_tick")))
+        .alias("c2"))
+    return (scores.crossJoin(F.broadcast(cuts))
+            .select("doc_id", "ppl_tick",
+                    F.expr("CASE WHEN ppl_tick <= c1 THEN 'head' "
+                           "WHEN ppl_tick <= c2 THEN 'middle' "
+                           "ELSE 'tail' END").alias("ppl_bucket")))
+
+
+SQL_CCNET_PERPLEXITY_BUCKETS = f"""
+WITH scores AS ({SQL_CHAR_TRIGRAM_PERPLEXITY}),
+dirt AS (
+  SELECT ppl_tick, count(*) AS cnt FROM scores GROUP BY 1
+), cums AS (
+  SELECT ppl_tick,
+         sum(cnt) OVER (ORDER BY ppl_tick
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS cum,
+         sum(cnt) OVER () AS n
+  FROM dirt
+), cuts AS (
+  SELECT min(CASE WHEN 3 * cum >= n THEN ppl_tick END) AS c1,
+         min(CASE WHEN 3 * cum >= 2 * n THEN ppl_tick END) AS c2
+  FROM cums
+)
+SELECT doc_id, ppl_tick,
+       CASE WHEN ppl_tick <= c1 THEN 'head'
+            WHEN ppl_tick <= c2 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM scores, cuts
+"""
+
+
+_MASK_SHARD = 10_000  # conversations per packing shard (positional key)
+
+
+def q_transcript_pack_masked(spark, sf_dir):
+    """SFT-export packing WITH loss masks — conversations (not bare
+    docs) packed whole into fixed-capacity training sequences, tracking
+    how many of each sequence's tokens are assistant turns (the only
+    tokens that take loss in instruction tuning). Per (shard, seq_id):
+    conversations, turns, total tokens, mask tokens, and the exact mask
+    share in permille — the number that tells you whether a packed
+    batch is mostly-loss or mostly-context before any GPU sees it.
+    Same turn derivation as render_conversations; same whitespace token
+    count and start-sequence assignment rule as pack_token_budget
+    ((cum − conv_tokens) DIV capacity).
+
+    Scale: conversations aggregate to one row each FIRST (one keyed
+    shuffle on conv_id — the extraction job's salting case), then the
+    running sum windows inside (shard = conv_id DIV {_MASK_SHARD})
+    partitions: bounded local sorts, no global order, embarrassingly
+    parallel across shards. The final groupBy clusters on a prefix of
+    the window's keys, so AQE folds it into the same exchange. All
+    integer arithmetic."""
+    tok = F.expr(
+        r"size(split(trim(coalesce(text, '')), '\\s+'))")
+    convs = (_transcript_turns(spark, sf_dir)
+             .select((F.col("doc_id") % 50).alias("conv_id"),
+                     tok.alias("tok"),
+                     F.expr("CAST(role_id = 1 AS INT)").alias("is_asst"))
+             .groupBy("conv_id")
+             .agg(F.count("*").alias("n_turns"),
+                  F.sum("tok").alias("conv_tokens"),
+                  F.sum(F.expr("tok * is_asst")).alias("mask_tokens"),
+                  F.sum("is_asst").alias("mask_turns"))
+             .withColumn("shard", F.expr(f"conv_id DIV {_MASK_SHARD}")))
+    w = (Window.partitionBy("shard").orderBy("conv_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    packed = (convs.withColumn("cum", F.sum("conv_tokens").over(w))
+              .withColumn("seq_id", F.expr(
+                  f"(cum - conv_tokens) DIV {_PACK_CAPACITY}")))
+    return (packed.groupBy("shard", "seq_id").agg(
+        F.count("*").alias("n_convs"),
+        F.sum("n_turns").alias("n_turns"),
+        F.sum("conv_tokens").alias("seq_tokens"),
+        F.sum("mask_tokens").alias("mask_tokens"),
+        F.sum("mask_turns").alias("mask_turns"))
+        .withColumn("mask_permille",
+                    F.expr("mask_tokens * 1000 DIV seq_tokens")))
+
+
+SQL_TRANSCRIPT_PACK_MASKED = f"""
+WITH turns AS (
+{_SQL_TRANSCRIPT_TURNS}
+), convs AS (
+  SELECT conv_id,
+         count(*) AS n_turns,
+         CAST(sum(len(regexp_split_to_array(
+              trim(coalesce(text, '')), '\\s+'))) AS BIGINT)
+             AS conv_tokens,
+         CAST(sum(CASE WHEN role_id = 1
+                  THEN len(regexp_split_to_array(
+                       trim(coalesce(text, '')), '\\s+'))
+                  ELSE 0 END) AS BIGINT) AS mask_tokens,
+         CAST(sum(CASE WHEN role_id = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS mask_turns,
+         conv_id // {_MASK_SHARD} AS shard
+  FROM turns GROUP BY conv_id
+), packed AS (
+  SELECT *, sum(conv_tokens) OVER (PARTITION BY shard ORDER BY conv_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS cum
+  FROM convs
+)
+SELECT shard,
+       CAST((cum - conv_tokens) // {_PACK_CAPACITY} AS BIGINT) AS seq_id,
+       count(*) AS n_convs,
+       CAST(sum(n_turns) AS BIGINT) AS n_turns,
+       CAST(sum(conv_tokens) AS BIGINT) AS seq_tokens,
+       CAST(sum(mask_tokens) AS BIGINT) AS mask_tokens,
+       CAST(sum(mask_turns) AS BIGINT) AS mask_turns,
+       CAST(sum(mask_tokens) * 1000 // sum(conv_tokens) AS BIGINT)
+           AS mask_permille
+FROM packed GROUP BY shard, seq_id
+"""
+
+
+def q_dedup_keep_best_quality(spark, sf_dir):
+    """Quality-priority canonical selection — the curation-grade variant
+    of q_dedup_keep_canonical: within each near-dup cluster keep the
+    member with the BEST learned quality score (q_quality_classifier's
+    margin, normalized per feature), not the smallest id. This is how
+    production dedup actually picks survivors (CCNet/RefinedWeb keep
+    the best-scoring copy of boilerplate families). Per cluster: the
+    kept doc, member count, and the winner's per-feature score in
+    micro-millibits. score_micro = (10⁶·margin) DIV n_feats is exact
+    integer division, truncation-toward-zero in BOTH engines (verified:
+    Spark DIV and DuckDB // agree on negatives), ties broken by doc_id.
+
+    Scale: CC labels come from the pointer-jump O(log d) clustering;
+    classifier scores are a per-row broadcast-model expression; the
+    winner window partitions by cluster_id — cluster sizes are dup-
+    family sizes (bounded by the pair caps upstream), so no skewed
+    global sort. One equi-join labels⋈scores on doc_id."""
+    labels, _rounds, converged = \
+        _min_label_cc(_cluster_edges(spark, sf_dir))
+    if not converged:
+        raise RuntimeError("dedup_keep_best_quality: clustering did not "
+                           "converge (see q_dedup_clusters)")
+    scored = q_quality_classifier(spark, sf_dir).select(
+        "doc_id",
+        F.expr("(1000000 * quality_margin) DIV n_feats")
+        .alias("score_micro"))
+    members = labels.join(scored, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("score_micro"), F.asc("doc_id"))
+    return (members
+            .withColumn("rk", F.row_number().over(w))
+            .withColumn("n_members", F.count("*").over(
+                Window.partitionBy("cluster_id")))
+            .filter(F.col("rk") == 1)
+            .select("cluster_id", F.col("doc_id").alias("kept_doc"),
+                    "n_members",
+                    F.col("score_micro").alias("kept_score_micro")))
+
+
+SQL_DEDUP_KEEP_BEST_QUALITY = f"""
+WITH labels AS ({SQL_DEDUP_CLUSTERS}),
+scored AS (
+  SELECT doc_id,
+         CAST((1000000 * quality_margin) // n_feats AS BIGINT)
+             AS score_micro
+  FROM ({SQL_QUALITY_CLASSIFIER}) qc
+), members AS (
+  SELECT l.cluster_id, l.doc_id, s.score_micro,
+         row_number() OVER (PARTITION BY l.cluster_id
+                            ORDER BY s.score_micro DESC, l.doc_id)
+             AS rk,
+         count(*) OVER (PARTITION BY l.cluster_id) AS n_members
+  FROM labels l JOIN scored s USING (doc_id)
+)
+SELECT cluster_id, doc_id AS kept_doc,
+       CAST(n_members AS BIGINT) AS n_members,
+       score_micro AS kept_score_micro
+FROM members WHERE rk = 1
+"""
+
+
 OPS: dict[str, tuple] = {
     # (spark_fn, oracle_sql_or_None)
     "scan_filter_project": (q_scan_filter_project, SQL_SCAN),
@@ -10491,4 +10771,12 @@ OPS: dict[str, tuple] = {
     "quality_classifier": (q_quality_classifier, SQL_QUALITY_CLASSIFIER),
     "train_export_manifest": (
         q_train_export_manifest, SQL_TRAIN_EXPORT_MANIFEST),
+    "docs_duplicate_ngram_fraction": (
+        q_docs_duplicate_ngram_fraction, SQL_DOCS_DUPLICATE_NGRAM_FRACTION),
+    "ccnet_perplexity_buckets": (
+        q_ccnet_perplexity_buckets, SQL_CCNET_PERPLEXITY_BUCKETS),
+    "transcript_pack_masked": (
+        q_transcript_pack_masked, SQL_TRANSCRIPT_PACK_MASKED),
+    "dedup_keep_best_quality": (
+        q_dedup_keep_best_quality, SQL_DEDUP_KEEP_BEST_QUALITY),
 }
