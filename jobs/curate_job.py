@@ -51,6 +51,17 @@ def main() -> None:
                          "symbol/bullet/alpha ratios) — the cheap "
                          "length-and-shape filter that runs before any "
                          "shuffle-bearing stage")
+    ap.add_argument("--dup-ngram-max-permille", type=int, default=0,
+                    help="drop docs whose CROSS-document duplicate "
+                         "5-gram share exceeds this (permille); 0 "
+                         "disables. The RefinedWeb repetition gate "
+                         "measured against the whole corpus — "
+                         "complements the intra-doc --max-repetition-e4")
+    ap.add_argument("--ppl-keep", default="",
+                    help="comma-set of CCNet perplexity buckets to keep "
+                         "('head' or 'head,middle'); empty disables. "
+                         "Buckets are the corpus's OWN char-trigram "
+                         "perplexity terciles — no external model")
     ap.add_argument("--skip-dedup", action="store_true")
     ap.add_argument("--skip-sample", action="store_true")
     ap.add_argument("--domain-cap", type=int, default=0,
@@ -136,6 +147,37 @@ def main() -> None:
                       .filter(~F.col("pass_all")).select("doc_id"))
             curated = observe(
                 curated.join(failed, "doc_id", "left_anti"), "gopher")
+
+        if args.dup_ngram_max_permille > 0:
+            # cross-document repetition gate: like the intra-doc gate,
+            # the FLAGGED set is the anti-join side (healthy corpora
+            # sit far below the ceiling), so the corpus never shuffles;
+            # the op itself pays its two bounded gram-hash shuffles on
+            # a projected (doc_id, hash) stream, not on the full rows
+            flagged_dng = (
+                O.q_docs_duplicate_ngram_fraction(spark, args.input)
+                .filter(F.col("dup_permille")
+                        > args.dup_ngram_max_permille)
+                .select("doc_id"))
+            curated = observe(
+                curated.join(flagged_dng, "doc_id", "left_anti"),
+                "dup_ngram")
+
+        if args.ppl_keep:
+            # CCNet bucket gate. The DROPPED side can be a large
+            # fraction of the corpus (keeping 'head' drops ~2/3), so —
+            # exactly like the dedup anti-join — no broadcast hint: AQE
+            # broadcasts the id set only when it is actually small and
+            # falls back to a shuffled anti-join otherwise
+            keep_buckets = [b.strip() for b in args.ppl_keep.split(",")
+                            if b.strip()]
+            dropped_ppl = (
+                O.q_ccnet_perplexity_buckets(spark, args.input)
+                .filter(~F.col("ppl_bucket").isin(keep_buckets))
+                .select("doc_id"))
+            curated = observe(
+                curated.join(dropped_ppl, "doc_id", "left_anti"),
+                "ppl_bucket")
 
         if not args.skip_dedup:
             labels, _rounds, converged = O._min_label_cc(

@@ -599,8 +599,8 @@ def test_duplicate_ngram_fraction_known_answers(spark, tmp_path):
 def test_ccnet_buckets_respect_tercile_rule(spark, tmp_path):
     """Value-based terciles on the tick directory: every head tick ≤
     every middle tick ≤ every tail tick; head holds ≥ N/3 docs and
-    head∪middle ≥ 2N/3 (the min-tick-with-3·cum≥N cut rule); docs with
-    the SAME tick always share a bucket."""
+    head∪middle ≥ 2N/3 (the min-score-with-3·cum≥N cut rule); docs
+    with the SAME millitick score always share a bucket."""
     import random
     rng = random.Random(7)
     vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
@@ -612,7 +612,7 @@ def test_ccnet_buckets_respect_tercile_rule(spark, tmp_path):
            .toPandas())
     n = len(out)
     assert n == 40
-    by = {b: g["ppl_tick"] for b, g in out.groupby("ppl_bucket")}
+    by = {b: g["ppl_milli"] for b, g in out.groupby("ppl_bucket")}
     assert len(by["head"]) * 3 >= n
     assert (len(by["head"]) + len(by.get("middle", []))) * 3 >= 2 * n
     if "middle" in by:
@@ -620,7 +620,7 @@ def test_ccnet_buckets_respect_tercile_rule(spark, tmp_path):
         if "tail" in by:
             assert by["middle"].max() < by["tail"].min()
     # same tick -> same bucket (value-based, never mid-tie split)
-    assert (out.groupby("ppl_tick")["ppl_bucket"].nunique() == 1).all()
+    assert (out.groupby("ppl_milli")["ppl_bucket"].nunique() == 1).all()
     _cross_check(spark, _duck(tmp_path), tmp_path,
                  "ccnet_perplexity_buckets")
 

@@ -706,3 +706,48 @@ def test_embed_curate_job_end_to_end(spark, tmp_path_factory):
     kept = {r.vec_id for r in
             spark.read.parquet(f"{out}/embeddings").collect()}
     assert 900000 not in kept and med.vec_id in kept
+
+
+def test_curate_job_dup_ngram_and_ppl_stages(spark, tmp_path_factory):
+    """--dup-ngram-max-permille + --ppl-keep: the cross-doc repetition
+    gate and the CCNet bucket gate drop exactly the op-flagged docs,
+    the ledger records both deltas, and no survivor violates either
+    rule."""
+    import json
+    import sys
+    from unittest import mock
+
+    from pyspark.sql import functions as F
+
+    from jobs import curate_job
+    from trek_spark.spark import ops as O
+
+    out = str(tmp_path_factory.mktemp("curated_dng"))
+    argv = ["curate_job.py", "--input", "/root/testdata/sf0.001",
+            "--output", out, "--skip-sample", "--skip-decontaminate",
+            "--skip-dedup", "--skip-quality",
+            "--dup-ngram-max-permille", "500",
+            "--ppl-keep", "head,middle"]
+    printed = []
+    with mock.patch.object(sys, "argv", argv), \
+            mock.patch("builtins.print",
+                       side_effect=lambda *a, **k: printed.append(a)):
+        with mock.patch.object(spark, "stop"):
+            curate_job.main()
+    ledger = json.loads(printed[-1][0])
+    assert "dup_ngram_dropped" in ledger and "ppl_bucket_dropped" in ledger
+    assert ledger["docs_in"] - ledger["dup_ngram_dropped"] \
+        - ledger["ppl_bucket_dropped"] == ledger["docs_out"]
+    got = {r.doc_id for r in
+           spark.read.parquet(f"{out}/documents").collect()}
+    assert len(got) == ledger["docs_out"] > 0
+    dng = {r.doc_id: r.dup_permille for r in
+           O.q_docs_duplicate_ngram_fraction(
+               spark, "/root/testdata/sf0.001").collect()}
+    assert all(dng.get(d, 0) <= 500 for d in got)
+    tails = {r.doc_id for r in
+             O.q_ccnet_perplexity_buckets(spark, "/root/testdata/sf0.001")
+             .filter(F.col("ppl_bucket") == "tail").collect()}
+    assert not (got & tails)
+    # the gates really fired (the synthetic corpus has both tails)
+    assert ledger["ppl_bucket_dropped"] > 0

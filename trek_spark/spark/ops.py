@@ -3925,6 +3925,18 @@ def q_char_trigram_perplexity(spark, sf_dir):
     O(bytes). At 100 TB the ·1024 scale overflows int64 only past 2⁵³
     total trigram occurrences; production normalizes counts first (same
     ranking, bounded operands — see q_dsir_importance)."""
+    return (_ppl_scored_stream(spark, sf_dir)
+            .groupBy("doc_id").agg(
+                F.count("*").alias("n_trigrams"),
+                F.expr("sum(tick) DIV count(*)").alias("ppl_tick")))
+
+
+def _ppl_scored_stream(spark, sf_dir) -> DataFrame:
+    """(doc_id, tick) — one row per scored trigram occurrence, each
+    carrying its bucket's corpus surprisal tick. Shared by the per-doc
+    perplexity op (whole-tick average) and the CCNet buckets op
+    (millitick average): one bounded 4,096-bucket aggregation builds
+    the model, then it broadcasts back onto the trigram stream."""
     tg = (_t(spark, sf_dir, "documents")
           .withColumn("pref_", F.expr(
               f"substring(lower(coalesce(text, '')), 1, {_PPL_PREFIX})"))
@@ -3938,10 +3950,7 @@ def q_char_trigram_perplexity(spark, sf_dir):
              .select("bucket", F.expr(
                  f"length(bin(total * {_PPL_SCALE} DIV cnt)) - 1")
                  .alias("tick")))
-    return (tg.join(F.broadcast(model), "bucket")
-            .groupBy("doc_id").agg(
-                F.count("*").alias("n_trigrams"),
-                F.expr("sum(tick) DIV count(*)").alias("ppl_tick")))
+    return tg.join(F.broadcast(model), "bucket").select("doc_id", "tick")
 
 
 SQL_CHAR_TRIGRAM_PERPLEXITY = f"""
@@ -10283,57 +10292,84 @@ FROM grams JOIN df_tab USING (h) GROUP BY doc_id
 
 def q_ccnet_perplexity_buckets(spark, sf_dir):
     """CCNet's head/middle/tail split: docs bucketed by the terciles of
-    the corpus's own perplexity score (q_char_trigram_perplexity's
-    integer ppl_tick) — 'head' = lowest-perplexity third, the slice
-    CCNet keeps outright. Cut values are EXACT terciles computed on the
-    tick directory (ppl_tick has a tiny integer domain, ~10–60 distinct
-    values), so buckets are value-based: ties share a bucket and counts
-    need not be N/3 — deterministic in both engines, no mid-tie split.
+    the corpus's own char-trigram perplexity — 'head' = the lowest-
+    perplexity third, the slice CCNet keeps outright. Scored in
+    MILLI-ticks (sum(tick)·1000 DIV n_trigrams): the display op
+    q_char_trigram_perplexity's whole-tick DIV collapses same-
+    distribution docs onto one value (the entire synthetic corpus
+    lands on tick 17), which would make every doc 'head'; milliticks
+    keep the ~log₂ resolution doc-level ranking needs. Cut values are
+    EXACT terciles computed on the millitick directory, so buckets are
+    value-based: ties share a bucket and counts need not be N/3 —
+    deterministic in both engines, no mid-tie split.
 
     Scale: the per-doc score inherits the perplexity op's one bounded
     aggregation + broadcast-model shape; the tercile cuts come from a
-    groupBy onto the ≤64-row tick directory (its global window sorts
-    ≤64 rows, not the corpus) and broadcast back as a 1-row cross join.
-    The corpus itself never sorts — unlike a global NTILE(3), which
-    would single-partition 10¹² rows."""
-    scores = q_char_trigram_perplexity(spark, sf_dir)
-    dirt = scores.groupBy("ppl_tick").agg(F.count("*").alias("cnt"))
-    w = (Window.orderBy("ppl_tick")
+    groupBy onto the small millitick directory (its global window
+    sorts that directory, not the corpus — bounded by distinct score
+    values, ~thousands at worst) and broadcast back as a 1-row cross
+    join. The corpus itself never sorts — unlike a global NTILE(3),
+    which would single-partition 10¹² rows."""
+    scores = (_ppl_scored_stream(spark, sf_dir)
+              .groupBy("doc_id").agg(
+                  F.expr("sum(tick) * 1000 DIV count(*)")
+                  .alias("ppl_milli")))
+    dirt = scores.groupBy("ppl_milli").agg(F.count("*").alias("cnt"))
+    w = (Window.orderBy("ppl_milli")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     cums = (dirt.withColumn("cum", F.sum("cnt").over(w))
             .withColumn("n", F.sum("cnt").over(
                 Window.partitionBy(F.lit(1)))))
     cuts = cums.agg(
-        F.min(F.when(F.expr("3 * cum >= n"), F.col("ppl_tick")))
+        F.min(F.when(F.expr("3 * cum >= n"), F.col("ppl_milli")))
         .alias("c1"),
-        F.min(F.when(F.expr("3 * cum >= 2 * n"), F.col("ppl_tick")))
+        F.min(F.when(F.expr("3 * cum >= 2 * n"), F.col("ppl_milli")))
         .alias("c2"))
     return (scores.crossJoin(F.broadcast(cuts))
-            .select("doc_id", "ppl_tick",
-                    F.expr("CASE WHEN ppl_tick <= c1 THEN 'head' "
-                           "WHEN ppl_tick <= c2 THEN 'middle' "
+            .select("doc_id", "ppl_milli",
+                    F.expr("CASE WHEN ppl_milli <= c1 THEN 'head' "
+                           "WHEN ppl_milli <= c2 THEN 'middle' "
                            "ELSE 'tail' END").alias("ppl_bucket")))
 
 
 SQL_CCNET_PERPLEXITY_BUCKETS = f"""
-WITH scores AS ({SQL_CHAR_TRIGRAM_PERPLEXITY}),
-dirt AS (
-  SELECT ppl_tick, count(*) AS cnt FROM scores GROUP BY 1
+WITH prefs AS (
+  SELECT doc_id,
+         substr(lower(coalesce(text, '')), 1, {_PPL_PREFIX}) AS pref_
+  FROM documents
+), tg AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(t.tg), 1, 4) AS BIGINT)
+             % {_PPL_BUCKETS} AS bucket
+  FROM prefs, unnest(list_transform(
+        range(1, greatest(length(pref_) - 2, 0) + 1),
+        i -> substr(pref_, i, 3))) AS t(tg)
+), model AS (
+  SELECT bucket,
+         length(bin(CAST(sum(count(*)) OVER () * {_PPL_SCALE}
+                         // count(*) AS BIGINT))) - 1 AS tick
+  FROM tg GROUP BY bucket
+), scores AS (
+  SELECT doc_id,
+         CAST(sum(tick) * 1000 // count(*) AS BIGINT) AS ppl_milli
+  FROM tg JOIN model USING (bucket) GROUP BY doc_id
+), dirt AS (
+  SELECT ppl_milli, count(*) AS cnt FROM scores GROUP BY 1
 ), cums AS (
-  SELECT ppl_tick,
-         sum(cnt) OVER (ORDER BY ppl_tick
+  SELECT ppl_milli,
+         sum(cnt) OVER (ORDER BY ppl_milli
                         ROWS BETWEEN UNBOUNDED PRECEDING
                         AND CURRENT ROW) AS cum,
          sum(cnt) OVER () AS n
   FROM dirt
 ), cuts AS (
-  SELECT min(CASE WHEN 3 * cum >= n THEN ppl_tick END) AS c1,
-         min(CASE WHEN 3 * cum >= 2 * n THEN ppl_tick END) AS c2
+  SELECT min(CASE WHEN 3 * cum >= n THEN ppl_milli END) AS c1,
+         min(CASE WHEN 3 * cum >= 2 * n THEN ppl_milli END) AS c2
   FROM cums
 )
-SELECT doc_id, ppl_tick,
-       CASE WHEN ppl_tick <= c1 THEN 'head'
-            WHEN ppl_tick <= c2 THEN 'middle'
+SELECT doc_id, ppl_milli,
+       CASE WHEN ppl_milli <= c1 THEN 'head'
+            WHEN ppl_milli <= c2 THEN 'middle'
             ELSE 'tail' END AS ppl_bucket
 FROM scores, cuts
 """
