@@ -51,3 +51,30 @@ def test_partitioning_invariance_r7b(spark, name):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert a.equals(b), f"{name} shifted under a different shuffle width"
+
+
+@pytest.mark.parametrize("name", [
+    "docs_duplicate_ngram_fraction",
+    "ccnet_perplexity_buckets",
+    "transcript_pack_masked",
+    "dedup_keep_best_quality",
+    "quality_classifier",
+    "train_export_manifest",
+    "transcript_cross_conv_echo",
+])
+def test_partitioning_invariance_r8_late(spark, name):
+    """The r8 late-wave ops under shuffle width 1 vs 7: hashed-gram df
+    joins, tercile cuts, shard-local packing windows, cluster winner
+    windows and the frozen-threshold classifier must all be pure
+    functions of the data, not of arrival order."""
+    fn = O.OPS[name][0]
+    sf = "/root/testdata/sf0.001"
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
+        a = _canon(fn(spark, sf).toPandas())
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        b = _canon(fn(spark, sf).toPandas())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert a.equals(b), f"{name} shifted under a different shuffle width"

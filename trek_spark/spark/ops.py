@@ -10460,6 +10460,47 @@ FROM packed GROUP BY shard, seq_id
 """
 
 
+def q_transcript_cross_conv_echo(spark, sf_dir):
+    """Cross-conversation echo detector: the doc-level near-dup pair
+    graph projected onto CONVERSATIONS (conv_id = doc_id % 50, the
+    render_conversations derivation) — per unordered conversation pair,
+    how many near-dup turn pairs span them and the strongest overlap.
+    In agent-transcript corpora this is the 'same tool output / same
+    paste appears in two different sessions' signal: turn-level dedup
+    sees the pair, but only the conversation projection shows which
+    SESSIONS are entangled (and should not be split across train/val).
+    Same-conversation pairs are excluded — intra-conv repetition is
+    within_doc/boilerplate territory.
+
+    Scale: a pure compose — reuses the bucketed, df-capped near-dup
+    pair generation (never all-pairs) and adds one groupBy over the
+    PAIR set (|pairs| ≪ |corpus|, bounded by the caps upstream).
+    Canonical (least, greatest) ordering keeps the pair key unordered
+    in both engines."""
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir)
+    return (pairs
+            .select(F.expr("least(id_a % 50, id_b % 50)").alias("conv_a"),
+                    F.expr("greatest(id_a % 50, id_b % 50)")
+                    .alias("conv_b"),
+                    "jaccard_e4")
+            .filter(F.col("conv_a") != F.col("conv_b"))
+            .groupBy("conv_a", "conv_b")
+            .agg(F.count("*").alias("n_echo_pairs"),
+                 F.max("jaccard_e4").alias("max_jaccard_e4")))
+
+
+SQL_TRANSCRIPT_CROSS_CONV_ECHO = f"""
+WITH pairs AS ({SQL_DEDUP_NGRAM})
+SELECT least(id_a % 50, id_b % 50) AS conv_a,
+       greatest(id_a % 50, id_b % 50) AS conv_b,
+       count(*) AS n_echo_pairs,
+       CAST(max(jaccard_e4) AS BIGINT) AS max_jaccard_e4
+FROM pairs
+WHERE id_a % 50 != id_b % 50
+GROUP BY 1, 2
+"""
+
+
 def q_dedup_keep_best_quality(spark, sf_dir):
     """Quality-priority canonical selection — the curation-grade variant
     of q_dedup_keep_canonical: within each near-dup cluster keep the
@@ -10815,4 +10856,6 @@ OPS: dict[str, tuple] = {
         q_transcript_pack_masked, SQL_TRANSCRIPT_PACK_MASKED),
     "dedup_keep_best_quality": (
         q_dedup_keep_best_quality, SQL_DEDUP_KEEP_BEST_QUALITY),
+    "transcript_cross_conv_echo": (
+        q_transcript_cross_conv_echo, SQL_TRANSCRIPT_CROSS_CONV_ECHO),
 }
