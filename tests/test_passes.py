@@ -274,3 +274,36 @@ def test_pathological_documents_bounded_time():
         trek_parse(f"<html><body>{html}</body></html>",
                    "https://ex.example/p")
         assert time.time() - t0 < 15, "pathological doc exceeded time bound"
+
+
+def test_count_words_cjk_fast_path_equivalence():
+    """The CJK-free fast path (len(split)) must agree with the per-char
+    range scan on strings straddling every range boundary, and the CJK
+    path must still count ideographs/kana/hangul individually."""
+    from trek_spark.extract.utils import count_words
+
+    def reference(html):
+        from trek_spark.extract.utils import strip_html_tags
+        text = strip_html_tags(html)
+        n = 0
+        for w in text.split():
+            cjk = sum(1 for c in w
+                      if "぀" <= c <= "ヿ"
+                      or "㐀" <= c <= "鿿"
+                      or "가" <= c <= "힯"
+                      or "豈" <= c <= "﫿")
+            n += cjk if cjk else 1
+        return n
+
+    cases = [
+        "", "one", "two words", "<p>a  b</p>", "tabs\tand\nnewlines",
+        "日本語です", "日本語 mixed words", "한국어 단어", "豈 compat",
+        # boundary chars: one inside each range, one just outside
+        "〿 x", "぀ x", "ヿ x", "㄀ x",
+        "㏿ x", "㐀 x", "鿿 x", "ꀀ x",
+        "꯿ x", "가 x", "힯 x", "ힰ x",
+        " x", "豈 x", "﫿 x", "ﬀ x",
+        "a日b c", "<b>漢字</b> and <i>kanji</i>",
+    ]
+    for html in cases:
+        assert count_words(html) == reference(html), repr(html)

@@ -116,3 +116,37 @@ def test_parity_fuzz_markupish(s):
 @given(st.text(max_size=200))
 def test_parity_fuzz_unicode(s):
     _assert_parity(s)
+
+
+# pieces that straddle the fast-start-tag/slow-path boundary: quoted and
+# valueless attrs (fast), bare values / missing space / `=`-soup (slow),
+# raw-text and self-closing interactions
+_FAST_BOUNDARY_PIECES = [
+    '<div>', '<div >', '<p class="a b">', "<a href='x&amp;y'>", '<br/>',
+    '<br />', '<img src="a.png" alt>', '<input disabled>', '<a b=c>',
+    '<a b=c/d>', '<a b = "x">', '<a b=="x">', '<A HREF="X">',
+    '<my-tag x:y="1" @click="f()" _z="2">', '<a "b">', '</div>',
+    '</ DIV>', '</div >', '< div>', '<div', 'text & more',
+    '&lt;&gt;&amp;', '<!-- comment -->', '<!doctype html>',
+    '<![CDATA[x]]>', '<?pi data>', '<script>a<b</script>',
+    '<script src="s"></script>', '<style>.a{}</style>', '<a b="c>d">',
+    "<a b='c>d'>", '<a\tb="c"\nd="e">', '<td>', '<a b="&#65;">',
+    '<a b>', '<a -b="1">', '<a 9b="1">', '<tag.x a="1">',
+    '<ns:tag a="1">', '<a/b>', '<a /b>', '<a b/>', '<a b="x"/>',
+    '\x00', '<a b="\x00">', '<', '<>', '</>', '<!>', '<!x>', 'plain',
+    ' ', '﻿', '<a b="x" c>', '<a b c="d">', '<a  b  =  "x"  >',
+    '<div CLASS="UP">',
+]
+
+
+def test_parity_fast_path_boundary_fuzz():
+    """Seeded combinational fuzz over pieces chosen to land on either
+    side of the single-pass start-tag fast path (quoted/valueless attrs
+    fast; bare values, missing inter-attr space, =-soup, weird names
+    slow) — the fast path must be observationally invisible."""
+    import random
+    rng = random.Random(42)
+    for _ in range(4000):
+        s = "".join(rng.choice(_FAST_BOUNDARY_PIECES)
+                    for _ in range(rng.randint(1, 8)))
+        _assert_parity(s)
