@@ -63,6 +63,13 @@ def main() -> None:
                          "Buckets are the corpus's OWN char-trigram "
                          "perplexity terciles — no external model")
     ap.add_argument("--skip-dedup", action="store_true")
+    ap.add_argument("--dedup-keep", choices=("min-id", "best-quality"),
+                    default="min-id",
+                    help="which member of each near-dup cluster ships: "
+                         "the smallest doc_id (default, cheapest) or "
+                         "the best learned-quality-classifier score "
+                         "(production curation keeps the best copy of "
+                         "a boilerplate family, not an arbitrary one)")
     ap.add_argument("--skip-sample", action="store_true")
     ap.add_argument("--domain-cap", type=int, default=0,
                     help="keep at most N docs per source (md5-tick "
@@ -184,8 +191,20 @@ def main() -> None:
                 O._cluster_edges(spark, args.input))
             if not converged:
                 raise RuntimeError("near-dup clustering did not converge")
-            dropped = labels.filter(
-                F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+            if args.dedup_keep == "best-quality":
+                # drop every cluster member EXCEPT the classifier-score
+                # winner (q_dedup_keep_best_quality's selection rule):
+                # same anti-join shape, the winner set is one row per
+                # cluster so the dropped side is identical in size to
+                # the min-id rule's
+                winners = (O.q_dedup_keep_best_quality(spark, args.input)
+                           .select(F.col("kept_doc").alias("doc_id")))
+                dropped = (labels.select("doc_id")
+                           .join(winners, "doc_id", "left_anti"))
+            else:
+                dropped = labels.filter(
+                    F.col("doc_id") != F.col("cluster_id")) \
+                    .select("doc_id")
             # no forced broadcast: the dropped set scales with the corpus
             # duplicate rate; AQE broadcasts it only when actually small
             curated = observe(

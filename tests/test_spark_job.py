@@ -751,3 +751,41 @@ def test_curate_job_dup_ngram_and_ppl_stages(spark, tmp_path_factory):
     assert not (got & tails)
     # the gates really fired (the synthetic corpus has both tails)
     assert ledger["ppl_bucket_dropped"] > 0
+
+
+def test_curate_job_dedup_keep_best_quality(spark, tmp_path_factory):
+    """--dedup-keep best-quality: per near-dup cluster exactly the
+    classifier-score winner survives (NOT necessarily the min id), and
+    the drop count equals members − clusters."""
+    import json
+    import sys
+    from unittest import mock
+
+    from jobs import curate_job
+    from trek_spark.spark import ops as O
+
+    out = str(tmp_path_factory.mktemp("curated_bq"))
+    argv = ["curate_job.py", "--input", "/root/testdata/sf0.001",
+            "--output", out, "--skip-sample", "--skip-decontaminate",
+            "--skip-quality", "--dedup-keep", "best-quality"]
+    printed = []
+    with mock.patch.object(sys, "argv", argv), \
+            mock.patch("builtins.print",
+                       side_effect=lambda *a, **k: printed.append(a)):
+        with mock.patch.object(spark, "stop"):
+            curate_job.main()
+    ledger = json.loads(printed[-1][0])
+    winners = O.OPS["dedup_keep_best_quality"][0](
+        spark, "/root/testdata/sf0.001").toPandas()
+    assert ledger["dedup_dropped"] == \
+        int(winners["n_members"].sum()) - len(winners)
+    got = {r.doc_id for r in
+           spark.read.parquet(f"{out}/documents").collect()}
+    kept = set(winners["kept_doc"].astype(int))
+    labels = O.OPS["dedup_clusters"][0](
+        spark, "/root/testdata/sf0.001").toPandas()
+    members = set(labels["doc_id"].astype(int))
+    assert got & members == kept          # survivors ∩ clustered = winners
+    # the rule genuinely differs from min-id somewhere in this corpus
+    min_ids = set(labels["cluster_id"].astype(int))
+    assert kept != min_ids

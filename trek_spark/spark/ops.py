@@ -10460,6 +10460,73 @@ FROM packed GROUP BY shard, seq_id
 """
 
 
+def q_quality_classifier_eval(spark, sf_dir):
+    """Confusion-matrix audit of q_quality_classifier against its own
+    training labels (source ∈ curated slice) — the self-consistency
+    number a model card reports: a content-based scorer trained on
+    source labels should largely RECOVER them (high tp/tn), and the
+    residue (fp/fn) is exactly the interesting set — junk-labeled docs
+    with curated vocabulary and vice versa. One row: tp/fp/fn/tn plus
+    exact integer precision/recall in permille (NULL when a denominator
+    is empty — a one-class corpus has no precision).
+
+    Scale: the classifier's zero-shuffle scoring plan plus ONE join
+    back to documents on doc_id for the label column and ONE global
+    single-row aggregate (map-side partials; no keyed shuffle of the
+    corpus beyond the join)."""
+    label = F.when(F.col("source").isin(*_QC_POS_SOURCES), 1).otherwise(0)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", label.alias("label"))
+    scored = q_quality_classifier(spark, sf_dir).select(
+        "doc_id", "keep_flag")
+    j = scored.join(docs, "doc_id")
+    agg = j.agg(
+        F.sum(F.expr("CAST(keep_flag = 1 AND label = 1 AS INT)"))
+        .alias("tp"),
+        F.sum(F.expr("CAST(keep_flag = 1 AND label = 0 AS INT)"))
+        .alias("fp"),
+        F.sum(F.expr("CAST(keep_flag = 0 AND label = 1 AS INT)"))
+        .alias("fn"),
+        F.sum(F.expr("CAST(keep_flag = 0 AND label = 0 AS INT)"))
+        .alias("tn"))
+    return agg.select(
+        "tp", "fp", "fn", "tn",
+        F.expr("CASE WHEN tp + fp > 0 THEN tp * 1000 DIV (tp + fp) "
+               "END").alias("precision_permille"),
+        F.expr("CASE WHEN tp + fn > 0 THEN tp * 1000 DIV (tp + fn) "
+               "END").alias("recall_permille"))
+
+
+SQL_QUALITY_CLASSIFIER_EVAL = f"""
+WITH scored AS ({SQL_QUALITY_CLASSIFIER}),
+labeled AS (
+  SELECT s.keep_flag,
+         CASE WHEN d.source IN {_QC_POS_SOURCES} THEN 1 ELSE 0 END
+             AS label
+  FROM scored s JOIN documents d USING (doc_id)
+), agg AS (
+  SELECT
+    CAST(sum(CASE WHEN keep_flag = 1 AND label = 1 THEN 1 ELSE 0 END)
+         AS BIGINT) AS tp,
+    CAST(sum(CASE WHEN keep_flag = 1 AND label = 0 THEN 1 ELSE 0 END)
+         AS BIGINT) AS fp,
+    CAST(sum(CASE WHEN keep_flag = 0 AND label = 1 THEN 1 ELSE 0 END)
+         AS BIGINT) AS fn,
+    CAST(sum(CASE WHEN keep_flag = 0 AND label = 0 THEN 1 ELSE 0 END)
+         AS BIGINT) AS tn
+  FROM labeled
+)
+SELECT tp, fp, fn, tn,
+       CASE WHEN tp + fp > 0
+            THEN CAST(tp * 1000 // (tp + fp) AS BIGINT) END
+           AS precision_permille,
+       CASE WHEN tp + fn > 0
+            THEN CAST(tp * 1000 // (tp + fn) AS BIGINT) END
+           AS recall_permille
+FROM agg
+"""
+
+
 def q_transcript_cross_conv_echo(spark, sf_dir):
     """Cross-conversation echo detector: the doc-level near-dup pair
     graph projected onto CONVERSATIONS (conv_id = doc_id % 50, the
@@ -10858,4 +10925,6 @@ OPS: dict[str, tuple] = {
         q_dedup_keep_best_quality, SQL_DEDUP_KEEP_BEST_QUALITY),
     "transcript_cross_conv_echo": (
         q_transcript_cross_conv_echo, SQL_TRANSCRIPT_CROSS_CONV_ECHO),
+    "quality_classifier_eval": (
+        q_quality_classifier_eval, SQL_QUALITY_CLASSIFIER_EVAL),
 }
