@@ -56,6 +56,15 @@ def main() -> None:
                          "ops._PACK_SHARD)")
     ap.add_argument("--pii-redact", action="store_true",
                     help="scrub PII from text before packing")
+    ap.add_argument("--sft", action="store_true",
+                    help="SFT export: pack CONVERSATIONS (conv_id = "
+                         "doc_id %% 50, the render_conversations "
+                         "derivation) whole, with loss-mask SPANS over "
+                         "assistant turns — token offsets in the "
+                         "per-turn-count convention, relative to each "
+                         "sequence window's start. The split keys on "
+                         "conv_id, so a conversation never straddles "
+                         "train/val")
     args = ap.parse_args()
 
     from pyspark.sql import Observation, Window
@@ -93,6 +102,12 @@ def main() -> None:
 
         n_tok = F.size(F.split(
             F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"))
+
+        if args.sft:
+            _run_sft_export(spark, args, docs, n_tok, ob_in, pii_ob,
+                            capacity, shard, ledger, t0)
+            return
+
         staged = (docs
                   .withColumn("split", F.expr(O.SPLIT_EXPR))
                   .withColumn("n_tokens", n_tok)
@@ -159,6 +174,127 @@ def main() -> None:
         print(json.dumps(ledger))
     finally:
         spark.stop()
+
+
+def _run_sft_export(spark, args, docs, n_tok, ob_in, pii_ob,
+                    capacity, shard, ledger, t0):
+    """Conversation-granularity packing with loss-mask spans.
+
+    Offsets use the per-turn-count token convention (turn token counts
+    sum; the \\n\\n turn separator adds none for non-empty turns) and
+    are relative to each sequence window's start in the contiguous
+    per-(split, shard) token stream — a conversation that overflows its
+    window stays attributed to the sequence where it STARTS, exactly
+    like document packing, so a span's end may exceed the capacity for
+    an overflow tail. Plan shape: one window over (conv_id) for turn
+    offsets and one over (split, shard) for packing — the second
+    clusters on a function of conv_id, so the conv-level aggregate and
+    the packing window share one keyed exchange; no global sort."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from trek_spark.spark import ops as O
+
+    turns = (docs
+             .select((F.col("doc_id") % 50).alias("conv_id"), "doc_id",
+                     "text", n_tok.alias("n_tokens"),
+                     F.expr("CAST(doc_id % 4 = 1 AS INT)")
+                     .alias("is_asst")))
+    w_turn = (Window.partitionBy("conv_id").orderBy("doc_id")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    turns = (turns.withColumn("tcum", F.sum("n_tokens").over(w_turn))
+             .withColumn("t_off", F.expr("tcum - n_tokens")))
+
+    conv_text = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(
+                F.struct(F.col("doc_id").alias("d"),
+                         F.col("text").alias("t")))),
+            lambda x: F.coalesce(x["t"], F.lit(""))),
+        "\n\n")
+    # assistant-turn spans in conv-local token offsets; collect_list
+    # drops the NULLs the CASE leaves for non-assistant turns
+    conv_spans = F.array_sort(F.collect_list(F.expr(
+        "CASE WHEN is_asst = 1 THEN"
+        " named_struct('start', t_off, 'end', tcum) END")))
+    convs = (turns.groupBy("conv_id")
+             .agg(F.count("*").alias("n_turns"),
+                  F.sum("n_tokens").alias("conv_tokens"),
+                  F.sum(F.expr("n_tokens * is_asst"))
+                  .alias("mask_tokens"),
+                  conv_spans.alias("spans"),
+                  conv_text.alias("text"))
+             .withColumn("split",
+                         F.expr(O.split_expr_for("conv_id")))
+             .withColumn("shard", F.expr(f"conv_id DIV {shard}")))
+
+    w_pack = (Window.partitionBy("split", "shard").orderBy("conv_id")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    packed = (convs
+              .withColumn("cum", F.sum("conv_tokens").over(w_pack))
+              .withColumn("seq_id", F.expr(
+                  f"(cum - conv_tokens) DIV {capacity}"))
+              .withColumn("conv_off", F.expr(
+                  f"(cum - conv_tokens) - ((cum - conv_tokens)"
+                  f" DIV {capacity}) * {capacity}")))
+
+    seq_text = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(
+                F.struct(F.col("conv_id").alias("c"),
+                         F.col("text").alias("t")))),
+            lambda x: x["t"]),
+        "\n\n")
+    # shift each conversation's spans by its window-relative offset,
+    # then flatten in conv order (disjoint ascending by construction)
+    seq_spans = F.flatten(F.transform(
+        F.array_sort(F.collect_list(F.struct(
+            F.col("conv_id").alias("c"), F.col("conv_off").alias("o"),
+            F.col("spans").alias("s")))),
+        lambda x: F.transform(
+            x["s"], lambda sp: F.struct(
+                (sp["start"] + x["o"]).alias("start"),
+                (sp["end"] + x["o"]).alias("end")))))
+    seqs = (packed.groupBy("split", "shard", "seq_id")
+            .agg(F.count("*").alias("n_convs"),
+                 F.sum("n_turns").alias("n_turns"),
+                 F.sum("conv_tokens").alias("seq_tokens"),
+                 F.sum("mask_tokens").alias("mask_tokens"),
+                 seq_spans.alias("mask_spans"),
+                 seq_text.alias("text")))
+
+    (seqs.write.mode("overwrite").partitionBy("split")
+     .parquet(f"{args.output}/sft_sequences"))
+
+    ledger["mode"] = "sft"
+    ledger["docs_in"] = int(ob_in.get["n"])
+    if pii_ob is not None:
+        ledger["pii_docs_redacted"] = int(pii_ob.get["n_changed"] or 0)
+
+    out = spark.read.parquet(f"{args.output}/sft_sequences")
+    manifest = (out.groupBy("split", "shard")
+                .agg(F.count("*").alias("n_seqs"),
+                     F.sum("n_convs").alias("n_convs"),
+                     F.sum("seq_tokens").alias("n_tokens"),
+                     F.sum("mask_tokens").alias("mask_tokens")))
+    manifest.coalesce(1).write.mode("overwrite").parquet(
+        f"{args.output}/manifest")
+    msum = manifest.agg(
+        F.sum("n_seqs").alias("s"), F.sum("n_convs").alias("c"),
+        F.sum("n_tokens").alias("t"),
+        F.sum("mask_tokens").alias("m")).first()
+    ledger["n_sequences"] = int(msum["s"] or 0)
+    ledger["convs_packed"] = int(msum["c"] or 0)
+    ledger["tokens_packed"] = int(msum["t"] or 0)
+    ledger["mask_tokens"] = int(msum["m"] or 0)
+    ledger["mask_permille"] = (
+        ledger["mask_tokens"] * 1000 // ledger["tokens_packed"]
+        if ledger["tokens_packed"] else 0)
+    ledger["capacity"] = capacity
+    import json as _json
+    import time as _time
+    ledger["wall_sec"] = round(_time.time() - t0, 2)
+    print(_json.dumps(ledger))
 
 
 if __name__ == "__main__":

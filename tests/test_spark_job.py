@@ -789,3 +789,83 @@ def test_curate_job_dedup_keep_best_quality(spark, tmp_path_factory):
     # the rule genuinely differs from min-id somewhere in this corpus
     min_ids = set(labels["cluster_id"].astype(int))
     assert kept != min_ids
+
+
+def test_train_export_sft_mask_spans(spark, tmp_path_factory):
+    """--sft: loss-mask spans recomputed INDEPENDENTLY in Python from
+    the raw corpus (per-turn whitespace token counts, conv = doc_id %
+    50, assistant = doc_id % 4 == 1, conv-id-keyed split, GPT start-
+    window packing) must match the job's output exactly — offsets,
+    totals, split purity and span/mask consistency."""
+    import hashlib
+    import json
+    import sys
+    from unittest import mock
+
+    from jobs import train_export_job
+    from trek_spark.spark import ops as O
+
+    out = str(tmp_path_factory.mktemp("sft"))
+    argv = ["train_export_job.py", "--input", "/root/testdata/sf0.001",
+            "--output", out, "--sft"]
+    printed = []
+    with mock.patch.object(sys, "argv", argv), \
+            mock.patch("builtins.print",
+                       side_effect=lambda *a, **k: printed.append(a)):
+        with mock.patch.object(spark, "stop"):
+            train_export_job.main()
+    ledger = json.loads(printed[-1][0])
+    assert ledger["mode"] == "sft" and ledger["convs_packed"] == 50
+
+    # ---- independent Python recomputation -------------------------
+    docs = sorted(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .collect(), key=lambda r: r.doc_id)
+    convs = {}
+    for r in docs:
+        cid = r.doc_id % 50
+        toks = len((r.text or "").strip().split()) or 1
+        c = convs.setdefault(cid, {"tokens": 0, "mask": 0, "spans": []})
+        if r.doc_id % 4 == 1:
+            c["spans"].append((c["tokens"], c["tokens"] + toks))
+            c["mask"] += toks
+        c["tokens"] += toks
+
+    def split_of(cid):
+        t = int(hashlib.md5(str(cid).encode()).hexdigest()[:8], 16) % 100
+        return "train" if t < 80 else ("val" if t < 90 else "test")
+
+    cap = ledger["capacity"]
+    expect = {}
+    for (split, shard) in sorted({(split_of(c), c // 100_000)
+                                  for c in convs}):
+        cum = 0
+        for cid in sorted(c for c in convs
+                          if split_of(c) == split
+                          and c // 100_000 == shard):
+            c = convs[cid]
+            start = cum
+            seq = start // cap
+            off = start - seq * cap
+            e = expect.setdefault((split, shard, seq), {
+                "n_convs": 0, "tokens": 0, "mask": 0, "spans": []})
+            e["n_convs"] += 1
+            e["tokens"] += c["tokens"]
+            e["mask"] += c["mask"]
+            e["spans"] += [(s + off, t + off) for s, t in c["spans"]]
+            cum += c["tokens"]
+
+    got = spark.read.parquet(f"{out}/sft_sequences").collect()
+    assert len(got) == len(expect) == ledger["n_sequences"]
+    for r in got:
+        e = expect[(r.split, r.shard, r.seq_id)]
+        assert r.n_convs == e["n_convs"]
+        assert r.seq_tokens == e["tokens"]
+        assert r.mask_tokens == e["mask"]
+        spans = [(s.start, s.end) for s in r.mask_spans]
+        assert spans == sorted(e["spans"]), (r.split, r.shard, r.seq_id)
+        # span arithmetic: mask == sum of span widths; disjoint ascending
+        assert sum(t - s for s, t in spans) == r.mask_tokens
+        assert all(spans[i][1] <= spans[i + 1][0]
+                   for i in range(len(spans) - 1))
+        assert all(s >= 0 for s, _ in spans)

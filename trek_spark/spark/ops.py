@@ -6037,10 +6037,25 @@ SELECT * FROM (
 #: deterministic 80/10/10 split assignment — a pure function of doc_id
 #: (md5 tick mod 100), shared by the dataset_split op and curate_job's
 #: --split output partitioning
+def split_expr_for(col: str) -> str:
+    """The 80/10/10 md5-tick split keyed on an arbitrary id column.
+    Document-level exports key on doc_id (``SPLIT_EXPR``); conversation-
+    level (SFT) exports key on conv_id so a conversation can never
+    straddle train/val — the session-level leakage the
+    transcript_cross_conv_echo op audits for CONTENT is at least never
+    introduced structurally."""
+    tick = (f"CAST(conv(substr(md5(CAST({col} AS STRING)), 1, 8),"
+            f" 16, 10) AS BIGINT) % 100")
+    return (f"CASE WHEN {tick} < 80 THEN 'train'"
+            f" WHEN {tick} < 90 THEN 'val' ELSE 'test' END")
+
+
 _SPLIT_TICK = ("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8),"
                " 16, 10) AS BIGINT) % 100")
-SPLIT_EXPR = (f"CASE WHEN {_SPLIT_TICK} < 80 THEN 'train'"
-              f" WHEN {_SPLIT_TICK} < 90 THEN 'val' ELSE 'test' END")
+SPLIT_EXPR = split_expr_for("doc_id")
+assert SPLIT_EXPR == (
+    f"CASE WHEN {_SPLIT_TICK} < 80 THEN 'train'"
+    f" WHEN {_SPLIT_TICK} < 90 THEN 'val' ELSE 'test' END")
 
 
 def q_dataset_split(spark, sf_dir):
