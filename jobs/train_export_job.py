@@ -186,10 +186,12 @@ def _run_sft_export(spark, args, docs, n_tok, ob_in, pii_ob,
     per-(split, shard) token stream — a conversation that overflows its
     window stays attributed to the sequence where it STARTS, exactly
     like document packing, so a span's end may exceed the capacity for
-    an overflow tail. Plan shape: one window over (conv_id) for turn
-    offsets and one over (split, shard) for packing — the second
-    clusters on a function of conv_id, so the conv-level aggregate and
-    the packing window share one keyed exchange; no global sort."""
+    an overflow tail. Plan shape (verified via explain): TWO keyed
+    exchanges total — the turn-offset window and the conversation
+    aggregate share the conv_id exchange (same key), and the packing
+    window and the sequence aggregate share the (split, shard)
+    exchange (the groupBy clusters on a superset of the window's
+    keys); no global sort anywhere."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
