@@ -735,6 +735,7 @@ _PARKED_FOR_R8 = [
     "dedup_keep_best_quality",  # new r8 late wave — r9/r10
     "transcript_cross_conv_echo",  # new r8 late wave — r9/r10
     "quality_classifier_eval",  # new r8 late wave — r9/r10
+    "sft_export_manifest",  # new r8 late wave — r9/r10
 ]
 _DRIVER_RECORD_CAP = 50
 

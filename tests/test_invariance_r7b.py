@@ -62,6 +62,7 @@ def test_partitioning_invariance_r7b(spark, name):
     "train_export_manifest",
     "transcript_cross_conv_echo",
     "quality_classifier_eval",
+    "sft_export_manifest",
 ])
 def test_partitioning_invariance_r8_late(spark, name):
     """The r8 late-wave ops under shuffle width 1 vs 7: hashed-gram df

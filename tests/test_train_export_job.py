@@ -135,3 +135,22 @@ def test_manifest_op_matches_job_output(spark, tmp_path):
         return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
     assert canon(op).equals(canon(job))
+
+
+def test_sft_manifest_op_matches_job_output(spark, tmp_path):
+    """The oracle-checked ops.sft_export_manifest equals the manifest
+    the --sft job actually writes — same certification as the document
+    path, at conversation granularity with mask totals."""
+    from trek_spark.spark.ops import OPS
+
+    out = str(tmp_path / "out")
+    _run_job(spark, "/root/testdata/sf0.001", out, ("--sft",))
+    op = (OPS["sft_export_manifest"][0](spark, "/root/testdata/sf0.001")
+          .toPandas())
+    job = spark.read.parquet(f"{out}/manifest").toPandas()
+
+    def canon(df):
+        df = df.reindex(sorted(df.columns), axis=1).astype(str)
+        return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+    assert canon(op).equals(canon(job))

@@ -3673,6 +3673,96 @@ def q_quality_classifier(spark, sf_dir):
                          keep.alias("keep_flag"))
 
 
+_MASK_SHARD = 10_000  # conversations per packing shard (positional key)
+
+
+def q_sft_export_manifest(spark, sf_dir):
+    """The lineage manifest jobs/train_export_job.py --sft writes, as an
+    oracle-checked op: per (split, shard) — sequence count,
+    conversations, token sum, mask-token sum — for the conversation-
+    granularity masked-packing composition (conv_id = doc_id % 50,
+    assistant = doc_id % 4 == 1, split keyed on conv_id via
+    ``split_expr_for`` so a session never straddles train/val,
+    transcript_pack_masked's start-window packing rule). Certifies the
+    SFT job's derivation end-to-end against DuckDB — the job's written
+    manifest equals this DataFrame by construction.
+
+    Scale shape = the job's verified two-exchange chain: conv-level
+    aggregate shares the conv_id exchange with nothing (no turn window
+    needed for counts), the packing window and both downstream groupBys
+    cluster on (split, shard) supersets — one corpus exchange plus one
+    |convs|-row exchange."""
+    tok = F.expr(r"size(split(trim(coalesce(text, '')), '\\s+'))")
+    convs = (_t(spark, sf_dir, "documents")
+             .select((F.col("doc_id") % 50).alias("conv_id"),
+                     tok.alias("tok"),
+                     F.expr("CAST(doc_id % 4 = 1 AS INT)").alias("ia"))
+             .groupBy("conv_id")
+             .agg(F.sum("tok").alias("conv_tokens"),
+                  F.sum(F.expr("tok * ia")).alias("mask_tokens"))
+             .withColumn("split", F.expr(split_expr_for("conv_id")))
+             .withColumn("shard", F.expr(f"conv_id DIV {_MASK_SHARD}")))
+    w = (Window.partitionBy("split", "shard").orderBy("conv_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    packed = (convs.withColumn("cum", F.sum("conv_tokens").over(w))
+              .withColumn("seq_id", F.expr(
+                  f"(cum - conv_tokens) DIV {_PACK_CAPACITY}")))
+    seqs = (packed.groupBy("split", "shard", "seq_id")
+            .agg(F.count("*").alias("n_convs"),
+                 F.sum("conv_tokens").alias("seq_tokens"),
+                 F.sum("mask_tokens").alias("mask_tokens")))
+    return (seqs.groupBy("split", "shard")
+            .agg(F.count("*").alias("n_seqs"),
+                 F.sum("n_convs").alias("n_convs"),
+                 F.sum("seq_tokens").alias("n_tokens"),
+                 F.sum("mask_tokens").alias("mask_tokens")))
+
+
+_SQL_CONV_SPLIT = (
+    "CASE WHEN CAST('0x' || substr(md5(CAST(conv_id AS VARCHAR)), 1, 8)"
+    " AS BIGINT) % 100 < 80 THEN 'train'"
+    " WHEN CAST('0x' || substr(md5(CAST(conv_id AS VARCHAR)), 1, 8)"
+    " AS BIGINT) % 100 < 90 THEN 'val' ELSE 'test' END")
+
+SQL_SFT_EXPORT_MANIFEST = f"""
+WITH convs AS (
+  SELECT doc_id % 50 AS conv_id,
+         CAST(sum(len(regexp_split_to_array(
+              trim(coalesce(text, '')), '\\s+'))) AS BIGINT)
+             AS conv_tokens,
+         CAST(sum(CASE WHEN doc_id % 4 = 1
+                  THEN len(regexp_split_to_array(
+                       trim(coalesce(text, '')), '\\s+'))
+                  ELSE 0 END) AS BIGINT) AS mask_tokens
+  FROM documents GROUP BY 1
+), staged AS (
+  SELECT conv_id, conv_tokens, mask_tokens,
+         {_SQL_CONV_SPLIT} AS split,
+         conv_id // {_MASK_SHARD} AS shard
+  FROM convs
+), packed AS (
+  SELECT *, sum(conv_tokens) OVER (PARTITION BY split, shard
+                                   ORDER BY conv_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS cum
+  FROM staged
+), seqs AS (
+  SELECT split, shard,
+         CAST((cum - conv_tokens) // {_PACK_CAPACITY} AS BIGINT)
+             AS seq_id,
+         count(*) AS n_convs,
+         CAST(sum(conv_tokens) AS BIGINT) AS seq_tokens,
+         CAST(sum(mask_tokens) AS BIGINT) AS mask_tokens
+  FROM packed GROUP BY 1, 2, 3
+)
+SELECT split, shard, count(*) AS n_seqs,
+       CAST(sum(n_convs) AS BIGINT) AS n_convs,
+       CAST(sum(seq_tokens) AS BIGINT) AS n_tokens,
+       CAST(sum(mask_tokens) AS BIGINT) AS mask_tokens
+FROM seqs GROUP BY 1, 2
+"""
+
+
 def q_train_export_manifest(spark, sf_dir):
     """The lineage manifest jobs/train_export_job.py writes, as an
     oracle-checked op: per (split, lang, shard) — sequence count, docs,
@@ -10390,9 +10480,6 @@ FROM scores, cuts
 """
 
 
-_MASK_SHARD = 10_000  # conversations per packing shard (positional key)
-
-
 def q_transcript_pack_masked(spark, sf_dir):
     """SFT-export packing WITH loss masks — conversations (not bare
     docs) packed whole into fixed-capacity training sequences, tracking
@@ -10942,4 +11029,6 @@ OPS: dict[str, tuple] = {
         q_transcript_cross_conv_echo, SQL_TRANSCRIPT_CROSS_CONV_ECHO),
     "quality_classifier_eval": (
         q_quality_classifier_eval, SQL_QUALITY_CLASSIFIER_EVAL),
+    "sft_export_manifest": (
+        q_sft_export_manifest, SQL_SFT_EXPORT_MANIFEST),
 }
