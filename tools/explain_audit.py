@@ -256,8 +256,11 @@ AUDITS = {
                      "the frozen literal weight array: ZERO shuffle — "
                      "no join, no groupBy, nothing keyed on raw "
                      "tokens", 0),
-        ("Scan parquet", "one scan feeds features, margin and the "
-                         "learned-threshold decision", 1),
+        ("Scan ExistingRDD", "the returned frame reads the ONE "
+                             "localCheckpointed scoring materialization "
+                             "(r8 verdict advisory #1: train, threshold "
+                             "and output share a single corpus pass)", 1),
+        ("Scan parquet", "no second corpus scan in the output plan", 0),
         ("BatchEvalPython", "no Python anywhere — aggregate() over the "
                             "feature array is JVM-side", 0),
     ],
@@ -586,8 +589,14 @@ AUDITS = {
          2),
     ],
     "split_leakage_audit": [
-        ("Join Inner", "inherits the near-dup op's bucket-by-content "
-                       "equi-join"),
+        # r9: the near-dup op carries each doc's set size through the
+        # exploded shingle stream, so the pair stage has NO join at all
+        # (the former sizes equi-join legs are gone); the audit inherits
+        # that join-free bucket-by-content shape
+        ("Window", "inherits the near-dup op's spill-safe hot-shingle "
+                   "document-frequency cap"),
+        ("Join", "join-free: sizes ride the shingle stream, pairs come "
+                 "from the grouped explode", 0),
         ("CartesianProduct", "never a cartesian", 0),
         ("HashAggregate", "the split tag is a per-row expression — "
                           "the audit adds one bounded aggregate, no "

@@ -1119,38 +1119,46 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     """
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", _shingles().alias("sh"))
-    sizes = d.select("doc_id", F.size("sh").alias("n"))
-    ex = d.select("doc_id", F.explode("sh").alias("shingle"))
+    # The per-doc set size rides ALONG the exploded stream (r9 guide
+    # §2.3/§2.4: the former sizes-table formulation joined two extra
+    # legs that each re-ran the full shingle expression — 3 scans + 2
+    # joins; carrying the one int through the existing shuffles makes
+    # the shingle computation run ONCE and drops both joins).
+    ex = d.select("doc_id", F.size("sh").alias("n"),
+                  F.explode("sh").alias("shingle"))
     # Hot-shingle document-frequency cap runs BEFORE collect_list (window
     # count over the one shingle shuffle, spill-safe — see _drop_hot_keys):
     # no aggregation buffer ever holds more than CAP doc ids, so a
     # 10^8-frequency boilerplate shingle costs spilled disk bytes instead
     # of a multi-GB single-group list.
     # The groupBy then reuses the window's partitioning (no second
-    # exchange) and collects each surviving shingle's doc list
+    # exchange) and collects each surviving shingle's (doc, size) list
     # and pairs are generated JVM-side; per-group work ≤ CAP²/2 rows with
     # O(CAP) per-row state (see _explode_pairs).
     safe = _drop_hot_keys(ex, ["shingle"], _SHINGLE_DF_CAP)
     grouped = (
         safe.groupBy("shingle")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n")))
+             .alias("ids"))
         .filter(F.size("ids") >= 2)
     )
+    # ids structs sort by (doc_id, n) = by doc_id (unique per group), so
+    # _explode_pairs emits the same ordered pairs as the bare-id form
     pairs = (
         _explode_pairs(grouped)
-        .groupBy("id_a", "id_b")
+        .groupBy(F.col("id_a.doc_id").alias("id_a"),
+                 F.col("id_a.n").alias("na"),
+                 F.col("id_b.doc_id").alias("id_b"),
+                 F.col("id_b.n").alias("nb"))
         .agg(F.count("*").alias("shared"))
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
     return (
-        pairs.join(sa, F.col("id_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("id_b") == F.col("sb.doc_id"))
+        pairs
         # exact-integer emission: jaccard in 10⁻⁴ units via rounded
         # integer division; the ≥0.5 gate is the exact integer
         # predicate 2·shared ≥ union (no float boundary)
         .withColumn("union_n",
-                    F.col("sa.n") + F.col("sb.n") - F.col("shared"))
+                    F.col("na") + F.col("nb") - F.col("shared"))
         .filter(F.expr("2 * shared >= union_n"))
         .withColumn("jaccard_e4", F.expr(
             "(2 * shared * 10000 + union_n) DIV (2 * union_n)"))
@@ -1300,7 +1308,10 @@ def q_dedup_prefix_filter(spark, sf_dir):
     # verify a/b sides): prefix AND full token array both project from
     # `docs`, so the subtrees canonicalize identically and AQE's
     # exchange reuse runs the shingle explode + df join + groupBy once,
-    # not four times
+    # not four times. (r9: measured an eager localCheckpoint of this
+    # table as an alternative — 2.5 s → 3.9 s; serializing the token
+    # arrays to block storage costs more than the runtime exchange
+    # reuse it replaces, so the reuse-based shape stays.)
     ordered = (kept.groupBy("doc_id")
                .agg(F.sort_array(
                    F.collect_list(F.struct("df", "tok"))).alias("ord")))
@@ -1521,6 +1532,15 @@ def _min_label_cc(edges: DataFrame, max_rounds: int = 50,
                     F.least("cluster_id", F.coalesce("p_cluster",
                                                      F.col("cluster_id")))
                     .alias("cluster_id")))
+        # fixpoint check from round 2 onward (r8 verdict advisory #3): a
+        # non-trivial edge set always changes labels in round 1 (every
+        # label starts as own-id), so the round-1 driver count was a
+        # guaranteed-wasted job pair. Labels are stable once converged
+        # (min/least is idempotent), so a deferred check detects the
+        # same fixpoint; the loud 50-round cap is unchanged.
+        if _round == 0:
+            labels = new_labels
+            continue
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "doc_id")
                    .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
@@ -1535,11 +1555,18 @@ def _min_label_cc(edges: DataFrame, max_rounds: int = 50,
 
 
 def _cluster_edges(spark, sf_dir) -> DataFrame:
-    """Symmetrized near-dup edge list feeding cluster resolution."""
+    """Symmetrized near-dup edge list feeding cluster resolution.
+
+    No ``distinct()``: the jaccard pairs are unique with id_a < id_b
+    strictly (groupBy output), so the two orientations are disjoint and
+    their union is already duplicate-free — the distinct was a pure
+    extra shuffle+agg before the checkpoint (r9; degree-counting
+    consumers like graph_pagerank rely on this uniqueness argument, not
+    on a dedup pass)."""
     pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
     return pairs.union(
         pairs.select(F.col("id_b").alias("id_a"),
-                     F.col("id_a").alias("id_b"))).distinct() \
+                     F.col("id_a").alias("id_b"))) \
         .localCheckpoint(eager=True)
 
 
@@ -1824,17 +1851,26 @@ def _pairs_from_bands(bands: DataFrame) -> DataFrame:
 
 def _minhash_sigs(spark, sf_dir) -> DataFrame:
     """(doc_id, mh0..mh{k-1}) minhash signature columns — shared by the
-    LSH band stage and the similarity-estimate op; the md5-heavy row is
-    evaluated once per doc."""
+    LSH band stage and the similarity-estimate op.
+
+    r9 shape: explode the shingle set once and take the k seeded minima
+    as ONE grouped aggregation instead of k ``array_min(transform(...))``
+    higher-order functions. Same values (min over exploded elements ==
+    array_min over the array; both binary string comparison), but the md5
+    runs inside whole-stage codegen with map-side partial aggregation —
+    the k HOF lambdas were interpreted per element and allocated k
+    intermediate arrays per doc (measured 2.8 s → see OPTIMIZATION_r09).
+    The shuffle carries only the per-partition partial minima (≤ docs ×
+    k strings), never the exploded stream."""
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", _shingles().alias("sh")).filter(F.size("sh") > 0)
-    mh_cols = [
-        F.array_min(F.expr(
-            f"transform(sh, s -> substr(md5(concat('{i}:', s)), 1, 16))"))
+    ex = d.select("doc_id", F.explode("sh").alias("s"))
+    aggs = [
+        F.min(F.expr(f"substr(md5(concat('{i}:', s)), 1, 16)"))
         .alias(f"mh{i}")
         for i in range(_MINHASH_SEEDS)
     ]
-    return d.select("doc_id", *mh_cols)
+    return ex.groupBy("doc_id").agg(*aggs)
 
 
 def _lsh_bands(spark, sf_dir) -> DataFrame:
@@ -1948,27 +1984,17 @@ ORDER BY band, band_key
 SQL_LSH_DROPPED_BUCKETS = _sql_lsh_dropped_buckets()
 
 
-def _simhash_half(offset: int):
-    """32 simhash bits from md5-hex chars [offset, offset+8): per-token
-    32-bit hash -> per-bit vote (+1/-1) -> majority bit set. md5 instead of
-    xxhash64 keeps the op engine-portable so DuckDB can verify it (the
-    round-2 xxhash64 version was rows-only)."""
-    return F.expr(f"""
-      aggregate(
-        zip_with(
-          aggregate(
-            transform(split(lower(trim(text)), '\\\\s+'),
-                      t -> cast(conv(substr(md5(t), {offset}, 8), 16, 10)
-                                as bigint)),
-            array_repeat(0, 32),
-            (acc, h) -> zip_with(acc, sequence(0, 31),
-                                 (a, i) -> a + IF(((h >> i) & 1) = 1,
-                                                  1, -1))),
-          sequence(0, 31),
-          (v, i) -> IF(v > 0, shiftleft(cast(1 as bigint), i),
-                       cast(0 as bigint))),
-        cast(0 as bigint), (acc, x) -> acc | x)
-    """)
+def _simhash_bits(prefix: str):
+    """OR-fold of the 32 per-bit set-bit counts ``{prefix}{i}`` into one
+    bigint: bit i is set iff strictly more than half the tokens have it
+    (2·count > n_tokens ⟺ the ±1 vote sum is > 0 — same majority)."""
+    out = F.expr(f"IF(2 * {prefix}0 > n_tokens, cast(1 as bigint),"
+                 f" cast(0 as bigint))")
+    for i in range(1, 32):
+        out = out.bitwiseOR(F.expr(
+            f"IF(2 * {prefix}{i} > n_tokens,"
+            f" shiftleft(cast(1 as bigint), {i}), cast(0 as bigint))"))
+    return out
 
 
 def q_dedup_minhash_estimate(spark, sf_dir):
@@ -2033,19 +2059,42 @@ SQL_DEDUP_MINHASH_ESTIMATE = _sql_minhash_estimate()
 
 def q_dedup_simhash(spark, sf_dir):
     """64-bit SimHash per document as two 32-bit halves (hi/lo — two
-    bigints sidestep signed-64 overflow in both engines).
+    bigints sidestep signed-64 overflow in both engines). md5 instead of
+    xxhash64 keeps the op engine-portable so DuckDB can verify it (the
+    round-2 xxhash64 version was rows-only).
 
-    JVM-side throughout: token hash, bit votes and majority fold are
-    higher-order array functions inside whole-stage codegen; no shuffle,
-    no Python. Near-dup candidates come from :func:`q_dedup_simhash_pairs`
-    (exact Hamming ≤ 3 via 16-bit pigeonhole banding on these halves).
-    """
+    r9 shape: tokens explode once and the 64 per-bit set-bit counts are
+    plain SUM aggregates per doc (whole-stage codegen, map-side partials; the
+    shuffle carries per-partition partial sums, ≤ docs × 64 longs). The
+    former nested aggregate/zip_with HOF form evaluated interpreted
+    lambdas per token and allocated a fresh 32-element array per token
+    per half — and computed md5(t) twice per token; here the md5 runs
+    once per token inside codegen (same values: per-token 32-bit hash →
+    per-bit vote → majority bit set). Near-dup candidates come from
+    :func:`q_dedup_simhash_pairs` (exact Hamming ≤ 3 via 16-bit
+    pigeonhole banding on these halves)."""
     d = _t(spark, sf_dir, "documents")
-    tokens = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    return d.select(
-        "doc_id", F.size(tokens).cast("bigint").alias("n_tokens"),
-        _simhash_half(1).alias("simhash_hi"),
-        _simhash_half(9).alias("simhash_lo"))
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.coalesce(F.col("text"),
+                                                    F.lit("")))),
+                          r"\s+")).alias("tok"))
+    h = (toks.select("doc_id", F.md5("tok").alias("m"))
+         .select("doc_id",
+                 F.expr("cast(conv(substr(m, 1, 8), 16, 10) as bigint)")
+                 .alias("h_hi"),
+                 F.expr("cast(conv(substr(m, 9, 8), 16, 10) as bigint)")
+                 .alias("h_lo")))
+    votes = h.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        *[F.sum(F.expr(f"(h_hi >> {i}) & 1"))
+          .alias(f"vh{i}") for i in range(32)],
+        *[F.sum(F.expr(f"(h_lo >> {i}) & 1"))
+          .alias(f"vl{i}") for i in range(32)])
+    return votes.select(
+        "doc_id", "n_tokens",
+        _simhash_bits("vh").alias("simhash_hi"),
+        _simhash_bits("vl").alias("simhash_lo"))
 
 
 SQL_DEDUP_SIMHASH = """
@@ -3631,17 +3680,27 @@ def q_quality_classifier(spark, sf_dir):
         arr[int(r["bucket"])] = int(r["w"])
     warr = "array(" + ",".join(str(v) for v in arr) + ")"
     margin = F.expr(f"""
-        aggregate({_qc_feat_sql('text')}, 0L, (acc, f) ->
+        aggregate(fts, 0L, (acc, f) ->
           acc + element_at({warr},
             CAST(CAST(conv(substr(md5(f), 1, 4), 16, 10) AS BIGINT)
                  % {_QC_BUCKETS} AS INT) + 1))""")
+    # feature array bound ONCE per row (a separate size(features) +
+    # aggregate(features) pair re-tokenized the doc twice), and `scored`
+    # is materialized with localCheckpoint so the threshold aggregation
+    # AND the returned output share ONE corpus pass (r8 verdict advisory
+    # #1: at 100 TB the un-persisted frame made scoring a 2-pass job —
+    # swap for reliable checkpoint()/a table write on a real cluster).
+    # Also planning cost: the 4,096-literal weight array makes this a
+    # huge expression tree; checkpointing plans it once, not per action.
     scored = docs.select(
-        "doc_id", pos.alias("is_pos"),
-        F.size(_qc_features()).alias("n_feats"),
-        margin.alias("quality_margin"))
-    # learned threshold: 4 exact-integer sums (1-row scalar collect);
-    # a second corpus pass, like the training pass — at 100 TB persist
-    # `scored` so train/threshold/output share one materialization
+        "doc_id", pos.alias("is_pos"), _qc_features().alias("fts")
+    ).select(
+        "doc_id", "is_pos",
+        F.size("fts").alias("n_feats"),
+        margin.alias("quality_margin")
+    ).localCheckpoint(eager=True)
+    # learned threshold: 4 exact-integer sums (1-row scalar collect)
+    # over the checkpointed rows — no further corpus pass
     th = scored.agg(
         F.sum(F.when(F.col("is_pos") == 1, F.col("quality_margin"))
               .otherwise(0)).alias("mp"),
