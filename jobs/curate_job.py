@@ -178,6 +178,14 @@ def main() -> None:
             # falls back to a shuffled anti-join otherwise
             keep_buckets = [b.strip() for b in args.ppl_keep.split(",")
                             if b.strip()]
+            unknown = set(keep_buckets) - {"head", "middle", "tail"}
+            if unknown:
+                # fail fast (r8 ADVICE, low): a typo'd bucket name made
+                # isin() keep nothing and silently dropped every
+                # perplexity-scored doc from the corpus
+                raise SystemExit(
+                    f"--ppl-keep: unknown bucket(s) {sorted(unknown)}; "
+                    "valid buckets are head,middle,tail")
             dropped_ppl = (
                 O.q_ccnet_perplexity_buckets(spark, args.input)
                 .filter(~F.col("ppl_bucket").isin(keep_buckets))
@@ -196,8 +204,11 @@ def main() -> None:
                 # winner (q_dedup_keep_best_quality's selection rule):
                 # same anti-join shape, the winner set is one row per
                 # cluster so the dropped side is identical in size to
-                # the min-id rule's
-                winners = (O.q_dedup_keep_best_quality(spark, args.input)
+                # the min-id rule's. The job's OWN labels feed the
+                # winner selection (r8 ADVICE: the public op re-ran the
+                # whole iterative clustering a second time here)
+                winners = (O._keep_best_quality_from_labels(
+                               spark, args.input, labels)
                            .select(F.col("kept_doc").alias("doc_id")))
                 dropped = (labels.select("doc_id")
                            .join(winners, "doc_id", "left_anti"))

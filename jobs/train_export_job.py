@@ -74,7 +74,19 @@ def main() -> None:
     from trek_spark.spark.session import get_spark
 
     capacity = args.capacity or O._PACK_CAPACITY
-    shard = args.shard_size or O._PACK_SHARD
+    # SFT mode defaults to the masked-pack op's shard constant (r8 ADVICE,
+    # medium): the oracle twins q_sft_export_manifest /
+    # q_transcript_pack_masked shard by O._MASK_SHARD — a diverging job
+    # default would silently break the "manifest equals the op by
+    # construction" certification the moment conv_id derivation changes.
+    # An explicit --shard-size in SFT mode must match the op's constant.
+    shard = args.shard_size or (O._MASK_SHARD if args.sft
+                                else O._PACK_SHARD)
+    if args.sft and shard != O._MASK_SHARD:
+        raise SystemExit(
+            f"--sft packing shards by conversation with the oracle op's "
+            f"constant {O._MASK_SHARD}; --shard-size {shard} would "
+            f"desynchronize the manifest from q_sft_export_manifest")
 
     spark = get_spark("trek-train-export")
     t0 = time.time()

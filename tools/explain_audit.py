@@ -154,7 +154,9 @@ AUDITS = {
     ],
     "docs_repetition_ratio": [
         ("Scan parquet", "pure per-row column expressions over one "
-                         "scan — no Exchange anywhere in the plan"),
+                         "scan; the only exchange is _t_wide's "
+                         "scale-adaptive map widening (no-op on a "
+                         "properly split input)"),
     ],
     "ann_topk_ivf_kmeans": [
         ("BroadcastHashJoin", "trained-cell probe stays an equi-join with "

@@ -2042,7 +2042,7 @@ def avi_header_info(payload: bytes) -> dict | None:
     # when the walk hit the _AVI_MAX_CHUNKS budget the count is only a
     # lower bound, so the (clamped) header claim is allowed to stand and
     # the truncation is surfaced instead of silently understating.
-    usec = min(max(hdr["usec_per_frame"], 100), 10_000_000)  # 10kfps..0.1fps
+    usec = _clamped_usec(hdr)
     claimed = min(hdr["total_frames"], 10_000_000)           # ~93h @30fps
     nf = max(nframes, claimed) if truncated else nframes
     out = {"mime": "video/x-msvideo", "width": hdr["width"] or None,
@@ -2175,6 +2175,15 @@ def resize_avi(payload: bytes, target_w: int,
     return _assemble_avi(target_w, target_h, out, hdr["usec_per_frame"])
 
 
+def _clamped_usec(hdr: dict) -> int:
+    """Bounded frame interval from an attacker-controlled avih header:
+    10 kfps .. 0.1 fps. Shared by header_info AND the clip/windowing
+    paths (r8 ADVICE: clip_avi used the raw header value, so a hostile
+    usec_per_frame=0xFFFFFFFF skewed clip windows while the reported
+    duration was clamped — inconsistent hardening)."""
+    return min(max(hdr["usec_per_frame"], 100), 10_000_000)
+
+
 def clip_avi(payload: bytes, start_ms: int, end_ms: int) -> bytes | None:
     """Segment extraction for video (the clip_wav analogue): keep the
     frames whose timestamps land in ``[start_ms, end_ms)`` and re-emit a
@@ -2184,7 +2193,7 @@ def clip_avi(payload: bytes, start_ms: int, end_ms: int) -> bytes | None:
     if parsed is None or end_ms <= start_ms:
         return None
     hdr, chunks, _, _ = parsed
-    usec = hdr["usec_per_frame"] or 1
+    usec = _clamped_usec(hdr)
     kept = [raw for i, raw in enumerate(chunks)
             if start_ms <= i * usec / 1000 < end_ms]
     if not kept:

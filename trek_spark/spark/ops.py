@@ -36,6 +36,31 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan with scale-adaptive map parallelism (guide §2.2/§2.5, §6.1).
+
+    A monolithic low-split input (e.g. a single-row-group parquet file,
+    which is what the test SFs ship) gives the scan ONE partition, so
+    every expensive per-row map stage built on it — shingling, seeded
+    minhash md5s, simhash votes, feature hashing — runs on one core no
+    matter how wide the cluster is, and no AQE rule ever widens it (AQE
+    only coalesces). When the scan yields fewer than half
+    ``defaultParallelism`` partitions, round-robin repartition to full
+    width BEFORE the heavy expressions; on a real multi-file /
+    multi-row-group layout (the 100 TB case) the scan is already wide
+    and this is a NO-OP — the knob derives from the input layout, not a
+    constant tuned to local mode. Only used by ops whose downstream is
+    order-insensitive (agg / min / sum / join / distinct): round-robin
+    repartition permutes row order, nothing else."""
+    df = _t(spark, sf_dir, name)
+    par = spark.sparkContext.defaultParallelism
+    try:
+        n_parts = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - defensive (exotic sources)
+        return df
+    return df.repartition(par) if 2 * n_parts <= par else df
+
+
 # --------------------------------------------------------------------------
 # TPC-H-ish relational surface (SURVEY.md §2.0)
 # --------------------------------------------------------------------------
@@ -870,12 +895,13 @@ def q_docs_repetition_ratio(spark, sf_dir):
     (1 − distinct/total), the Gopher/RefinedWeb-style quality gate that
     catches template spam and decode loops before training. Pure per-row
     JVM column expressions over one scan (the shingle let-binding from
-    the dedup family, counted instead of exploded) — no shuffle, no
-    Python, trivially 100 TB-safe. Ratio emitted ×10⁴ by exact rounded
-    integer division."""
+    the dedup family, counted instead of exploded) — no Python,
+    trivially 100 TB-safe; the only exchange is the scale-adaptive map
+    widening of ``_t_wide`` (a no-op on a properly split input). Ratio
+    emitted ×10⁴ by exact rounded integer division."""
     words = r"split(trim(text), '\\s+')"
     total = F.expr(f"greatest(size({words}) - 2, 0)")
-    d = (_t(spark, sf_dir, "documents")
+    d = (_t_wide(spark, sf_dir, "documents")
          .select("doc_id",
                  total.alias("n_shingles"),
                  F.size(_shingles()).alias("n_distinct"))
@@ -921,7 +947,7 @@ def q_lang_heuristic(spark, sf_dir):
     full-text regex scan was the op's entire cost. The prefix, the
     tokenization (done ONCE into `toks_`), and every vote use the same
     substring in BOTH engines, so the oracle stays exact."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t_wide(spark, sf_dir, "documents")
 
     def votes(words):
         lst = ",".join(f"'{w}'" for w in words)
@@ -1117,7 +1143,7 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     near-dup signal precisely because they are ubiquitous. The cap is far
     above any test-corpus frequency, so the oracle sees identical results.
     """
-    d = _t(spark, sf_dir, "documents").select(
+    d = _t_wide(spark, sf_dir, "documents").select(
         "doc_id", _shingles().alias("sh"))
     # The per-doc set size rides ALONG the exploded stream (r9 guide
     # §2.3/§2.4: the former sizes-table formulation joined two extra
@@ -1220,7 +1246,7 @@ def q_dedup_hot_shingle_audit(spark, sf_dir):
     Scale shape: the injection is a metadata-only union; the audit is
     the same one explode + groupBy(shingle) every capped op already
     pays."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _t_wide(spark, sf_dir, "documents").select("doc_id", "text")
     injected = (spark.range(_SKEW_COPIES)
                 .select((F.col("id") + 10000000).alias("doc_id"),
                         F.lit(_SKEW_BOILERPLATE).alias("text")))
@@ -1298,7 +1324,7 @@ def q_dedup_prefix_filter(spark, sf_dir):
     candidates); the brute-force shape exists only inside the DuckDB
     oracle at test SF.
     """
-    d = _t(spark, sf_dir, "documents").select(
+    d = _t_wide(spark, sf_dir, "documents").select(
         "doc_id", _shingles().alias("sh"))
     ex = d.select("doc_id", F.explode("sh").alias("tok"))
     dfc = ex.groupBy("tok").agg(F.count("*").alias("df"))
@@ -1862,7 +1888,7 @@ def _minhash_sigs(spark, sf_dir) -> DataFrame:
     intermediate arrays per doc (measured 2.8 s → see OPTIMIZATION_r09).
     The shuffle carries only the per-partition partial minima (≤ docs ×
     k strings), never the exploded stream."""
-    d = _t(spark, sf_dir, "documents").select(
+    d = _t_wide(spark, sf_dir, "documents").select(
         "doc_id", _shingles().alias("sh")).filter(F.size("sh") > 0)
     ex = d.select("doc_id", F.explode("sh").alias("s"))
     aggs = [
@@ -2073,7 +2099,7 @@ def q_dedup_simhash(spark, sf_dir):
     per-bit vote → majority bit set). Near-dup candidates come from
     :func:`q_dedup_simhash_pairs` (exact Hamming ≤ 3 via 16-bit
     pigeonhole banding on these halves)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t_wide(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
         F.explode(F.split(F.lower(F.trim(F.coalesce(F.col("text"),
@@ -3008,7 +3034,7 @@ def q_benchmark_contamination(spark, sf_dir):
     groupBy(doc_id); no shuffle of the corpus shingles against each other
     and no pair blowup. The same window cap as the dedup family drops
     degenerate boilerplate shingles before they multiply."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     n = _CONTAM_SHINGLE_N
     # short-doc CASE guard + split() let-binding: see _shingles for both
     # (sequence(1,0) descends into a slice(arr,0,n) crash; unbound split
@@ -3094,7 +3120,7 @@ def q_benchmark_contamination_fuzzy(spark, sf_dir):
     The benchmark prefix table is broadcast (eval sets are MMLU-sized);
     the corpus prefix join is the only shuffle beyond the candidate
     distinct."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     n = _CONTAM_SHINGLE_N
     shingle_expr = F.expr(f"""
       element_at(transform(array(split(trim(text), '\\\\s+')), ws ->
@@ -3364,7 +3390,7 @@ def q_dedup_boilerplate_lines(spark, sf_dir):
     doc_id, which is uniform. Hot lines (the very boilerplate being
     removed) never pass through a collect_list: per-doc line lists are
     bounded by document length, not by line popularity."""
-    d = _t(spark, sf_dir, "documents").select(
+    d = _t_wide(spark, sf_dir, "documents").select(
         "doc_id", _boilerplate_injected_col().alias("t"))
     lines = (d.select("doc_id",
                       F.posexplode(F.split("t", "\n")).alias("pos", "line"))
@@ -3528,7 +3554,7 @@ def q_dsir_importance(spark, sf_dir):
     on raw n-grams ever reaches a join. At 100 TB the 2²⁰ scale factor
     would overflow int64 on >2⁴³-occurrence buckets; production divides
     both counts by their totals first (same ranking, bounded operands)."""
-    b = (_t(spark, sf_dir, "documents")
+    b = (_t_wide(spark, sf_dir, "documents")
          .select("doc_id", "lang",
                  F.explode(_bigram_occurrences()).alias("bg"))
          .select("doc_id", "lang",
@@ -3639,7 +3665,7 @@ def q_quality_classifier(spark, sf_dir):
     embarrassingly parallel at 100 TB. The count products would
     overflow int64 past ~2⁶² — production divides both counts by their
     totals first (same decision boundary, bounded operands)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     # NULL source counts as NEGATIVE class (when/otherwise, NOT
     # isin().cast(): isin on NULL yields NULL, which would silently
     # exclude the doc from BOTH threshold classes while DuckDB's
@@ -4086,7 +4112,7 @@ def _ppl_scored_stream(spark, sf_dir) -> DataFrame:
     perplexity op (whole-tick average) and the CCNet buckets op
     (millitick average): one bounded 4,096-bucket aggregation builds
     the model, then it broadcasts back onto the trigram stream."""
-    tg = (_t(spark, sf_dir, "documents")
+    tg = (_t_wide(spark, sf_dir, "documents")
           .withColumn("pref_", F.expr(
               f"substring(lower(coalesce(text, '')), 1, {_PPL_PREFIX})"))
           .select("doc_id", F.explode(_char_trigrams()).alias("tg"))
@@ -4197,7 +4223,7 @@ def q_lang_consistency_chunks(spark, sf_dir):
     groupBy on doc_id (conditional-sum pivot, no second shuffle, no
     window). The plurality pick is a greatest()+CASE cascade over the
     five counts — still inside the same aggregate projection."""
-    d = (_t(spark, sf_dir, "documents")
+    d = (_t_wide(spark, sf_dir, "documents")
          .withColumn("pref_", F.expr(
              f"substring(coalesce(text, ''), 1, {_LCC_PREFIX})"))
          .select("doc_id", F.explode(F.expr(
@@ -4446,7 +4472,7 @@ def q_dedup_passage_windows(spark, sf_dir):
             f"transform(sequence(1, {nwin}), "
             f"i -> substring(pref_, (i - 1) * {_PW_STRIDE} + 1, {_PW_WIN}))"
             f" ELSE CAST(array() AS ARRAY<STRING>) END")
-    tg = (_t(spark, sf_dir, "documents")
+    tg = (_t_wide(spark, sf_dir, "documents")
           .withColumn("pref_", F.expr(
               f"substring(lower(coalesce(text, '')), 1, {_PW_PREFIX})"))
           .select("doc_id", F.explode(F.expr(wins)).alias("win"))
@@ -6825,7 +6851,7 @@ def q_docs_stable_ids(spark, sf_dir):
     Oracle: the plain global ROW_NUMBER — certifying the banded
     decomposition reproduces the exact total order
     (n_chars DESC, doc_id ASC)."""
-    docs = (_t(spark, sf_dir, "documents")
+    docs = (_t_wide(spark, sf_dir, "documents")
             .select("doc_id", "n_chars")
             .withColumn("band", F.expr("n_chars DIV 64")))
     band_counts = docs.groupBy("band").agg(F.count("*").alias("n"))
@@ -10751,6 +10777,16 @@ def q_dedup_keep_best_quality(spark, sf_dir):
     if not converged:
         raise RuntimeError("dedup_keep_best_quality: clustering did not "
                            "converge (see q_dedup_clusters)")
+    return _keep_best_quality_from_labels(spark, sf_dir, labels)
+
+
+def _keep_best_quality_from_labels(spark, sf_dir,
+                                   labels: DataFrame) -> DataFrame:
+    """Winner selection given precomputed CC labels (r8 ADVICE, low):
+    curate_job already runs the clustering for its own convergence gate —
+    calling the public op from the job re-ran the whole iterative CC a
+    second time. The op's semantics are unchanged; the job passes its
+    labels here instead."""
     scored = q_quality_classifier(spark, sf_dir).select(
         "doc_id",
         F.expr("(1000000 * quality_margin) DIV n_feats")
