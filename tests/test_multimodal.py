@@ -121,11 +121,14 @@ def test_resize_and_frame_sample_plumbing():
     from trek_spark.spark.session import get_spark
     spark = get_spark("pytest-mm2", master="local[4]", shuffle_partitions=8)
     try:
+        # deterministic slice by KEY, not limit(): the r9 scale-adaptive
+        # widening in media_corpus_from_documents permutes row placement,
+        # so limit()/first() picked an arbitrary subset/row
         media = media_corpus_from_documents(spark, "/root/testdata/sf0.001") \
-            .limit(60)
+            .filter(F.col("media_id") < 60)
         resized = resize_images(media, 224, 224)
         img = resized.filter(F.col("media_type") == "image") \
-            .select("resized").first()
+            .orderBy("media_id").select("resized").first()
         meta = decode_headers(bytes(img.resized))
         assert (meta["width"], meta["height"]) == (224, 224)
         # non-images pass through with resized = null
@@ -135,7 +138,10 @@ def test_resize_and_frame_sample_plumbing():
         frames = sample_video_frames(media, n_frames=3)
         n_videos = media.filter(F.col("media_type") == "video").count()
         assert frames.count() == 3 * n_videos
-        fr = frames.first()
+        # media_id 2: kind==2 with (2//3)%2==0 -> the raw-bytes stub
+        # video path, whose sampled frames surface as image/bmp fakes
+        fr = frames.filter(F.col("media_id") == 2) \
+            .orderBy("frame_idx").first()
         fm = decode_headers(bytes(fr.frame))
         assert fm is not None and fm["mime"] == "image/bmp"
     finally:

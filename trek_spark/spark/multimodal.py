@@ -2533,6 +2533,18 @@ def media_corpus_from_documents(spark, sf_dir: str) -> DataFrame:
     with raw bytes exercising the declared non-MJPEG stub path."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
         .select("doc_id", "text")
+    # Scale-adaptive map widening (r9, mirrors ops._t_wide): the test-SF
+    # parquet is one row group, so the scan is ONE task and the entire
+    # Python synthesis (real PNG/GIF/JPEG/AVI encoders) plus every
+    # downstream mapInPandas decode stage inherited a single worker. On
+    # a properly split input this is a no-op; each synthesized row is a
+    # pure function of (doc_id, text), so row placement is irrelevant.
+    par = spark.sparkContext.defaultParallelism
+    try:
+        if 2 * docs.rdd.getNumPartitions() <= par:
+            docs = docs.repartition(par)
+    except Exception:  # pragma: no cover - defensive
+        pass
 
     def synth(it):
         for pdf in it:
