@@ -1587,12 +1587,21 @@ def _cluster_edges(spark, sf_dir) -> DataFrame:
     their union is already duplicate-free — the distinct was a pure
     extra shuffle+agg before the checkpoint (r9; degree-counting
     consumers like graph_pagerank rely on this uniqueness argument, not
-    on a dedup pass)."""
-    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    on a dedup pass).
+
+    The PAIR list is what gets materialized, BEFORE the symmetrizing
+    union (r9, second pass): a union of two jaccard subtrees runs the
+    pair-generation stage twice — exchange reuse deduplicates the
+    shingle map side but not the grouped pair explode above it, which
+    is exactly the stage that grows with the duplicate rate (measured
+    at a 5×-tiled corpus: the doubled explode was most of the CC ops'
+    residual). The swapped orientation is then a projection of the
+    materialized rows — free."""
+    pairs = (q_dedup_ngram_jaccard(spark, sf_dir)
+             .select("id_a", "id_b").localCheckpoint(eager=True))
     return pairs.union(
         pairs.select(F.col("id_b").alias("id_a"),
-                     F.col("id_a").alias("id_b"))) \
-        .localCheckpoint(eager=True)
+                     F.col("id_a").alias("id_b")))
 
 
 def q_dedup_clusters(spark, sf_dir):
