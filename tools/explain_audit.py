@@ -381,8 +381,12 @@ AUDITS = {
         ("UnionLoop", "the recursive CTE executes as an iterative "
                       "union loop with the explicit depth guard"),
         ("LogicalRDD", "each recursion level joins the "
-                       "localCheckpointed edge RDD — the shingle job "
-                       "is never re-run per level", 2),
+                       "localCheckpointed pair RDD (two refs per leg "
+                       "since r9 materializes the pair list BEFORE the "
+                       "symmetrizing union)"),
+        ("Scan parquet", "the shingle job is never re-run per "
+                         "recursion level: zero parquet scans anywhere "
+                         "in the recursive plan", 0),
     ],
     "dedup_lsh_eval": [
         ("LeftSemi", "true positives via a semi join on the pair key"),
