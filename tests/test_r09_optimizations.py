@@ -137,6 +137,21 @@ def test_cc_observation_fixpoint_counts_rounds_and_labels(spark):
         {("a", "a"), ("b", "a")}
 
 
+def test_prefix_filter_df_is_window_not_join(spark, tmp_path):
+    """The r9 follow-up computes each shingle's document frequency as a
+    window count over the one tok shuffle instead of a groupBy(tok) +
+    join-back of the exploded stream onto itself. Pin the shape: the
+    plan carries a Window node and at most 4 parquet scans (prefix a/b
+    + verify a/b legs of the shared subtree — the old join form doubled
+    that to 8 before runtime exchange reuse)."""
+    texts = [f"alpha beta gamma delta {i}" for i in range(6)]
+    sf = _write_documents(spark, str(tmp_path), texts)
+    out = O.q_dedup_prefix_filter(spark, sf)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    assert plan.count("Scan parquet") <= 4
+
+
 def test_quality_classifier_output_is_materialized(spark, tmp_path):
     """q_quality_classifier must return a checkpointed frame (r8 verdict
     advisory #1): threshold + output share one corpus materialization —
