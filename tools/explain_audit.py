@@ -189,9 +189,14 @@ AUDITS = {
         ("Window", "hot-shingle cap before the join"),
     ],
     "tfidf_top_terms": [
-        ("BroadcastHashJoin", "doc-count scalar and df table join without "
-                              "shuffling the tf side twice"),
-        ("Window", "per-doc top-k via window rank"),
+        ("BroadcastNestedLoopJoin", "the 1-row doc-count scalar is "
+                                    "broadcast — computed once, not per "
+                                    "row"),
+        ("Window", "df via a window count on the term shuffle plus the "
+                   "per-doc top-k rank (2 Window + 2 WindowGroupLimit: "
+                   "the rank<=3 filter is pushed into the sort as a "
+                   "group-limit) — no df join-back", 4),
+        ("SortMergeJoin", "the former df-table join-back is gone", 0),
     ],
     "source_mix_weights": [
         ("BroadcastNestedLoopJoin", "corpus totals broadcast as one row — "

@@ -3223,10 +3223,10 @@ def q_tfidf_top_terms(spark, sf_dir):
     in BOTH engines and RANKED ON THE QUANTIZED INTEGER (ties break on
     the term), so only a 1-ulp libm ln() divergence landing exactly on a
     .5 boundary could flip anything (round(double,4)'s algorithmic
-    divergence cannot). Scale: explode → two aggregations (term×doc,
-    then df over terms) + a window top-k per doc; the doc count joins in
-    as a broadcast scalar. All shuffles are on term/doc keys — no
-    pairwise anything."""
+    divergence cannot). Scale: explode → one (term×doc) aggregation, df
+    as a window count over the term shuffle, then a window top-k per
+    doc; the doc count joins in as a broadcast scalar. All shuffles are
+    on term/doc keys — no pairwise anything."""
     docs = _t(spark, sf_dir, "documents")
     terms = (
         docs.select(
@@ -3235,10 +3235,16 @@ def q_tfidf_top_terms(spark, sf_dir):
                 F.lower("text"), "[^a-z0-9]+", " "), " ")).alias("term"))
         .filter(F.length("term") >= 3))
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = docs.agg(F.count("*").alias("n_docs"))
+    # df as a WINDOW count over the term shuffle (r9 follow-up, §2.4):
+    # the former groupBy(term) + join-back re-sorted the tf stream
+    # against its own aggregate; the window count per term is the same
+    # df (tf has one row per (doc, term)) on one exchange, no join.
+    # Hot-term rows colocate either way (the old join's probe side
+    # shuffled them identically), and WindowExec spills.
     scored = (
-        tf.join(df_, "term")
+        tf.withColumn("df",
+                      F.count(F.lit(1)).over(Window.partitionBy("term")))
         .crossJoin(F.broadcast(n_docs))
         .withColumn("tfidf_e4", F.expr(
             "CAST(floor(tf * ln(CAST(n_docs AS DOUBLE) / df) * 10000"
@@ -10440,12 +10446,12 @@ def q_docs_duplicate_ngram_fraction(spark, sf_dir):
     Scale: grams are 48-bit md5-hashed (no raw-string shuffle), distinct
     WITHIN a doc before exploding (array_distinct per row, so a
     boilerplate line repeated 1,000× inside one doc contributes one
-    stream row), then ONE groupBy on the hash builds the document-
-    frequency table (map-side partials absorb hot grams) and one
-    shuffled equi-join hands each gram its df — the same bounded
-    two-shuffle shape as dedup_passage_windows; no pair explosion, no
-    driver state. At 100 TB the df table scales with distinct grams,
-    not documents² — the hash keyspace keeps partitions balanced."""
+    stream row), then each gram's document frequency is a window count
+    over the ONE gram-hash shuffle — two bounded shuffles total (hash,
+    then doc_id); no pair explosion, no driver state. At 100 TB the
+    per-gram groups scale with distinct grams, not documents² — the
+    hash keyspace keeps partitions balanced, and a pathological hot
+    gram costs window spill, same as the join shape it replaced."""
     words = r"split(trim(lower(coalesce(text, ''))), '\\s+')"
     grams = F.expr(rf"""
         element_at(transform(array({words}), ws ->
@@ -10459,8 +10465,18 @@ def q_docs_duplicate_ngram_fraction(spark, sf_dir):
               .select("doc_id", F.expr(
                   "CAST(conv(substr(md5(g), 1, 12), 16, 10) AS BIGINT)")
                   .alias("h")))
-    df_tab = stream.groupBy("h").agg(F.count("*").alias("n_docs"))
-    return (stream.join(df_tab, "h")
+    # Gram document frequency as a WINDOW count over the one gram-hash
+    # shuffle (r9 follow-up, §2.3/§2.4): the former groupBy(h) +
+    # equi-join back could NOT share an exchange with its probe side
+    # (different children: partial-agg vs raw stream), so the whole
+    # gram-transform + md5 subtree was evaluated TWICE — measured 2.0 s
+    # → 0.83 s at sf0.1 and 8.0 s → 3.2 s at a 25k-doc single-row-group
+    # corpus. Hot grams colocate under the join's probe shuffle exactly
+    # as under the window, and WindowExec spills; the n_docs>1 flag and
+    # every emitted value are unchanged.
+    return (stream.withColumn(
+                "n_docs",
+                F.count(F.lit(1)).over(Window.partitionBy("h")))
             .groupBy("doc_id")
             .agg(F.count("*").alias("n_grams"),
                  F.sum(F.expr("CAST(n_docs > 1 AS INT)"))
