@@ -2181,7 +2181,18 @@ def q_dedup_simhash_pairs(spark, sf_dir):
     can't OOM a buffer), pair gen is the two-stage explode, and the final
     signature joins shuffle on doc_id — all bounded, no O(n²) anywhere.
     """
-    sigs = q_dedup_simhash(spark, sf_dir).drop("n_tokens")
+    # The 3-bigint signature table is materialized eagerly (r9
+    # follow-up, §5 caching): bands + both verify join legs read it, and
+    # while AQE exchange reuse already ran the 64-sum agg once at
+    # runtime, the COLD single-shot cost (the bench's methodology) paid
+    # Catalyst planning + codegen for the md5/shingle subtree three
+    # times — measured 8.2 → 7.5 s cold at sf0.1, 11.9 → 10.6 s at 25k
+    # docs. Unlike the prefix-filter token arrays (where this exact
+    # experiment lost), the checkpoint payload here is doc_id + two
+    # bigints — O(docs), not O(corpus). On a real cluster swap for
+    # checkpoint()/a table write, as with _cluster_edges.
+    sigs = (q_dedup_simhash(spark, sf_dir).drop("n_tokens")
+            .localCheckpoint(eager=True))
     bands = sigs.select(
         "doc_id",
         F.explode(F.array(*[
