@@ -301,10 +301,14 @@ AUDITS = {
         ("Scan parquet", "one scan feeds every rule", 1),
     ],
     "dedup_passage_windows": [
-        ("HashAggregate", "window-hash model combines map-side before "
-                          "its shuffle"),
+        ("HashAggregate", "the (hash, doc) pre-group combines map-side "
+                          "before its shuffle"),
         ("CartesianProduct", "never a cartesian", 0),
-        ("Window", "per-doc totals are a groupBy, not a window", 0),
+        ("Window", "cross-doc frequency is ONE window count on the "
+                   "hash shuffle (r9: replaced the model join-back "
+                   "that re-evaluated the md5/window subtree)", 1),
+        ("SortMergeJoin", "no join anywhere — the model join-back is "
+                          "gone", 0),
     ],
     "orders_unpivot": [
         ("Expand", "unpivot is a constant 3-way Expand — no join, no "

@@ -1435,11 +1435,16 @@ def q_dedup_graph_triangles(spark, sf_dir):
     are generated only from out-edges (u→v, u→w with v before w in the
     total order) and closed by an equi-join against the oriented edge
     v→w; each triangle is found exactly once, at its lowest-order apex.
-    All three join legs are canonically identical subtrees over the
-    jaccard pairs (exchange reuse); at 100 TB you'd materialize the
-    (tiny) edge list once before the wedge join.
+    The (tiny) edge list is materialized ONCE before the wedge join
+    (r9: the degree union and the two degree join-backs have
+    non-identical children, so exchange reuse never covered them and
+    the jaccard subtree was evaluated up to 3× — measured 4.35 → 1.82 s
+    at sf0.1, 14.4 → 6.3 s at 25k docs; on a real cluster swap the
+    localCheckpoint for checkpoint()/a table write, as with
+    _cluster_edges).
     """
-    edges = q_dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    edges = (q_dedup_ngram_jaccard(spark, sf_dir)
+             .select("id_a", "id_b").localCheckpoint(eager=True))
     return _triangle_counts(edges)
 
 
@@ -4494,12 +4499,12 @@ def q_dedup_passage_windows(spark, sf_dir):
     doc: window count, cross-doc repeated windows, and the repeated
     fraction in exact integer per-mille.
 
-    Scale: windows hash to 48-bit ints (md5 prefix); ONE groupBy on the
-    hash (map-side partials absorb hot windows) builds the (hash,
-    n_docs) model; the join back is 1:1 equi on the hash (no fan-out,
-    AQE splits skewed hashes); final per-doc aggregate is the second
-    and last shuffle. Cost is O(prefix/stride) windows per doc — bytes
-    scanned bounded per doc, not per corpus."""
+    Scale: windows hash to 48-bit ints (md5 prefix); ONE groupBy on
+    (hash, doc_id) (map-side partials absorb hot windows) keys the
+    stream, a window count over the hash gives each window its
+    cross-doc frequency on the same shuffle, and the final per-doc
+    aggregate is the second and last shuffle. Cost is O(prefix/stride)
+    windows per doc — bytes scanned bounded per doc, not per corpus."""
     nwin = f"((char_length(pref_) - {_PW_WIN}) DIV {_PW_STRIDE}) + 1"
     wins = (f"CASE WHEN char_length(pref_) >= {_PW_WIN} THEN "
             f"transform(sequence(1, {nwin}), "
@@ -4512,13 +4517,22 @@ def q_dedup_passage_windows(spark, sf_dir):
           .select("doc_id", F.expr(
               "CAST(conv(substr(md5(win), 1, 12), 16, 10) AS BIGINT)")
               .alias("h")))
-    model = (tg.groupBy("h")
-             .agg(F.countDistinct("doc_id").alias("n_docs")))
-    return (tg.join(model, "h")
-            .groupBy("doc_id").agg(
-                F.count("*").alias("n_windows"),
-                F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
-                 .alias("n_xdoc"))
+    # r9 follow-up (§2.3/§2.4): pre-group to (h, doc_id) with a rep
+    # count, then n_docs is a window count over h — group rows ARE
+    # distinct docs, so this equals the old countDistinct model — and
+    # the per-doc stats reweight by reps. The former model join-back
+    # could not share an exchange with its probe side, so the window
+    # transform + md5 subtree ran twice (measured 1.07 → 0.67 s at
+    # sf0.1, 0.98 → 0.67 at 25k docs). Hot hashes colocate identically
+    # under either shape; the (h, doc_id) pre-group partial-aggregates
+    # map-side exactly like the old model build.
+    per = (tg.groupBy("h", "doc_id").agg(F.count("*").alias("reps"))
+           .withColumn("n_docs",
+                       F.count(F.lit(1)).over(Window.partitionBy("h"))))
+    return (per.groupBy("doc_id").agg(
+                F.sum("reps").alias("n_windows"),
+                F.sum(F.when(F.col("n_docs") > 1, F.col("reps"))
+                      .otherwise(0)).alias("n_xdoc"))
             .select(
                 "doc_id", "n_windows", "n_xdoc",
                 F.expr("(2 * 1000 * n_xdoc + n_windows)"
@@ -7651,10 +7665,16 @@ def q_terms_continuation_counts(spark, sf_dir):
         "transform(sequence(1, size(ws) - 1),"
         " i -> struct(ws[i - 1] AS w1, ws[i] AS w2))")).alias("b"))
         .select("b.w1", "b.w2"))
-    cont = (bigrams.distinct()
-            .groupBy("w2").agg(F.count("*").alias("n_contexts")))
-    freq = (bigrams.groupBy("w2").agg(F.count("*").alias("raw_freq")))
-    return (freq.join(cont, "w2")
+    # ONE aggregation (r9 follow-up, §2.3): the former
+    # distinct+groupBy / groupBy pair aggregated the same bigram
+    # stream twice (non-identical children — no exchange reuse) and
+    # joined the results; count + count_distinct in a single agg are
+    # the same two values off one evaluation and one shuffle
+    # (count_distinct partial-aggregates via Expand, so hot w2 keys
+    # still shrink map-side). Measured 0.68 → 0.51 s at sf0.1.
+    return (bigrams.groupBy("w2")
+            .agg(F.count("*").alias("raw_freq"),
+                 F.countDistinct("w1").alias("n_contexts"))
             .where(F.col("raw_freq") >= 5)
             .select(F.col("w2").alias("word"), "raw_freq",
                     "n_contexts"))
