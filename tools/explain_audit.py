@@ -135,10 +135,14 @@ AUDITS = {
                           "after the window"),
     ],
     "orders_above_customer_avg": [
-        ("BroadcastHashJoin", "decorrelated: the per-customer aggregate "
-                              "broadcasts and joins back on the key — "
-                              "no per-row correlated re-aggregation"),
-        ("PushedFilters", "both scans keep parquet pushdown"),
+        ("Scan parquet", "decorrelated onto ONE orders scan (r9: the "
+                         "per-customer totals are window aggregates, "
+                         "not a groupBy joined back onto a second "
+                         "scan)", 1),
+        ("Window", "both per-customer totals ride one window over the "
+                   "custkey shuffle", 1),
+        ("Exchange", "a single keyed shuffle total", 1),
+        ("BroadcastHashJoin", "no join anywhere", 0),
     ],
     "orders_cube": [
         ("Expand", "all four grouping sets expand inside ONE "

@@ -332,17 +332,22 @@ WHERE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
 def q_orders_above_customer_avg(spark, sf_dir):
     """CORRELATED scalar subquery, decorrelated: orders above their own
     customer's average price. The correlated form re-aggregates per
-    outer row; the scalable shape is one groupBy(custkey) aggregate
-    joined back on the key — a single keyed shuffle, no per-row
-    subquery. Exact integer predicate (price_c · n > Σprice_c per
-    customer), so no float boundary can flip a row between engines."""
+    outer row; the scalable shape is the per-customer totals as window
+    aggregates over ONE custkey shuffle — a single keyed pass, no
+    per-row subquery, no second orders scan. Exact integer predicate
+    (price_c · n > Σprice_c per customer), so no float boundary can
+    flip a row between engines."""
     o = _t(spark, sf_dir, "orders")
     cents = F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
-    per_cust = (o.groupBy("o_custkey")
-                .agg(F.sum(cents).alias("sum_c"),
-                     F.count("*").alias("n")))
+    # r9: both per-customer totals ride ONE window over the custkey
+    # shuffle instead of a groupBy joined back onto a second orders
+    # scan (the agg and probe legs had different children, so the scan
+    # ran twice; measured 0.52 → 0.35 s at sf0.1). Per-customer groups
+    # colocate identically under either shape.
+    w = Window.partitionBy("o_custkey")
     return (o.withColumn("price_c", cents)
-            .join(per_cust, "o_custkey")
+            .withColumn("sum_c", F.sum("price_c").over(w))
+            .withColumn("n", F.count(F.lit(1)).over(w))
             .filter(F.expr("price_c * n > sum_c"))
             .select("o_orderkey", "o_custkey", "o_totalprice"))
 
