@@ -5634,28 +5634,37 @@ def q_dedup_containment(spark, sf_dir):
     (contained, container) ordered by set size with containment in
     10⁻⁴ units via rounded integer division. Scale notes inherited
     from the jaccard op; the only new arithmetic is the min()."""
-    d = _t(spark, sf_dir, "documents").select(
+    # r9 follow-up: the same carried-size restructure as
+    # dedup_ngram_jaccard (§1 of OPTIMIZATION_r09) — the former sizes
+    # table joined two extra legs that each re-ran the shingle
+    # expression (3 scans, 2 joins); the per-doc set size rides the
+    # exploded stream instead, and the scan widens like the other
+    # shingle-heavy ops. Measured 1.54 → 1.38 s at sf0.1, 6.50 → 4.94 s
+    # at 25k docs; exceptAll old-vs-new = 0 on both corpora.
+    d = _t_wide(spark, sf_dir, "documents").select(
         "doc_id", _shingles().alias("sh"))
-    sizes = d.select("doc_id", F.size("sh").alias("n"))
-    ex = d.select("doc_id", F.explode("sh").alias("shingle"))
+    ex = d.select("doc_id", F.size("sh").alias("n"),
+                  F.explode("sh").alias("shingle"))
     safe = _drop_hot_keys(ex, ["shingle"], _SHINGLE_DF_CAP)
     grouped = (
         safe.groupBy("shingle")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n")))
+             .alias("ids"))
         .filter(F.size("ids") >= 2))
     pairs = (_explode_pairs(grouped)
-             .groupBy("id_a", "id_b")
+             .groupBy(F.col("id_a.doc_id").alias("id_a"),
+                      F.col("id_a.n").alias("na"),
+                      F.col("id_b.doc_id").alias("id_b"),
+                      F.col("id_b.n").alias("nb"))
              .agg(F.count("*").alias("shared")))
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
     return (
-        pairs.join(sa, F.col("id_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("id_b") == F.col("sb.doc_id"))
-        .withColumn("m", F.least("sa.n", "sb.n"))
+        pairs
+        .withColumn("m", F.least("na", "nb"))
         .filter(F.expr(f"1000 * shared >= {_CONTAIN_PM} * m"))
         .select(
-            F.expr("CASE WHEN sa.n < sb.n OR (sa.n = sb.n AND id_a < id_b)"
+            F.expr("CASE WHEN na < nb OR (na = nb AND id_a < id_b)"
                    " THEN id_a ELSE id_b END").alias("contained_id"),
-            F.expr("CASE WHEN sa.n < sb.n OR (sa.n = sb.n AND id_a < id_b)"
+            F.expr("CASE WHEN na < nb OR (na = nb AND id_a < id_b)"
                    " THEN id_b ELSE id_a END").alias("container_id"),
             "shared",
             F.expr("(2 * shared * 10000 + m) DIV (2 * m)")
@@ -8835,10 +8844,15 @@ def q_terms_kn_bigram_probs(spark, sf_dir):
     into the full smoothed estimator). Output limited to bigrams with
     c12 ≥ 3 (volume; same gate both engines).
 
-    Scale: bigram counts partial-aggregate map-side; the three side
-    statistics (left-context totals, fan-out, continuation counts) are
-    vocabulary-bounded aggregates joined back on w1/w2; B is a one-row
-    broadcast."""
+    Scale: bigram counts partial-aggregate map-side; the bigram-type
+    table (vocabulary-bounded, tiny next to the corpus) materializes
+    once (r9: its four consumers — left totals, continuation counts,
+    B, and the join probe — have non-identical children, so exchange
+    reuse never covered them and the tokenize + bigram agg ran up to
+    4×; measured 1.20 → 0.74 s at sf0.1); the three side statistics
+    are aggregates OF that table joined back on w1/w2; B is a one-row
+    broadcast. On a real cluster swap the localCheckpoint for
+    checkpoint()/a table write."""
     docs = _t(spark, sf_dir, "documents")
     words = (docs.select(F.expr(
         "regexp_extract_all(lower(text), '([a-z]+)', 1)").alias("ws"))
@@ -8847,7 +8861,8 @@ def q_terms_kn_bigram_probs(spark, sf_dir):
         "transform(sequence(1, size(ws) - 1),"
         " i -> struct(ws[i - 1] AS w1, ws[i] AS w2))")).alias("b"))
         .select("b.w1", "b.w2"))
-    c12 = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c12 = (bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+           .localCheckpoint(eager=True))
     left = c12.groupBy("w1").agg(
         F.sum("c12").alias("c1"),
         F.count("*").alias("fanout"))          # N1+(w1 •)
@@ -10568,10 +10583,18 @@ def q_ccnet_perplexity_buckets(spark, sf_dir):
     values, ~thousands at worst) and broadcast back as a 1-row cross
     join. The corpus itself never sorts — unlike a global NTILE(3),
     which would single-partition 10¹² rows."""
+    # r9: the per-doc score table (O(docs), tiny) materializes once —
+    # its two consumers (tercile directory and the bucketed output)
+    # have different children, so without this the trigram explode +
+    # model join + per-doc agg ran TWICE (the quality_classifier
+    # advisory-#1 shape; measured 1.68 → 1.47 s at sf0.1, one corpus
+    # pass instead of two at 100 TB). Swap for checkpoint()/a table
+    # write on a real cluster.
     scores = (_ppl_scored_stream(spark, sf_dir)
               .groupBy("doc_id").agg(
                   F.expr("sum(tick) * 1000 DIV count(*)")
-                  .alias("ppl_milli")))
+                  .alias("ppl_milli"))
+              .localCheckpoint(eager=True))
     dirt = scores.groupBy("ppl_milli").agg(F.count("*").alias("cnt"))
     w = (Window.orderBy("ppl_milli")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
