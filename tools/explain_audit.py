@@ -622,11 +622,12 @@ AUDITS = {
                           "membership join"),
     ],
     "events_anomaly_mad": [
-        ("BroadcastHashJoin", "per-type med and MAD (≤|event_type| "
-                              "rows) broadcast back"),
-        ("WindowGroupLimit", "both rn=(n+1)/2 selections keep the "
-                             "count window (no group-limit: the "
-                             "target rank isn't a constant)", 0),
+        ("Scan parquet", "ONE events scan (r9: both medians attach as "
+                         "conditional window-maxes — no rn-selection "
+                         "tables joined back)", 1),
+        ("Exchange", "one event_type shuffle carries both median "
+                     "phases", 1),
+        ("BroadcastHashJoin", "no joins left", 0),
         ("CartesianProduct", "never a cartesian", 0),
     ],
     "events_changepoint_cusum": [

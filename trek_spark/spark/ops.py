@@ -7249,10 +7249,13 @@ def q_events_anomaly_mad(spark, sf_dir):
     none). Per event_type: med = lower-middle median of cents, MAD =
     lower-middle median of |cents − med|, outlier ⇔ dev > 3·MAD —
     every comparison on exact integers, no scale factor crossing the
-    oracle. The two medians are rn = (n+1) DIV 2 selections joined
-    back broadcast (the per-type medians are a ≤|event_type|-row
-    table). event_type cardinality is bounded; for the giant-group
-    regime swap each median selection for the
+    oracle. Both medians attach as conditional window-maxes on ONE
+    event_type shuffle (r9: the former rn-selection tables joined back
+    broadcast re-evaluated the stream per phase — 4 static scans; the
+    window form is one scan, zero joins, measured 1.01 → 0.56 s at
+    sf0.1 — each phase already window-sorted full type partitions, so
+    skew exposure is unchanged). event_type cardinality is bounded;
+    for the giant-group regime swap each median selection for the
     lineitem_median_histogram two-pass refinement — same selection,
     no full-group sort."""
     ev = (_t(spark, sf_dir, "events")
@@ -7260,20 +7263,19 @@ def q_events_anomaly_mad(spark, sf_dir):
                   F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
                   .alias("cents")))
     wt = Window.partitionBy("event_type")
-
-    def lower_middle(df, col, out):
-        w = wt.orderBy(F.col(col), F.col("event_id"))
-        return (df.withColumn("rn", F.row_number().over(w))
-                .withColumn("n", F.count("*").over(wt))
-                .where(F.col("rn") == F.expr("(n + 1) DIV 2"))
-                .select("event_type", F.col(col).alias(out)))
-
-    med = lower_middle(ev, "cents", "med")
-    dev = (ev.join(F.broadcast(med), "event_type")
-           .withColumn("dev", F.abs(F.col("cents") - F.col("med"))))
-    mad = lower_middle(dev, "dev", "mad")
-    return (dev.join(F.broadcast(mad), "event_type")
-            .where(F.col("dev") > 3 * F.col("mad"))
+    w1 = wt.orderBy(F.col("cents"), F.col("event_id"))
+    step1 = (ev.withColumn("rn", F.row_number().over(w1))
+             .withColumn("n", F.count("*").over(wt))
+             .withColumn("med", F.max(F.when(
+                 F.col("rn") == F.expr("(n + 1) DIV 2"),
+                 F.col("cents"))).over(wt))
+             .withColumn("dev", F.abs(F.col("cents") - F.col("med"))))
+    w2 = wt.orderBy(F.col("dev"), F.col("event_id"))
+    step2 = (step1.withColumn("rn2", F.row_number().over(w2))
+             .withColumn("mad", F.max(F.when(
+                 F.col("rn2") == F.expr("(n + 1) DIV 2"),
+                 F.col("dev"))).over(wt)))
+    return (step2.where(F.col("dev") > 3 * F.col("mad"))
             .select("event_id", "event_type", "cents", "med", "mad"))
 
 
